@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Accessors for the driver-generated fixture tables (see TESTDATA.md /
+  * FIXTURES.md). Every query in [[SparkEntry.queries]] reads its inputs
+  * through these so the scan path (parquet, column-pruned, filter-pushed)
+  * is uniform.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
+
+/** Determinism helpers for DuckDB-oracle hash matching.
+  *
+  * Floating-point aggregation is order-dependent, and Spark's partial
+  * aggregation order differs run-to-run and engine-to-engine. Accumulating
+  * in exact decimal arithmetic and casting the final value to double makes
+  * the result bit-identical in any engine, in any order (decimal addition
+  * is associative and exact; a double can never sit exactly on a decimal
+  * half-way rounding boundary at scale <= 6, since 5e-7 has a 5^-7 factor
+  * and binary fractions cannot). SURVEY.md §7 risk 2.
+  */
+object Det {
+  private val Dec = DecimalType(30, 6)
+
+  /** Deterministic double-valued sum: exact decimal accumulation. */
+  def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
+
+  /** Deterministic double-valued average. */
+  def davg(c: Column): Column = sum(c.cast(Dec)).cast("double") / count(c)
+
+  /** Oracle-SQL (DuckDB) twin of [[dsum]]. */
+  def sqlSum(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(30,6))) AS DOUBLE)"
+
+  /** Oracle-SQL twin of [[davg]]. */
+  def sqlAvg(e: String): String =
+    s"(CAST(SUM(CAST(($e) AS DECIMAL(30,6))) AS DOUBLE) / COUNT($e))"
+}
