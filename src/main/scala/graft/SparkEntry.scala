@@ -12,7 +12,7 @@ import graft.ops._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
-    Aggregates
+    Aggregates, Joins, Windows, SortSetOps, Scalars, Keyed
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

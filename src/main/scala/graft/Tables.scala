@@ -20,7 +20,13 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+  /** events.ts is parquet timestamp[ns]; with the nanosAsLong session flag
+    * it arrives as a raw ns long, from which `ts_utc` re-derives a standard
+    * µs timestamp (floor division — safe for the fixture's post-epoch data).
+    */
+  def events(s: SparkSession, d: String): DataFrame =
+    table(s, d, "events").withColumn(
+      "ts_utc", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.ts is parquet timestamp[ns], which Spark 4 refuses to read
+      // as a timestamp; read it as a raw nanosecond long instead
+      // (Tables.events re-derives a µs timestamp column). SURVEY.md §7 risk 1.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

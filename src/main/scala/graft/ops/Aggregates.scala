@@ -4,18 +4,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Det, Tables}
 
-/** Aggregation operators (SURVEY.md §2 C14–C20).
+/** Aggregation operators (SURVEY.md §2 C14–C20 + B-adjacent rollups).
   *
   * All forms are built-in hash aggregates: Spark plans partial (map-side)
   * + final aggregation automatically, so at 100 TB the shuffle carries one
-  * row per (group, partition), not per input row.
+  * row per (group, partition), not per input row. `countDistinct` expands
+  * to a two-stage aggregate; `approx_count_distinct` (HLL) is the sketch
+  * path that keeps the shuffle O(groups), the right trade at scale.
   */
 object Aggregates extends QueryPack {
 
-  /** C14 flagship: TPC-H Q1-shaped pricing summary over lineitem.
-    * groupBy two low-cardinality keys → partial agg collapses ~6k/60k/600k
-    * rows to ≤6 groups per task before the shuffle.
-    */
+  /** C14 flagship: TPC-H Q1-shaped pricing summary over lineitem. */
   def q1Pricing(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir)
@@ -30,23 +29,203 @@ object Aggregates extends QueryPack {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
-  val q1PricingSql: String =
-    s"""SELECT l_returnflag, l_linestatus,
-       |  ${Det.sqlSum("l_quantity")} AS sum_qty,
-       |  ${Det.sqlSum("l_extendedprice")} AS sum_base_price,
-       |  ${Det.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
-       |  ${Det.sqlAvg("l_quantity")} AS avg_qty,
-       |  ${Det.sqlAvg("l_discount")} AS avg_disc,
-       |  COUNT(*) AS count_order
-       |FROM lineitem
-       |GROUP BY l_returnflag, l_linestatus
-       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  /** C14 min/max (exactly order-independent, no decimal detour needed). */
+  def minMax(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(min($"o_totalprice").as("min_price"),
+           max($"o_totalprice").as("max_price"),
+           min($"o_orderkey").as("min_key"),
+           max($"o_orderkey").as("max_key"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** C15 exact distinct count (two-stage shuffle). */
+  def countDistinctQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderstatus")
+      .agg(countDistinct($"o_custkey").as("n_customers"),
+           count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** C16 approx distinct (HLL sketch). No SQL oracle — sketch estimates
+    * are algorithm-specific; the driver records a rows-only check.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+           count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** C17 rollup with grouping ids; subtotal rows carry NULL keys. */
+  def rollupQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n_rows"), Det.dsum($"l_quantity").as("sum_qty"),
+           grouping_id().cast("int").as("gid"))
+      .orderBy($"gid", asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  }
+
+  /** C17 cube: all 2^k grouping combinations. */
+  def cubeQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), grouping_id().cast("int").as("gid"))
+      .orderBy($"gid", asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+  }
+
+  /** C17 grouping sets (SQL-only surface in Spark). */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** C18 arg-max/arg-min: value of the latest / earliest event per type
+    * (event_id is unique ⇒ deterministic pick).
+    */
+  def argMaxMin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(max_by($"value", $"event_id").as("last_value"),
+           min_by($"value", $"event_id").as("first_value"),
+           max($"event_id").as("last_id"))
+      .orderBy($"event_type")
+  }
+
+  /** C19 collect_list/collect_set, order-normalized for the oracle. */
+  def collectSorted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy($"r_name")
+      .agg(array_join(sort_array(collect_list($"n_name")), ",").as("nations"),
+           array_join(sort_array(collect_set($"n_regionkey".cast("string"))), ",").as("region_keys"))
+      .orderBy($"r_name")
+  }
+
+  /** C20 exact percentiles + median (interpolated; both engines sort and
+    * interpolate identically on doubles).
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+           expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+           median($"l_quantity").as("med_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Sample stddev/variance via deterministic decimal moments (built-in
+    * stddev is an order-dependent streaming algorithm; the two-pass moment
+    * form is engine-exact). Formula applied identically in the oracle.
+    */
+  def stddevMoments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_linestatus")
+      .agg(Det.dsum($"l_quantity" * $"l_quantity").as("sum_sq"),
+           Det.dsum($"l_quantity").as("sum_x"),
+           count($"l_quantity").as("n"))
+      .select($"l_linestatus",
+              (($"sum_sq" - $"sum_x" * $"sum_x" / $"n") / ($"n" - 1)).as("var_qty"),
+              sqrt(($"sum_sq" - $"sum_x" * $"sum_x" / $"n") / ($"n" - 1)).as("std_qty"))
+      .orderBy($"l_linestatus")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing_summary" -> (q1Pricing _)
+    "q1_pricing_summary"  -> (q1Pricing _),
+    "agg_min_max"         -> (minMax _),
+    "agg_count_distinct"  -> (countDistinctQ _),
+    "agg_approx_distinct" -> (approxDistinct _),
+    "agg_rollup"          -> (rollupQ _),
+    "agg_cube"            -> (cubeQ _),
+    "agg_grouping_sets"   -> (groupingSets _),
+    "agg_arg_max_min"     -> (argMaxMin _),
+    "agg_collect_sorted"  -> (collectSorted _),
+    "agg_percentiles"     -> (percentiles _),
+    "agg_stddev_moments"  -> (stddevMoments _)
   )
 
   def oracle: Map[String, String] = Map(
-    "q1_pricing_summary" -> q1PricingSql
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${Det.sqlSum("l_quantity")} AS sum_qty,
+         |  ${Det.sqlSum("l_extendedprice")} AS sum_base_price,
+         |  ${Det.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${Det.sqlAvg("l_quantity")} AS avg_qty,
+         |  ${Det.sqlAvg("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_min_max" ->
+      """SELECT o_orderpriority, MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price, MIN(o_orderkey) AS min_key,
+        |  MAX(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_count_distinct" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+         |  ${Det.sqlSum("l_quantity")} AS sum_qty,
+         |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid
+         |FROM lineitem
+         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "agg_arg_max_min" ->
+      """SELECT event_type, ARG_MAX(value, event_id) AS last_value,
+        |  ARG_MIN(value, event_id) AS first_value, MAX(event_id) AS last_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_collect_sorted" ->
+      """SELECT r_name,
+        |  array_to_string(list_sort(list(n_name)), ',') AS nations,
+        |  array_to_string(list_sort(list(DISTINCT CAST(n_regionkey AS VARCHAR))), ',') AS region_keys
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "agg_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  median(l_quantity) AS med_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_stddev_moments" ->
+      s"""SELECT l_linestatus,
+         |  ((sum_sq - sum_x * sum_x / n) / (n - 1)) AS var_qty,
+         |  sqrt((sum_sq - sum_x * sum_x / n) / (n - 1)) AS std_qty
+         |FROM (
+         |  SELECT l_linestatus,
+         |    ${Det.sqlSum("l_quantity * l_quantity")} AS sum_sq,
+         |    ${Det.sqlSum("l_quantity")} AS sum_x,
+         |    COUNT(l_quantity) AS n
+         |  FROM lineitem GROUP BY l_linestatus
+         |) ORDER BY l_linestatus""".stripMargin
   )
 }

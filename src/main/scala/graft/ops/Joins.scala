@@ -1,0 +1,260 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Det, Tables}
+
+/** Join operators (SURVEY.md §2 C5–C13).
+  *
+  * Scale notes (100 TB posture):
+  *  - Equi joins shuffle both sides on the key and sort-merge; AQE converts
+  *    to broadcast at runtime when a side fits. Dimension tables (part,
+  *    customer, calendar) are broadcast explicitly so the fact table never
+  *    shuffles for them.
+  *  - Non-equi (theta / interval) joins are only ever written with a SMALL
+  *    broadcast side — a BroadcastNestedLoopJoin against two large sides
+  *    would be quadratic; the interval query derives an ~80-row calendar
+  *    dim first for exactly this reason.
+  *  - The as-of join avoids a per-row subquery: one shuffle on the key,
+  *    then a window over the joined candidates (reference semantics:
+  *    latest earlier record per key, cf. compacted-topic reads
+  *    /root/reference/sample_kafka_process.sh:136-143).
+  */
+object Joins extends QueryPack {
+
+  /** C5 inner equi join: lineitem ⋈ orders, revenue per order status. */
+  def innerEqui(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_items"), Det.dsum($"l_extendedprice").as("revenue"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** C6 left outer: every customer with order count + spend (0 if none). */
+  def leftOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("n_orders"),
+           Det.dsum(coalesce($"o_totalprice", lit(0.0))).as("spend"))
+      .orderBy($"c_custkey")
+  }
+
+  /** C6 right outer: orders ⟖ customer, per-nation order stats. */
+  def rightOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"), "right_outer")
+      .groupBy($"c_nationkey")
+      .agg(countDistinct($"c_custkey").as("n_customers"),
+           count($"o_orderkey").as("n_orders"))
+      .orderBy($"c_nationkey")
+  }
+
+  /** C6 full outer on derived month keys: order months vs ship months
+    * (ship dates extend past the last order month, so both null sides occur).
+    */
+  def fullOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val om = Tables.orders(spark, dir)
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"))
+    val sm = Tables.lineitem(spark, dir)
+      .groupBy(date_format($"l_shipdate", "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_ships"))
+    om.join(sm, Seq("month"), "full_outer")
+      .select($"month", coalesce($"n_orders", lit(0L)).as("n_orders"),
+              coalesce($"n_ships", lit(0L)).as("n_ships"))
+      .orderBy($"month")
+  }
+
+  /** C7 left semi: customers having at least one high-value order. */
+  def leftSemi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter($"o_totalprice" > 300000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** C7 left anti: customers with no orders at all. */
+  def leftAnti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select($"c_custkey", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** C8 broadcast hash join: fact lineitem ⋈ broadcast(dim part).
+    * At 100 TB the part dim stays far below the broadcast threshold per
+    * brand-level rollup; no shuffle of lineitem at all (map-side join).
+    */
+  def broadcastDim(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val p  = Tables.part(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "inner")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_items"), Det.dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"p_brand")
+  }
+
+  /** C9 theta (non-equi) join: parts cheaper than a supplier's balance,
+    * small side broadcast → BroadcastNestedLoop stays linear in the big side.
+    */
+  def thetaRange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, dir)
+    val s = Tables.supplier(spark, dir).filter($"s_nationkey" < 5)
+    p.join(broadcast(s), p("p_retailprice") < s("s_acctbal"), "inner")
+      .groupBy($"s_suppkey")
+      .agg(count(lit(1)).as("n_cheaper_parts"))
+      .orderBy($"s_suppkey")
+  }
+
+  /** C10 cross join: region × nation (both tiny dims). */
+  def crossSmall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val r = Tables.region(spark, dir).select($"r_name")
+    val n = Tables.nation(spark, dir).select($"n_name")
+    r.crossJoin(n)
+      .groupBy($"r_name")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"r_name")
+  }
+
+  /** C11 as-of join: for each purchase event, the latest earlier click by
+    * the same user (event_id is the monotone offset surrogate — FIXTURES.md
+    * §2; ts is ns-precision and engine-lossy, so ids order time).
+    * One shuffle on user_id + window; no per-row subquery.
+    */
+  def asOf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_event_id"), $"user_id", $"value".as("p_value"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("c_event_id"), $"user_id".as("c_user_id"))
+    val w = Window.partitionBy($"p_event_id").orderBy($"c_event_id".desc)
+    purchases
+      .join(clicks, $"user_id" === $"c_user_id" && $"c_event_id" < $"p_event_id", "left_outer")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"p_event_id", $"user_id",
+              coalesce($"c_event_id", lit(-1L)).as("last_click_id"))
+      .orderBy($"p_event_id")
+  }
+
+  /** C12 interval overlap join: 7-day shipping windows × month intervals.
+    * The month dim is derived (~tens of rows) and broadcast; overlap
+    * predicate start1 < end2 AND end1 > start2.
+    */
+  def intervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_shipdate".as("ship_start"),
+              ($"l_shipdate" + expr("INTERVAL 7 DAYS")).as("ship_end"))
+    val months = Tables.lineitem(spark, dir)
+      .select(date_trunc("month", $"l_shipdate").as("m_start"))
+      .distinct()
+      .select($"m_start", ($"m_start" + expr("INTERVAL 1 MONTH")).as("m_end"))
+    li.join(broadcast(months),
+            $"ship_start" < $"m_end" && $"ship_end" > $"m_start", "inner")
+      .groupBy(date_format($"m_start", "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_windows"))
+      .orderBy($"month")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_inner_equi"       -> (innerEqui _),
+    "join_left_outer"       -> (leftOuter _),
+    "join_right_outer"      -> (rightOuter _),
+    "join_full_outer"       -> (fullOuter _),
+    "join_left_semi"        -> (leftSemi _),
+    "join_left_anti"        -> (leftAnti _),
+    "join_broadcast_dim"    -> (broadcastDim _),
+    "join_theta_range"      -> (thetaRange _),
+    "join_cross_small"      -> (crossSmall _),
+    "join_asof"             -> (asOf _),
+    "join_interval_overlap" -> (intervalOverlap _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "join_inner_equi" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_items,
+         |  ${Det.sqlSum("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "join_left_outer" ->
+      s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+         |  ${Det.sqlSum("COALESCE(o_totalprice, 0.0)")} AS spend
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_right_outer" ->
+      """SELECT c_nationkey, COUNT(DISTINCT c_custkey) AS n_customers,
+        |  COUNT(o_orderkey) AS n_orders
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "join_full_outer" ->
+      """SELECT COALESCE(om.month, sm.month) AS month,
+        |  COALESCE(om.n_orders, 0) AS n_orders,
+        |  COALESCE(sm.n_ships, 0) AS n_ships
+        |FROM (SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders
+        |      FROM orders GROUP BY 1) om
+        |FULL JOIN (SELECT strftime(l_shipdate, '%Y-%m') AS month, COUNT(*) AS n_ships
+        |      FROM lineitem GROUP BY 1) sm
+        |ON om.month = sm.month
+        |ORDER BY month""".stripMargin,
+    "join_left_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_left_anti" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_broadcast_dim" ->
+      s"""SELECT p_brand, COUNT(*) AS n_items, ${Det.sqlSum("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "join_theta_range" ->
+      """SELECT s_suppkey, COUNT(*) AS n_cheaper_parts
+        |FROM part JOIN (SELECT * FROM supplier WHERE s_nationkey < 5) s
+        |  ON p_retailprice < s.s_acctbal
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+    "join_cross_small" ->
+      """SELECT r_name, COUNT(*) AS n_pairs
+        |FROM region CROSS JOIN nation
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "join_asof" ->
+      """SELECT p_event_id, user_id, COALESCE(c_event_id, -1) AS last_click_id
+        |FROM (
+        |  SELECT p.event_id AS p_event_id, p.user_id, c.event_id AS c_event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.event_id < p.event_id
+        |) WHERE rn = 1
+        |ORDER BY p_event_id""".stripMargin,
+    "join_interval_overlap" ->
+      """SELECT strftime(m_start, '%Y-%m') AS month, COUNT(*) AS n_windows
+        |FROM (SELECT l_shipdate AS ship_start,
+        |             l_shipdate + INTERVAL 7 DAY AS ship_end FROM lineitem) li
+        |JOIN (SELECT m_start, m_start + INTERVAL 1 MONTH AS m_end
+        |      FROM (SELECT DISTINCT date_trunc('month', l_shipdate) AS m_start
+        |            FROM lineitem)) m
+        |  ON ship_start < m_end AND ship_end > m_start
+        |GROUP BY 1 ORDER BY month""".stripMargin
+  )
+}

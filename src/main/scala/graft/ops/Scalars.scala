@@ -1,0 +1,191 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scalar function families (SURVEY.md §2 C-scalar): string, math,
+  * date/time, JSON, array/map/struct incl. generators (explode).
+  *
+  * All expressions are built-in `org.apache.spark.sql.functions` — fully
+  * codegen'd, no UDFs in any hot path. Outputs avoid raw timestamp / array
+  * columns (engine-precision traps): timestamps are formatted to strings,
+  * arrays joined or reduced to scalars, so the DuckDB compare is exact.
+  */
+object Scalars extends QueryPack {
+
+  /** String family: case, substring, trim, concat, regexp, length,
+    * levenshtein, split+size (A8 upper included).
+    */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select($"p_partkey",
+        upper($"p_name").as("name_upper"),
+        lower($"p_brand").as("brand_lower"),
+        substring($"p_name", 1, 8).as("name_prefix"),
+        length($"p_name").as("name_len"),
+        trim(concat(lit("  "), $"p_type", lit("  "))).as("type_trimmed"),
+        concat_ws("-", $"p_brand", $"p_type").as("brand_type"),
+        regexp_extract($"p_brand", "#(\\d+)", 1).as("brand_num"),
+        regexp_replace($"p_name", " ", "_").as("name_snake"),
+        size(split($"p_name", " ")).as("n_words"),
+        levenshtein($"p_brand", lit("Brand#00")).as("lev_dist"))
+      .orderBy($"p_partkey")
+  }
+
+  /** Math family. `ceil`/`floor` return long in Spark (oracle casts to
+    * match); transcendentals rounded to 6 dp — libm last-ulp drift sits far
+    * below that.
+    */
+  def mathFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .select($"c_custkey",
+        round($"c_acctbal", 1).as("bal_round"),
+        abs($"c_acctbal").as("bal_abs"),
+        ceil($"c_acctbal").as("bal_ceil"),
+        floor($"c_acctbal").as("bal_floor"),
+        round(sqrt(abs($"c_acctbal")), 6).as("bal_sqrt"),
+        ($"c_acctbal" * $"c_acctbal").as("bal_sq"),
+        round(log(abs($"c_acctbal") + 1.0), 6).as("bal_ln"),
+        round(exp($"c_acctbal" / lit(10000.0)), 6).as("bal_exp"),
+        pmod($"c_custkey", lit(7L)).as("key_mod"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Date/time family over orders (ms-precision timestamps — safe in both
+    * engines; formatted outputs dodge physical-type drift).
+    */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderkey",
+        year($"o_orderdate").as("y"),
+        month($"o_orderdate").as("m"),
+        dayofmonth($"o_orderdate").as("d"),
+        quarter($"o_orderdate").as("q"),
+        dayofweek($"o_orderdate").as("dow"),
+        date_format($"o_orderdate", "yyyy-MM-dd").as("date_str"),
+        date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd").as("month_start"),
+        date_format(date_add($"o_orderdate", 30), "yyyy-MM-dd").as("plus30"),
+        datediff(lit("2002-01-01").cast("date"), $"o_orderdate").as("days_to_2002"),
+        unix_timestamp($"o_orderdate").as("epoch_s"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** JSON family over events.props (the schema registry's designed use:
+    * payload JSON parsed later — reference schema_manager.py:23).
+    */
+  def jsonFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_id",
+        get_json_object($"props", "$.k").as("k_str"),
+        from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k_int"),
+        to_json(struct($"event_id", $"event_type")).as("as_json"))
+      .orderBy($"event_id")
+  }
+
+  /** Array family + generator: explode part-name tokens into a word count
+    * (C35's generator surface), plus array transforms reduced to scalars.
+    */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select(explode(split($"p_name", " ")).as("word"))
+      .groupBy($"word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"word")
+  }
+
+  /** Array higher-order + map/struct scalars reduced to scalar outputs:
+    * transform/filter/aggregate (fold), sort_array, array_distinct,
+    * array_contains, element_at on map, struct field access.
+    */
+  def collectionFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select($"p_partkey", split($"p_name", " ").as("words"), $"p_brand", $"p_size")
+      .select($"p_partkey",
+        array_join(sort_array(array_distinct($"words")), ",").as("uniq_sorted"),
+        size(filter($"words", w => length(w) > 4)).as("n_long_words"),
+        aggregate($"words", lit(0), (acc, w) => acc + length(w)).as("total_chars"),
+        array_contains($"words", "green").as("has_green"),
+        array_join(transform($"words", w => upper(w)), " ").as("words_upper"),
+        element_at(map(lit("size"), $"p_size"), "size").as("size_via_map"),
+        struct($"p_brand".as("b"), $"p_size".as("s")).getField("b").as("brand_via_struct"))
+      .orderBy($"p_partkey")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_string"      -> (stringFuncs _),
+    "scalar_math"        -> (mathFuncs _),
+    "scalar_date"        -> (dateFuncs _),
+    "scalar_json"        -> (jsonFuncs _),
+    "scalar_array_explode" -> (arrayFuncs _),
+    "scalar_collections" -> (collectionFuncs _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "scalar_string" ->
+      """SELECT p_partkey,
+        |  UPPER(p_name) AS name_upper,
+        |  LOWER(p_brand) AS brand_lower,
+        |  SUBSTRING(p_name, 1, 8) AS name_prefix,
+        |  CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+        |  TRIM('  ' || p_type || '  ') AS type_trimmed,
+        |  p_brand || '-' || p_type AS brand_type,
+        |  regexp_extract(p_brand, '#(\d+)', 1) AS brand_num,
+        |  REPLACE(p_name, ' ', '_') AS name_snake,
+        |  CAST(LEN(string_split(p_name, ' ')) AS INTEGER) AS n_words,
+        |  CAST(levenshtein(p_brand, 'Brand#00') AS INTEGER) AS lev_dist
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "scalar_math" ->
+      """SELECT c_custkey,
+        |  ROUND(c_acctbal, 1) AS bal_round,
+        |  ABS(c_acctbal) AS bal_abs,
+        |  CAST(CEIL(c_acctbal) AS BIGINT) AS bal_ceil,
+        |  CAST(FLOOR(c_acctbal) AS BIGINT) AS bal_floor,
+        |  ROUND(SQRT(ABS(c_acctbal)), 6) AS bal_sqrt,
+        |  c_acctbal * c_acctbal AS bal_sq,
+        |  ROUND(LN(ABS(c_acctbal) + 1.0), 6) AS bal_ln,
+        |  ROUND(EXP(c_acctbal / 10000.0), 6) AS bal_exp,
+        |  ((c_custkey % 7) + 7) % 7 AS key_mod
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "scalar_date" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS d,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "scalar_json" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+        |  '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS as_json
+        |FROM events ORDER BY event_id""".stripMargin,
+    "scalar_array_explode" ->
+      """SELECT word, COUNT(*) AS n FROM (
+        |  SELECT UNNEST(string_split(p_name, ' ')) AS word FROM part
+        |) GROUP BY word ORDER BY word""".stripMargin,
+    "scalar_collections" ->
+      """SELECT p_partkey,
+        |  array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), ',') AS uniq_sorted,
+        |  CAST(LEN(list_filter(string_split(p_name, ' '), w -> LENGTH(w) > 4)) AS INTEGER) AS n_long_words,
+        |  CAST(list_sum(list_transform(string_split(p_name, ' '), w -> LENGTH(w))) AS INTEGER) AS total_chars,
+        |  list_contains(string_split(p_name, ' '), 'green') AS has_green,
+        |  array_to_string(list_transform(string_split(p_name, ' '), w -> UPPER(w)), ' ') AS words_upper,
+        |  p_size AS size_via_map,
+        |  p_brand AS brand_via_struct
+        |FROM part ORDER BY p_partkey""".stripMargin
+  )
+}

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Global sort / limit / top-k and set operations (SURVEY.md §2 C-sort,
+  * C-set).
+  *
+  * Scale notes: `orderBy(..).limit(k)` plans as TakeOrderedAndProject —
+  * each task keeps a k-heap and only k rows per partition reach the driver
+  * side of the exchange, so global top-k never materializes a full sort at
+  * 100 TB. Set ops are hash-based (shuffle on the whole row).
+  */
+object SortSetOps extends QueryPack {
+
+  /** Global top-k: 100 priciest lineitems, tie-broken to a total order. */
+  def topKGlobal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+      .limit(100)
+  }
+
+  /** Multi-key global sort (mixed directions) over a small dim. */
+  def sortMultiKey(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.supplier(spark, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+      .orderBy($"s_nationkey".desc, $"s_acctbal".asc, $"s_suppkey".asc)
+  }
+
+  /** Set union (distinct): rich customers ∪ customers with huge orders. */
+  def unionDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rich = Tables.customer(spark, dir)
+      .filter($"c_acctbal" > 9000.0).select($"c_custkey")
+    val big = Tables.orders(spark, dir)
+      .filter($"o_totalprice" > 400000.0).select($"o_custkey".as("c_custkey"))
+    rich.union(big).distinct().orderBy($"c_custkey")
+  }
+
+  /** Set intersect: part keys that are both large-sized and actually sold. */
+  def intersectKeys(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sold  = Tables.lineitem(spark, dir).select($"l_partkey".as("p_partkey"))
+    val large = Tables.part(spark, dir).filter($"p_size" > 40).select($"p_partkey")
+    large.intersect(sold).orderBy($"p_partkey")
+  }
+
+  /** Set except: parts never sold. */
+  def exceptKeys(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all  = Tables.part(spark, dir).select($"p_partkey")
+    val sold = Tables.lineitem(spark, dir).select($"l_partkey".as("p_partkey"))
+    all.except(sold).orderBy($"p_partkey")
+  }
+
+  /** C-filter showcase: null-safe / isin / between / like predicates pushed
+    * into the parquet scan.
+    */
+  def filterPushdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .filter($"p_size".between(10, 20) &&
+              $"p_brand".isin("Brand#11", "Brand#22", "Brand#33") &&
+              $"p_name".like("%green%") &&
+              $"p_retailprice" <=> $"p_retailprice")
+      .select($"p_partkey", $"p_brand", $"p_size")
+      .orderBy($"p_partkey")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "topk_global"      -> (topKGlobal _),
+    "sort_multi_key"   -> (sortMultiKey _),
+    "set_union"        -> (unionDistinct _),
+    "set_intersect"    -> (intersectKeys _),
+    "set_except"       -> (exceptKeys _),
+    "filter_pushdown"  -> (filterPushdown _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "topk_global" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+    "sort_multi_key" ->
+      """SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier
+        |ORDER BY s_nationkey DESC, s_acctbal ASC, s_suppkey ASC""".stripMargin,
+    "set_union" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0
+        |UNION
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000.0
+        |ORDER BY c_custkey""".stripMargin,
+    "set_intersect" ->
+      """SELECT p_partkey FROM part WHERE p_size > 40
+        |INTERSECT
+        |SELECT l_partkey AS p_partkey FROM lineitem
+        |ORDER BY p_partkey""".stripMargin,
+    "set_except" ->
+      """SELECT p_partkey FROM part
+        |EXCEPT
+        |SELECT l_partkey AS p_partkey FROM lineitem
+        |ORDER BY p_partkey""".stripMargin,
+    "filter_pushdown" ->
+      """SELECT p_partkey, p_brand, p_size FROM part
+        |WHERE p_size BETWEEN 10 AND 20
+        |  AND p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+        |  AND p_name LIKE '%green%'
+        |  AND p_retailprice IS NOT DISTINCT FROM p_retailprice
+        |ORDER BY p_partkey""".stripMargin
+  )
+}
