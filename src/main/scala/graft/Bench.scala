@@ -1,6 +1,34 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MapType
+import java.nio.file.{Files, Paths}
+
+/** Per-round benchmark: times every declared query at the SF the driver
+  * points at (sf0.1 by default) and emits one JSON line (stdout + file).
+  */
 object Bench {
+
+  /** Force FULL evaluation of every output column. Timing `count()` lets
+    * Catalyst prune the projected expressions, so map-only queries (scalar
+    * packs, window projections) would never execute the work being timed;
+    * hashing every column into an aggregate makes the measured plan the
+    * real one. Map-typed columns are serialized first (Spark forbids
+    * hashing MapType directly).
+    */
+  private def force(df: DataFrame): Unit = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: MapType => to_json(col(f.name))
+        case _          => col(f.name)
+      }
+    }
+    // bit_xor, not sum: ANSI mode (Spark 4 default) throws on long overflow,
+    // and summing 64-bit hashes overflows almost immediately.
+    df.select(xxhash64(cols.toSeq: _*).as("h")).agg(bit_xor(col("h"))).collect()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,15 +40,31 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Warmup: run the flagship once so the first timed query doesn't absorb
+    // JVM/codegen/parquet-reader initialization (VERDICT r1 noted the first
+    // query's time was mostly warmup).
+    try force(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
+    catch { case _: Throwable => () }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { force(fn(spark, sfDir)); true }
+               catch { case e: Throwable =>
+                 System.err.println(s"[bench] $name failed: ${e.getMessage}")
+                 false
+               }
+      val dt = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) dt else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist to a file: the driver's stdout scrape of sbt output is
+    // fragile (BENCH_r01.json recorded parsed:null).
+    try Files.writeString(Paths.get("BENCH.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -21,11 +21,20 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.flatMap(_.queries).toMap
+    uniq("queries", packs.flatMap(_.queries))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    packs.flatMap(_.oracle).toMap
+    uniq("oracle", packs.flatMap(_.oracle))
+
+  /** A name collision across packs would silently pair a query with the
+    * wrong oracle (last pack wins in toMap) — fail loudly instead.
+    */
+  private def uniq[V](what: String, all: Seq[(String, V)]): Map[String, V] = {
+    val dups = all.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate $what names across packs: ${dups.mkString(", ")}")
+    all.toMap
+  }
 }

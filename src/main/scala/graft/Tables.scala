@@ -22,11 +22,13 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
   /** events.ts is parquet timestamp[ns]; with the nanosAsLong session flag
     * it arrives as a raw ns long, from which `ts_utc` re-derives a standard
-    * µs timestamp (floor division — safe for the fixture's post-epoch data).
+    * µs timestamp. The ns→µs conversion MUST be integral division (`div`):
+    * `/` casts both sides to double, and 2024-era ns values (~1.7e18)
+    * exceed double's 2^53 exact range, silently corrupting the microsecond.
     */
   def events(s: SparkSession, d: String): DataFrame =
     table(s, d, "events").withColumn(
-      "ts_utc", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      "ts_utc", timestamp_micros(expr("ts div 1000")))
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
@@ -40,6 +42,16 @@ object Tables {
   * is associative and exact; a double can never sit exactly on a decimal
   * half-way rounding boundary at scale <= 6, since 5e-7 has a 5^-7 factor
   * and binary fractions cannot). SURVEY.md §7 risk 2.
+  *
+  * Residual risk (documented, accepted): the two engines round double →
+  * decimal differently — Spark rounds the double's SHORTEST decimal
+  * representation (BigDecimal via Double.toString, HALF_UP), DuckDB rounds
+  * the exact binary value. For a *derived* double (e.g. price·(1−disc))
+  * whose shortest repr terminates in exactly 7 fractional digits ending in
+  * 5, the two can disagree by 1e-6 before summation. No fixture value at
+  * the verified scale factors hits this (gate is green end-to-end); if a
+  * larger SF ever does, round to 6dp in double space on BOTH sides before
+  * the decimal cast.
   */
 object Det {
   private val Dec = DecimalType(30, 6)

@@ -51,15 +51,22 @@ object Aggregates extends QueryPack {
       .orderBy($"o_orderstatus")
   }
 
-  /** C16 approx distinct (HLL sketch). No SQL oracle — sketch estimates
-    * are algorithm-specific; the driver records a rows-only check.
+  /** C16 approx distinct (HLL sketch). Sketch estimates are
+    * algorithm-specific, so the raw estimate can't hash-match an oracle;
+    * instead the query emits the SURVEY C16 tolerance row: the exact count
+    * plus a boolean asserting the HLL estimate landed within 3·rsd of it.
+    * The oracle computes the exact count and expects the boolean TRUE, so
+    * an out-of-tolerance sketch fails the gate.
     */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag")
       .agg(approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
-           count(lit(1)).as("n_rows"))
+           countDistinct($"l_partkey").as("n_exact"))
+      .select($"l_returnflag", $"n_exact",
+              (abs($"approx_parts" - $"n_exact") <= lit(3 * 0.02) * $"n_exact")
+                .as("approx_ok"))
       .orderBy($"l_returnflag")
   }
 
@@ -182,6 +189,10 @@ object Aggregates extends QueryPack {
       """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
         |  COUNT(*) AS n_orders
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_exact,
+        |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
          |  ${Det.sqlSum("l_quantity")} AS sum_qty,

@@ -12,14 +12,15 @@ import graft.{Det, Tables}
   *    to broadcast at runtime when a side fits. Dimension tables (part,
   *    customer, calendar) are broadcast explicitly so the fact table never
   *    shuffles for them.
-  *  - Non-equi (theta / interval) joins are only ever written with a SMALL
-  *    broadcast side — a BroadcastNestedLoopJoin against two large sides
-  *    would be quadratic; the interval query derives an ~80-row calendar
-  *    dim first for exactly this reason.
-  *  - The as-of join avoids a per-row subquery: one shuffle on the key,
-  *    then a window over the joined candidates (reference semantics:
-  *    latest earlier record per key, cf. compacted-topic reads
-  *    /root/reference/sample_kafka_process.sh:136-143).
+  *  - Non-equi (theta) joins are only ever written with a SMALL broadcast
+  *    side — a BroadcastNestedLoopJoin against two large sides would be
+  *    quadratic. Where the interval arithmetic bounds the match set (a
+  *    7-day window touches ≤ 2 months) the non-equi join is rewritten away
+  *    entirely into explode + equi-join (see [[intervalOverlap]]).
+  *  - The as-of join avoids both a per-row subquery and a candidate
+  *    cross-product: one shuffle on the key, one linear window pass
+  *    (reference semantics: latest earlier record per key, cf.
+  *    compacted-topic reads /root/reference/sample_kafka_process.sh:136-143).
   */
 object Joins extends QueryPack {
 
@@ -111,6 +112,9 @@ object Joins extends QueryPack {
 
   /** C9 theta (non-equi) join: parts cheaper than a supplier's balance,
     * small side broadcast → BroadcastNestedLoop stays linear in the big side.
+    * NOTE the broadcast side here scales with SF (supplier is not a fixed
+    * dim): at production scale this pattern needs an explicit size guard
+    * (estimate rows, fall back to a banded/binned equi-join when too big).
     */
   def thetaRange(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -136,40 +140,56 @@ object Joins extends QueryPack {
   /** C11 as-of join: for each purchase event, the latest earlier click by
     * the same user (event_id is the monotone offset surrogate — FIXTURES.md
     * §2; ts is ns-precision and engine-lossy, so ids order time).
-    * One shuffle on user_id + window; no per-row subquery.
+    *
+    * Union-then-window form: clicks and purchases flow through ONE window
+    * per user ordered by event_id, carrying the last click id seen strictly
+    * before the current row (`rowsBetween(unboundedPreceding, -1)` +
+    * `last(ignoreNulls)`). Linear in the input and one shuffle on user_id —
+    * unlike the join-then-rank form, which materializes one row per
+    * (purchase × earlier click) and explodes quadratically on a hot key.
     */
   def asOf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
-    val purchases = ev.filter($"event_type" === "purchase")
-      .select($"event_id".as("p_event_id"), $"user_id", $"value".as("p_value"))
-    val clicks = ev.filter($"event_type" === "click")
-      .select($"event_id".as("c_event_id"), $"user_id".as("c_user_id"))
-    val w = Window.partitionBy($"p_event_id").orderBy($"c_event_id".desc)
-    purchases
-      .join(clicks, $"user_id" === $"c_user_id" && $"c_event_id" < $"p_event_id", "left_outer")
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"p_event_id", $"user_id",
-              coalesce($"c_event_id", lit(-1L)).as("last_click_id"))
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"event_id", $"user_id", $"event_type")
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("last_click_id",
+        last(when($"event_type" === "click", $"event_id"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id".as("p_event_id"), $"user_id",
+              coalesce($"last_click_id", lit(-1L)).as("last_click_id"))
       .orderBy($"p_event_id")
   }
 
-  /** C12 interval overlap join: 7-day shipping windows × month intervals.
-    * The month dim is derived (~tens of rows) and broadcast; overlap
-    * predicate start1 < end2 AND end1 > start2.
+  /** C12 interval overlap join: 7-day shipping windows × month intervals,
+    * overlap predicate start1 < end2 AND end1 > start2.
+    *
+    * A bounded interval (7 days) overlaps at most 2 calendar months, so
+    * instead of a nested-loop join against the month dim (which evaluates
+    * every window against all ~84 months — quadratic, 36s at sf0.1), each
+    * window EXPLODES into exactly its 1–2 overlapping month keys
+    * (`sequence(trunc(start), trunc(end - 1ms), 1 month)`; the -1ms keeps
+    * the `start1 < end2` strictness on the ms grid) and the month dim is
+    * reduced to a broadcast LEFT SEMI equi-join. One aggregation shuffle,
+    * fully codegen'd, linear at any scale. The oracle SQL remains the
+    * declarative interval JOIN, proving the rewrite's equivalence.
     */
   def intervalOverlap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val li = Tables.lineitem(spark, dir)
-      .select($"l_shipdate".as("ship_start"),
-              ($"l_shipdate" + expr("INTERVAL 7 DAYS")).as("ship_end"))
     val months = Tables.lineitem(spark, dir)
       .select(date_trunc("month", $"l_shipdate").as("m_start"))
       .distinct()
-      .select($"m_start", ($"m_start" + expr("INTERVAL 1 MONTH")).as("m_end"))
-    li.join(broadcast(months),
-            $"ship_start" < $"m_end" && $"ship_end" > $"m_start", "inner")
+    val exploded = Tables.lineitem(spark, dir)
+      .select($"l_shipdate".as("ship_start"),
+              ($"l_shipdate" + expr("INTERVAL 7 DAYS")).as("ship_end"))
+      .select(explode(expr(
+        """sequence(date_trunc('MONTH', ship_start),
+          |         date_trunc('MONTH', ship_end - INTERVAL 1 MILLISECOND),
+          |         INTERVAL 1 MONTH)""".stripMargin)).as("m_start"))
+    exploded
+      .join(broadcast(months), Seq("m_start"), "left_semi")
       .groupBy(date_format($"m_start", "yyyy-MM").as("month"))
       .agg(count(lit(1)).as("n_windows"))
       .orderBy($"month")

@@ -63,10 +63,10 @@ object SortSetOps extends QueryPack {
   def filterPushdown(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.part(spark, dir)
-      .filter($"p_size".between(10, 20) &&
-              $"p_brand".isin("Brand#11", "Brand#22", "Brand#33") &&
-              $"p_name".like("%green%") &&
-              $"p_retailprice" <=> $"p_retailprice")
+      .filter($"p_size".between(10, 40) &&
+              $"p_brand".isin("Brand#11", "Brand#12", "Brand#13") &&
+              $"p_name".like("%bolt%") &&
+              !($"p_type" <=> lit("__none__")))
       .select($"p_partkey", $"p_brand", $"p_size")
       .orderBy($"p_partkey")
   }
@@ -105,10 +105,10 @@ object SortSetOps extends QueryPack {
         |ORDER BY p_partkey""".stripMargin,
     "filter_pushdown" ->
       """SELECT p_partkey, p_brand, p_size FROM part
-        |WHERE p_size BETWEEN 10 AND 20
-        |  AND p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
-        |  AND p_name LIKE '%green%'
-        |  AND p_retailprice IS NOT DISTINCT FROM p_retailprice
+        |WHERE p_size BETWEEN 10 AND 40
+        |  AND p_brand IN ('Brand#11', 'Brand#12', 'Brand#13')
+        |  AND p_name LIKE '%bolt%'
+        |  AND p_type IS DISTINCT FROM '__none__'
         |ORDER BY p_partkey""".stripMargin
   )
 }

@@ -6,9 +6,10 @@ Usage: python3 tools/check_oracle.py <sfDir> <outDir>
 Reads each <outDir>/<name> parquet dump written by graft.Verify, runs the
 matching SQL from <outDir>/oracle_sql.json in DuckDB against views over the
 same fixture tables, and compares: row count, column names, dtypes, and
-exact values (columns sorted by name, rows compared both as-ordered and
-after a stable sort). Strictest plausible interpretation of the driver's
-hash compare — if this passes, any reasonable hash compare passes.
+exact values (columns sorted by name, rows compared strictly as-ordered —
+every query is required to carry a total ORDER BY, so no sorted fallback
+exists). Strictest plausible interpretation of the driver's hash compare —
+if this passes, any reasonable hash compare passes.
 """
 import sys, json, glob, os
 import duckdb
