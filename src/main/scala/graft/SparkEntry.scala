@@ -12,7 +12,8 @@ import graft.ops._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
-    Aggregates, Joins, Windows, SortSetOps, Scalars, Keyed
+    Aggregates, Joins, Windows, SortSetOps, Scalars, Keyed,
+    llm.Dedup, llm.Similarity, llm.TextStats, llm.Multimodal
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

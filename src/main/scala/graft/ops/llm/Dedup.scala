@@ -1,0 +1,310 @@
+package graft.ops.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.QueryPack
+
+/** Deduplication operators for LLM training-data pipelines (SURVEY.md §2
+  * C36/C37 + the round-2 mandate): exact content-hash dedup, MinHash+LSH
+  * near-dup, SimHash near-dup, exact n-gram Jaccard similarity join, and
+  * embedding-cosine near-dup — all over the `documents`/`embeddings`
+  * fixtures (FIXTURES.md §2).
+  *
+  * The reference has no dedup code (its only transform is an uppercase
+  * processor, /root/reference/pyspark_stream/processors/custom_processors.py:49);
+  * these are the BASELINE.json extension surface, designed Spark-first.
+  *
+  * Scale notes (100 TB posture):
+  *  - Exact dedup is one hash aggregate on the content hash — map-side
+  *    partials, one shuffle, no sort.
+  *  - MinHash/LSH shuffles on (band, bucket) — candidate pairs are only
+  *    ever generated for documents sharing an LSH bucket, NEVER all-pairs.
+  *    The exact-Jaccard verify touches candidate pairs only.
+  *  - The n-gram similarity join is an inverted-index join (shuffle on the
+  *    shingle), which is linear in the number of co-occurring shingle
+  *    pairs — the standard sparse exact path when overlap is rare.
+  *  - SimHash banding is exact by pigeonhole: hamming distance ≤ 3 over a
+  *    32-bit signature forces at least one of 4 disjoint 8-bit blocks to
+  *    match, so the block-equality candidate join has 100% recall (unlike
+  *    probabilistic MinHash banding).
+  *  - The embedding near-dup verify stage is exact; at production scale a
+  *    coarse quantizer (IVF cell id) would feed its candidate pairs — here
+  *    the corpus is one block, so the verify IS the join (documented
+  *    trade-off; the fixture's vectors are near-orthogonal random, which
+  *    no sublinear method separates at these thresholds).
+  *
+  * Cross-engine determinism: outputs avoid engine-specific hashes. Where a
+  * hash IS the output (exact dedup, SimHash), md5 hex — bit-identical in
+  * Spark and DuckDB — is used; Jaccard thresholds are integer arithmetic
+  * (5·inter ≥ 3·uni ⟺ J ≥ 0.6) so no float rounding can diverge; cosine
+  * values are computed as an identical left-to-right double fold in both
+  * engines (see [[Similarity]]).
+  */
+object Dedup extends QueryPack {
+
+  /** Distinct word 3-gram shingles per document. 31-word vocabulary makes
+    * unigrams useless (every pair of documents shares most words); 3-grams
+    * give ~30k possible shingles and near-zero overlap between unrelated
+    * documents, cleanly separating the corpus's planted near-duplicates.
+    */
+  private[llm] def shingles3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+      )).as("s"))
+      .distinct()
+  }
+
+  /** C36 exact dedup: content-hash (md5) grouping with keep-lowest-id
+    * canonicalization, over a corpus that unions the documents table with
+    * a simulated re-crawl of its first 100 docs (new ids, same bytes) so
+    * the dedup is exercised on real duplicates.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val recrawl = docs.filter($"doc_id" < 100)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    docs.union(recrawl)
+      .withColumn("content_hash", md5(encode($"text", "UTF-8")))
+      .groupBy($"content_hash")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select($"keep_id", $"n_copies", $"content_hash")
+      .orderBy($"keep_id")
+  }
+
+  /** C37 near-dup via MinHash + LSH banding, exact-Jaccard verified.
+    *
+    * Pipeline: 3-gram shingles → 128 MinHash values per doc (xxhash64
+    * seeded by permutation index — Spark-internal, never compared to the
+    * oracle) → 32 bands × 4 rows, band signature = hash of the 4 minima →
+    * candidate pairs = equi-join on (band, signature) → exact Jaccard on
+    * the candidates only → keep J ≥ 0.6 (integer form 5·inter ≥ 3·uni).
+    *
+    * The oracle computes the same J ≥ 0.6 pairs by brute force in SQL;
+    * the two agree iff LSH recall is 1.0 at the threshold. With b=32, r=4
+    * the miss probability at J = 0.96 (the corpus's near-dup band — the
+    * fixture has a clean gap, nothing between J ≈ 0.12 and J ≈ 0.96) is
+    * (1 − 0.96⁴)³² ≈ 1e-26.
+    */
+  def dedupNearMinhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingles3(spark, dir)
+    val numPerm = 128
+    val numBands = 32 // × 4 rows
+    // 128 permutations as 128 min() aggregates in ONE hash aggregate —
+    // map-side partial minima mean the shuffle carries one 128-long buffer
+    // per doc, not |shingles|×128 exploded rows (≈40× less at sf0.1).
+    val sig = sh.groupBy($"doc_id")
+      .agg(min(xxhash64($"s", lit(0))).as("mh0"),
+           (1 until numPerm).map(i => min(xxhash64($"s", lit(i))).as(s"mh$i")): _*)
+    // 32 bands of 4 rows; band signature hashes the 4 minima in position
+    // order so equal signatures ⇔ equal band slices. stack() unpivots to
+    // (doc, band, bucket) — 32 rows per doc.
+    val bandCols = (0 until numBands).map { b =>
+      s"$b, xxhash64(mh${4 * b}, mh${4 * b + 1}, mh${4 * b + 2}, mh${4 * b + 3})"
+    }.mkString(", ")
+    val buckets = sig.select($"doc_id",
+      expr(s"stack($numBands, $bandCols)").as(Seq("band", "bucket")))
+    val cand = buckets.select($"doc_id".as("d1"), $"band", $"bucket")
+      .join(buckets.select($"doc_id".as("d2"), $"band", $"bucket"), Seq("band", "bucket"))
+      .filter($"d1" < $"d2")
+      .select($"d1", $"d2").distinct()
+    // Exact verify on candidates only.
+    val sets = sh.groupBy($"doc_id")
+      .agg(collect_set($"s").as("ss"), count(lit(1)).as("n"))
+    cand
+      .join(sets.select($"doc_id".as("d1"), $"ss".as("s1"), $"n".as("n1")), Seq("d1"))
+      .join(sets.select($"doc_id".as("d2"), $"ss".as("s2"), $"n".as("n2")), Seq("d2"))
+      .withColumn("inter", size(array_intersect($"s1", $"s2")).cast("long"))
+      .withColumn("uni", $"n1" + $"n2" - $"inter")
+      .filter($"inter" * 5 >= $"uni" * 3)
+      .select($"d1", $"d2", $"inter", $"uni")
+      .orderBy($"d1", $"d2")
+  }
+
+  /** Exact n-gram Jaccard similarity join (word 4-grams, J ≥ 0.5) via the
+    * inverted-index form: self-join on the shingle (shuffle on shingle,
+    * never all-pairs), count co-occurrences per pair, then the integer
+    * threshold 2·inter ≥ uni. The exact sparse twin of [[dedupNearMinhash]].
+    *
+    * Shingle width matters at scale: an inverted-index join is linear only
+    * while shingles are discriminative. With this corpus's 31-word
+    * vocabulary, 2-grams have ≤ 961 distinct values, every shingle is hot,
+    * and the join degenerates quadratically (measured: 23s at sf0.1 vs
+    * ~1s with 4-grams). Production corpora get the same effect from
+    * stop-shingles — the standard mitigations are wider shingles (here) or
+    * a document-frequency cap on the index.
+    */
+  def jaccardNgram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 4)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(0, size(ws) - 4),
+          |          i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3]))""".stripMargin)).as("s"))
+      .distinct()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.select($"doc_id".as("d1"), $"s")
+      .join(sh.select($"doc_id".as("d2"), $"s"), Seq("s"))
+      .filter($"d1" < $"d2")
+      .groupBy($"d1", $"d2").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
+      .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
+      .withColumn("uni", $"n1" + $"n2" - $"inter")
+      .filter($"inter" * 2 >= $"uni")
+      .select($"d1", $"d2", $"inter", $"uni")
+      .orderBy($"d1", $"d2")
+  }
+
+  /** C37 (variant) SimHash near-dup: 32-bit signatures from md5-derived
+    * shingle hashes (cross-engine reproducible), candidate pairs from the
+    * 4-block pigeonhole banding (exact for hamming ≤ 3), verified with
+    * bit_count(xor).
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // 60-bit base hash both engines can compute: first 15 hex chars of md5.
+    val hv = shingles3(spark, dir)
+      .select($"doc_id",
+        expr("cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)").as("hv"))
+    val sig = hv
+      .select($"doc_id", $"hv", explode(expr("sequence(0, 31)")).as("i"))
+      .groupBy($"doc_id", $"i")
+      .agg(sum(when(expr("shiftright(hv, cast(i as int)) & 1") === 1, 1)
+        .otherwise(-1)).as("sgn"))
+      .groupBy($"doc_id")
+      .agg(sum(when($"sgn" >= 0, expr("shiftleft(1L, cast(i as int))"))
+        .otherwise(0L)).as("sh32"))
+    // hamming(a,b) ≤ 3 on 32 bits ⇒ one of the 4 disjoint bytes matches.
+    val blk = sig.select($"doc_id", $"sh32", explode(expr("sequence(0, 3)")).as("j"))
+      .withColumn("bv", expr("shiftright(sh32, cast(8 * j as int)) & 255"))
+    blk.select($"doc_id".as("d1"), $"sh32".as("h1"), $"j", $"bv")
+      .join(blk.select($"doc_id".as("d2"), $"sh32".as("h2"), $"j", $"bv"), Seq("j", "bv"))
+      .filter($"d1" < $"d2")
+      .select($"d1", $"d2", $"h1", $"h2").distinct()
+      .withColumn("hamming", expr("cast(bit_count(h1 ^ h2) as bigint)"))
+      .filter($"hamming" <= 3)
+      .select($"d1", $"d2", $"hamming")
+      .orderBy($"d1", $"d2")
+  }
+
+  /** Embedding-cosine near-dup (pairs with cosine ≥ 0.45).
+    *
+    * Physical form: block-nested loop via `mapPartitions` over a
+    * broadcast corpus block with a tight primitive inner loop — the
+    * declarative BNLJ with a higher-order-function dot product costs
+    * ~10µs/pair in array allocation (measured 21–67s at sf0.1 for 2M
+    * pairs); the loop does the identical arithmetic in ~0.5s. The
+    * accumulation is strictly left-to-right over the 64 dims, so values
+    * stay bit-identical to DuckDB's `list_reduce` fold.
+    *
+    * At production scale the broadcast block is a candidate cell from a
+    * coarse quantizer (IVF), and each cell runs this verify
+    * independently; the fixture corpus is one cell.
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = Similarity.corpus(spark, dir)
+      .select($"vec_id", $"v", $"nrm")
+      .toDF("_1", "_2", "_3").as[(Long, Array[Double], Double)]
+    val block = spark.sparkContext.broadcast(n.collect().sortBy(_._1))
+    val thr = 0.45
+    n.mapPartitions { it =>
+      val corpus = block.value
+      it.flatMap { case (i, va, na) =>
+        corpus.iterator.filter(_._1 > i).flatMap { case (j, vb, nb) =>
+          var acc = 0.0
+          var k = 0
+          while (k < va.length) { acc += va(k) * vb(k); k += 1 }
+          val cos = acc / (na * nb)
+          if (cos >= thr) Iterator.single((i, j, cos)) else Iterator.empty
+        }
+      }
+    }.toDF("i", "j", "cos_sim")
+      .orderBy($"i", $"j")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_exact"     -> (dedupExact _),
+    "llm_dedup_minhash"   -> (dedupNearMinhash _),
+    "llm_jaccard_ngram"   -> (jaccardNgram _),
+    "llm_dedup_simhash"   -> (dedupSimhash _),
+    "llm_dedup_embedding" -> (dedupEmbedding _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100
+        |)
+        |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+        |  md5(text) AS content_hash
+        |FROM corpus GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "llm_dedup_minhash" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM toks, unnest(range(1, len(ws) - 1)) AS t(i)
+        |       WHERE len(ws) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT d1, d2, inter, s1.n + s2.n - inter AS uni
+        |FROM p JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+        |WHERE 5 * inter >= 3 * (s1.n + s2.n - inter)
+        |ORDER BY d1, d2""".stripMargin,
+    "llm_jaccard_ngram" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
+        |       FROM toks, unnest(range(1, len(ws) - 2)) AS t(i)
+        |       WHERE len(ws) >= 4),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT d1, d2, inter, s1.n + s2.n - inter AS uni
+        |FROM p JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+        |WHERE 2 * inter >= s1.n + s2.n - inter
+        |ORDER BY d1, d2""".stripMargin,
+    "llm_dedup_simhash" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM toks, unnest(range(1, len(ws) - 1)) AS t(i)
+        |       WHERE len(ws) >= 3),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hv FROM sh),
+        |bits AS (SELECT doc_id, i,
+        |           CASE WHEN SUM(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) >= 0
+        |                THEN 1 ELSE 0 END AS b
+        |         FROM h, unnest(range(0, 32)) AS t(i) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, SUM(b * (1::BIGINT << i))::BIGINT AS sh32
+        |        FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(bit_count(xor(a.sh32, b.sh32)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh32, b.sh32)) <= 3
+        |ORDER BY d1, d2""".stripMargin,
+    "llm_dedup_embedding" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+        |      FROM v)
+        |SELECT a.vec_id AS i, b.vec_id AS j,
+        |  list_reduce(list_transform(range(1, 65), k -> a.v[k] * b.v[k]),
+        |              (x, y) -> x + y) / (a.nrm * b.nrm) AS cos_sim
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_reduce(list_transform(range(1, 65), k -> a.v[k] * b.v[k]),
+        |                  (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.45
+        |ORDER BY i, j""".stripMargin
+  )
+}

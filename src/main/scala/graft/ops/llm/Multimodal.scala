@@ -1,0 +1,110 @@
+package graft.ops.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.QueryPack
+
+/** Multimodal asset columns (SURVEY.md §2 C40): media payloads modeled as
+  * an opaque `binary` column inside a typed struct
+  * `{uri: string, bytes: binary, mime: string, meta: map<string,string>}`,
+  * with metadata predicates and size statistics as the queryable surface.
+  * The `documents` fixture's text bytes stand in for media payloads — the
+  * point is the column model and plan shape, which are payload-agnostic.
+  *
+  * Scale notes: bytes stay opaque end-to-end (never parsed, never
+  * shuffled wider than needed); metadata predicates prune BEFORE any
+  * byte-width column is materialized, and the aggregate is a plain hash
+  * aggregate on mime. At 100 TB the uri would point into object storage
+  * and `bytes` would be a lazily-fetched column — the plan is identical.
+  *
+  * Feature extraction (decode/resize/frame-sample) is per-partition
+  * imperative work over the opaque bytes — [[decodeStub]] below carries
+  * the real Spark plumbing (typed Dataset, mapPartitions, batched
+  * iteration) with a deterministic fake decoder, since no media codecs
+  * ship in this environment. Exercised by ScalaTest, not the SQL oracle.
+  */
+object Multimodal extends QueryPack {
+
+  /** A multimodal asset row as the typed API sees it. */
+  final case class Asset(uri: String, bytes: Array[Byte], mime: String)
+  /** Extracted features for one asset. */
+  final case class AssetFeatures(uri: String, mime: String, nBytes: Long,
+                                 features: Array[Float])
+
+  /** The assets view: documents dressed as multimodal rows. */
+  private[llm] def assets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(
+      $"doc_id", $"lang", $"source",
+      struct(
+        concat(lit("doc://"), $"doc_id").as("uri"),
+        encode($"text", "UTF-8").as("bytes"),
+        when($"source".isin("src0", "src1", "src2", "src3", "src4"), "image/png")
+          .when($"source".isin("src5", "src6", "src7", "src8", "src9"), "audio/wav")
+          .otherwise("text/plain").as("mime"),
+        map(lit("lang"), $"lang", lit("source"), $"source").as("meta")
+      ).as("m"))
+  }
+
+  /** C40 metadata predicate + byte-size statistics per mime type. */
+  def multimodalStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    assets(spark, dir)
+      .filter(element_at($"m.meta", "lang").isin("en", "de", "fr"))
+      .withColumn("mime", $"m.mime")
+      .withColumn("n_bytes", octet_length($"m.bytes").cast("long"))
+      .groupBy($"mime")
+      .agg(count(lit(1)).as("n_assets"),
+           sum($"n_bytes").as("total_bytes"),
+           max($"n_bytes").as("max_bytes"),
+           min($"m.uri").as("first_uri"))
+      .orderBy($"mime")
+  }
+
+  /** Decode / feature-extract plumbing: typed Dataset in, mapPartitions
+    * over batches, fixed-width feature vector out. The decoder itself is a
+    * STUB (deterministic byte statistics in place of pixel/sample
+    * decoding — no codec libraries exist in this environment); everything
+    * around it — encoders, partition iteration, output schema — is the
+    * real shape a production extractor plugs into.
+    */
+  def decodeStub(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        // STUB decoder: 4 deterministic byte-statistics "features" standing
+        // in for decoded image/audio features.
+        val n = a.bytes.length
+        val sum = a.bytes.foldLeft(0L)((acc, b) => acc + (b & 0xff))
+        val mean = if (n == 0) 0f else sum.toFloat / n
+        val mx = if (n == 0) 0f else (a.bytes.map(_ & 0xff).max).toFloat
+        AssetFeatures(a.uri, a.mime, n.toLong, Array(n.toFloat, mean, mx, 1.0f))
+      }
+    }
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_multimodal_stats" -> (multimodalStats _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "llm_multimodal_stats" ->
+      """WITH a AS (
+        |  SELECT doc_id, lang, 'doc://' || doc_id AS uri,
+        |    encode(text) AS bytes,
+        |    CASE WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+        |           THEN 'image/png'
+        |         WHEN source IN ('src5', 'src6', 'src7', 'src8', 'src9')
+        |           THEN 'audio/wav'
+        |         ELSE 'text/plain' END AS mime
+        |  FROM documents
+        |)
+        |SELECT mime, COUNT(*) AS n_assets,
+        |  SUM(octet_length(bytes))::BIGINT AS total_bytes,
+        |  MAX(octet_length(bytes))::BIGINT AS max_bytes,
+        |  MIN(uri) AS first_uri
+        |FROM a WHERE lang IN ('en', 'de', 'fr')
+        |GROUP BY mime ORDER BY mime""".stripMargin
+  )
+}

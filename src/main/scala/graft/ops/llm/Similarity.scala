@@ -1,0 +1,192 @@
+package graft.ops.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.QueryPack
+
+/** Similarity search over the `embeddings` fixture (SURVEY.md §2 C38):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * (sign-LSH) bucketed variant as the sublinear scale path.
+  *
+  * Cross-engine determinism (the whole pack hash-matches DuckDB):
+  *  - Every cosine is computed as an explicit LEFT-TO-RIGHT double fold —
+  *    Spark `aggregate(zip_with(a, b, *), 0.0, +)` ≡ DuckDB
+  *    `list_reduce(list_transform(range(1,65), k -> a[k]*b[k]), +)` —
+  *    because (0.0 + x) = x exactly, both engines perform the identical
+  *    IEEE-754 operation sequence, so similarity values are bit-identical
+  *    and need no rounding or tolerance.
+  *  - The LSH hyperplanes are not random at all: component (t, b, d) is
+  *    md5-derived (`hex60(md5("t_b_d")) / 2^59 − 1 ∈ [−1, 1)`), so both
+  *    engines build the SAME planes, the SAME buckets, and the SAME
+  *    candidate sets — the oracle replays the full LSH pipeline in SQL.
+  *
+  * Scale notes (100 TB posture): the top-k query broadcasts the (small)
+  * query set against the corpus — one pass over the vectors, per-partition
+  * top-k via the rank window, no corpus self-join. The LSH variant's
+  * candidate join shuffles on (table, bucket); candidate verification cost
+  * is |candidates|, not |corpus|² — the point of the structure. At real
+  * scale the bucket map is built once and reused across query batches.
+  */
+object Similarity extends QueryPack {
+
+  private val Tables_ = 8  // LSH tables
+  private val Bits    = 8  // hyperplanes (bits) per table
+  private val Dim     = 64
+
+  /** Left-to-right double fold `((0 + x₀) + x₁) + …` over the pairwise
+    * products — the SAME IEEE-754 addition chain as DuckDB's
+    * `list_reduce` (since 0.0 + x₀ = x₀ exactly), so similarity values
+    * are bit-identical across engines. (An unrolled 64-term sum was
+    * measured 3× SLOWER here: the giant expression falls out of
+    * whole-stage codegen.)
+    */
+  private[llm] def dotFold(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, p) -> acc + p)"
+
+  /** Normalized corpus: vec_id, v (64 doubles), nrm. */
+  private[llm] def corpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(transform(v, x -> x * x), cast(0 as double), (acc, p) -> acc + p))"))
+  }
+
+  private val dotExpr = dotFold("vq", "vc")
+
+  /** C38 brute-force exact cosine top-k: for each query vector (vec_id <
+    * 10), the 5 nearest corpus vectors by cosine, ties broken by id.
+    */
+  def annCosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = corpus(spark, dir)
+    val q = n.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("vq"), $"nrm".as("nq"))
+    val c = n.select($"vec_id".as("n_id"), $"v".as("vc"), $"nrm".as("nc"))
+    val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"n_id")
+    c.join(broadcast(q), $"n_id" =!= $"q_id")
+      .withColumn("sim", expr(dotExpr) / ($"nq" * $"nc"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 5)
+      .select($"q_id", $"rk", $"n_id", $"sim")
+      .orderBy($"q_id", $"rk")
+  }
+
+  /** C38 scale path: sign-LSH bucketing (8 tables × 8 md5-derived
+    * hyperplanes) → candidate set per query → exact re-rank of candidates
+    * only. Output per query: candidate-set size, best candidate similarity,
+    * and whether the true nearest neighbor was among the candidates (the
+    * recall@1 signal — the oracle replays the identical LSH, so the gate
+    * checks the pipeline, not a lucky recall).
+    */
+  def annLshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = corpus(spark, dir)
+    // Deterministic hyperplanes: one row per (table, bit) with a 64-dim
+    // weight vector derived from md5 — reproducible in any engine.
+    val planes = spark.range(Tables_.toLong * Bits).select(
+      expr(s"cast(id div $Bits as int)").as("t"),
+      expr(s"cast(id % $Bits as int)").as("b"),
+      expr(s"""transform(sequence(0, 63), d ->
+           cast(conv(substr(md5(concat(cast(id div $Bits as string), '_',
+                                       cast(id % $Bits as string), '_',
+                                       cast(d as string))), 1, 15), 16, 10) as double)
+           / 576460752303423488.0 - 1.0)""").as("w"))
+    // Bucket id per (vector, table): 8 sign bits packed into a long.
+    val buckets = n.crossJoin(broadcast(planes))
+      .withColumn("bitval", when(
+        expr(dotFold("v", "w")) >= 0,
+        expr("shiftleft(1L, b)")).otherwise(0L))
+      .groupBy($"vec_id", $"t")
+      .agg(sum($"bitval").as("bucket"))
+    val qb = buckets.filter($"vec_id" < 10).select($"vec_id".as("q_id"), $"t", $"bucket")
+    val cand = qb
+      .join(buckets.select($"vec_id".as("c_id"), $"t", $"bucket"), Seq("t", "bucket"))
+      .filter($"c_id" =!= $"q_id")
+      .select($"q_id", $"c_id").distinct()
+    // Exact re-rank over candidates only.
+    val sims = cand
+      .join(n.select($"vec_id".as("q_id"), $"v".as("vq"), $"nrm".as("nq")), Seq("q_id"))
+      .join(n.select($"vec_id".as("c_id"), $"v".as("vc"), $"nrm".as("nc")), Seq("c_id"))
+      .withColumn("sim", expr(dotExpr) / ($"nq" * $"nc"))
+      .groupBy($"q_id")
+      .agg(count(lit(1)).as("n_cand"), max($"sim").as("best_cand_sim"))
+    // Ground truth NN per query (brute force over the small query set).
+    val q = n.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("vq"), $"nrm".as("nq"))
+    val nn = n.select($"vec_id".as("c_id"), $"v".as("vc"), $"nrm".as("nc"))
+      .join(broadcast(q), $"c_id" =!= $"q_id")
+      .withColumn("sim", expr(dotExpr) / ($"nq" * $"nc"))
+      .groupBy($"q_id").agg(max($"sim").as("nn_sim"))
+    nn.join(sims, Seq("q_id"), "left_outer")
+      .select($"q_id",
+        coalesce($"n_cand", lit(0L)).as("n_cand"),
+        coalesce($"best_cand_sim", lit(-2.0)).as("best_cand_sim"),
+        (coalesce($"best_cand_sim", lit(-2.0)) === $"nn_sim").as("found_nn"))
+      .orderBy($"q_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ann_cosine_topk" -> (annCosineTopK _),
+    "llm_ann_lsh"         -> (annLshBuckets _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "llm_ann_cosine_topk" ->
+      """WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |            FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+        |      FROM v0),
+        |q AS (SELECT * FROM n WHERE vec_id < 10),
+        |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |        list_reduce(list_transform(range(1, 65), k -> q.v[k] * c.v[k]),
+        |                    (x, y) -> x + y) / (q.nrm * c.nrm) AS sim
+        |      FROM q JOIN n c ON c.vec_id <> q.vec_id),
+        |r AS (SELECT q_id, n_id, sim,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk
+        |      FROM s)
+        |SELECT q_id, rk, n_id, sim FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "llm_ann_lsh" ->
+      """WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |            FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+        |      FROM v0),
+        |tb AS (SELECT tt.t, bb.b FROM range(0, 8) tt(t), range(0, 8) bb(b)),
+        |hp AS (SELECT t, b, list_transform(range(0, 64), d ->
+        |         ('0x' || substr(md5(t::VARCHAR || '_' || b::VARCHAR || '_' || d::VARCHAR),
+        |                         1, 15))::BIGINT::DOUBLE
+        |         / 576460752303423488.0 - 1.0) AS w
+        |       FROM tb),
+        |bits AS (SELECT n.vec_id, hp.t,
+        |    CASE WHEN list_reduce(list_transform(range(1, 65), k -> n.v[k] * hp.w[k]),
+        |                          (x, y) -> x + y) >= 0
+        |         THEN (1::BIGINT << hp.b) ELSE 0::BIGINT END AS bv
+        |  FROM n, hp),
+        |bk AS (SELECT vec_id, t, SUM(bv)::BIGINT AS bucket FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+        |         FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+        |                            AND c.vec_id <> q.vec_id
+        |         WHERE q.vec_id < 10),
+        |sims AS (SELECT cand.q_id,
+        |    list_reduce(list_transform(range(1, 65), k -> a.v[k] * b.v[k]),
+        |                (x, y) -> x + y) / (a.nrm * b.nrm) AS sim
+        |  FROM cand JOIN n a ON a.vec_id = cand.q_id
+        |            JOIN n b ON b.vec_id = cand.c_id),
+        |best AS (SELECT q_id, COUNT(*) AS n_cand, MAX(sim) AS best_cand_sim
+        |         FROM sims GROUP BY 1),
+        |nn AS (SELECT q.vec_id AS q_id,
+        |         MAX(list_reduce(list_transform(range(1, 65), k -> q.v[k] * c.v[k]),
+        |                         (x, y) -> x + y) / (q.nrm * c.nrm)) AS nn_sim
+        |       FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        |       WHERE q.vec_id < 10 GROUP BY 1)
+        |SELECT nn.q_id AS q_id, COALESCE(best.n_cand, 0) AS n_cand,
+        |  COALESCE(best.best_cand_sim, -2.0) AS best_cand_sim,
+        |  COALESCE(best.best_cand_sim, -2.0) = nn.nn_sim AS found_nn
+        |FROM nn LEFT JOIN best ON nn.q_id = best.q_id
+        |ORDER BY nn.q_id""".stripMargin
+  )
+}

@@ -1,0 +1,191 @@
+package graft.ops.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.QueryPack
+
+/** Text-analysis operators for LLM data curation (SURVEY.md §2 C39 + the
+  * round-2 mandate): corpus statistics, language identification, quality
+  * scoring, token counting, and document fingerprinting — all over the
+  * `documents` fixture.
+  *
+  * Scale notes: every query is a scan + (optional explode) + hash
+  * aggregate — map-side partial aggregation, one shuffle on the group key,
+  * no windows over the whole corpus except the per-document argmax in
+  * language-ID (partitioned by doc_id, so it scales with documents, not
+  * corpus size). Token explodes multiply rows by tokens-per-doc, which is
+  * bounded by document length — the standard explode+aggregate shape that
+  * survives any corpus size.
+  *
+  * Determinism: integer statistics wherever possible; the only doubles are
+  * ratios of integers (single IEEE division — identical in both engines,
+  * no rounding needed).
+  */
+object TextStats extends QueryPack {
+
+  /** Per-language stopword profiles over the corpus's vocabulary. The
+    * fixture's synthetic text draws from one 31-word vocabulary regardless
+    * of its `lang` label, so the *mechanism* (profile scoring + argmax) is
+    * what the gate verifies — on real corpora the profiles would be the
+    * standard per-language stopword lists.
+    */
+  private val profiles: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "value",
+    "de" -> "data", "de" -> "table", "de" -> "row",
+    "es" -> "query", "es" -> "filter", "es" -> "sort",
+    "fr" -> "group", "fr" -> "join", "fr" -> "merge",
+    "zh" -> "hash", "zh" -> "scan", "zh" -> "batch")
+
+  /** C39 corpus statistics per (lang, source): doc counts, char/token
+    * sums, and mean tokens per doc.
+    */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"n_chars").as("sum_chars"),
+           sum($"n_tokens").as("sum_tokens"),
+           max($"n_tokens").as("max_tokens"))
+      .withColumn("avg_tokens", $"sum_tokens" / $"n_docs")
+      .orderBy($"lang", $"source")
+  }
+
+  /** C39 language identification: profile-keyword scoring with
+    * deterministic argmax (score desc, then language asc), aggregated
+    * into a (labeled lang × predicted lang) confusion table.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val prof = profiles.toDF("plang", "w")
+    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("w"))
+    val scores = toks.join(broadcast(prof), Seq("w"))
+      .groupBy($"doc_id", $"plang").agg(count(lit(1)).as("score"))
+    val wArg = Window.partitionBy($"doc_id").orderBy($"score".desc, $"plang")
+    val predicted = scores.withColumn("rn", row_number().over(wArg))
+      .filter($"rn" === 1).select($"doc_id", $"plang")
+    docs.join(predicted, Seq("doc_id"), "left_outer")
+      .select($"lang", coalesce($"plang", lit("und")).as("predicted"))
+      .groupBy($"lang", $"predicted").agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  /** C39 quality scoring: integer feature flags (length band, token count,
+    * lexical diversity, stopword density) summed into a 0–4 score per doc.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("ws", split($"text", " "))
+      .withColumn("n_tokens", size($"ws").cast("long"))
+      .withColumn("n_distinct", size(array_distinct($"ws")).cast("long"))
+      .withColumn("stop_cnt",
+        expr("cast(size(filter(ws, w -> w = 'the' or w = 'a')) as bigint)"))
+      .withColumn("score",
+        ($"n_chars".between(100, 400)).cast("int")
+          + ($"n_tokens" >= 20).cast("int")
+          + ($"n_distinct" * 2 >= $"n_tokens").cast("int")
+          + ($"stop_cnt" * 5 <= $"n_tokens").cast("int"))
+      .select($"doc_id", $"n_tokens", $"n_distinct", $"stop_cnt", $"score")
+      .orderBy($"doc_id")
+  }
+
+  /** C39 token counting, whitespace vs regex ("BPE-ish" word/number/symbol
+    * classes — RE2-safe so both engines tokenize identically), aggregated
+    * per language.
+    */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("ws_tokens", size(split($"text", " ")).cast("long"))
+      .withColumn("re_tokens",
+        size(regexp_extract_all($"text", lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"ws_tokens").as("sum_ws_tokens"),
+           sum($"re_tokens").as("sum_re_tokens"),
+           sum($"n_chars").as("sum_chars"))
+      .orderBy($"lang")
+  }
+
+  /** C39 document fingerprinting: min-hash fingerprint (lexicographic min
+    * of the shingle md5s — a 1-perm MinHash both engines compute
+    * identically) plus the sorted 5 smallest shingle hashes (a k-min
+    * sketch; two documents' sketches overlap ⇔ their shingle sets do).
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.shingles3(spark, dir)
+      .select($"doc_id", md5(encode($"s", "UTF-8")).as("h"))
+      .groupBy($"doc_id")
+      .agg(min($"h").as("fp_min"),
+           slice(sort_array(collect_set($"h")), 1, 5).as("fp_kmin"))
+      .orderBy($"doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_text_stats"    -> (textStats _),
+    "llm_lang_id"       -> (langId _),
+    "llm_quality_score" -> (qualityScore _),
+    "llm_token_stats"   -> (tokenStats _),
+    "llm_fingerprint"   -> (fingerprint _)
+  )
+
+  private val profileValues =
+    profiles.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
+
+  def oracle: Map[String, String] = Map(
+    "llm_text_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  SUM(n_chars)::BIGINT AS sum_chars,
+        |  SUM(len(string_split(text, ' ')))::BIGINT AS sum_tokens,
+        |  MAX(len(string_split(text, ' ')))::BIGINT AS max_tokens,
+        |  SUM(len(string_split(text, ' ')))::BIGINT / COUNT(*) AS avg_tokens
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "llm_lang_id" ->
+      s"""WITH prof(plang, w) AS (VALUES $profileValues),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |sc AS (SELECT doc_id, plang, COUNT(*) AS score
+         |       FROM toks JOIN prof USING (w) GROUP BY 1, 2),
+         |pr AS (SELECT doc_id, plang,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+         |       FROM sc),
+         |p1 AS (SELECT doc_id, plang FROM pr WHERE rn = 1)
+         |SELECT d.lang, COALESCE(p1.plang, 'und') AS predicted, COUNT(*) AS n_docs
+         |FROM documents d LEFT JOIN p1 USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "llm_quality_score" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |  len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct,
+        |  len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a'))::BIGINT
+        |    AS stop_cnt,
+        |  (CASE WHEN n_chars BETWEEN 100 AND 400 THEN 1 ELSE 0 END
+        |   + CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1 ELSE 0 END
+        |   + CASE WHEN len(list_distinct(string_split(text, ' '))) * 2
+        |              >= len(string_split(text, ' ')) THEN 1 ELSE 0 END
+        |   + CASE WHEN len(list_filter(string_split(text, ' '),
+        |                               w -> w = 'the' OR w = 'a')) * 5
+        |              <= len(string_split(text, ' ')) THEN 1 ELSE 0 END)::INT AS score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_token_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  SUM(len(string_split(text, ' ')))::BIGINT AS sum_ws_tokens,
+        |  SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))::BIGINT
+        |    AS sum_re_tokens,
+        |  SUM(n_chars)::BIGINT AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "llm_fingerprint" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM toks, unnest(range(1, len(ws) - 1)) AS t(i)
+        |       WHERE len(ws) >= 3)
+        |SELECT doc_id, MIN(md5(s)) AS fp_min,
+        |  list_sort(list_distinct(list(md5(s))))[1:5] AS fp_kmin
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}
