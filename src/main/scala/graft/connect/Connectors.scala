@@ -1,0 +1,132 @@
+package graft.connect
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.config.{ComponentConfig, Conf}
+import graft.schema.SchemaRegistry
+
+/** Source factory (SURVEY.md §2 A1/A2, C1/C2/C4): resolves a
+  * `{type, config}` declaration to a batch or streaming DataFrame.
+  *
+  * Types: `kafka` (real option plumbing incl. the A16 security matrix —
+  * the connector jar is an add-on package even in the reference,
+  * /root/reference/apps/pyspark-stream-job/sample_stream_job.py:112-115, so
+  * offline runs use the file/rate twins), `parquet`/`csv`/`json` (explicit
+  * schema from the [[SchemaRegistry]] — no inference, matching the
+  * reference's static-schema discipline), `rate` (test stream), `table`
+  * (a registered view — the memory twin).
+  *
+  * Unsupported types fail fast with the reference's message
+  * (…/pipeline/streaming_pipeline.py:69-71).
+  */
+object Sources {
+
+  def create(spark: SparkSession, comp: ComponentConfig, streaming: Boolean): DataFrame =
+    comp.componentType.toLowerCase match {
+      case "kafka" =>
+        val opts = KafkaOptions.reader(comp.config,
+          comp.config.str("starting_offsets").getOrElse("latest"))
+        if (streaming) spark.readStream.format("kafka").options(opts).load()
+        else spark.read.format("kafka").options(opts).load()
+      case fmt @ ("parquet" | "csv" | "json") =>
+        val path = comp.config.reqStr("path", s"Source '$fmt' requires a 'path'.")
+        val schema = comp.config.str("schema").map(SchemaRegistry.getOrThrow)
+        if (streaming) {
+          val s = schema.getOrElse(throw new IllegalArgumentException(
+            s"Streaming '$fmt' source requires a registered 'schema' (no inference)."))
+          val r = spark.readStream.schema(s)
+          withFmtOpts(comp.config, fmt) { (k, v) => r.option(k, v) }
+          r.format(fmt).load(path)
+        } else {
+          val r = spark.read
+          schema.foreach(r.schema)
+          withFmtOpts(comp.config, fmt) { (k, v) => r.option(k, v) }
+          r.format(fmt).load(path)
+        }
+      case "rate" =>
+        if (!streaming) throw new IllegalArgumentException(
+          "Source 'rate' is streaming-only.")
+        spark.readStream.format("rate")
+          .option("rowsPerSecond", comp.config.str("rows_per_second").getOrElse("10"))
+          .load()
+      case "table" =>
+        spark.table(comp.config.reqStr("name", "Source 'table' requires a 'name'."))
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported reader type: $other")
+    }
+
+  private def withFmtOpts(cfg: Conf, fmt: String)(set: (String, String) => Any): Unit =
+    if (fmt == "csv") {
+      set("header", cfg.str("header").getOrElse("false"))
+      cfg.str("delimiter").foreach(set("delimiter", _))
+    }
+}
+
+/** Sink factory (SURVEY.md §2 A3/A4, C3): batch writes and streaming query
+  * starts from a `{type, config}` declaration.
+  *
+  * The kafka sink enforces the reference's `value`-column contract and the
+  * mandatory checkpoint (…/connectors/kafka_connector.py:234-237, 210-214);
+  * every streaming sink takes a `checkpoint_location` — checkpoint IS the
+  * state/restart story (…/state/offset_manager.py:13-21).
+  */
+object Sinks {
+
+  def requireValueColumn(df: DataFrame): Unit =
+    if (!df.columns.contains("value"))
+      throw new IllegalArgumentException(
+        "DataFrame to write must have a 'value' column.")
+
+  def writeBatch(df: DataFrame, comp: ComponentConfig): Unit =
+    comp.componentType.toLowerCase match {
+      case "console" =>
+        df.show(numRows = comp.config.str("num_rows").map(_.toInt).getOrElse(20),
+                truncate = false)
+      case fmt @ ("parquet" | "csv" | "json") =>
+        val path = comp.config.reqStr("path", s"Sink '$fmt' requires a 'path'.")
+        df.write.mode(comp.config.str("mode").getOrElse("overwrite")).format(fmt).save(path)
+      case "noop" =>
+        df.write.mode("overwrite").format("noop").save()
+      case "kafka" =>
+        requireValueColumn(df)
+        val opts = KafkaOptions.writer(comp.config)
+        df.write.format("kafka").options(opts).save()
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported writer type: $other")
+    }
+
+  def startStream(df: DataFrame, comp: ComponentConfig): StreamingQuery = {
+    val cfg = comp.config
+    def checkpointed[T](w: org.apache.spark.sql.streaming.DataStreamWriter[T]) = {
+      cfg.str("checkpoint_location").foreach(w.option("checkpointLocation", _))
+      cfg.str("query_name").foreach(w.queryName)
+      w
+    }
+    comp.componentType.toLowerCase match {
+      case "console" =>
+        checkpointed(df.writeStream.format("console")
+          .outputMode(cfg.str("output_mode").getOrElse("append"))
+          .option("truncate", "false")).start()
+      case "memory" =>
+        val name = cfg.reqStr("query_name", "Sink 'memory' requires a 'query_name'.")
+        df.writeStream.format("memory").queryName(name)
+          .outputMode(cfg.str("output_mode").getOrElse("append")).start()
+      case "parquet" =>
+        val path = cfg.reqStr("path", "Sink 'parquet' requires a 'path'.")
+        val checkpoint = cfg.reqStr("checkpoint_location",
+          "Streaming parquet sink requires 'checkpoint_location'.")
+        df.writeStream.format("parquet")
+          .option("path", path).option("checkpointLocation", checkpoint).start()
+      case "noop" =>
+        checkpointed(df.writeStream.format("noop")).start()
+      case "kafka" =>
+        requireValueColumn(df)
+        val opts = KafkaOptions.writer(cfg)
+        val w = df.writeStream.format("kafka").options(opts)
+        cfg.str("query_name").foreach(w.queryName)
+        w.start()
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported writer type: $other")
+    }
+  }
+}

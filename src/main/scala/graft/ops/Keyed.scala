@@ -61,17 +61,26 @@ object Keyed extends QueryPack {
       .orderBy($"event_type")
   }
 
-  /** A5–A8 reference-processor chain as one query: the uppercase-value
-    * transform (custom_processors.py:49) over the keyed view of events —
-    * projection + cast + derived column, Catalyst-fused into the scan.
+  /** A5–A8 + A10/A11 reference-processor chain as one query: the keyed
+    * view of events folded through the ACTUAL pipeline abstraction —
+    * NoOp → column guard → uppercase-value transform
+    * (custom_processors.py:49) via [[graft.pipeline.Pipeline.applyProcessors]].
+    * The fold is lazy, so Catalyst fuses the whole chain into the scan;
+    * `.explain` shows a single Project over the file scan, identical to
+    * the hand-fused form.
     */
   def uppercaseTransform(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.events(spark, dir)
-      .select($"user_id".cast("string").as("key"), $"event_type".as("value"), $"event_id")
-      .withColumn("value", upper($"value"))
-      .select($"event_id", $"key", $"value")
-      .orderBy($"event_id")
+    import graft.pipeline._
+    val keyed = Tables.events(spark, dir)
+      .select($"event_id".cast("string").as("key"), $"event_type".as("value"))
+    val chain = Seq(
+      new NoOpProcessor(),
+      new RequireColumnProcessor(graft.config.Conf(Map("column" -> "value"))),
+      new UppercaseValueProcessor())
+    Pipeline.applyProcessors(keyed, chain)
+      .getOrElse(sys.error("pipeline short-circuited unexpectedly"))
+      .orderBy($"key")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -100,8 +109,7 @@ object Keyed extends QueryPack {
         |FROM events WHERE event_id >= 9000
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "keyed_uppercase_chain" ->
-      """SELECT event_id, CAST(user_id AS VARCHAR) AS key,
-        |  UPPER(event_type) AS value
-        |FROM events ORDER BY event_id""".stripMargin
+      """SELECT CAST(event_id AS VARCHAR) AS key, UPPER(event_type) AS value
+        |FROM events ORDER BY key""".stripMargin
   )
 }

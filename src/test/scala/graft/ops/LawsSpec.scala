@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Algebraic laws (SURVEY.md §5 item 3) checked over ScalaCheck-generated
+  * logs (fixed seeds — deterministic CI), executed on real Spark plans:
+  *  - dedup idempotence: dedup(dedup(x)) == dedup(x)            (C36)
+  *  - compaction homomorphism: latestPerKey(a ∪ b) ==
+  *      latestPerKey(latestPerKey(a) ∪ b) when b's offsets are later (B1)
+  *  - tombstone: a key whose latest record is a tombstone vanishes (B2)
+  */
+class LawsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val record: Gen[(Long, String, String)] = for {
+    key <- Gen.oneOf("a", "b", "c", "d")
+    v   <- Gen.oneOf("x", "y", "z", "TOMB")
+  } yield (0L, key, v)
+
+  private val logGen: Gen[List[(Long, String, String)]] =
+    Gen.listOfN(30, record).map(
+      // unique increasing offsets: an offset identifies one record, like Kafka
+      _.zipWithIndex.map { case ((_, k, v), i) => (i.toLong, k, v) })
+
+  private def samples(n: Int): Seq[List[(Long, String, String)]] =
+    (0 until n).flatMap(i => logGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def latestPerKey(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy($"key")
+      .agg(max_by(struct($"off", $"v"), $"off").as("last"))
+      .select($"key", $"last.off".as("off"), $"last.v".as("v"))
+
+  test("exact dedup is idempotent (C36)") {
+    for (log <- samples(10)) {
+      val df = log.toDF("off", "key", "v").select($"key", $"v")
+      val once = df.distinct()
+      val twice = once.distinct()
+      assert(twice.except(once).isEmpty && once.except(twice).isEmpty)
+    }
+  }
+
+  test("latest-per-key over union == latest-per-key of compacted prefix + suffix (B1)") {
+    for (log <- samples(10)) {
+      val (older, newer) = log.splitAt(log.length / 2)
+      val a = older.toDF("off", "key", "v")
+      val b = newer.toDF("off", "key", "v")
+      val direct = latestPerKey(a.union(b))
+      val staged = latestPerKey(latestPerKey(a).unionByName(b))
+      assert(direct.except(staged).isEmpty && staged.except(direct).isEmpty)
+    }
+  }
+
+  test("tombstoned keys vanish from the compacted view (B2)") {
+    for (log <- samples(10)) {
+      val df = log.toDF("off", "key", "v")
+      val compacted = latestPerKey(df).filter($"v" =!= "TOMB")
+      val expectLive = log.groupBy(_._2).view.mapValues(_.maxBy(_._1))
+        .collect { case (k, (_, _, v)) if v != "TOMB" => k }.toSet
+      assert(compacted.select($"key").as[String].collect().toSet === expectLive)
+    }
+  }
+}

@@ -1,0 +1,144 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.config.Conf
+
+/** End-to-end pipeline wiring: YAML → build → run against real file
+  * sources/sinks (the offline twins of the reference's Kafka→Kafka path —
+  * SURVEY.md §7: the Kafka jar is an add-on even in the reference). Covers
+  * the build/run/stop lifecycle the reference exercises with mocks
+  * (…/pipeline/streaming_pipeline.py:241-348) — with real execution.
+  */
+class PipelineSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def writeInput(): String = {
+    val dir = tmpDir("pipe_in")
+    Seq(("key1", "hello world"), ("key2", "test message"), ("key3", "PySpark Stream"))
+      .toDF("key", "value").write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("batch pipeline: parquet -> uppercase -> parquet, built from YAML") {
+    val in = writeInput()
+    val out = tmpDir("pipe_out")
+    val yaml =
+      s"""app_name: "BatchTwin"
+         |source:
+         |  type: "parquet"
+         |  config: {path: "$in"}
+         |processors:
+         |  - name: "UppercaseValue"
+         |    class: "graft.pipeline.UppercaseValueProcessor"
+         |sink:
+         |  type: "parquet"
+         |  config: {path: "$out", mode: "overwrite"}
+         |""".stripMargin
+    val p = Pipeline.fromYamlString(spark, yaml, streaming = false).build()
+    assert(p.processors.map(_.name) === Seq("UppercaseValueProcessor"))
+    p.run()
+    val rows = spark.read.parquet(out).as[(String, String)].collect().sortBy(_._1)
+    assert(rows.toSeq === Seq(("key1", "HELLO WORLD"), ("key2", "TEST MESSAGE"),
+                              ("key3", "PYSPARK STREAM")))
+  }
+
+  test("short-circuited pipeline never touches the sink") {
+    val in = writeInput()
+    val out = tmpDir("pipe_none")
+    val yaml =
+      s"""source:
+         |  type: "parquet"
+         |  config: {path: "$in"}
+         |processors:
+         |  - name: "Guard"
+         |    class: "require_column"
+         |    params: {column: "not_there"}
+         |sink:
+         |  type: "parquet"
+         |  config: {path: "$out/sub", mode: "overwrite"}
+         |""".stripMargin
+    val q = Pipeline.fromYamlString(spark, yaml, streaming = false).build().run()
+    assert(q.isEmpty)
+    assert(!new java.io.File(s"$out/sub").exists())
+  }
+
+  test("unsupported reader type fails at build (streaming_pipeline.py:69-71)") {
+    val yaml =
+      """source: {type: "mongodb", config: {uri: "x"}}
+        |sink: {type: "console", config: {}}
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.fromYamlString(spark, yaml, streaming = false).build()
+    }
+    assert(e.getMessage === "Unsupported reader type: mongodb")
+  }
+
+  test("unsupported writer type fails at build") {
+    val in = writeInput()
+    val yaml =
+      s"""source: {type: "parquet", config: {path: "$in"}}
+         |sink: {type: "elasticsearch", config: {}}
+         |""".stripMargin
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.fromYamlString(spark, yaml, streaming = false).build()
+    }
+    assert(e.getMessage === "Unsupported writer type: elasticsearch")
+  }
+
+  test("run before build fails with the reference's message") {
+    val yaml =
+      """source: {type: "rate", config: {}}
+        |sink: {type: "console", config: {}}
+        |""".stripMargin
+    val e = intercept[IllegalStateException] {
+      Pipeline.fromYamlString(spark, yaml).run()
+    }
+    assert(e.getMessage.contains("Did you call build()?"))
+  }
+
+  test("addProcessor type-safe programmatic path + csv source with registered schema") {
+    val dir = tmpDir("pipe_csv")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "data.csv"), "k1,v one\nk2,v two\n")
+    val out = tmpDir("pipe_csv_out")
+    graft.schema.SchemaRegistry.register("CSV_TEST_SCHEMA",
+      graft.schema.SchemaRegistry.SimpleMessage, overwrite = true)
+    val yaml =
+      s"""source:
+         |  type: "csv"
+         |  config: {path: "$dir", schema: "CSV_TEST_SCHEMA"}
+         |sink:
+         |  type: "parquet"
+         |  config: {path: "$out", mode: "overwrite"}
+         |""".stripMargin
+    val p = Pipeline.fromYamlString(spark, yaml, streaming = false).build()
+      .addProcessor(new UppercaseValueProcessor())
+    p.run()
+    val rows = spark.read.parquet(out).as[(String, String)].collect().sortBy(_._1)
+    assert(rows.toSeq === Seq(("k1", "V ONE"), ("k2", "V TWO")))
+  }
+
+  test("streaming pipeline: file stream -> uppercase -> memory sink, then stop()") {
+    val in = writeInput()
+    val yaml =
+      s"""source:
+         |  type: "parquet"
+         |  config: {path: "$in", schema: "SIMPLE_MESSAGE_SCHEMA"}
+         |processors:
+         |  - {name: "Upper", class: "uppercase"}
+         |sink:
+         |  type: "memory"
+         |  config: {query_name: "pipe_stream_sink"}
+         |""".stripMargin
+    val p = Pipeline.fromYamlString(spark, yaml, streaming = true).build()
+    val q = p.run(awaitTermination = false).get
+    try q.processAllAvailable()
+    finally p.stop()
+    val rows = spark.table("pipe_stream_sink").as[(String, String)]
+      .collect().sortBy(_._1)
+    assert(rows.toSeq === Seq(("key1", "HELLO WORLD"), ("key2", "TEST MESSAGE"),
+                              ("key3", "PYSPARK STREAM")))
+    assert(spark.streams.active.isEmpty) // stop() stopped everything (A15)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.config.Conf
+
+/** Reproduces the reference's processor-level asserted scenarios:
+  *  - golden uppercase table (…/processors/custom_processors.py:71-93)
+  *  - the no-key warn path (:95-102)
+  *  - NoOp identity (…/processors/base_processor.py:146)
+  *  - the None-short-circuit fold contract
+  *    (…/pipeline/streaming_pipeline.py:195-200)
+  *  - registry + Class.forName dynamic loading (:103-143)
+  */
+class ProcessorSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("uppercase golden table (custom_processors.py:86-93)") {
+    val in = Seq(("key1", "hello world"), ("key2", "test message"),
+                 ("key3", "PySpark Stream")).toDF("key", "value")
+    val out = new UppercaseValueProcessor().process(in).get
+      .as[(String, String)].collect().toSeq
+    assert(out === Seq(("key1", "HELLO WORLD"), ("key2", "TEST MESSAGE"),
+                       ("key3", "PYSPARK STREAM")))
+  }
+
+  test("uppercase without key column keeps value-only shape") {
+    val in = Seq("another message", "testing value only").toDF("value")
+    val out = new UppercaseValueProcessor().process(in).get
+    assert(out.columns.toSeq === Seq("value"))
+    assert(out.as[String].collect().toSeq ===
+      Seq("ANOTHER MESSAGE", "TESTING VALUE ONLY"))
+  }
+
+  test("uppercase without value column passes through unchanged") {
+    val in = Seq(1, 2, 3).toDF("n")
+    val out = new UppercaseValueProcessor().process(in).get
+    assert(out eq in) // same object: no-op path, no plan growth
+  }
+
+  test("NoOp identity (base_processor.py:146)") {
+    val in = Seq(1, 2).toDF("n")
+    assert(new NoOpProcessor().process(in).get eq in)
+  }
+
+  test("fold applies processors in order and fuses lazily") {
+    val in = Seq((1L, "a"), (2L, "b")).toDF("key", "value")
+    val out = Pipeline.applyProcessors(in, Seq(
+      new NoOpProcessor(),
+      new UppercaseValueProcessor(),
+      new SelectExprProcessor(Conf(Map("exprs" -> List("value")))))).get
+    assert(out.columns.toSeq === Seq("value"))
+    assert(out.as[String].collect().sorted.toSeq === Seq("A", "B"))
+  }
+
+  test("None short-circuits the whole pipeline (streaming_pipeline.py:198-200)") {
+    val in = Seq(1).toDF("n")
+    var downstreamRan = false
+    val spy = new Transform {
+      def apply(df: org.apache.spark.sql.DataFrame) = { downstreamRan = true; df }
+    }
+    val guard = new RequireColumnProcessor(Conf(Map("column" -> "missing")))
+    assert(Pipeline.applyProcessors(in, Seq(guard, spy)).isEmpty)
+    assert(!downstreamRan)
+  }
+
+  test("registry resolves ids and reference-style class paths") {
+    val p1 = ProcessorRegistry.resolve(spark, "uppercase", Conf.empty)
+    assert(p1.isInstanceOf[UppercaseValueProcessor])
+    val p2 = ProcessorRegistry.resolve(spark, "graft.pipeline.NoOpProcessor", Conf.empty)
+    assert(p2.isInstanceOf[NoOpProcessor])
+  }
+
+  test("Class.forName fallback loads unregistered Processor classes") {
+    val p = ProcessorRegistry.resolve(spark, classOf[ExternalTestProcessor].getName, Conf.empty)
+    assert(p.name === "ExternalTestProcessor")
+  }
+
+  test("unknown class fails with the reference's import error shape") {
+    val e = intercept[IllegalArgumentException] {
+      ProcessorRegistry.resolve(spark, "no.such.Processor", Conf.empty)
+    }
+    assert(e.getMessage.contains("Error importing module for processor"))
+  }
+
+  test("non-Processor class is rejected (streaming_pipeline.py type guard)") {
+    val e = intercept[IllegalArgumentException] {
+      ProcessorRegistry.resolve(spark, "java.lang.String", Conf.empty)
+    }
+    assert(e.getMessage.contains("must be an instance of Processor"))
+  }
+}
+
+/** Deliberately NOT registered — exercises the Class.forName path. */
+class ExternalTestProcessor extends Transform {
+  def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
+}
