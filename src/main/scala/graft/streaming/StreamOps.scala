@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operator library (SURVEY.md §2 C25–C32): the
+  * streaming form of the engine's semantics, over any streaming DataFrame
+  * (Kafka in production; MemoryStream / file streams in the offline test
+  * twins — C4).
+  *
+  * State & scale posture: every helper keys its state by the group
+  * columns, so state distributes across executors and is bounded by the
+  * watermark (Spark evicts window/dedup state older than the watermark).
+  * Checkpointing is THE state/restart story — exactly the reference's
+  * model (…/state/offset_manager.py:13-21: Spark's checkpointLocation is
+  * authoritative; the custom store is explicitly conceptual). At 100 TB
+  * use the RocksDB state store provider; the plan shape is unchanged.
+  */
+object StreamOps {
+
+  /** C25 watermark: tolerate `delay` of event-time disorder; drop later. */
+  def withLateness(df: DataFrame, tsCol: String, delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+
+  /** C26 tumbling-window aggregate. */
+  def tumbling(df: DataFrame, tsCol: String, delay: String, width: String,
+               keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), width) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** C27 sliding-window aggregate (width > slide ⇒ overlapping windows). */
+  def sliding(df: DataFrame, tsCol: String, delay: String, width: String,
+              slide: String, keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), width, slide) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** C28 session windows: gap-based, data-driven extent. */
+  def session(df: DataFrame, tsCol: String, delay: String, gap: String,
+              keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .groupBy(session_window(col(tsCol), gap) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** C29 streaming dedup — the streaming form of B1's
+    * exactly-one-per-key: state scoped by the watermark so it cannot grow
+    * unboundedly.
+    */
+  def dedup(df: DataFrame, tsCol: String, delay: String,
+            keyCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** C13 stream–stream join: both sides watermarked so Spark can bound
+    * the join state and evict rows that can no longer match. The
+    * condition MUST carry an event-time bound (e.g. `r.ts BETWEEN l.ts
+    * AND l.ts + INTERVAL 10 MINUTES`) or state grows without limit —
+    * that bound is what makes this join feasible on unbounded inputs.
+    */
+  def streamStreamJoin(left: DataFrame, leftTs: String, leftDelay: String,
+                       right: DataFrame, rightTs: String, rightDelay: String,
+                       cond: Column, joinType: String = "inner"): DataFrame =
+    left.withWatermark(leftTs, leftDelay)
+      .join(right.withWatermark(rightTs, rightDelay), cond, joinType)
+
+  /** A keyed record for the typed-state helpers (the Kafka envelope's
+    * key/offset/value triple).
+    */
+  final case class Keyed(key: String, off: Long, v: String)
+
+  /** C30 arbitrary keyed state via flatMapGroupsWithState: the
+    * latest-per-key (log-compaction, B1) view maintained incrementally —
+    * emits the new latest for a key whenever it changes, exactly the
+    * changelog a compacted Kafka topic would carry.
+    */
+  def latestPerKeyStateful(ds: Dataset[Keyed]): Dataset[Keyed] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Keyed, Keyed](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Keyed], state: GroupState[Keyed]) =>
+          val incoming = rows.toSeq
+          if (incoming.isEmpty) Iterator.empty
+          else {
+            val best = incoming.maxBy(_.off)
+            val prior = state.getOption
+            if (prior.forall(_.off < best.off)) {
+              state.update(best)
+              Iterator.single(best)
+            } else Iterator.empty
+          }
+      }
+  }
+}

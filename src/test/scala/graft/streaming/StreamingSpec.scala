@@ -1,0 +1,226 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import graft.streaming.StreamOps.Keyed
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Incremental-execution tests for C25–C32 on MemoryStream / file-stream
+  * sources with memory/file sinks — real micro-batches, manually advanced
+  * event time (SURVEY.md §5 item 4). No DuckDB oracle exists for
+  * streaming (it cannot run incremental queries); correctness here is
+  * asserted against hand-computed expected windows/states, which is the
+  * gate SURVEY §5/M4 specifies for this tier.
+  */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $s")
+
+  private def withQuery[T](q: StreamingQuery)(body: => T): T =
+    try body finally q.stop()
+
+  test("C25/C26 tumbling window with watermark drops late data") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = StreamOps.tumbling(in.toDF().toDF("ts", "k"),
+      "ts", "2 minutes", "5 minutes", Seq($"k"), Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.format("memory").queryName("tumbling_sink")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData((ts("10:00:00"), "a"), (ts("10:01:00"), "a"), (ts("10:04:00"), "b"))
+      q.processAllAvailable()
+      // watermark still at 10:02 → nothing finalized yet (append mode)
+      assert(spark.table("tumbling_sink").count() === 0)
+      // advance event time: watermark → 10:08, [10:00,10:05) finalizes
+      in.addData((ts("10:10:00"), "a"))
+      q.processAllAvailable()
+      in.addData((ts("10:12:00"), "c")) // extra batch flushes finalized windows
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_sink")
+        .select($"window.start".cast("string"), $"k", $"n")
+        .as[(String, String, Long)].collect().toSet
+      assert(rows === Set(("2024-01-01 10:00:00", "a", 2L),
+                          ("2024-01-01 10:00:00", "b", 1L)))
+      // a late event behind the watermark is DROPPED, not re-aggregated
+      in.addData((ts("10:00:30"), "a"))
+      q.processAllAvailable()
+      in.addData((ts("10:20:00"), "z"))
+      q.processAllAvailable()
+      val afterLate = spark.table("tumbling_sink")
+        .filter($"k" === "a" && $"window.start".cast("string") === "2024-01-01 10:00:00")
+        .select($"n").as[Long].collect().toSeq
+      assert(afterLate === Seq(2L)) // unchanged — late row never lands
+    }
+  }
+
+  test("C27 sliding windows assign rows to overlapping windows") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = StreamOps.sliding(in.toDF().toDF("ts", "k"),
+      "ts", "1 minute", "10 minutes", "5 minutes", Seq.empty, Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.format("memory").queryName("sliding_sink")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData((ts("10:07:00"), "a"))
+      q.processAllAvailable()
+      in.addData((ts("10:30:00"), "z")) // advance watermark far past both windows
+      q.processAllAvailable()
+      in.addData((ts("10:31:00"), "z"))
+      q.processAllAvailable()
+      val starts = spark.table("sliding_sink")
+        .filter($"n" === 1).select($"window.start".cast("string"))
+        .as[String].collect().toSet
+      // a 10:07 event belongs to [10:00,10:10) and [10:05,10:15)
+      assert(starts.contains("2024-01-01 10:00:00"))
+      assert(starts.contains("2024-01-01 10:05:00"))
+    }
+  }
+
+  test("C28 session windows split on the gap") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = StreamOps.session(in.toDF().toDF("ts", "k"),
+      "ts", "1 minute", "5 minutes", Seq($"k"), Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.format("memory").queryName("session_sink")
+      .outputMode("append").start()
+    withQuery(q) {
+      // two bursts for key a separated by > 5 min gap
+      in.addData((ts("10:00:00"), "a"), (ts("10:02:00"), "a"), (ts("10:10:00"), "a"))
+      q.processAllAvailable()
+      in.addData((ts("10:40:00"), "z")) // close both sessions
+      q.processAllAvailable()
+      in.addData((ts("10:41:00"), "z"))
+      q.processAllAvailable()
+      val sessions = spark.table("session_sink").filter($"k" === "a")
+        .select($"session_window.start".cast("string"), $"n")
+        .as[(String, Long)].collect().toSet
+      assert(sessions === Set(("2024-01-01 10:00:00", 2L),
+                              ("2024-01-01 10:10:00", 1L)))
+    }
+  }
+
+  test("C29 streaming dedup keeps first occurrence within the watermark") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, String)]
+    val deduped = StreamOps.dedup(in.toDF().toDF("ts", "key", "v"),
+      "ts", "10 minutes", Seq("key"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData((ts("10:00:00"), "k1", "first"), (ts("10:00:10"), "k1", "dup"),
+                 (ts("10:00:20"), "k2", "first"))
+      q.processAllAvailable()
+      in.addData((ts("10:01:00"), "k1", "dup-later-batch"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_sink").select($"key", $"v")
+        .as[(String, String)].collect().toSet
+      assert(rows === Set(("k1", "first"), ("k2", "first")))
+    }
+  }
+
+  test("C30 flatMapGroupsWithState maintains latest-per-key changelog") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Keyed]
+    val q = StreamOps.latestPerKeyStateful(in.toDS())
+      .writeStream.format("memory").queryName("state_sink")
+      .outputMode("update").start()
+    withQuery(q) {
+      in.addData(Keyed("a", 1, "x"), Keyed("a", 2, "y"), Keyed("b", 1, "z"))
+      q.processAllAvailable()
+      in.addData(Keyed("a", 1, "stale")) // older offset: state must NOT emit
+      q.processAllAvailable()
+      in.addData(Keyed("b", 5, "z2"))
+      q.processAllAvailable()
+      val emissions = spark.table("state_sink").as[Keyed].collect().toSeq
+      // per-batch emissions: (a,2,y),(b,1,z) then nothing, then (b,5,z2)
+      assert(emissions.toSet === Set(Keyed("a", 2, "y"), Keyed("b", 1, "z"),
+                                     Keyed("b", 5, "z2")))
+    }
+  }
+
+  test("C13 stream-stream join matches within the event-time bound") {
+    implicit val ctx = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, String)]
+    val clicks = MemoryStream[(Timestamp, String)]
+    val joined = StreamOps.streamStreamJoin(
+      imps.toDF().toDF("imp_ts", "imp_ad"), "imp_ts", "1 minute",
+      clicks.toDF().toDF("click_ts", "click_ad"), "click_ts", "1 minute",
+      expr("""imp_ad = click_ad AND
+              click_ts BETWEEN imp_ts AND imp_ts + INTERVAL 10 MINUTES"""))
+    val q = joined.writeStream.format("memory").queryName("ssj_sink")
+      .outputMode("append").start()
+    withQuery(q) {
+      imps.addData((ts("10:00:00"), "ad1"), (ts("10:00:00"), "ad2"))
+      clicks.addData((ts("10:05:00"), "ad1"), // inside bound → match
+                     (ts("10:20:00"), "ad2")) // outside 10-min bound → no match
+      q.processAllAvailable()
+      val rows = spark.table("ssj_sink")
+        .select($"imp_ad", $"click_ts".cast("string"))
+        .as[(String, String)].collect().toSet
+      assert(rows === Set(("ad1", "2024-01-01 10:05:00")))
+    }
+  }
+
+  test("C31 complete output mode re-emits full aggregation state") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = in.toDF().toDF("k").groupBy($"k").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("complete_sink")
+      .outputMode("complete").start()
+    withQuery(q) {
+      in.addData("a", "a", "b")
+      q.processAllAvailable()
+      in.addData("a")
+      q.processAllAvailable()
+      val rows = spark.table("complete_sink").as[(String, Long)].collect().toMap
+      assert(rows === Map("a" -> 3L, "b" -> 1L)) // full recount, not a delta
+    }
+  }
+
+  test("C32 foreachBatch sees each micro-batch with its id") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Int]
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = in.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        seen.synchronized { seen += ((id, df.count())) }; ()
+      }.start()
+    withQuery(q) {
+      in.addData(1, 2, 3)
+      q.processAllAvailable()
+      in.addData(4)
+      q.processAllAvailable()
+      val byId = seen.synchronized(seen.toList).toMap
+      assert(byId(0L) === 3L && byId(1L) === 1L)
+    }
+  }
+
+  test("checkpoint restart resumes from committed offsets without reprocessing") {
+    val inDir = tmpDir("ckpt_in")
+    val outDir = tmpDir("ckpt_out")
+    val ckpt = tmpDir("ckpt_state")
+    def startQuery(): StreamingQuery =
+      spark.readStream.schema("key STRING, value STRING").parquet(inDir)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .start()
+
+    Seq(("k1", "v1"), ("k2", "v2")).toDF("key", "value")
+      .write.mode("append").parquet(inDir)
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(outDir).count() === 2)
+
+    // new data lands while the query is DOWN; restart picks up exactly it
+    Seq(("k3", "v3")).toDF("key", "value").write.mode("append").parquet(inDir)
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+    val rows = spark.read.parquet(outDir).as[(String, String)].collect().toSeq
+    assert(rows.length === 3) // no duplicates: offsets came from the checkpoint
+    assert(rows.toSet === Set(("k1", "v1"), ("k2", "v2"), ("k3", "v3")))
+  }
+}
