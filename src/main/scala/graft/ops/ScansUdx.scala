@@ -1,0 +1,125 @@
+package graft.ops
+
+import java.nio.file.Paths
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.Udx
+
+/** Source-format scans and the UDx surface as gated queries (SURVEY.md §2
+  * C2, C33, B3):
+  *
+  *  - C2: CSV and JSON scans with EXPLICIT schemas (no inference — the
+  *    reference's static-schema discipline, schema_manager.py). The
+  *    fixture table is rendered to the format under test first, then
+  *    scanned back; the oracle reads the same rows from parquet, so the
+  *    gate proves the scan+schema path end-to-end.
+  *  - C33: a scalar UDF in a gated query — the UDF mirrors a SQL
+  *    expression so its results stay oracle-checkable (the design rule:
+  *    UDx allowed, but never opaque).
+  *  - B3: keyed produce / partition-by-key — `repartition(key)` must
+  *    co-locate every record of a key in exactly one partition (Kafka's
+  *    keyed-produce guarantee, sample_kafka_process.sh:194-204). The
+  *    query PROVES co-location by counting distinct partition ids per
+  *    key; the oracle pins the expected invariant.
+  */
+object ScansUdx extends QueryPack {
+
+  /** Deterministic scratch dir per (format, sf dir) for the render step. */
+  private def scratch(fmt: String, dir: String): String =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_scan_${fmt}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}").toString
+
+  private val nationSchema = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  /** C2 CSV scan: nation → CSV (header) → read back with explicit schema,
+    * then a small join+agg so mis-typed columns would be caught.
+    */
+  def scanCsv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = scratch("csv", dir)
+    Tables.nation(spark, dir).coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(path)
+    val nation = spark.read.schema(nationSchema).option("header", "true").csv(path)
+    nation.join(broadcast(Tables.region(spark, dir)),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(count(lit(1)).as("n_nations"), min($"n_name").as("first_nation"))
+      .orderBy($"r_name")
+  }
+
+  /** C2 JSON scan: supplier → JSON lines → read back with explicit schema. */
+  def scanJson(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = scratch("json", dir)
+    Tables.supplier(spark, dir).coalesce(1).write.mode("overwrite").json(path)
+    val schema = StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType),
+      StructField("s_acctbal", DoubleType)))
+    spark.read.schema(schema).json(path)
+      .select($"s_suppkey", $"s_name",
+              ($"s_acctbal" >= 0).as("in_good_standing"))
+      .orderBy($"s_suppkey")
+  }
+
+  /** B3 keyed produce: after `repartition(key)`, every key lives in
+    * exactly one partition — asserted inside the query so the oracle can
+    * pin it (`spark_partition_id` itself is engine-internal and never
+    * emitted).
+    */
+  def keyedColocate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .repartition(8, $"user_id")
+      .select($"user_id", spark_partition_id().as("pid"))
+      .groupBy($"user_id")
+      .agg(countDistinct($"pid").as("n_partitions"))
+      .agg(count(lit(1)).as("n_keys"),
+           (max($"n_partitions") === 1).as("all_colocated"))
+  }
+
+  /** C33 scalar UDF in a gated query: slugify part names, aggregate by
+    * first slug letter.
+    */
+  def udfSlugify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select(Udx.slugify($"p_name").as("slug"))
+      .groupBy(substring($"slug", 1, 1).as("initial"))
+      .agg(count(lit(1)).as("n_parts"),
+           countDistinct($"slug").as("n_distinct_slugs"))
+      .orderBy($"initial")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_csv"        -> (scanCsv _),
+    "scan_json"       -> (scanJson _),
+    "keyed_colocate"  -> (keyedColocate _),
+    "udf_slugify"     -> (udfSlugify _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "scan_csv" ->
+      """SELECT r_name, COUNT(*) AS n_nations, MIN(n_name) AS first_nation
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "scan_json" ->
+      """SELECT s_suppkey, s_name, s_acctbal >= 0 AS in_good_standing
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "keyed_colocate" ->
+      """SELECT COUNT(DISTINCT user_id) AS n_keys, TRUE AS all_colocated
+        |FROM events""".stripMargin,
+    "udf_slugify" ->
+      """SELECT substr(slug, 1, 1) AS initial, COUNT(*) AS n_parts,
+        |  COUNT(DISTINCT slug) AS n_distinct_slugs
+        |FROM (SELECT regexp_replace(lower(trim(p_name)), '[^a-z0-9]+', '-', 'g')
+        |        AS slug FROM part)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

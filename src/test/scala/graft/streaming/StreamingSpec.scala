@@ -199,6 +199,19 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("B5 bounded drain: Trigger.AvailableNow reads everything then terminates") {
+    val inDir = tmpDir("drain_in")
+    Seq(("k1", "v1"), ("k2", "v2"), ("k3", "v3")).toDF("key", "value")
+      .write.mode("append").parquet(inDir)
+    val q = spark.readStream.schema("key STRING, value STRING").parquet(inDir)
+      .writeStream.format("memory").queryName("drain_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000) // AvailableNow self-terminates after draining
+    assert(!q.isActive)
+    assert(spark.table("drain_sink").count() === 3)
+  }
+
   test("checkpoint restart resumes from committed offsets without reprocessing") {
     val inDir = tmpDir("ckpt_in")
     val outDir = tmpDir("ckpt_out")
