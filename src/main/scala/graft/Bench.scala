@@ -38,6 +38,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // wide MinHash signature aggregate: keep whole-stage codegen on
+      // past the default 100-field limit (graft.ops.llm.Dedup).
+      .config("spark.sql.codegen.maxFields", "220")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: run the flagship once so the first timed query doesn't absorb
@@ -46,6 +49,11 @@ object Bench {
     try force(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Drain the async cleanup backlog (shuffle files, broadcasts) from
+      // prior queries before timing: 60 queries in one JVM otherwise
+      // interfere — measured up to 5× phantom slowdowns on late queries.
+      System.gc()
+      Thread.sleep(100)
       val t0 = System.nanoTime()
       val ok = try { force(fn(spark, sfDir)); true }
                catch { case e: Throwable =>

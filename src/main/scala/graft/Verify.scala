@@ -16,6 +16,10 @@ object Verify {
       // as a timestamp; read it as a raw nanosecond long instead
       // (Tables.events re-derives a µs timestamp column). SURVEY.md §7 risk 1.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the 128-wide MinHash signature aggregate exceeds the default
+      // whole-stage-codegen field limit (100) — raise it so wide
+      // aggregates stay codegen'd (graft.ops.llm.Dedup).
+      .config("spark.sql.codegen.maxFields", "220")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

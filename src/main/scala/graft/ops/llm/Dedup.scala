@@ -93,12 +93,25 @@ object Dedup extends QueryPack {
     */
   def dedupNearMinhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingles3(spark, dir)
+    // Raw (non-distinct) shingles: min() and collect_set() dedup
+    // inherently, so the pre-aggregation distinct shuffle is pure waste.
+    val sh = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+      )).as("s"))
     val numPerm = 128
     val numBands = 32 // × 4 rows
-    // 128 permutations as 128 min() aggregates in ONE hash aggregate —
-    // map-side partial minima mean the shuffle carries one 128-long buffer
-    // per doc, not |shingles|×128 exploded rows (≈40× less at sf0.1).
+    // The 128-wide MinHash signature as 128 min() aggregates in ONE
+    // codegen'd hash aggregate — map-side partial minima, so the shuffle
+    // carries one 128-long buffer per doc, not |shingles|×128 exploded
+    // rows. Kept SEPARATE from the collect_set aggregate below on
+    // purpose: collect_set is a TypedImperativeAggregate, and mixing it
+    // in forces the whole aggregate into non-codegen ObjectHashAggregate
+    // (measured ~2× slower). NOTE: >100 output fields — needs
+    // spark.sql.codegen.maxFields raised (Verify/Bench set 220) or this
+    // drops out of whole-stage codegen anyway.
     val sig = sh.groupBy($"doc_id")
       .agg(min(xxhash64($"s", lit(0))).as("mh0"),
            (1 until numPerm).map(i => min(xxhash64($"s", lit(i))).as(s"mh$i")): _*)
@@ -114,9 +127,10 @@ object Dedup extends QueryPack {
       .join(buckets.select($"doc_id".as("d2"), $"band", $"bucket"), Seq("band", "bucket"))
       .filter($"d1" < $"d2")
       .select($"d1", $"d2").distinct()
-    // Exact verify on candidates only.
-    val sets = sh.groupBy($"doc_id")
-      .agg(collect_set($"s").as("ss"), count(lit(1)).as("n"))
+    // Exact verify on candidates only; set size derived from the set
+    // itself (no distinct shuffle anywhere in this pipeline).
+    val sets = sh.groupBy($"doc_id").agg(collect_set($"s").as("ss"))
+      .withColumn("n", size($"ss").cast("long"))
     cand
       .join(sets.select($"doc_id".as("d1"), $"ss".as("s1"), $"n".as("n1")), Seq("d1"))
       .join(sets.select($"doc_id".as("d2"), $"ss".as("s2"), $"n".as("n2")), Seq("d2"))
