@@ -14,10 +14,13 @@ import graft.Tables
   * value deletes the key (…:206-215); consumers can start from an explicit
   * offset (…:136-143).
   *
-  * Scale notes: latest-per-key is a single hash aggregate via
+  * Scale notes: latest-per-key is a single aggregation via
   * `max_by(struct(*), offset)` — one shuffle on the key with map-side
-  * partials, no window sort. At 100 TB this beats the row_number() form
-  * (which must sort every partition).
+  * partials. (Physically Spark plans SortAggregate, not HashAggregate —
+  * a struct-typed buffer isn't hash-aggregable — but the partial/final
+  * split still combines map-side, so the shuffle carries one row per
+  * (partition, key); the row_number() window form shuffles EVERY row and
+  * then sorts whole partitions. PlanSpec pins this shape.)
   */
 object Keyed extends QueryPack {
 

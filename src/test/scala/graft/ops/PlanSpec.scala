@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Physical-plan assertions: the scale properties VERDICT grades are
+  * pinned here so a regression (a filter that stops pushing down, a join
+  * that degrades to nested-loop, a sort that sneaks into an aggregation)
+  * fails CI, not the 100 TB run. Plans are checked at sf0.001 — plan
+  * SHAPE is scale-invariant for these queries (no AQE runtime re-plan
+  * changes the operator choice asserted here).
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("filter_pushdown: predicates reach the parquet scan") {
+    val p = plan("filter_pushdown")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(p_size,10"), p)
+  }
+
+  test("topk_global plans TakeOrderedAndProject, not a global sort") {
+    assert(plan("topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("join_broadcast_dim broadcasts the dim side (no shuffle of the fact table for the join)") {
+    val p = plan("join_broadcast_dim")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("join_interval_overlap has NO nested-loop join (the r1 scale-killer)") {
+    val p = plan("join_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
+  test("join_asof is window-based: no join operator at all, one user_id shuffle") {
+    val p = plan("join_asof")
+    assert(!p.toLowerCase.contains("join"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("keyed_latest_per_key is a partial+final aggregate (map-side combine), not a window sort") {
+    val p = plan("keyed_latest_per_key")
+    // max_by(struct) carries a struct buffer, so Spark plans SortAggregate
+    // — still ONE shuffle with a map-side partial, unlike the window form
+    // which shuffles every row then sorts whole partitions.
+    assert(p.contains("partial_max_by"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("keyed_uppercase_chain: the processor fold fuses into a single projection over the scan") {
+    val p = plan("keyed_uppercase_chain")
+    // one Project, no extra exchanges beyond the final sort
+    assert(p.contains("Project"), p)
+    assert("Exchange".r.findAllIn(p).size <= 2, p) // sort's range exchange (+AQE read)
+  }
+
+  test("llm_dedup_minhash: banding join is a hash join on (band,bucket); no cartesian anywhere") {
+    val p = plan("llm_dedup_minhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("llm_ann_cosine_topk broadcasts the query side (corpus never self-joins)") {
+    val p = plan("llm_ann_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // the big side streams once: no shuffle before the join
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("scalar packs stay inside whole-stage codegen") {
+    for (q <- Seq("scalar_string", "scalar_math", "scalar_date")) {
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      df.collect() // AQE shows codegen stages only in the FINAL plan
+      val p = df.queryExecution.executedPlan.toString
+      // codegen stages print as "*(n) Operator" in the tree format
+      assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined, s"$q lost codegen:\n$p")
+    }
+  }
+
+  test("q1 aggregation is partial+final hash aggregate (map-side combine)") {
+    val p = plan("q1_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+}

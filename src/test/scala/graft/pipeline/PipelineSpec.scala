@@ -119,6 +119,34 @@ class PipelineSpec extends SparkSpec {
     assert(rows.toSeq === Seq(("k1", "V ONE"), ("k2", "V TWO")))
   }
 
+  test("console + noop sinks execute (A4/C3); rate source streams (C4)") {
+    val in = writeInput()
+    // batch console sink (A4's batch twin) and noop sink both execute
+    val base = s"""source: {type: "parquet", config: {path: "$in"}}\n"""
+    Pipeline.fromYamlString(spark,
+      base + """sink: {type: "console", config: {num_rows: "2"}}""",
+      streaming = false).build().run()
+    Pipeline.fromYamlString(spark,
+      base + """sink: {type: "noop", config: {}}""",
+      streaming = false).build().run()
+    // rate source: a real unbounded test stream (C4)
+    val yaml =
+      """source: {type: "rate", config: {rows_per_second: "500"}}
+        |sink: {type: "memory", config: {query_name: "rate_sink"}}
+        |""".stripMargin
+    val p = Pipeline.fromYamlString(spark, yaml, streaming = true).build()
+    val q = p.run(awaitTermination = false).get
+    try {
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("rate_sink").isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); q.processAllAvailable()
+      }
+      assert(!spark.table("rate_sink").isEmpty)
+      assert(spark.table("rate_sink").columns.toSeq === Seq("timestamp", "value"))
+    } finally p.stop()
+  }
+
   test("streaming pipeline: file stream -> uppercase -> memory sink, then stop()") {
     val in = writeInput()
     val yaml =
