@@ -35,23 +35,26 @@ object Similarity extends QueryPack {
   private val Bits    = 8  // hyperplanes (bits) per table
   private val Dim     = 64
 
-  /** Left-to-right double fold `((0 + x₀) + x₁) + …` over the pairwise
-    * products — the SAME IEEE-754 addition chain as DuckDB's
-    * `list_reduce` (since 0.0 + x₀ = x₀ exactly), so similarity values
-    * are bit-identical across engines. (An unrolled 64-term sum was
-    * measured 3× SLOWER here: the giant expression falls out of
-    * whole-stage codegen.)
+  /** The dot product is the native codegen'd
+    * [[graft.functions.DotProduct]] expression (`graft_dot`): a strict
+    * left-to-right accumulation — the SAME IEEE-754 addition chain as
+    * DuckDB's `list_reduce` (since 0.0 + x₀ = x₀ exactly), so similarity
+    * values are bit-identical across engines. Alternatives measured: the
+    * `aggregate(zip_with(…))` fold allocates a 64-element array per row
+    * (~10µs/pair); an unrolled 64-term SQL sum falls out of whole-stage
+    * codegen and is 3× slower still.
     */
-  private[llm] def dotFold(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, p) -> acc + p)"
+  private[llm] def dotFold(a: String, b: String): String = s"graft_dot($a, $b)"
 
-  /** Normalized corpus: vec_id, v (64 doubles), nrm. */
+  /** Normalized corpus: vec_id, v (64 doubles), nrm. Registers the
+    * engine's native functions on the session (idempotent).
+    */
   private[llm] def corpus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     Tables.embeddings(spark, dir)
       .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("nrm", expr(
-        "sqrt(aggregate(transform(v, x -> x * x), cast(0 as double), (acc, p) -> acc + p))"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
   }
 
   private val dotExpr = dotFold("vq", "vc")
