@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.config.Conf
+
+/** Config-drivable processors wrapping the engine's data-curation
+  * operators (SURVEY.md §2 C36/C39), so a YAML pipeline can run the
+  * LLM-data steps the same way the reference runs its uppercase transform
+  * — declaratively, lazily, fused by Catalyst across the whole chain.
+  *
+  * All are pure `DataFrame => DataFrame` (no actions, no state), so they
+  * compose in any order and work identically in batch and streaming
+  * pipelines (dedup in streaming should use
+  * [[graft.streaming.StreamOps.dedup]] to get watermark-bounded state).
+  */
+
+/** C36 exact dedup on configured columns (default: content hash of
+  * `text`). `keep: first` semantics come from dropDuplicates.
+  */
+final class ExactDedupProcessor(params: Conf) extends Transform {
+  private val cols: Seq[String] = params.opt("columns") match {
+    case Some(l: List[_]) => l.map(_.toString)
+    case _                => Seq("content_hash")
+  }
+  def apply(df: DataFrame): DataFrame = {
+    val withHash =
+      if (cols == Seq("content_hash") && !df.columns.contains("content_hash"))
+        df.withColumn("content_hash", md5(encode(col("text"), "UTF-8")))
+      else df
+    withHash.dropDuplicates(cols)
+  }
+}
+
+/** C39 token statistics: appends `n_tokens` / `n_chars_computed` derived
+  * from a configurable text column.
+  */
+final class TokenStatsProcessor(params: Conf) extends Transform {
+  private val textCol = params.str("text_column").getOrElse("text")
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn("n_tokens", size(split(col(textCol), "\\s+")).cast("long"))
+      .withColumn("n_chars_computed", length(col(textCol)).cast("long"))
+}
+
+/** C39 quality filter: keep documents within configured token bounds. */
+final class QualityFilterProcessor(params: Conf) extends Transform {
+  private val textCol = params.str("text_column").getOrElse("text")
+  private val minTokens = params.str("min_tokens").map(_.toInt).getOrElse(1)
+  private val maxTokens = params.str("max_tokens").map(_.toInt).getOrElse(Int.MaxValue)
+  def apply(df: DataFrame): DataFrame = {
+    val n = size(split(col(textCol), "\\s+"))
+    df.filter(n >= minTokens && n <= maxTokens)
+  }
+}
+

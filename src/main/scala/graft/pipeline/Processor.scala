@@ -87,6 +87,10 @@ object ProcessorRegistry {
     "uppercase" -> ((_, p) => new UppercaseValueProcessor(p)),
     "require_column" -> ((_, p) => new RequireColumnProcessor(p)),
     "select_expr"    -> ((_, p) => new SelectExprProcessor(p)),
+    // data-curation processors (DataProcessors.scala)
+    "dedup_exact"    -> ((_, p) => new ExactDedupProcessor(p)),
+    "token_stats"    -> ((_, p) => new TokenStatsProcessor(p)),
+    "quality_filter" -> ((_, p) => new QualityFilterProcessor(p)),
     // reference-style full class paths, translated
     "graft.pipeline.NoOpProcessor"           -> ((_, p) => new NoOpProcessor(p)),
     "graft.pipeline.UppercaseValueProcessor" -> ((_, p) => new UppercaseValueProcessor(p)),

@@ -147,6 +147,35 @@ class PipelineSpec extends SparkSpec {
     } finally p.stop()
   }
 
+  test("data-curation chain from YAML: dedup -> quality filter -> token stats over the documents fixture") {
+    val out = tmpDir("pipe_curate")
+    val yaml =
+      s"""app_name: "CurationPipeline"
+         |source:
+         |  type: "parquet"
+         |  config: {path: "/root/testdata/sf0.001/documents.parquet"}
+         |processors:
+         |  - {name: "Dedup", class: "dedup_exact"}
+         |  - name: "Quality"
+         |    class: "quality_filter"
+         |    params: {min_tokens: "20", max_tokens: "90"}
+         |  - {name: "Stats", class: "token_stats"}
+         |sink:
+         |  type: "parquet"
+         |  config: {path: "$out", mode: "overwrite"}
+         |""".stripMargin
+    Pipeline.fromYamlString(spark, yaml, streaming = false).build().run()
+    val result = spark.read.parquet(out)
+    assert(result.columns.contains("n_tokens") && result.columns.contains("content_hash"))
+    val bounds = result.agg(
+      org.apache.spark.sql.functions.min($"n_tokens"),
+      org.apache.spark.sql.functions.max($"n_tokens")).as[(Long, Long)].head()
+    assert(bounds._1 >= 20L && bounds._2 <= 90L)
+    assert(result.count() > 0)
+    // dedup kept distinct content hashes only
+    assert(result.select($"content_hash").distinct().count() === result.count())
+  }
+
   test("streaming pipeline: file stream -> uppercase -> memory sink, then stop()") {
     val in = writeInput()
     val yaml =
