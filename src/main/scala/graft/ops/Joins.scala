@@ -178,20 +178,23 @@ object Joins extends QueryPack {
     */
   def intervalOverlap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val months = Tables.lineitem(spark, dir)
-      .select(date_trunc("month", $"l_shipdate").as("m_start"))
-      .distinct()
-    val exploded = Tables.lineitem(spark, dir)
+    // Single scan, no join at all: each window explodes into its 1–2
+    // overlapping month keys; a month belongs to the month DIM iff some
+    // window STARTS in it (dim = distinct trunc(l_shipdate)), which the
+    // is_start flag captures — so the former broadcast-semi-join against
+    // a second scan collapses into max(flag) inside the one aggregation.
+    Tables.lineitem(spark, dir)
       .select($"l_shipdate".as("ship_start"),
               ($"l_shipdate" + expr("INTERVAL 7 DAYS")).as("ship_end"))
-      .select(explode(expr(
+      .select($"ship_start", explode(expr(
         """sequence(date_trunc('MONTH', ship_start),
           |         date_trunc('MONTH', ship_end - INTERVAL 1 MILLISECOND),
           |         INTERVAL 1 MONTH)""".stripMargin)).as("m_start"))
-    exploded
-      .join(broadcast(months), Seq("m_start"), "left_semi")
       .groupBy(date_format($"m_start", "yyyy-MM").as("month"))
-      .agg(count(lit(1)).as("n_windows"))
+      .agg(count(lit(1)).as("n_windows"),
+           max(($"m_start" === date_trunc("month", $"ship_start")).cast("int")).as("present"))
+      .filter($"present" === 1)
+      .select($"month", $"n_windows")
       .orderBy($"month")
   }
 

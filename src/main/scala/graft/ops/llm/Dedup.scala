@@ -188,14 +188,16 @@ object Dedup extends QueryPack {
     val hv = shingles3(spark, dir)
       .select($"doc_id",
         expr("cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)").as("hv"))
-    val sig = hv
-      .select($"doc_id", $"hv", explode(expr("sequence(0, 31)")).as("i"))
-      .groupBy($"doc_id", $"i")
-      .agg(sum(when(expr("shiftright(hv, cast(i as int)) & 1") === 1, 1)
-        .otherwise(-1)).as("sgn"))
-      .groupBy($"doc_id")
-      .agg(sum(when($"sgn" >= 0, expr("shiftleft(1L, cast(i as int))"))
-        .otherwise(0L)).as("sh32"))
+    // All 32 sign counters in ONE codegen'd hash aggregate (32
+    // conditional sums) instead of exploding ×32 and shuffling
+    // |shingles|×32 rows; the signature assembles in the projection.
+    val sig = hv.groupBy($"doc_id")
+      .agg(sum(when(expr("shiftright(hv, 0) & 1") === 1, 1).otherwise(-1)).as("b0"),
+           (1 until 32).map(i =>
+             sum(when(expr(s"shiftright(hv, $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i")): _*)
+      .select($"doc_id",
+        (0 until 32).map(i => when(col(s"b$i") >= 0, lit(1L << i)).otherwise(0L))
+          .reduce(_ + _).as("sh32"))
     // hamming(a,b) ≤ 3 on 32 bits ⇒ one of the 4 disjoint bytes matches.
     val blk = sig.select($"doc_id", $"sh32", explode(expr("sequence(0, 3)")).as("j"))
       .withColumn("bv", expr("shiftright(sh32, cast(8 * j as int)) & 255"))
