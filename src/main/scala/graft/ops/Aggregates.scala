@@ -60,10 +60,16 @@ object Aggregates extends QueryPack {
     */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Pre-distinct the (flag, partkey) pairs, then count + sketch the
+    // distinct set: an HLL over a distinct set equals the HLL over the
+    // multiset (sketches are duplicate-insensitive), and the plan becomes
+    // two clean partial+final hash aggregates instead of the Expand that
+    // mixing countDistinct with another aggregate forces on every row.
     Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_partkey").distinct()
       .groupBy($"l_returnflag")
-      .agg(approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
-           countDistinct($"l_partkey").as("n_exact"))
+      .agg(count(lit(1)).as("n_exact"),
+           approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
       .select($"l_returnflag", $"n_exact",
               (abs($"approx_parts" - $"n_exact") <= lit(3 * 0.02) * $"n_exact")
                 .as("approx_ok"))
