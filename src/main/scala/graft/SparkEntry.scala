@@ -12,7 +12,7 @@ import graft.ops._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
-    Aggregates, Joins, Windows, SortSetOps, Scalars, Keyed, ScansUdx,
+    Aggregates, Joins, Windows, SortSetOps, Scalars, Keyed, ScansUdx, Reshape,
     llm.Dedup, llm.Similarity, llm.TextStats, llm.Multimodal
   )
 

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** Reshaping operators: pivot (wide) and unpivot/melt (long) — the
+  * DataFrame reshape pair every analytics user reaches for (Spark
+  * `groupBy(..).pivot(..)` and `unpivot`). Not reference-invoked but part
+  * of the complete query surface a Spark engine owes its users.
+  *
+  * Scale notes: a pivot with an EXPLICIT value list (as here) is one hash
+  * aggregate — Spark needs no extra pass to discover the pivot domain,
+  * and each output column is a filtered aggregate. Never call
+  * `.pivot(col)` without values at scale: the implicit distinct scan is a
+  * full extra job. Unpivot is a Generate (row explosion by a constant
+  * factor) followed by a normal aggregate — shuffle only on the group key.
+  */
+object Reshape extends QueryPack {
+
+  private val priorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** Pivot: order counts per status × priority, explicit pivot domain. */
+  def pivotQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderstatus")
+      .pivot("o_orderpriority", priorities)
+      .agg(count(lit(1)))
+      .toDF("o_orderstatus", "p_urgent", "p_high", "p_medium", "p_notspec", "p_low")
+      .select($"o_orderstatus",
+        coalesce($"p_urgent", lit(0L)).as("p_urgent"),
+        coalesce($"p_high", lit(0L)).as("p_high"),
+        coalesce($"p_medium", lit(0L)).as("p_medium"),
+        coalesce($"p_notspec", lit(0L)).as("p_notspec"),
+        coalesce($"p_low", lit(0L)).as("p_low"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Unpivot/melt: lineitem measures to (metric, value) rows, then a
+    * deterministic sum per metric.
+    */
+  def unpivotQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .unpivot(
+        ids = Array($"l_orderkey"),
+        values = Array($"l_quantity", $"l_discount", $"l_tax"),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+      .groupBy($"metric")
+      .agg(count(lit(1)).as("n"), Det.dsum($"value").as("total"))
+      .orderBy($"metric")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "reshape_pivot"   -> (pivotQ _),
+    "reshape_unpivot" -> (unpivotQ _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    // portable pivot: filtered aggregates (identical semantics to Spark's
+    // explicit-domain pivot)
+    "reshape_pivot" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p_urgent,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p_high,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p_medium,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p_notspec,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p_low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "reshape_unpivot" ->
+      s"""WITH melted AS (
+         |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_discount', l_discount FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_tax', l_tax FROM lineitem
+         |)
+         |SELECT metric, COUNT(*) AS n, ${Det.sqlSum("value")} AS total
+         |FROM melted GROUP BY metric ORDER BY metric""".stripMargin
+  )
+}

@@ -106,15 +106,20 @@ object Dedup extends QueryPack {
     // The 128-wide MinHash signature as 128 min() aggregates in ONE
     // codegen'd hash aggregate — map-side partial minima, so the shuffle
     // carries one 128-long buffer per doc, not |shingles|×128 exploded
-    // rows. Kept SEPARATE from the collect_set aggregate below on
-    // purpose: collect_set is a TypedImperativeAggregate, and mixing it
-    // in forces the whole aggregate into non-codegen ObjectHashAggregate
-    // (measured ~2× slower). NOTE: >100 output fields — needs
+    // rows. The permutation family is double-hashed: the variable-length
+    // shingle STRING is hashed once, and the 128 per-permutation hashes
+    // run over that fixed 8-byte long — far cheaper than 128 UTF-8
+    // traversals per shingle. Kept SEPARATE from the collect_set
+    // aggregate below on purpose: collect_set is a
+    // TypedImperativeAggregate, and mixing it in forces the whole
+    // aggregate into non-codegen ObjectHashAggregate (measured ~2×
+    // slower). NOTE: >100 output fields — needs
     // spark.sql.codegen.maxFields raised (Verify/Bench set 220) or this
     // drops out of whole-stage codegen anyway.
-    val sig = sh.groupBy($"doc_id")
-      .agg(min(xxhash64($"s", lit(0))).as("mh0"),
-           (1 until numPerm).map(i => min(xxhash64($"s", lit(i))).as(s"mh$i")): _*)
+    val hashed = sh.select($"doc_id", xxhash64($"s").as("h"))
+    val sig = hashed.groupBy($"doc_id")
+      .agg(min(xxhash64($"h", lit(0))).as("mh0"),
+           (1 until numPerm).map(i => min(xxhash64($"h", lit(i))).as(s"mh$i")): _*)
     // 32 bands of 4 rows; band signature hashes the 4 minima in position
     // order so equal signatures ⇔ equal band slices. stack() unpivots to
     // (doc, band, bucket) — 32 rows per doc.
