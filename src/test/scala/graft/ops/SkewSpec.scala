@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Salting correctness: salted plans must produce EXACTLY the unsalted
+  * results (salting is a physical rewrite, never a semantic one), and the
+  * salt must be deterministic (task retries re-salt identically).
+  * Also: partition-pruned scans over partitioned layouts.
+  */
+class SkewSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // 1 hot key with 10k rows + 100 cold keys
+  private lazy val skewed = (
+    (1 to 10000).map(i => ("hot", i.toLong)) ++
+    (1 to 100).flatMap(k => (1 to 10).map(i => (s"cold_$k", i.toLong)))
+  ).toDF("k", "v")
+
+  private lazy val dim =
+    (Seq("hot") ++ (1 to 100).map(k => s"cold_$k")).zipWithIndex
+      .map { case (k, i) => (k, s"dim_$i") }.toDF("k", "attr")
+
+  test("salted equi-join returns exactly the plain join's rows") {
+    val plain = skewed.join(dim, Seq("k")).select($"k", $"v", $"attr")
+    val salted = Skew.saltedEquiJoin(skewed, dim, "k", saltFactor = 8)
+      .select($"k", $"v", $"attr")
+    assert(salted.count() === plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  test("salted two-phase count equals plain groupBy count") {
+    val plain = skewed.groupBy($"k").agg(count(lit(1)).as("n"))
+    val salted = Skew.saltedCount(skewed, "k", saltFactor = 8)
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  test("salt is deterministic across evaluations (retry-safe)") {
+    val s1 = skewed.select(Skew.saltOf(8, $"k", $"v").as("s")).collect().toSeq
+    val s2 = skewed.select(Skew.saltOf(8, $"k", $"v").as("s")).collect().toSeq
+    assert(s1 === s2)
+    val distinctSalts = skewed.filter($"k" === "hot")
+      .select(Skew.saltOf(8, $"k", $"v")).distinct().count()
+    assert(distinctSalts === 8L) // the hot key actually spreads
+  }
+
+  test("partitioned layout: filters become PartitionFilters and prune directories") {
+    val dir = tmpDir("part_layout")
+    graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+    val scan = spark.read.parquet(dir).filter($"l_returnflag" === "A")
+    scan.collect()
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"), plan)
+    // only the matching partition's rows are read
+    val all = spark.read.parquet(dir).count()
+    assert(scan.count() < all)
+    // dynamic partition layout on disk: one dir per flag value
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.toSet.exists(_.startsWith("l_returnflag=")))
+  }
+}
