@@ -31,6 +31,17 @@ object Tables {
       "ts_utc", timestamp_micros(expr("ts div 1000")))
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Register every fixture table as a temp view so plain `spark.sql`
+    * works over the catalog — the `spark.sql(...)` entry surface. Views
+    * are lazy; registration costs nothing until a query scans one.
+    */
+  def registerViews(s: SparkSession, d: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings")
+      .foreach(n => table(s, d, n).createOrReplaceTempView(n))
+    events(s, d).createOrReplaceTempView("events")
+  }
 }
 
 /** Determinism helpers for DuckDB-oracle hash matching.
