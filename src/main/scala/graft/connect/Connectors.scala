@@ -24,8 +24,11 @@ object Sources {
   def create(spark: SparkSession, comp: ComponentConfig, streaming: Boolean): DataFrame =
     comp.componentType.toLowerCase match {
       case "kafka" =>
+        // batch Kafka reads reject startingOffsets=latest (it would be an
+        // empty read by definition) — default per mode
+        val defaultOffsets = if (streaming) "latest" else "earliest"
         val opts = KafkaOptions.reader(comp.config,
-          comp.config.str("starting_offsets").getOrElse("latest"))
+          comp.config.str("starting_offsets").getOrElse(defaultOffsets))
         if (streaming) spark.readStream.format("kafka").options(opts).load()
         else spark.read.format("kafka").options(opts).load()
       case fmt @ ("parquet" | "csv" | "json") =>
@@ -50,7 +53,12 @@ object Sources {
           .option("rowsPerSecond", comp.config.str("rows_per_second").getOrElse("10"))
           .load()
       case "table" =>
-        spark.table(comp.config.reqStr("name", "Source 'table' requires a 'name'."))
+        val df = spark.table(comp.config.reqStr("name", "Source 'table' requires a 'name'."))
+        if (streaming && !df.isStreaming)
+          throw new IllegalArgumentException(
+            "Source 'table' resolves to a batch view; a streaming pipeline " +
+              "needs a streaming source (file stream, rate, kafka).")
+        df
       case other =>
         throw new IllegalArgumentException(s"Unsupported reader type: $other")
     }

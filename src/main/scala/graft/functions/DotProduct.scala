@@ -106,5 +106,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("graft_dot"),
        new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+       (children: Seq[Expression]) => {
+         require(children.length == 2, "graft_dot expects exactly 2 arguments")
+         DotProduct(children.head, children(1))
+       }))
 }

@@ -43,20 +43,45 @@ import graft.ops.QueryPack
   */
 object Dedup extends QueryPack {
 
-  /** Distinct word 3-gram shingles per document. 31-word vocabulary makes
-    * unigrams useless (every pair of documents shares most words); 3-grams
-    * give ~30k possible shingles and near-zero overlap between unrelated
-    * documents, cleanly separating the corpus's planted near-duplicates.
+  /** The word n-gram shingle expression over a token array `ws` — ONE
+    * definition shared by every shingle consumer (MinHash, SimHash,
+    * Jaccard, fingerprint) and mirrored by [[shingleCte]] for the
+    * oracles, so tokenization can never silently diverge between
+    * queries. The 31-word fixture vocabulary makes unigrams useless
+    * (every pair of documents shares most words); 3-grams give ~30k
+    * possible shingles, 4-grams ~1M.
     */
-  private[llm] def shingles3(spark: SparkSession, dir: String): DataFrame = {
+  private def shingleExpr(n: Int): String = {
+    val parts = (0 until n).map(k => if (k == 0) "ws[i]" else s"ws[i+$k]")
+    s"transform(sequence(0, size(ws) - $n), i -> concat_ws(' ', ${parts.mkString(", ")}))"
+  }
+
+  /** Word n-gram shingles per document; `distinct=false` skips the
+    * dedup shuffle for consumers whose aggregates dedup inherently
+    * (min, collect_set).
+    */
+  private[llm] def shingles(spark: SparkSession, dir: String, n: Int,
+                            distinct: Boolean): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    val raw = Tables.documents(spark, dir)
       .select($"doc_id", split($"text", " ").as("ws"))
-      .filter(size($"ws") >= 3)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
-      )).as("s"))
-      .distinct()
+      .filter(size($"ws") >= n)
+      .select($"doc_id", explode(expr(shingleExpr(n))).as("s"))
+    if (distinct) raw.distinct() else raw
+  }
+
+  private[llm] def shingles3(spark: SparkSession, dir: String): DataFrame =
+    shingles(spark, dir, 3, distinct = true)
+
+  /** DuckDB twin of [[shingles]]: `toks`/`sh` CTE text (always distinct —
+    * SQL-side dedup cost is irrelevant to the oracle).
+    */
+  private[llm] def shingleCte(n: Int): String = {
+    val parts = (1 to n).map(k => if (k == 1) "ws[i]" else s"ws[i+${k - 1}]")
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, ${parts.mkString(" || ' ' || ")} AS s
+       |       FROM toks, unnest(range(1, len(ws) - ${n - 2})) AS t(i)
+       |       WHERE len(ws) >= $n)""".stripMargin
   }
 
   /** C36 exact dedup: content-hash (md5) grouping with keep-lowest-id
@@ -95,12 +120,7 @@ object Dedup extends QueryPack {
     import spark.implicits._
     // Raw (non-distinct) shingles: min() and collect_set() dedup
     // inherently, so the pre-aggregation distinct shuffle is pure waste.
-    val sh = Tables.documents(spark, dir)
-      .select($"doc_id", split($"text", " ").as("ws"))
-      .filter(size($"ws") >= 3)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
-      )).as("s"))
+    val sh = shingles(spark, dir, 3, distinct = false)
     val numPerm = 128
     val numBands = 32 // × 4 rows
     // The 128-wide MinHash signature as 128 min() aggregates in ONE
@@ -161,13 +181,7 @@ object Dedup extends QueryPack {
     */
   def jaccardNgram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = Tables.documents(spark, dir)
-      .select($"doc_id", split($"text", " ").as("ws"))
-      .filter(size($"ws") >= 4)
-      .select($"doc_id", explode(expr(
-        """transform(sequence(0, size(ws) - 4),
-          |          i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3]))""".stripMargin)).as("s"))
-      .distinct()
+    val sh = shingles(spark, dir, 4, distinct = true)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.select($"doc_id".as("d1"), $"s")
       .join(sh.select($"doc_id".as("d2"), $"s"), Seq("s"))
@@ -271,10 +285,7 @@ object Dedup extends QueryPack {
         |  md5(text) AS content_hash
         |FROM corpus GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "llm_dedup_minhash" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-        |       FROM toks, unnest(range(1, len(ws) - 1)) AS t(i)
-        |       WHERE len(ws) >= 3),
+      s"""WITH ${shingleCte(3)},
         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
         |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -284,11 +295,7 @@ object Dedup extends QueryPack {
         |WHERE 5 * inter >= 3 * (s1.n + s2.n - inter)
         |ORDER BY d1, d2""".stripMargin,
     "llm_jaccard_ngram" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
-        |       FROM toks, unnest(range(1, len(ws) - 2)) AS t(i)
-        |       WHERE len(ws) >= 4),
+      s"""WITH ${shingleCte(4)},
         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
         |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -298,10 +305,7 @@ object Dedup extends QueryPack {
         |WHERE 2 * inter >= s1.n + s2.n - inter
         |ORDER BY d1, d2""".stripMargin,
     "llm_dedup_simhash" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-        |       FROM toks, unnest(range(1, len(ws) - 1)) AS t(i)
-        |       WHERE len(ws) >= 3),
+      s"""WITH ${shingleCte(3)},
         |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hv FROM sh),
         |bits AS (SELECT doc_id, i,
         |           CASE WHEN SUM(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) >= 0

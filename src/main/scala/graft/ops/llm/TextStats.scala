@@ -180,10 +180,7 @@ object TextStats extends QueryPack {
         |  SUM(n_chars)::BIGINT AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "llm_fingerprint" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-        |       FROM toks, unnest(range(1, len(ws) - 1)) AS t(i)
-        |       WHERE len(ws) >= 3)
+      s"""WITH ${Dedup.shingleCte(3)}
         |SELECT doc_id, MIN(md5(s)) AS fp_min,
         |  list_sort(list_distinct(list(md5(s))))[1:5] AS fp_kmin
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin

@@ -37,8 +37,11 @@ final class ExactDedupProcessor(params: Conf) extends Transform {
   */
 final class TokenStatsProcessor(params: Conf) extends Transform {
   private val textCol = params.str("text_column").getOrElse("text")
+  // single-space split, NOT "\\s+": must agree with the gated text
+  // queries (graft.ops.llm.TextStats) and their DuckDB string_split
+  // oracles, or the pipeline and query surfaces disagree on n_tokens
   def apply(df: DataFrame): DataFrame =
-    df.withColumn("n_tokens", size(split(col(textCol), "\\s+")).cast("long"))
+    df.withColumn("n_tokens", size(split(col(textCol), " ")).cast("long"))
       .withColumn("n_chars_computed", length(col(textCol)).cast("long"))
 }
 
@@ -48,7 +51,7 @@ final class QualityFilterProcessor(params: Conf) extends Transform {
   private val minTokens = params.str("min_tokens").map(_.toInt).getOrElse(1)
   private val maxTokens = params.str("max_tokens").map(_.toInt).getOrElse(Int.MaxValue)
   def apply(df: DataFrame): DataFrame = {
-    val n = size(split(col(textCol), "\\s+"))
+    val n = size(split(col(textCol), " ")) // same tokenization as TextStats
     df.filter(n >= minTokens && n <= maxTokens)
   }
 }

@@ -36,15 +36,24 @@ final class Pipeline(
 
   def processors: Seq[Processor] = procs
 
-  /** Resolve all components, fail-fast, in the reference's strict order. */
+  /** Resolve all components, fail-fast, in the reference's strict order.
+    * Calling build() twice is an error (it would duplicate the processor
+    * chain).
+    */
   def build(): this.type = {
+    if (sourceDf.nonEmpty)
+      throw new IllegalStateException("Pipeline is already built.")
     sourceDf = Some(Sources.create(spark, config.source, streaming))
     procs ++= config.processors.map(pc =>
       ProcessorRegistry.resolve(spark, pc.className, pc.params))
     // Sink config is validated at start/write time by the factory; probe
-    // the type now so an unknown sink fails at build, like the reference.
+    // the type now — PER MODE — so an unsupported sink fails at build,
+    // like the reference.
+    val validSinks =
+      if (streaming) Set("kafka", "console", "memory", "parquet", "noop")
+      else Set("kafka", "console", "parquet", "csv", "json", "noop")
     val t = config.sink.componentType.toLowerCase
-    if (!Set("kafka", "console", "memory", "parquet", "csv", "json", "noop").contains(t))
+    if (!validSinks.contains(t))
       throw new IllegalArgumentException(s"Unsupported writer type: $t")
     sinkReady = true
     this

@@ -30,12 +30,15 @@ final class OffsetStore(storagePath: String) {
     p
   }
 
+  // '@' is outside the allowed name charset, so the separator can never
+  // appear inside a name and per-stream listings cannot leak across
+  // streams whose names share a prefix.
   private def fileFor(streamName: String, partitionId: String): Path = {
     require(streamName.matches("[A-Za-z0-9._-]+"),
       s"unsafe stream name: $streamName")
     require(partitionId.matches("[A-Za-z0-9._-]+"),
       s"unsafe partition id: $partitionId")
-    root.resolve(s"${streamName}__$partitionId.offset")
+    root.resolve(s"$streamName@$partitionId.offset")
   }
 
   /** Persist the offset for (stream, partition) atomically. */
@@ -57,7 +60,7 @@ final class OffsetStore(storagePath: String) {
 
   /** All committed (partition → offset) entries for a stream. */
   def offsetsFor(streamName: String): Map[String, Long] = {
-    val prefix = s"${streamName}__"
+    val prefix = s"$streamName@"
     val stream = Files.list(root)
     try {
       import scala.jdk.CollectionConverters._

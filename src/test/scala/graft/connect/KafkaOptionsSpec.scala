@@ -59,7 +59,11 @@ class KafkaOptionsSpec extends AnyFunSuite {
     assert(jaas.contains("password=\"other_test_password\""))
   }
 
-  test("SASL_SSL: sasl.ssl.* prefix, stores copied, unset password env vars skipped, empty endpoint algo honored (kafka_connector.py:426-438)") {
+  // Deviation from the reference (documented in KafkaOptions): SSL keys
+  // live under kafka.ssl.* for SASL_SSL too — the reference's
+  // kafka.sasl.ssl.* namespace is not a Kafka client config and would be
+  // silently ignored, dropping the trust store in a security path.
+  test("SASL_SSL: ssl.* prefix, stores copied, unset password env vars skipped, empty endpoint algo honored (kafka_connector.py:426-438, corrected namespace)") {
     val cfg = Conf(Map(
       "bootstrap_servers" -> "dummy:9093",
       "input_topic" -> "input_ssl_topic",
@@ -74,11 +78,12 @@ class KafkaOptionsSpec extends AnyFunSuite {
         "keystore_password_env_var" -> "KSP_ENV_VAR_NOT_SET",
         "ssl_endpoint_identification_algorithm" -> "")))
     val opts = KafkaOptions.reader(cfg, env = lookup)
-    assert(opts("kafka.sasl.ssl.truststore.location") === "/fake/path/client.truststore.jks")
-    assert(opts("kafka.sasl.ssl.keystore.location") === "/fake/path/client.keystore.jks")
-    assert(opts("kafka.sasl.ssl.endpoint.identification.algorithm") === "")
-    assert(!opts.contains("kafka.sasl.ssl.truststore.password"))
-    assert(!opts.contains("kafka.sasl.ssl.keystore.password"))
+    assert(opts("kafka.ssl.truststore.location") === "/fake/path/client.truststore.jks")
+    assert(opts("kafka.ssl.keystore.location") === "/fake/path/client.keystore.jks")
+    assert(opts("kafka.ssl.endpoint.identification.algorithm") === "")
+    assert(!opts.contains("kafka.ssl.truststore.password"))
+    assert(!opts.contains("kafka.ssl.keystore.password"))
+    assert(!opts.keys.exists(_.startsWith("kafka.sasl.ssl.")))
   }
 
   test("no security block defaults to PLAINTEXT with no SASL keys (kafka_connector.py:437-438)") {

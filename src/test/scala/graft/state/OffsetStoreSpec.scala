@@ -25,12 +25,16 @@ class OffsetStoreSpec extends AnyFunSuite {
     assert(s.offsetsFor("events") === Map("0" -> 42L, "1" -> 7L))
   }
 
-  test("streams are isolated") {
+  test("streams are isolated, including prefix-sharing names with underscores") {
     val s = freshStore()
     s.saveOffset("a", "0", 1L)
     s.saveOffset("b", "0", 2L)
     assert(s.offsetsFor("a") === Map("0" -> 1L))
     assert(s.loadOffset("b", "0") === 2L)
+    // "a__b" must never leak into offsetsFor("a") ('_' is a legal name char)
+    s.saveOffset("a__b", "0", 5L)
+    assert(s.offsetsFor("a") === Map("0" -> 1L))
+    assert(s.offsetsFor("a__b") === Map("0" -> 5L))
   }
 
   test("startingOffsets JSON bridge") {
