@@ -76,6 +76,27 @@ object Aggregates extends QueryPack {
       .orderBy($"l_returnflag")
   }
 
+  /** C16 (mergeability) — the 100 TB sketch pattern: build an HLL sketch
+    * PER GROUP (per partition/day/shard in production), then union the
+    * binary sketches and estimate the global cardinality without ever
+    * re-touching the raw data. Gated like approxDistinct: the estimate
+    * must land within 5% of the exact global distinct count (Datasketches
+    * HLL at default lgk=12 is ~1.6% rsd; 5% = 3σ).
+    */
+  def hllMergeable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perGroup = Tables.lineitem(spark, dir)
+      .groupBy($"l_linestatus")
+      .agg(expr("hll_sketch_agg(l_partkey)").as("sketch"))
+    val merged = perGroup
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("est"))
+    val exact = Tables.lineitem(spark, dir)
+      .agg(countDistinct($"l_partkey").as("n_exact"))
+    merged.crossJoin(exact)
+      .select($"n_exact",
+              (abs($"est" - $"n_exact") <= lit(0.05) * $"n_exact").as("approx_ok"))
+  }
+
   /** C17 rollup with grouping ids; subtotal rows carry NULL keys. */
   def rollupQ(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -165,6 +186,7 @@ object Aggregates extends QueryPack {
     "agg_min_max"         -> (minMax _),
     "agg_count_distinct"  -> (countDistinctQ _),
     "agg_approx_distinct" -> (approxDistinct _),
+    "agg_hll_mergeable"   -> (hllMergeable _),
     "agg_rollup"          -> (rollupQ _),
     "agg_cube"            -> (cubeQ _),
     "agg_grouping_sets"   -> (groupingSets _),
@@ -199,6 +221,9 @@ object Aggregates extends QueryPack {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_exact,
         |  TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_hll_mergeable" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS n_exact, TRUE AS approx_ok
+        |FROM lineitem""".stripMargin,
     "agg_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
          |  ${Det.sqlSum("l_quantity")} AS sum_qty,
