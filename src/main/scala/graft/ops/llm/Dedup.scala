@@ -230,6 +230,48 @@ object Dedup extends QueryPack {
       .orderBy($"d1", $"d2")
   }
 
+  /** C37 (completion): duplicate-CLUSTER resolution. Pairs are not a
+    * dedup policy — a near-dup chain a~b~c must collapse to ONE kept
+    * document, so the pair graph needs connected components. Min-label
+    * propagation over the [[dedupNearMinhash]] pairs: every clustered doc
+    * maps to its component's smallest doc_id (the canonical survivor).
+    *
+    * Scale notes: each iteration is one join + one aggregate (all keyed
+    * shuffles); iteration count is bounded by the component DIAMETER,
+    * and near-dup components are tiny/dense in practice (here ≤ 2 hops).
+    * `localCheckpoint` truncates the growing lineage each round. For
+    * adversarial long-chain graphs the large-star/small-star variant
+    * halves diameter per round — same building blocks.
+    *
+    * The oracle resolves the same components with a recursive CTE, so the
+    * gate checks graph semantics, not implementation.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = dedupNearMinhash(spark, dir).select($"d1", $"d2")
+    val edges = pairs.union(pairs.select($"d2".as("d1"), $"d1".as("d2")))
+      .localCheckpoint()
+    var labels = edges.select($"d1".as("doc")).distinct()
+      .withColumn("lab", $"doc").localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val neighborLabs = edges
+        .join(labels.select($"doc".as("d1"), $"lab"), Seq("d1"))
+        .select($"d2".as("doc"), $"lab")
+      val next = labels.select($"doc", $"lab").union(neighborLabs)
+        .groupBy($"doc").agg(min($"lab").as("lab"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("lab", "old"), Seq("doc"))
+        .filter($"lab" =!= $"old").isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged, s"label propagation did not converge in $iter iterations")
+    labels.select($"doc".as("doc_id"), $"lab".as("cluster_rep"))
+      .orderBy($"doc_id")
+  }
+
   /** Embedding-cosine near-dup (pairs with cosine ≥ 0.45).
     *
     * Physical form: block-nested loop via `mapPartitions` over a
@@ -269,6 +311,7 @@ object Dedup extends QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact"     -> (dedupExact _),
     "llm_dedup_minhash"   -> (dedupNearMinhash _),
+    "llm_dedup_clusters"  -> (dedupClusters _),
     "llm_jaccard_ngram"   -> (jaccardNgram _),
     "llm_dedup_simhash"   -> (dedupSimhash _),
     "llm_dedup_embedding" -> (dedupEmbedding _)
@@ -294,6 +337,24 @@ object Dedup extends QueryPack {
         |FROM p JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
         |WHERE 5 * inter >= 3 * (s1.n + s2.n - inter)
         |ORDER BY d1, d2""".stripMargin,
+    "llm_dedup_clusters" ->
+      s"""WITH RECURSIVE ${shingleCte(3)},
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2
+        |  FROM p JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+        |  WHERE 5 * inter >= 3 * (s1.n + s2.n - inter)),
+        |edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |nodes AS (SELECT DISTINCT d1 AS doc FROM edges),
+        |reach(doc, lab) AS (
+        |  SELECT doc, doc FROM nodes
+        |  UNION
+        |  SELECT e.d2, r.lab FROM reach r JOIN edges e ON e.d1 = r.doc
+        |)
+        |SELECT doc AS doc_id, MIN(lab) AS cluster_rep
+        |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
     "llm_jaccard_ngram" ->
       s"""WITH ${shingleCte(4)},
         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
