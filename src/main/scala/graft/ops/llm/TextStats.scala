@@ -127,12 +127,37 @@ object TextStats extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** Deterministic hash-based stratified sampling + train/eval split —
+    * how reproducible corpus sampling actually works at scale: membership
+    * is a pure function of the stable document id (hash-mod buckets),
+    * never an RNG, so any re-run, any engine, and any partitioning
+    * selects the IDENTICAL sample, and train/eval never leak across a
+    * re-shard. 20% sample per language; sampled docs split 80/20 into
+    * train/eval by a second, independent hash dimension (different salt).
+    */
+  def sampleHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = expr(
+      "cast(conv(substr(md5(concat(cast(doc_id as string), '#sample')), 1, 15), 16, 10) as bigint) % 100")
+    val split = expr(
+      "cast(conv(substr(md5(concat(cast(doc_id as string), '#split')), 1, 15), 16, 10) as bigint) % 100")
+    Tables.documents(spark, dir)
+      .withColumn("bucket", bucket)
+      .filter($"bucket" < 20)
+      .withColumn("part", when(split < 80, "train").otherwise("eval"))
+      .groupBy($"lang", $"part")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_doc"),
+           max($"doc_id").as("last_doc"))
+      .orderBy($"lang", $"part")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_text_stats"    -> (textStats _),
     "llm_lang_id"       -> (langId _),
     "llm_quality_score" -> (qualityScore _),
     "llm_token_stats"   -> (tokenStats _),
-    "llm_fingerprint"   -> (fingerprint _)
+    "llm_fingerprint"   -> (fingerprint _),
+    "llm_sample_hash"   -> (sampleHash _)
   )
 
   private val profileValues =
@@ -179,6 +204,19 @@ object TextStats extends QueryPack {
         |    AS sum_re_tokens,
         |  SUM(n_chars)::BIGINT AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "llm_sample_hash" ->
+      """WITH sampled AS (
+        |  SELECT *,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || '#sample'), 1, 15))::BIGINT % 100
+        |      AS bucket,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || '#split'), 1, 15))::BIGINT % 100
+        |      AS spl
+        |  FROM documents
+        |)
+        |SELECT lang, CASE WHEN spl < 80 THEN 'train' ELSE 'eval' END AS part,
+        |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM sampled WHERE bucket < 20
+        |GROUP BY 1, 2 ORDER BY lang, part""".stripMargin,
     "llm_fingerprint" ->
       s"""WITH ${Dedup.shingleCte(3)}
         |SELECT doc_id, MIN(md5(s)) AS fp_min,
