@@ -212,6 +212,79 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("drain_sink").count() === 3)
   }
 
+  test("stateful aggregation state survives a restart (window counts accumulate across processes)") {
+    val inDir = tmpDir("stateful_in")
+    val outDir = tmpDir("stateful_out")
+    val ckpt = tmpDir("stateful_ckpt")
+    def startQuery(): StreamingQuery =
+      StreamOps.tumbling(
+        spark.readStream.schema("ts TIMESTAMP, k STRING").parquet(inDir),
+        "ts", "1 minute", "5 minutes", Seq($"k"), Seq(count(lit(1)).as("n")))
+        .select($"window.start".as("w_start"), $"k", $"n")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .start()
+
+    // first process lifetime: 2 events into window [10:00,10:05), nothing final
+    Seq((ts("10:00:00"), "a"), (ts("10:01:00"), "a")).toDF("ts", "k")
+      .write.mode("append").parquet(inDir)
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+
+    // second lifetime: one more row in the SAME window (state must carry
+    // the earlier count of 2), then advance the watermark to finalize
+    Seq((ts("10:03:00"), "a")).toDF("ts", "k")
+      .write.mode("append").parquet(inDir)
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+    Seq((ts("10:30:00"), "z")).toDF("ts", "k")
+      .write.mode("append").parquet(inDir)
+    val q3 = startQuery()
+    q3.processAllAvailable()
+    Seq((ts("10:40:00"), "z")).toDF("ts", "k")
+      .write.mode("append").parquet(inDir)
+    q3.processAllAvailable(); q3.stop()
+
+    val rows = spark.read.parquet(outDir)
+      .select($"w_start".cast("string"), $"k", $"n")
+      .as[(String, String, Long)].collect().toSet
+    // 3 = 2 (first lifetime) + 1 (second lifetime): recovered state merged
+    assert(rows.contains(("2024-01-01 10:00:00", "a", 3L)), rows.toString)
+    // and exactly once — no duplicate emission of the window
+    assert(spark.read.parquet(outDir)
+      .filter($"k" === "a").count() === 1L)
+  }
+
+  test("RocksDB state store provider runs the same stateful plan (the 100TB state backend)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val ctx = spark.sqlContext
+      val in = MemoryStream[(Timestamp, String)]
+      val agg = StreamOps.tumbling(in.toDF().toDF("ts", "k"),
+        "ts", "2 minutes", "5 minutes", Seq($"k"), Seq(count(lit(1)).as("n")))
+      val q = agg.writeStream.format("memory").queryName("rocksdb_sink")
+        .outputMode("append").start()
+      withQuery(q) {
+        in.addData((ts("10:00:00"), "a"), (ts("10:01:00"), "a"))
+        q.processAllAvailable()
+        in.addData((ts("10:10:00"), "z"))
+        q.processAllAvailable()
+        in.addData((ts("10:12:00"), "z"))
+        q.processAllAvailable()
+        val rows = spark.table("rocksdb_sink")
+          .select($"k", $"n").as[(String, Long)].collect().toSet
+        assert(rows.contains(("a", 2L)))
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("checkpoint restart resumes from committed offsets without reprocessing") {
     val inDir = tmpDir("ckpt_in")
     val outDir = tmpDir("ckpt_out")
