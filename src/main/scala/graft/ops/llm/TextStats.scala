@@ -127,6 +127,42 @@ object TextStats extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** C39 winnowing fingerprints (the MOSS scheme): hash every character
+    * k-gram, slide a w-window over the hash sequence, keep each window's
+    * minimum — the selected set is a position-robust document signature
+    * with guaranteed coverage (every w-run contributes a fingerprint),
+    * which plain min-k sketches don't give. The per-gram hash is the
+    * cross-engine md5 hex60 (the rolling-hash formulation is an
+    * equivalent streaming optimization of the same k-gram hashes; the
+    * selected set is identical).
+    *
+    * Scale notes: explode by character position is linear in corpus
+    * bytes; the window-min partitions by doc_id so the sort is per-doc
+    * and bounded by document length, never corpus-wide.
+    */
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 8 // gram width (chars)
+    val w = 4 // winnowing window (grams)
+    val grams = Tables.documents(spark, dir)
+      .filter(length($"text") >= k + w - 1)
+      .select($"doc_id", length($"text").as("len"),
+        explode(expr(s"sequence(0, length(text) - $k)")).as("i"),
+        $"text")
+      .select($"doc_id", $"len", $"i",
+        expr(s"cast(conv(substr(md5(substring(text, i + 1, $k)), 1, 15), 16, 10) as bigint)")
+          .as("hv"))
+    val win = Window.partitionBy($"doc_id").orderBy($"i")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("wmin", min($"hv").over(win))
+      .filter($"i" <= $"len" - k - (w - 1)) // only fully-populated windows
+      .groupBy($"doc_id")
+      .agg(countDistinct($"wmin").as("n_fps"),
+           slice(sort_array(collect_set($"wmin")), 1, 8).as("fp_head"))
+      .orderBy($"doc_id")
+  }
+
   /** Deterministic hash-based stratified sampling + train/eval split —
     * how reproducible corpus sampling actually works at scale: membership
     * is a pure function of the stable document id (hash-mod buckets),
@@ -157,6 +193,7 @@ object TextStats extends QueryPack {
     "llm_quality_score" -> (qualityScore _),
     "llm_token_stats"   -> (tokenStats _),
     "llm_fingerprint"   -> (fingerprint _),
+    "llm_winnow"        -> (winnowFingerprint _),
     "llm_sample_hash"   -> (sampleHash _)
   )
 
@@ -204,6 +241,23 @@ object TextStats extends QueryPack {
         |    AS sum_re_tokens,
         |  SUM(n_chars)::BIGINT AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "llm_winnow" ->
+      """WITH grams AS (
+        |  SELECT doc_id, len(text) AS l, i,
+        |    ('0x' || substr(md5(substring(text, i + 1, 8)), 1, 15))::BIGINT AS hv
+        |  FROM documents, unnest(range(0, len(text) - 7)) AS t(i)
+        |  WHERE len(text) >= 11
+        |),
+        |wm AS (
+        |  SELECT doc_id, l, i,
+        |    MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+        |                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |  FROM grams
+        |)
+        |SELECT doc_id, COUNT(DISTINCT wmin) AS n_fps,
+        |  list_sort(list_distinct(list(wmin)))[1:8] AS fp_head
+        |FROM wm WHERE i <= l - 8 - 3
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_sample_hash" ->
       """WITH sampled AS (
         |  SELECT *,
