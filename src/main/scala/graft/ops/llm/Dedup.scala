@@ -118,6 +118,15 @@ object Dedup extends QueryPack {
     */
   def dedupNearMinhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    nearDupPairs(spark, dir).orderBy($"d1", $"d2")
+  }
+
+  /** The MinHash pipeline WITHOUT the gate's total order — consumers like
+    * [[dedupClusters]] re-shuffle immediately, so the global sort would
+    * be pure wasted work for them.
+    */
+  private def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     // Raw (non-distinct) shingles: min() and collect_set() dedup
     // inherently, so the pre-aggregation distinct shuffle is pure waste.
     val sh = shingles(spark, dir, 3, distinct = false)
@@ -163,7 +172,6 @@ object Dedup extends QueryPack {
       .withColumn("uni", $"n1" + $"n2" - $"inter")
       .filter($"inter" * 5 >= $"uni" * 3)
       .select($"d1", $"d2", $"inter", $"uni")
-      .orderBy($"d1", $"d2")
   }
 
   /** Exact n-gram Jaccard similarity join (word 4-grams, J ≥ 0.5) via the
@@ -203,10 +211,9 @@ object Dedup extends QueryPack {
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // 60-bit base hash both engines can compute: first 15 hex chars of md5.
+    // 60-bit base hash both engines can compute (CrossHash).
     val hv = shingles3(spark, dir)
-      .select($"doc_id",
-        expr("cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)").as("hv"))
+      .select($"doc_id", expr(CrossHash.hex60("s")).as("hv"))
     // All 32 sign counters in ONE codegen'd hash aggregate (32
     // conditional sums) instead of exploding ×32 and shuffling
     // |shingles|×32 rows; the signature assembles in the projection.
@@ -236,19 +243,19 @@ object Dedup extends QueryPack {
     * propagation over the [[dedupNearMinhash]] pairs: every clustered doc
     * maps to its component's smallest doc_id (the canonical survivor).
     *
-    * Scale notes: each iteration is one join + one aggregate (all keyed
-    * shuffles); iteration count is bounded by the component DIAMETER,
-    * and near-dup components are tiny/dense in practice (here ≤ 2 hops).
-    * `localCheckpoint` truncates the growing lineage each round. For
-    * adversarial long-chain graphs the large-star/small-star variant
-    * halves diameter per round — same building blocks.
+    * Scale notes: each iteration is two joins + an aggregate (all keyed
+    * shuffles). Neighbor-min alone needs DIAMETER iterations; the
+    * pointer-doubling step (label := min(label, label-of-label)) halves
+    * the remaining distance each round, so convergence is O(log
+    * diameter) — 20 rounds covers components a million hops across.
+    * `localCheckpoint` truncates the growing lineage each round.
     *
     * The oracle resolves the same components with a recursive CTE, so the
     * gate checks graph semantics, not implementation.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = dedupNearMinhash(spark, dir).select($"d1", $"d2")
+    val pairs = nearDupPairs(spark, dir).select($"d1", $"d2")
     val edges = pairs.union(pairs.select($"d2".as("d1"), $"d1".as("d2")))
       .localCheckpoint()
     var labels = edges.select($"d1".as("doc")).distinct()
@@ -259,8 +266,13 @@ object Dedup extends QueryPack {
       val neighborLabs = edges
         .join(labels.select($"doc".as("d1"), $"lab"), Seq("d1"))
         .select($"d2".as("doc"), $"lab")
-      val next = labels.select($"doc", $"lab").union(neighborLabs)
+      val viaNeighbors = labels.select($"doc", $"lab").union(neighborLabs)
         .groupBy($"doc").agg(min($"lab").as("lab"))
+      // pointer doubling: follow the label's own label one hop
+      val next = viaNeighbors
+        .join(viaNeighbors.select($"doc".as("lab"), $"lab".as("lab2")),
+              Seq("lab"), "left_outer")
+        .select($"doc", least($"lab", coalesce($"lab2", $"lab")).as("lab"))
         .localCheckpoint()
       converged = next.join(labels.withColumnRenamed("lab", "old"), Seq("doc"))
         .filter($"lab" =!= $"old").isEmpty

@@ -93,9 +93,9 @@ object Similarity extends QueryPack {
       expr(s"cast(id div $Bits as int)").as("t"),
       expr(s"cast(id % $Bits as int)").as("b"),
       expr(s"""transform(sequence(0, 63), d ->
-           cast(conv(substr(md5(concat(cast(id div $Bits as string), '_',
-                                       cast(id % $Bits as string), '_',
-                                       cast(d as string))), 1, 15), 16, 10) as double)
+           cast(${CrossHash.hex60(
+             s"""concat(cast(id div $Bits as string), '_',
+                        cast(id % $Bits as string), '_', cast(d as string))""")} as double)
            / 576460752303423488.0 - 1.0)""").as("w"))
     // Bucket id per (vector, table): 8 sign bits packed into a long.
     val buckets = n.crossJoin(broadcast(planes))

@@ -150,8 +150,7 @@ object TextStats extends QueryPack {
         explode(expr(s"sequence(0, length(text) - $k)")).as("i"),
         $"text")
       .select($"doc_id", $"len", $"i",
-        expr(s"cast(conv(substr(md5(substring(text, i + 1, $k)), 1, 15), 16, 10) as bigint)")
-          .as("hv"))
+        expr(CrossHash.hex60(s"substring(text, i + 1, $k)")).as("hv"))
     val win = Window.partitionBy($"doc_id").orderBy($"i")
       .rowsBetween(Window.currentRow, w - 1)
     grams
@@ -173,10 +172,10 @@ object TextStats extends QueryPack {
     */
   def sampleHash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bucket = expr(
-      "cast(conv(substr(md5(concat(cast(doc_id as string), '#sample')), 1, 15), 16, 10) as bigint) % 100")
-    val split = expr(
-      "cast(conv(substr(md5(concat(cast(doc_id as string), '#split')), 1, 15), 16, 10) as bigint) % 100")
+    def hashMod(salt: String) = expr(
+      CrossHash.hex60(s"concat(cast(doc_id as string), '$salt')") + " % 100")
+    val bucket = hashMod("#sample")
+    val split = hashMod("#split")
     Tables.documents(spark, dir)
       .withColumn("bucket", bucket)
       .filter($"bucket" < 20)

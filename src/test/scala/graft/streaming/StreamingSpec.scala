@@ -228,22 +228,24 @@ class StreamingSpec extends SparkSpec {
     // first process lifetime: 2 events into window [10:00,10:05), nothing final
     Seq((ts("10:00:00"), "a"), (ts("10:01:00"), "a")).toDF("ts", "k")
       .write.mode("append").parquet(inDir)
-    val q1 = startQuery()
-    q1.processAllAvailable(); q1.stop()
+    locally { val q1 = startQuery(); withQuery(q1)(q1.processAllAvailable()) }
 
     // second lifetime: one more row in the SAME window (state must carry
     // the earlier count of 2), then advance the watermark to finalize
     Seq((ts("10:03:00"), "a")).toDF("ts", "k")
       .write.mode("append").parquet(inDir)
-    val q2 = startQuery()
-    q2.processAllAvailable(); q2.stop()
+    locally { val q2 = startQuery(); withQuery(q2)(q2.processAllAvailable()) }
     Seq((ts("10:30:00"), "z")).toDF("ts", "k")
       .write.mode("append").parquet(inDir)
-    val q3 = startQuery()
-    q3.processAllAvailable()
-    Seq((ts("10:40:00"), "z")).toDF("ts", "k")
-      .write.mode("append").parquet(inDir)
-    q3.processAllAvailable(); q3.stop()
+    locally {
+      val q3 = startQuery()
+      withQuery(q3) {
+        q3.processAllAvailable()
+        Seq((ts("10:40:00"), "z")).toDF("ts", "k")
+          .write.mode("append").parquet(inDir)
+        q3.processAllAvailable()
+      }
+    }
 
     val rows = spark.read.parquet(outDir)
       .select($"w_start".cast("string"), $"k", $"n")
