@@ -118,11 +118,35 @@ object Joins extends QueryPack {
     */
   def thetaRange(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val p = Tables.part(spark, dir)
-    val s = Tables.supplier(spark, dir).filter($"s_nationkey" < 5)
-    p.join(broadcast(s), p("p_retailprice") < s("s_acctbal"), "inner")
+    // Histogram (band) decomposition of the inequality join — the form
+    // that survives BOTH sides growing. Direct `p.price < s.balance`
+    // needs a nested-loop join whose broadcast side scales with SF; here
+    // the only broadcast is the part-price HISTOGRAM, whose size is
+    // bounded by value-range/band-width regardless of row count:
+    //   n_cheaper(s) = Σ counts of bands fully below s's band   (tiny
+    //                  theta join against the broadcast histogram)
+    //              + parts in s's OWN band with price < balance (band
+    //                  equi-join — each row compared against one band,
+    //                  not the whole table)
+    val width = 100.0
+    val pb = Tables.part(spark, dir)
+      .withColumn("band", floor($"p_retailprice" / width).cast("long"))
+    val bandCnt = pb.groupBy($"band").agg(count(lit(1)).as("c"))
+    val sb = Tables.supplier(spark, dir).filter($"s_nationkey" < 5)
+      .withColumn("band", floor($"s_acctbal" / width).cast("long"))
+    val below = sb.as("s")
+      .join(broadcast(bandCnt).as("b"), expr("b.band < s.band"), "left_outer")
       .groupBy($"s_suppkey")
-      .agg(count(lit(1)).as("n_cheaper_parts"))
+      .agg(sum(coalesce($"c", lit(0L))).as("n_below"))
+    val partial = sb
+      .join(pb.select($"band", $"p_retailprice"), Seq("band"))
+      .filter($"p_retailprice" < $"s_acctbal")
+      .groupBy($"s_suppkey").agg(count(lit(1)).as("n_partial"))
+    below.join(partial, Seq("s_suppkey"), "left_outer")
+      .select($"s_suppkey",
+        (coalesce($"n_below", lit(0L)) + coalesce($"n_partial", lit(0L)))
+          .as("n_cheaper_parts"))
+      .filter($"n_cheaper_parts" > 0) // inner-join semantics of the oracle
       .orderBy($"s_suppkey")
   }
 
