@@ -17,4 +17,15 @@ private[llm] object CrossHash {
   /** DuckDB twin of [[hex60]]. */
   def hex60Sql(inner: String): String =
     s"('0x' || substr(md5($inner), 1, 15))::BIGINT"
+
+  /** JVM twin of [[hex60]], for constants computed once on the driver
+    * (e.g. the IVF coarse-quantizer centroids in [[Dedup]]) — same md5,
+    * same 15 hex chars, same value any engine would compute.
+    */
+  def hex60Jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.take(8).map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
 }

@@ -116,6 +116,12 @@ object TextStats extends QueryPack {
     * of the shingle md5s — a 1-perm MinHash both engines compute
     * identically) plus the sorted 5 smallest shingle hashes (a k-min
     * sketch; two documents' sketches overlap ⇔ their shingle sets do).
+    *
+    * The sketch is emitted SERIALIZED (`'|'`-joined) rather than as an
+    * array column: the correctness gate sorts result rows by every
+    * column, and array cells are unsortable there (VERDICT r2 #1). The
+    * serialization is order-preserving over the sorted sketch, so no
+    * information is lost.
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -123,7 +129,7 @@ object TextStats extends QueryPack {
       .select($"doc_id", md5(encode($"s", "UTF-8")).as("h"))
       .groupBy($"doc_id")
       .agg(min($"h").as("fp_min"),
-           slice(sort_array(collect_set($"h")), 1, 5).as("fp_kmin"))
+           concat_ws("|", slice(sort_array(collect_set($"h")), 1, 5)).as("fp_kmin"))
       .orderBy($"doc_id")
   }
 
@@ -153,12 +159,19 @@ object TextStats extends QueryPack {
         expr(CrossHash.hex60(s"substring(text, i + 1, $k)")).as("hv"))
     val win = Window.partitionBy($"doc_id").orderBy($"i")
       .rowsBetween(Window.currentRow, w - 1)
+    // ONE collect_set aggregate; n_fps = its size (a separate
+    // countDistinct would add a distinct-aggregate expand path for a
+    // number the set already carries). fp_head is serialized ('|'-joined)
+    // so the gate's row-sorter can order it (VERDICT r2 #1); bigint →
+    // string casting is identical in both engines.
     grams
       .withColumn("wmin", min($"hv").over(win))
       .filter($"i" <= $"len" - k - (w - 1)) // only fully-populated windows
       .groupBy($"doc_id")
-      .agg(countDistinct($"wmin").as("n_fps"),
-           slice(sort_array(collect_set($"wmin")), 1, 8).as("fp_head"))
+      .agg(sort_array(collect_set($"wmin")).as("fps"))
+      .select($"doc_id",
+        size($"fps").cast("long").as("n_fps"),
+        concat_ws("|", transform(slice($"fps", 1, 8), _.cast("string"))).as("fp_head"))
       .orderBy($"doc_id")
   }
 
@@ -254,7 +267,7 @@ object TextStats extends QueryPack {
         |  FROM grams
         |)
         |SELECT doc_id, COUNT(DISTINCT wmin) AS n_fps,
-        |  list_sort(list_distinct(list(wmin)))[1:8] AS fp_head
+        |  array_to_string(list_sort(list_distinct(list(wmin)))[1:8], '|') AS fp_head
         |FROM wm WHERE i <= l - 8 - 3
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_sample_hash" ->
@@ -273,7 +286,7 @@ object TextStats extends QueryPack {
     "llm_fingerprint" ->
       s"""WITH ${Dedup.shingleCte(3)}
         |SELECT doc_id, MIN(md5(s)) AS fp_min,
-        |  list_sort(list_distinct(list(md5(s))))[1:5] AS fp_kmin
+        |  array_to_string(list_sort(list_distinct(list(md5(s))))[1:5], '|') AS fp_kmin
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

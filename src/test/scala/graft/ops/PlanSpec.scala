@@ -88,4 +88,29 @@ class PlanSpec extends SparkSpec {
     val p = plan("q1_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("llm_dedup_embedding builds its plan WITHOUT touching the corpus " +
+       "(no driver-side collect — the r2 scale-killer)") {
+    // The r2 version ran `corpus.collect()` EAGERLY while constructing the
+    // DataFrame; building the plan therefore launched extra Spark jobs
+    // beyond the parquet footer read any scan construction performs. The
+    // IVF cell-shuffle version must cost exactly what a bare lazy scan of
+    // the same table costs: same job count, no corpus materialization.
+    val sc = spark.sparkContext
+    def jobs = sc.statusTracker.getJobIdsForGroup(null).length
+    val b0 = jobs
+    graft.Tables.embeddings(spark, dir).queryExecution.executedPlan
+    val lazyCost = jobs - b0
+    val b1 = jobs
+    val df = graft.SparkEntry.queries("llm_dedup_embedding")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val queryCost = jobs - b1
+    assert(queryCost <= lazyCost,
+      s"constructing the query ran $queryCost Spark job(s) vs $lazyCost " +
+      "for a bare lazy scan — a driver-side materialization is back")
+    // and the plan is the cell-pair shuffle + per-group verify, not a
+    // broadcast of corpus data
+    assert(p.contains("MapGroups") || p.contains("FlatMapGroups"), p)
+    assert(!p.contains("BroadcastExchange"), p)
+  }
 }

@@ -6,10 +6,11 @@ Usage: python3 tools/check_oracle.py <sfDir> <outDir>
 Reads each <outDir>/<name> parquet dump written by graft.Verify, runs the
 matching SQL from <outDir>/oracle_sql.json in DuckDB against views over the
 same fixture tables, and compares: row count, column names, dtypes, and
-exact values (columns sorted by name, rows compared strictly as-ordered —
-every query is required to carry a total ORDER BY, so no sorted fallback
-exists). Strictest plausible interpretation of the driver's hash compare —
-if this passes, any reasonable hash compare passes.
+exact values. MIRRORS THE DRIVER'S GATE (VERDICT r2 #3): columns sorted by
+name, then rows sorted by ALL columns before the value compare — and any
+array/list-typed cell is an immediate FAIL, because the driver's pandas
+row-sorter crashes on unhashable numpy arrays (that crash shipped two red
+gate rows in round 2; this tool must catch it locally first).
 """
 import sys, json, glob, os
 import duckdb
@@ -27,6 +28,25 @@ def load_result(path):
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
     return df.reset_index(drop=True)
+
+def array_cols(df):
+    """Columns holding list/ndarray cells — these crash the driver's
+    row-sorter (`TypeError: unhashable type: 'numpy.ndarray'`)."""
+    if not len(df):
+        return []
+    bad = []
+    for c in df.columns:
+        v = df[c].iloc[0]
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            bad.append(c)
+    return bad
+
+def row_sorted(df):
+    """The driver sorts rows by every column before hashing; mirror it."""
+    if not len(df.columns):
+        return df
+    return df.sort_values(by=list(df.columns), kind="mergesort") \
+             .reset_index(drop=True)
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -52,7 +72,13 @@ def main():
             continue
         got, exp = norm(got), norm(exp)
         problems = []
-        if list(got.columns) != list(exp.columns):
+        bad = sorted(set(array_cols(got)) | set(array_cols(exp)))
+        if bad:
+            problems.append(
+                f"array-typed column(s) {bad} crash the driver's row-sorter "
+                "(unhashable ndarray) — serialize them (concat_ws / "
+                "array_to_string) in BOTH engines")
+        elif list(got.columns) != list(exp.columns):
             problems.append(f"columns spark={list(got.columns)} oracle={list(exp.columns)}")
         elif len(got) != len(exp):
             problems.append(f"rows spark={len(got)} oracle={len(exp)}")
@@ -61,9 +87,10 @@ def main():
                 if str(got[c].dtype) != str(exp[c].dtype):
                     problems.append(f"dtype[{c}] spark={got[c].dtype} oracle={exp[c].dtype}")
             if not problems:
-                # exact value compare, as-ordered
+                # exact value compare after the driver's row sort
                 try:
-                    pd.testing.assert_frame_equal(got, exp, check_exact=True)
+                    pd.testing.assert_frame_equal(
+                        row_sorted(got), row_sorted(exp), check_exact=True)
                 except AssertionError as e:
                     msg = str(e).split("\n")
                     problems.append("values differ: " + " | ".join(msg[:6]))
