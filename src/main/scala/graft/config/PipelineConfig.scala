@@ -52,6 +52,23 @@ final case class PipelineConfig(
     processors: List[ProcessorConfig],
     sink: ComponentConfig)
 
+/** App-level settings — the twin of /root/reference/configs/app_config.yaml:
+  * the session-wide knobs (app name, master, optional log level) that live
+  * OUTSIDE any one pipeline declaration. The kafka block in the same file
+  * is connection config and flows through [[ComponentConfig]] instead.
+  */
+final case class AppConfig(
+    appName: String,
+    master: String,
+    logLevel: Option[String])
+
+object AppConfig {
+  def from(conf: Conf): AppConfig = AppConfig(
+    appName = conf.str("app_name").getOrElse("graft-app"),
+    master = conf.str("spark_master").getOrElse("local[*]"),
+    logLevel = conf.str("log_level"))
+}
+
 /** YAML → [[PipelineConfig]], with the reference's fail-fast behavior:
   * missing file and unparseable YAML abort immediately
   * (config_loader.py:19-26), and the structural checks reproduce the
@@ -116,6 +133,10 @@ object YamlConfig {
   }
 
   def pipelineFromFile(path: String): PipelineConfig = pipeline(loadFile(path))
+
+  def app(conf: Conf): AppConfig = AppConfig.from(conf)
+
+  def appFromFile(path: String): AppConfig = app(loadFile(path))
 
   private def component(conf: Conf, key: String, missing: String,
                         badShape: String): ComponentConfig = {

@@ -97,7 +97,7 @@ object Sinks {
         df.write.mode("overwrite").format("noop").save()
       case "kafka" =>
         requireValueColumn(df)
-        val opts = KafkaOptions.writer(comp.config)
+        val opts = KafkaOptions.writerBatch(comp.config)
         df.write.format("kafka").options(opts).save()
       case other =>
         throw new IllegalArgumentException(s"Unsupported writer type: $other")
@@ -133,6 +133,18 @@ object Sinks {
         val w = df.writeStream.format("kafka").options(opts)
         cfg.str("query_name").foreach(w.queryName)
         w.start()
+      case "foreach_batch" =>
+        // The escape hatch promoted to a product sink (VERDICT r2 #5):
+        // idempotent parquet upsert keyed by batch id. Each micro-batch
+        // overwrites its OWN `batch_id=<id>` directory, so a replayed
+        // batch (restart between sink write and offset commit) lands on
+        // the same path instead of duplicating — exactly-once by
+        // idempotence, the standard foreachBatch pattern.
+        val path = cfg.reqStr("path", "Sink 'foreach_batch' requires a 'path'.")
+        checkpointed(df.writeStream.foreachBatch {
+          (batch: DataFrame, batchId: Long) =>
+            batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+        }).start()
       case other =>
         throw new IllegalArgumentException(s"Unsupported writer type: $other")
     }

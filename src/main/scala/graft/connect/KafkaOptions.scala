@@ -101,15 +101,27 @@ object KafkaOptions {
     common(cfg, env) + ("subscribe" -> topic) + ("startingOffsets" -> startingOffsets)
   }
 
-  /** Writer options: topic + mandatory checkpoint location
-    * (kafka_connector.py:204-214, 216-254).
+  /** Batch writer options: topic only (kafka_connector.py:204-208).
+    * `checkpointLocation` is a streaming concept — requiring it on a
+    * batch write made batch Kafka writes fail validation for a setting
+    * they never use (ADVICE r2), so the batch path neither requires nor
+    * passes it.
+    */
+  def writerBatch(cfg: Conf,
+                  env: String => Option[String] = sys.env.get): Map[String, String] = {
+    val topic = cfg.reqStr("output_topic",
+      "Kafka output_topic is not defined in the configuration.")
+    common(cfg, env) + ("topic" -> topic)
+  }
+
+  /** Streaming writer options: topic + MANDATORY checkpoint location
+    * (kafka_connector.py:210-214, 216-254 — checkpoint is the restart
+    * story, so the streaming path fails fast without one).
     */
   def writer(cfg: Conf,
              env: String => Option[String] = sys.env.get): Map[String, String] = {
-    val topic = cfg.reqStr("output_topic",
-      "Kafka output_topic is not defined in the configuration.")
     val checkpoint = cfg.reqStr("checkpoint_location_output",
       "Kafka checkpoint_location_output is not defined for the writer.")
-    common(cfg, env) + ("topic" -> topic) + ("checkpointLocation" -> checkpoint)
+    writerBatch(cfg, env) + ("checkpointLocation" -> checkpoint)
   }
 }

@@ -174,33 +174,60 @@ object Dedup extends QueryPack {
       .select($"d1", $"d2", $"inter", $"uni")
   }
 
-  /** Exact n-gram Jaccard similarity join (word 4-grams, J ≥ 0.5) via the
-    * inverted-index form: self-join on the shingle (shuffle on shingle,
-    * never all-pairs), count co-occurrences per pair, then the integer
-    * threshold 2·inter ≥ uni. The exact sparse twin of [[dedupNearMinhash]].
+  /** Document-frequency cap for [[jaccardNgram]]'s inverted index: a
+    * shingle appearing in more than this many documents is a
+    * stop-shingle and is dropped from the index — AND from the Jaccard
+    * universe, identically in both engines, so the gate stays exact.
+    */
+  private[llm] val JaccardDfCap = 64L
+
+  /** The inverted-index Jaccard pair join over an already-shingled
+    * `(doc_id, s)` DataFrame — factored out so the skew test can drive
+    * it with an adversarial hot shingle.
     *
-    * Shingle width matters at scale: an inverted-index join is linear only
-    * while shingles are discriminative. With this corpus's 31-word
-    * vocabulary, 2-grams have ≤ 961 distinct values, every shingle is hot,
-    * and the join degenerates quadratically (measured: 23s at sf0.1 vs
-    * ~1s with 4-grams). Production corpora get the same effect from
-    * stop-shingles — the standard mitigations are wider shingles (here) or
-    * a document-frequency cap on the index.
+    * The self-join's per-shingle cost is df² (every pair of docs sharing
+    * the shingle), so ONE hot shingle degenerates the whole join
+    * quadratically (measured at sf0.1: 23s with 2-gram shingles whose df
+    * is corpus-wide vs ~1s with discriminative 4-grams). The df cap
+    * bounds that by construction: drop shingles with df > cap BEFORE the
+    * join and the per-shingle cost is ≤ cap² regardless of corpus skew —
+    * the standard stop-shingle mitigation. Sizes are computed over the
+    * capped universe too, so the J ≥ 0.5 threshold stays a true Jaccard
+    * (of the capped shingle sets), not a mixed-universe ratio.
+    */
+  private[ops] def jaccardPairs(sh: DataFrame, cap: Long): DataFrame = {
+    val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap).select(col("s"))
+    // already hash-partitioned on s by the df aggregate — the index join
+    // below reuses that partitioning (no extra shuffle of kept)
+    val kept = sh.join(keep, Seq("s"))
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = kept.select(col("doc_id").as("d1"), col("s"))
+      .join(kept.select(col("doc_id").as("d2"), col("s")), Seq("s"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .withColumn("uni", col("n1") + col("n2") - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select(col("d1"), col("d2"), col("inter"), col("uni"))
+  }
+
+  /** Exact n-gram Jaccard similarity join (word 4-grams, J ≥ 0.5 over the
+    * df-capped shingle universe) via the inverted-index form: self-join
+    * on the shingle (shuffle on shingle, never all-pairs), count
+    * co-occurrences per pair, then the integer threshold 2·inter ≥ uni.
+    * The exact sparse twin of [[dedupNearMinhash]].
+    *
+    * Shingle width matters at scale: an inverted-index join is linear
+    * only while shingles are discriminative (31-word vocabulary: 2-grams
+    * are all hot, measured 23s vs ~1s for 4-grams at sf0.1). Width picks
+    * the common case; the [[JaccardDfCap]] bounds the adversarial one.
     */
   def jaccardNgram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingles(spark, dir, 4, distinct = true)
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.select($"doc_id".as("d1"), $"s")
-      .join(sh.select($"doc_id".as("d2"), $"s"), Seq("s"))
-      .filter($"d1" < $"d2")
-      .groupBy($"d1", $"d2").agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
-      .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
-      .withColumn("uni", $"n1" + $"n2" - $"inter")
-      .filter($"inter" * 2 >= $"uni")
-      .select($"d1", $"d2", $"inter", $"uni")
+    jaccardPairs(shingles(spark, dir, 4, distinct = true), JaccardDfCap)
       .orderBy($"d1", $"d2")
   }
 
@@ -438,9 +465,11 @@ object Dedup extends QueryPack {
         |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
     "llm_jaccard_ngram" ->
       s"""WITH ${shingleCte(4)},
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |keep AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= $JaccardDfCap),
+        |k AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM k GROUP BY 1),
         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      FROM k a JOIN k b ON a.s = b.s AND a.doc_id < b.doc_id
         |      GROUP BY 1, 2)
         |SELECT d1, d2, inter, s1.n + s2.n - inter AS uni
         |FROM p JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id

@@ -97,4 +97,27 @@ class YamlConfigSpec extends AnyFunSuite {
     assert(cfg.processors.isEmpty)
     assert(cfg.appName === "StreamingPipeline")
   }
+
+  test("app-level YAML (configs/app_config.yaml twin) parses into AppConfig") {
+    // the reference's app_config.yaml shape: app-wide settings alongside a
+    // kafka block (which flows through ComponentConfig, not AppConfig)
+    val yaml =
+      """kafka:
+        |  bootstrap_servers: "localhost:9092"
+        |  input_topic: "input_topic"
+        |app_name: "PySparkStreamingApp"
+        |spark_master: "local[*]"
+        |""".stripMargin
+    val app = YamlConfig.app(YamlConfig.loadString(yaml))
+    assert(app.appName === "PySparkStreamingApp")
+    assert(app.master === "local[*]")
+    assert(app.logLevel.isEmpty)
+  }
+
+  test("app config defaults + optional log level") {
+    val app = YamlConfig.app(YamlConfig.loadString("log_level: WARN"))
+    assert(app.appName === "graft-app")
+    assert(app.master === "local[*]")
+    assert(app.logLevel.contains("WARN"))
+  }
 }

@@ -127,6 +127,23 @@ class KafkaOptionsSpec extends AnyFunSuite {
     }.getMessage.contains("checkpoint_location_output"))
   }
 
+  test("batch writer: topic only, checkpoint neither required nor passed " +
+       "(checkpointLocation is a streaming concept)") {
+    val noCkpt = Conf(Map[String, Any](
+      "bootstrap_servers" -> "b:9092", "output_topic" -> "out"))
+    val opts = KafkaOptions.writerBatch(noCkpt, env = lookup)
+    assert(opts("topic") === "out")
+    assert(!opts.contains("checkpointLocation"))
+    // the streaming writer still fails fast on the same config
+    assert(intercept[IllegalArgumentException] {
+      KafkaOptions.writer(noCkpt, env = lookup)
+    }.getMessage.contains("checkpoint_location_output"))
+    // and when checkpoint IS configured, the batch path still omits it
+    val withCkpt = Conf(noCkpt.m + ("checkpoint_location_output" -> "/tmp/ck"))
+    assert(!KafkaOptions.writerBatch(withCkpt, env = lookup)
+      .contains("checkpointLocation"))
+  }
+
   test("SASL without username/password_env_var fails; unset env var fails") {
     def cfg(sec: Map[String, Any]) = Conf(Map(
       "bootstrap_servers" -> "b:9092", "security" -> sec))

@@ -45,6 +45,30 @@ class SkewSpec extends SparkSpec {
     assert(distinctSalts === 8L) // the hot key actually spreads
   }
 
+  test("jaccard df-cap: an adversarial hot shingle is dropped from the index, " +
+       "similar pairs on cold shingles survive") {
+    // 200 docs all share ONE hot shingle (df = 200): uncapped, the
+    // inverted-index self-join would generate 200·199/2 = 19900 pairs
+    // from that shingle alone. Docs 0 and 1 additionally share 9 of 10
+    // cold shingles (J = 9/11 over the capped universe).
+    val hot = (0 until 200).map(d => (d.toLong, "the hot stop shingle"))
+    val cold = (0 until 200).flatMap { d =>
+      (0 until 10).map { i =>
+        val shard = if (d <= 1 && i < 9) s"shared_$i" else s"doc${d}_s$i"
+        (d.toLong, shard)
+      }
+    }
+    val sh = (hot ++ cold).toDF("doc_id", "s")
+    val out = graft.ops.llm.Dedup.jaccardPairs(sh, cap = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the only qualifying pair is (0, 1); inter = 9 shared cold shingles,
+    // uni = 10 + 10 - 9 (hot shingle excluded from sizes and intersections)
+    assert(out.toSeq === Seq((0L, 1L, 9L, 11L)))
+    // and the capped index generates NO candidate pair through the hot
+    // shingle: every other doc pair shares only the hot shingle, so with
+    // the cap they never meet in the join at all
+  }
+
   test("partitioned layout: filters become PartitionFilters and prune directories") {
     val dir = tmpDir("part_layout")
     graft.Tables.lineitem(spark, "/root/testdata/sf0.001")

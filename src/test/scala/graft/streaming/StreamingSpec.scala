@@ -199,6 +199,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("foreach_batch product sink: parquet upsert keyed by batch id, " +
+       "replayed ids overwrite instead of duplicating") {
+    import graft.config.{ComponentConfig, Conf}
+    implicit val ctx = spark.sqlContext
+    val outDir = tmpDir("fb_out")
+    val comp = ComponentConfig("foreach_batch", Conf(Map(
+      "path" -> outDir, "checkpoint_location" -> tmpDir("fb_ck1"))))
+    val in = MemoryStream[Int]
+    val q = graft.connect.Sinks.startStream(in.toDF(), comp)
+    withQuery(q) {
+      in.addData(1, 2, 3)
+      q.processAllAvailable()
+      in.addData(4)
+      q.processAllAvailable()
+    }
+    val batches = new java.io.File(outDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(batches.toSeq === Seq("batch_id=0", "batch_id=1"))
+    assert(spark.read.parquet(s"$outDir/batch_id=0").count() === 3)
+    assert(spark.read.parquet(s"$outDir/batch_id=1").count() === 1)
+    // replay: a fresh checkpoint restarts batch ids at 0 — the sink must
+    // OVERWRITE batch_id=0 (idempotent upsert), never append to it
+    val comp2 = ComponentConfig("foreach_batch", Conf(Map(
+      "path" -> outDir, "checkpoint_location" -> tmpDir("fb_ck2"))))
+    val in2 = MemoryStream[Int]
+    val q2 = graft.connect.Sinks.startStream(in2.toDF(), comp2)
+    withQuery(q2) {
+      in2.addData(7, 8)
+      q2.processAllAvailable()
+    }
+    assert(spark.read.parquet(s"$outDir/batch_id=0")
+      .as[Int].collect().sorted.toSeq === Seq(7, 8))
+  }
+
   test("B5 bounded drain: Trigger.AvailableNow reads everything then terminates") {
     val inDir = tmpDir("drain_in")
     Seq(("k1", "v1"), ("k2", "v2"), ("k3", "v3")).toDF("key", "value")
