@@ -1,0 +1,42 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** PLANS.md generator: the physical operator tree of every gated query at
+  * sf0.001 (plan SHAPE is the audit target, not size). Re-run each round
+  * so the committed dump never drifts from the code:
+  *
+  *   sbt "runMain graft.Plans"             # writes PLANS.md
+  *   sbt "runMain graft.Plans <sf> <out>"
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = if (args.length > 1) args(1) else "PLANS.md"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.maxFields", "220")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sb = new StringBuilder
+    sb ++= "# PLANS — physical operator trees for every gated query\n\n"
+    sb ++= "Generated at sf0.001 (plan shape, not size, is the audit target).\n"
+    sb ++= "Field-level detail elided; `*(n)` marks whole-stage-codegen spans.\n"
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val tree =
+        try fn(spark, sfDir).queryExecution.executedPlan.toString
+        catch { case e: Throwable => s"<plan failed: ${e.getMessage}>" }
+      val trimmed = tree.linesIterator
+        .map(l => if (l.length > 110) l.take(107) + "..." else l)
+        .mkString("\n")
+      sb ++= s"\n## $name\n\n```\n$trimmed```\n"
+    }
+    Files.writeString(Paths.get(out), sb.toString)
+    println(s"[plans] wrote $out")
+    spark.stop()
+  }
+}

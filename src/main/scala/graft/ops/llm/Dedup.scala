@@ -416,13 +416,47 @@ object Dedup extends QueryPack {
       .orderBy($"i", $"j")
   }
 
+  /** The IVF coarse quantizer as a GATED query: per-cell histogram of the
+    * corpus under the [[ivfCentroids]] assignment (argmax dot, lowest
+    * cell on ties). The oracle REBUILDS the centroids from the md5
+    * formula in SQL and must land every vector in the same cell — the
+    * cross-engine proof that the quantizer feeding [[dedupEmbedding]]
+    * (and any IVF-bucketed ANN) is deterministic, not an engine artifact.
+    *
+    * This declarative twin uses the registered `graft_dot` expression
+    * with the centroid as a typed literal — the same strict
+    * left-to-right fold as DuckDB's `list_reduce`, so the dot products
+    * (and hence the argmax) are bit-identical.
+    */
+  def ivfCellHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = Similarity.corpus(spark, dir)
+    val withDots = (0 until IvfCells).foldLeft(n) { (df, c) =>
+      df.withColumn(s"d$c",
+        call_function("graft_dot", $"v", typedlit(ivfCentroids(c).toSeq)))
+    }
+    // argmax with >= chains = lowest cell index wins ties, same CASE
+    // shape as the oracle
+    val cell = (0 until IvfCells - 1).foldLeft(when(lit(false), -1)) { (w, c) =>
+      val beatsRest = (c + 1 until IvfCells)
+        .map(o => col(s"d$c") >= col(s"d$o")).reduce(_ && _)
+      w.when(beatsRest, c)
+    }.otherwise(IvfCells - 1)
+    withDots.withColumn("cell", cell.cast("int"))
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_vecs"),
+           min($"vec_id").as("first_vec"), max($"vec_id").as("last_vec"))
+      .orderBy($"cell")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact"     -> (dedupExact _),
     "llm_dedup_minhash"   -> (dedupNearMinhash _),
     "llm_dedup_clusters"  -> (dedupClusters _),
     "llm_jaccard_ngram"   -> (jaccardNgram _),
     "llm_dedup_simhash"   -> (dedupSimhash _),
-    "llm_dedup_embedding" -> (dedupEmbedding _)
+    "llm_dedup_embedding" -> (dedupEmbedding _),
+    "llm_ivf_cells"       -> (ivfCellHistogram _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -489,6 +523,23 @@ object Dedup extends QueryPack {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh32, b.sh32)) <= 3
         |ORDER BY d1, d2""".stripMargin,
+    "llm_ivf_cells" ->
+      """WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |cent AS (SELECT c, list_transform(range(0, 64), d ->
+        |    ('0x' || substr(md5('ivf_' || c::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT::DOUBLE
+        |    / 576460752303423488.0 - 1.0) AS w
+        |  FROM range(0, 4) t(c)),
+        |dots AS (SELECT vec_id, c,
+        |    list_reduce(list_transform(range(1, 65), k -> v[k] * w[k]),
+        |                (a, b) -> a + b) AS dot
+        |  FROM v0, cent),
+        |cells AS (SELECT vec_id, c,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
+        |  FROM dots)
+        |SELECT c::INT AS cell, COUNT(*) AS n_vecs,
+        |  MIN(vec_id) AS first_vec, MAX(vec_id) AS last_vec
+        |FROM cells WHERE rn = 1 GROUP BY 1 ORDER BY cell""".stripMargin,
     "llm_dedup_embedding" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
         |           FROM embeddings),

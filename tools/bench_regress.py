@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Per-query bench regression guard (VERDICT r2 #9).
+
+Usage: python3 tools/bench_regress.py <prior_bench.json> <new_bench.json>
+       [--factor 2.0] [--min-sec 0.5]
+
+Compares per-query times between two Bench JSON lines and exits non-zero
+if any query regressed by more than --factor (default 2x), ignoring
+queries faster than --min-sec in both rounds (sub-500ms times are noise
+at this harness's resolution). New queries (absent from the prior file)
+are reported informationally, never flagged.
+
+Caveat: cross-round comparisons before round 3 measured single shots, not
+medians — treat a first run against an r1/r2 file as directional only.
+"""
+import sys, json, re
+
+def load(path):
+    with open(path) as f:
+        data = json.load(f)
+    # the driver's BENCH_r{N}.json wraps the bench line under "parsed";
+    # when its stdout scrape fails, "parsed" is null and "tail" holds a
+    # (possibly truncated) fragment of the JSON line — recover the
+    # per-query pairs by regex (the first pair may be cut off mid-name)
+    if "parsed" in data:
+        if isinstance(data["parsed"], dict):
+            data = data["parsed"]
+        else:
+            pairs = re.findall(r'"([A-Za-z0-9_]+)":(-?\d+\.\d+)',
+                               data.get("tail", ""))
+            data = {"queries": {k: float(v) for k, v in pairs
+                                if k not in ("value",)}}
+    return {k: v for k, v in data.get("queries", {}).items() if v >= 0}
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    factor = 2.0
+    min_sec = 0.5
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
+        if a == "--factor":
+            factor = float(argv[i + 1])
+        if a == "--min-sec":
+            min_sec = float(argv[i + 1])
+    prior, new = load(args[0]), load(args[1])
+    flagged, improved, added = [], [], []
+    for q, t in sorted(new.items()):
+        if q not in prior:
+            added.append(q)
+            continue
+        p = prior[q]
+        if t > p * factor and max(t, p) >= min_sec:
+            flagged.append((q, p, t))
+        elif p > t * factor and max(t, p) >= min_sec:
+            improved.append((q, p, t))
+    for q, p, t in flagged:
+        print(f"REGRESSED {q}: {p:.2f}s -> {t:.2f}s ({t / p:.1f}x)")
+    for q, p, t in improved:
+        print(f"improved  {q}: {p:.2f}s -> {t:.2f}s")
+    if added:
+        print(f"new queries ({len(added)}): {', '.join(added)}")
+    tp = sum(prior.values())
+    tn = sum(v for k, v in new.items() if k in prior)
+    print(f"== shared-query total {tp:.1f}s -> {tn:.1f}s; "
+          f"{len(flagged)} regressed (> {factor}x), {len(improved)} improved ==")
+    sys.exit(1 if flagged else 0)
+
+if __name__ == "__main__":
+    main()
