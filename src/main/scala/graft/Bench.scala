@@ -53,7 +53,12 @@ object Bench {
     // absorbs any one-time per-query setup (codegen compile, fixture
     // render) that the median then excludes.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated query filter for focused tuning runs.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         // Drain the async cleanup backlog (shuffle files, broadcasts) from
         // prior queries before timing: 60 queries in one JVM otherwise

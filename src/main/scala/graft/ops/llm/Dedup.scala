@@ -196,11 +196,12 @@ object Dedup extends QueryPack {
     * (of the capped shingle sets), not a mixed-universe ratio.
     */
   private[ops] def jaccardPairs(sh: DataFrame, cap: Long): DataFrame = {
-    val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= cap).select(col("s"))
-    // already hash-partitioned on s by the df aggregate — the index join
-    // below reuses that partitioning (no extra shuffle of kept)
-    val kept = sh.join(keep, Seq("s"))
+    // df via a count window over s: ONE shuffle of the shingle table
+    // (which the self-join below needs on the same key anyway) instead
+    // of a separate aggregate + join-back
+    val kept = sh.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .filter(col("df") <= cap).drop("df")
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = kept.select(col("doc_id").as("d1"), col("s"))
       .join(kept.select(col("doc_id").as("d2"), col("s")), Seq("s"))
