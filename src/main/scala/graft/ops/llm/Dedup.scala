@@ -429,21 +429,32 @@ object Dedup extends QueryPack {
     * left-to-right fold as DuckDB's `list_reduce`, so the dot products
     * (and hence the argmax) are bit-identical.
     */
-  def ivfCellHistogram(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val n = Similarity.corpus(spark, dir)
-    val withDots = (0 until IvfCells).foldLeft(n) { (df, c) =>
-      df.withColumn(s"d$c",
-        call_function("graft_dot", $"v", typedlit(ivfCentroids(c).toSeq)))
+  /** Declarative IVF cell assignment: adds a `cell` column (argmax dot
+    * against [[ivfCentroids]], lowest cell on ties) via the registered
+    * `graft_dot` expression with the centroids as typed literals — the
+    * same strict left-to-right fold as DuckDB's `list_reduce`, so the
+    * dots (and hence the argmax) are bit-identical cross-engine. Shared
+    * by [[ivfCellHistogram]] and [[Similarity.annIvf]].
+    */
+  private[llm] def withIvfCell(df: DataFrame): DataFrame = {
+    val withDots = (0 until IvfCells).foldLeft(df) { (d, c) =>
+      d.withColumn(s"_ivf_d$c",
+        call_function("graft_dot", col("v"), typedlit(ivfCentroids(c).toSeq)))
     }
     // argmax with >= chains = lowest cell index wins ties, same CASE
     // shape as the oracle
     val cell = (0 until IvfCells - 1).foldLeft(when(lit(false), -1)) { (w, c) =>
       val beatsRest = (c + 1 until IvfCells)
-        .map(o => col(s"d$c") >= col(s"d$o")).reduce(_ && _)
+        .map(o => col(s"_ivf_d$c") >= col(s"_ivf_d$o")).reduce(_ && _)
       w.when(beatsRest, c)
     }.otherwise(IvfCells - 1)
     withDots.withColumn("cell", cell.cast("int"))
+      .drop((0 until IvfCells).map(c => s"_ivf_d$c"): _*)
+  }
+
+  def ivfCellHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withIvfCell(Similarity.corpus(spark, dir))
       .groupBy($"cell")
       .agg(count(lit(1)).as("n_vecs"),
            min($"vec_id").as("first_vec"), max($"vec_id").as("last_vec"))

@@ -131,12 +131,70 @@ object Similarity extends QueryPack {
       .orderBy($"q_id")
   }
 
+  /** C38 IVF scale path: restrict each query's search to its coarse-
+    * quantizer cell ([[Dedup.withIvfCell]]) and take the top-3 neighbors
+    * within it — the production single-probe IVF search. The oracle
+    * REPLAYS the identical quantizer and restriction in SQL, so the gate
+    * checks the pipeline deterministically (with near-orthogonal random
+    * fixture vectors, recall vs brute force is a property of the data,
+    * not of the implementation — same stance as [[annLshBuckets]]).
+    *
+    * Scale shape: the corpus shuffles once on cell id; each query probes
+    * ONE cell, so the candidate join is |queries| × cell-size, never
+    * |corpus|². More probes (nearest-P cells) widen recall without
+    * changing this plumbing.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Dedup.withIvfCell(corpus(spark, dir))
+    val q = cells.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("vq"), $"nrm".as("nq"), $"cell")
+    val c = cells.select($"vec_id".as("n_id"), $"v".as("vc"), $"nrm".as("nc"), $"cell")
+    val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"n_id")
+    c.join(broadcast(q), Seq("cell"))
+      .filter($"n_id" =!= $"q_id")
+      .withColumn("sim", expr(dotExpr) / ($"nq" * $"nc"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"q_id", $"rk", $"n_id", $"sim")
+      .orderBy($"q_id", $"rk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ann_cosine_topk" -> (annCosineTopK _),
-    "llm_ann_lsh"         -> (annLshBuckets _)
+    "llm_ann_lsh"         -> (annLshBuckets _),
+    "llm_ann_ivf"         -> (annIvf _)
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_ann_ivf" ->
+      """WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |            FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+        |      FROM v0),
+        |cent AS (SELECT c, list_transform(range(0, 64), d ->
+        |    ('0x' || substr(md5('ivf_' || c::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT::DOUBLE
+        |    / 576460752303423488.0 - 1.0) AS w
+        |  FROM range(0, 4) t(c)),
+        |dots AS (SELECT vec_id, c,
+        |    list_reduce(list_transform(range(1, 65), k -> v[k] * w[k]),
+        |                (a, b) -> a + b) AS dot
+        |  FROM n, cent),
+        |cl AS (SELECT vec_id, c AS cell FROM (
+        |    SELECT vec_id, c,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
+        |    FROM dots) WHERE rn = 1),
+        |nc AS (SELECT n.vec_id, n.v, n.nrm, cl.cell FROM n JOIN cl USING (vec_id)),
+        |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |        list_reduce(list_transform(range(1, 65), k -> q.v[k] * c.v[k]),
+        |                    (x, y) -> x + y) / (q.nrm * c.nrm) AS sim
+        |      FROM nc q JOIN nc c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+        |      WHERE q.vec_id < 10),
+        |r AS (SELECT q_id, n_id, sim,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk
+        |      FROM s)
+        |SELECT q_id, rk, n_id, sim FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
     "llm_ann_cosine_topk" ->
       """WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
         |            FROM embeddings),
