@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured-Streaming operator library (SURVEY.md §2 C25–C32): the
   * streaming form of the engine's semantics, over any streaming DataFrame
@@ -92,5 +93,42 @@ object StreamOps {
             } else Iterator.empty
           }
       }
+  }
+
+  /** The [[latestPerKeyStateful]] semantics on Spark 4's
+    * `transformWithState` — the arbitrary-state API that supersedes
+    * flatMapGroupsWithState: typed named state handles (value/list/map
+    * per key), per-state TTL, timers, and schema evolution of state.
+    * Runs on the RocksDB state store provider (required by the API —
+    * which is also the store the 100 TB posture prescribes anyway).
+    */
+  class LatestPerKeyProcessor extends StatefulProcessor[String, Keyed, Keyed] {
+    @transient private var latest: ValueState[Keyed] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      latest = getHandle.getValueState[Keyed](
+        "latest", Encoders.product[Keyed], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[Keyed],
+                                 timerValues: TimerValues): Iterator[Keyed] = {
+      val incoming = rows.toSeq
+      if (incoming.isEmpty) Iterator.empty
+      else {
+        val best = incoming.maxBy(_.off)
+        val prior = if (latest.exists()) Some(latest.get()) else None
+        if (prior.forall(_.off < best.off)) {
+          latest.update(best)
+          Iterator.single(best)
+        } else Iterator.empty
+      }
+    }
+  }
+
+  /** C30 (Spark-4-native form): the same latest-per-key changelog via
+    * `transformWithState`.
+    */
+  def latestPerKeyTws(ds: Dataset[Keyed]): Dataset[Keyed] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .transformWithState(new LatestPerKeyProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 }

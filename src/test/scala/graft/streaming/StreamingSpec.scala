@@ -142,6 +142,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("C30 transformWithState (Spark 4 arbitrary-state API) maintains the " +
+       "same latest-per-key changelog on RocksDB") {
+    // transformWithState requires the RocksDB state store provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val ctx = spark.sqlContext
+      val in = MemoryStream[Keyed]
+      val q = StreamOps.latestPerKeyTws(in.toDS())
+        .writeStream.format("memory").queryName("tws_sink")
+        .outputMode("update").start()
+      withQuery(q) {
+        in.addData(Keyed("a", 1, "x"), Keyed("a", 2, "y"), Keyed("b", 1, "z"))
+        q.processAllAvailable()
+        in.addData(Keyed("a", 1, "stale")) // older offset: state must NOT emit
+        q.processAllAvailable()
+        in.addData(Keyed("b", 5, "z2"))
+        q.processAllAvailable()
+        val emissions = spark.table("tws_sink").as[Keyed].collect().toSeq
+        assert(emissions.toSet === Set(Keyed("a", 2, "y"), Keyed("b", 1, "z"),
+                                       Keyed("b", 5, "z2")))
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("C13 stream-stream join matches within the event-time bound") {
     implicit val ctx = spark.sqlContext
     val imps = MemoryStream[(Timestamp, String)]
