@@ -358,10 +358,19 @@ object Dedup extends QueryPack {
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val thr = 0.45
+    embeddingPairs(Similarity.corpus(spark, dir), thr = 0.45)
+      .orderBy($"i", $"j")
+  }
+
+  /** The cell-shuffle pair engine behind [[dedupEmbedding]], over any
+    * `(vec_id, v, nrm)` corpus — factored out so the scale probe
+    * ([[ScaleProbe]]) can drive it with multiplied corpora.
+    */
+  private[ops] def embeddingPairs(corpus: DataFrame, thr: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val cents = spark.sparkContext.broadcast(ivfCentroids)
-    val n = Similarity.corpus(spark, dir)
-      .select($"vec_id", $"v", $"nrm")
+    val n = corpus.select($"vec_id", $"v", $"nrm")
       .toDF("_1", "_2", "_3").as[(Long, Array[Double], Double)]
     // Cell assignment + replication to each cell pair (lo ≤ hi) that
     // contains the vector's cell: pair (a, b) with cells (ca, cb) meets
@@ -414,7 +423,6 @@ object Dedup extends QueryPack {
       }
       out.iterator
     }.toDF("i", "j", "cos_sim")
-      .orderBy($"i", $"j")
   }
 
   /** The IVF coarse quantizer as a GATED query: per-cell histogram of the

@@ -1,0 +1,47 @@
+package graft.ops.llm
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measured-scale probe for the embedding cell-shuffle dedup: multiplies
+  * the sf0.1 embeddings corpus N× (shifted ids — same vector population,
+  * so pair density is preserved) and times [[Dedup.embeddingPairs]]. The
+  * quantity of interest is the SHAPE: work grows as pairs (n²) split
+  * across K² bounded cell-pair groups, executor memory per group stays
+  * O(2·corpus/K), and the driver never materializes vectors. Numbers are
+  * recorded in COVERAGE.md §"Scale evidence".
+  *
+  *   sbt "runMain graft.ops.llm.ScaleProbe [mult] [sfDir]"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val base = Similarity.corpus(spark, sfDir).select($"vec_id", $"v", $"nrm")
+    def timed(m: Int): (Long, Double) = {
+      val corpus = (0 until m)
+        .map(i => base.select(($"vec_id" + lit(i * 1000000L)).as("vec_id"), $"v", $"nrm"))
+        .reduce(_ union _)
+      val t0 = System.nanoTime()
+      val nPairs = Dedup.embeddingPairs(corpus, thr = 0.45).count()
+      (nPairs, (System.nanoTime() - t0) / 1e9)
+    }
+    timed(1) // warmup
+    Seq(1, mult).foreach { m =>
+      val (pairs, sec) = timed(m)
+      val n = 2000L * m
+      println(f"[scale-probe] mult=$m%-3d corpus=$n%-6d pairs>=thr=$pairs%-8d time=$sec%.2fs")
+    }
+    spark.stop()
+  }
+}
