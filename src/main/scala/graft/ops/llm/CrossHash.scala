@@ -14,9 +14,24 @@ private[llm] object CrossHash {
   def hex60(inner: String): String =
     s"cast(conv(substr(md5($inner), 1, 15), 16, 10) as bigint)"
 
+  /** The STRING form of the same 60 bits: the first 15 hex chars of md5,
+    * uncoverted. Lexicographic order over the fixed-width lowercase hex
+    * equals numeric order over [[hex60]], so min/sort-based consumers
+    * (winnowing) can skip the base-conversion cost (measured ~18% of
+    * llm_winnow at sf0.1) when nothing does arithmetic on the value.
+    */
+  def hex15(inner: String): String =
+    s"substr(md5($inner), 1, 15)"
+
   /** DuckDB twin of [[hex60]]. */
   def hex60Sql(inner: String): String =
     s"('0x' || substr(md5($inner), 1, 15))::BIGINT"
+
+  /** DuckDB twin of [[hex15]] (identical text — both engines' md5 emit
+    * lowercase hex).
+    */
+  def hex15Sql(inner: String): String =
+    s"substr(md5($inner), 1, 15)"
 
   /** JVM twin of [[hex60]], for constants computed once on the driver
     * (e.g. the IVF coarse-quantizer centroids in [[Dedup]]) — same md5,

@@ -138,9 +138,11 @@ object TextStats extends QueryPack {
     * minimum — the selected set is a position-robust document signature
     * with guaranteed coverage (every w-run contributes a fingerprint),
     * which plain min-k sketches don't give. The per-gram hash is the
-    * cross-engine md5 hex60 (the rolling-hash formulation is an
-    * equivalent streaming optimization of the same k-gram hashes; the
-    * selected set is identical).
+    * cross-engine md5 hex STRING ([[CrossHash.hex15]] — lexicographic
+    * min over fixed-width hex equals numeric min over the bigint form,
+    * and skipping the base conversion is measurably cheaper; the
+    * rolling-hash formulation is an equivalent streaming optimization of
+    * the same k-gram hashes; the selected set is identical).
     *
     * Scale notes: explode by character position is linear in corpus
     * bytes; the window-min partitions by doc_id so the sort is per-doc
@@ -156,7 +158,7 @@ object TextStats extends QueryPack {
         explode(expr(s"sequence(0, length(text) - $k)")).as("i"),
         $"text")
       .select($"doc_id", $"len", $"i",
-        expr(CrossHash.hex60(s"substring(text, i + 1, $k)")).as("hv"))
+        expr(CrossHash.hex15(s"substring(text, i + 1, $k)")).as("hv"))
     val win = Window.partitionBy($"doc_id").orderBy($"i")
       .rowsBetween(Window.currentRow, w - 1)
     // ONE collect_set aggregate; n_fps = its size (a separate
@@ -171,7 +173,7 @@ object TextStats extends QueryPack {
       .agg(sort_array(collect_set($"wmin")).as("fps"))
       .select($"doc_id",
         size($"fps").cast("long").as("n_fps"),
-        concat_ws("|", transform(slice($"fps", 1, 8), _.cast("string"))).as("fp_head"))
+        concat_ws("|", slice($"fps", 1, 8)).as("fp_head"))
       .orderBy($"doc_id")
   }
 
@@ -199,6 +201,59 @@ object TextStats extends QueryPack {
       .orderBy($"lang", $"part")
   }
 
+  /** Repetition detection — the repetitious-text quality filter real
+    * curation pipelines run (boilerplate, generated spam, and template
+    * text show high duplicated-n-gram ratios): per document, total vs
+    * distinct word 3-grams and the integer-threshold flag
+    * `n_repeated/n_grams ≥ 20%`. One explode + one hash aggregate; the
+    * flag is integer arithmetic so no float can diverge cross-engine.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.shingles(spark, dir, 3, distinct = false)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+           countDistinct($"s").as("n_distinct"))
+      .withColumn("n_repeated", $"n_grams" - $"n_distinct")
+      .withColumn("is_repetitive", $"n_repeated" * 5 >= $"n_grams")
+      .orderBy($"doc_id")
+  }
+
+  /** PII scrubbing — redact emails and phone-shaped tokens, the
+    * compliance pass every training corpus gets. The fixture text is
+    * synthetic (no real PII), so the query PLANTS deterministic PII in a
+    * subset of documents (doc_id-derived, identically in both engines)
+    * and then proves the scrub: per language, how many docs carried PII,
+    * how many of each kind were redacted, and a checksum (min md5) over
+    * the scrubbed text that only matches if both engines produced
+    * byte-identical redacted output. Patterns are RE2-safe so Spark
+    * (Java regex) and DuckDB (RE2) agree.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val email = "[a-z0-9]+@[a-z0-9.]+"
+    val phone = "555-[0-9]{4}"
+    Tables.documents(spark, dir)
+      .withColumn("text2", concat($"text",
+        when($"doc_id" % 7 === 0,
+          concat(lit(" contact user"), $"doc_id", lit("@example.com")))
+          .otherwise(lit("")),
+        when($"doc_id" % 11 === 0, lit(" call 555-0198")).otherwise(lit(""))))
+      .withColumn("n_emails",
+        size(regexp_extract_all($"text2", lit(email), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all($"text2", lit(phone), lit(0))).cast("long"))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace($"text2", email, "<EMAIL>"), phone, "<PHONE>"))
+      .groupBy($"lang")
+      .agg(sum(($"n_emails" + $"n_phones" > 0).cast("long")).as("n_docs_with_pii"),
+           sum($"n_emails").as("n_emails"),
+           sum($"n_phones").as("n_phones"),
+           sum(length($"scrubbed")).cast("bigint").as("sum_len_scrubbed"),
+           min(md5(encode($"scrubbed", "UTF-8"))).as("scrub_checksum"))
+      .orderBy($"lang")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_text_stats"    -> (textStats _),
     "llm_lang_id"       -> (langId _),
@@ -206,7 +261,9 @@ object TextStats extends QueryPack {
     "llm_token_stats"   -> (tokenStats _),
     "llm_fingerprint"   -> (fingerprint _),
     "llm_winnow"        -> (winnowFingerprint _),
-    "llm_sample_hash"   -> (sampleHash _)
+    "llm_sample_hash"   -> (sampleHash _),
+    "llm_repetition"    -> (repetition _),
+    "llm_pii_scrub"     -> (piiScrub _)
   )
 
   private val profileValues =
@@ -256,7 +313,7 @@ object TextStats extends QueryPack {
     "llm_winnow" ->
       """WITH grams AS (
         |  SELECT doc_id, len(text) AS l, i,
-        |    ('0x' || substr(md5(substring(text, i + 1, 8)), 1, 15))::BIGINT AS hv
+        |    substr(md5(substring(text, i + 1, 8)), 1, 15) AS hv
         |  FROM documents, unnest(range(0, len(text) - 7)) AS t(i)
         |  WHERE len(text) >= 11
         |),
@@ -283,6 +340,41 @@ object TextStats extends QueryPack {
         |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM sampled WHERE bucket < 20
         |GROUP BY 1, 2 ORDER BY lang, part""".stripMargin,
+    "llm_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |      FROM toks, unnest(range(1, len(ws) - 1)) AS t(i)
+        |      WHERE len(ws) >= 3)
+        |SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT s) AS n_distinct,
+        |  COUNT(*) - COUNT(DISTINCT s) AS n_repeated,
+        |  (COUNT(*) - COUNT(DISTINCT s)) * 5 >= COUNT(*) AS is_repetitive
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "llm_pii_scrub" ->
+      """WITH t2 AS (
+        |  SELECT lang, text
+        |    || CASE WHEN doc_id % 7 = 0
+        |            THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+        |            ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-0198' ELSE '' END
+        |    AS text2
+        |  FROM documents
+        |),
+        |m AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(text2, '[a-z0-9]+@[a-z0-9.]+'))::BIGINT AS n_emails,
+        |    len(regexp_extract_all(text2, '555-[0-9]{4}'))::BIGINT AS n_phones,
+        |    regexp_replace(regexp_replace(text2, '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |                   '555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+        |  FROM t2
+        |)
+        |SELECT lang,
+        |  SUM(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_docs_with_pii,
+        |  SUM(n_emails)::BIGINT AS n_emails,
+        |  SUM(n_phones)::BIGINT AS n_phones,
+        |  SUM(len(scrubbed))::BIGINT AS sum_len_scrubbed,
+        |  MIN(md5(scrubbed)) AS scrub_checksum
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
     "llm_fingerprint" ->
       s"""WITH ${Dedup.shingleCte(3)}
         |SELECT doc_id, MIN(md5(s)) AS fp_min,
