@@ -254,7 +254,29 @@ object TextStats extends QueryPack {
       .orderBy($"lang")
   }
 
+  /** Benchmark decontamination — flag corpus documents that share enough
+    * word 4-grams with a benchmark/eval set (here: the first 20 docs as
+    * the stand-in benchmark) that they'd leak test data into training.
+    * The benchmark side is SMALL by nature (eval suites are thousands of
+    * items, the corpus is billions), so the physical plan is a BROADCAST
+    * join of the benchmark shingles against the corpus shingle stream —
+    * one corpus pass, no shuffle of the corpus, the plan you'd run at
+    * 100 TB.
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Dedup.shingles(spark, dir, 4, distinct = true)
+    val bench = sh.filter($"doc_id" < 20).select($"doc_id".as("bench_id"), $"s")
+    sh.filter($"doc_id" >= 20)
+      .join(broadcast(bench), Seq("s"))
+      .groupBy($"doc_id", $"bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= 8)
+      .orderBy($"doc_id", $"bench_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_contamination" -> (contamination _),
     "llm_text_stats"    -> (textStats _),
     "llm_lang_id"       -> (langId _),
     "llm_quality_score" -> (qualityScore _),
@@ -340,6 +362,14 @@ object TextStats extends QueryPack {
         |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM sampled WHERE bucket < 20
         |GROUP BY 1, 2 ORDER BY lang, part""".stripMargin,
+    "llm_contamination" ->
+      s"""WITH ${Dedup.shingleCte(4)},
+        |b AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 20),
+        |c AS (SELECT doc_id, s FROM sh WHERE doc_id >= 20)
+        |SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+        |FROM c JOIN b USING (s)
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 8
+        |ORDER BY 1, 2""".stripMargin,
     "llm_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s

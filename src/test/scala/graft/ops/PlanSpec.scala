@@ -89,6 +89,12 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("llm_contamination broadcasts the benchmark side (one corpus pass, " +
+       "no corpus shuffle for the join)") {
+    val p = plan("llm_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("llm_dedup_embedding builds its plan WITHOUT touching the corpus " +
        "(no driver-side collect — the r2 scale-killer)") {
     // The r2 version ran `corpus.collect()` EAGERLY while constructing the
