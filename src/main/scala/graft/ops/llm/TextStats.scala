@@ -275,7 +275,31 @@ object TextStats extends QueryPack {
       .orderBy($"doc_id", $"bench_id")
   }
 
+  /** Sequence packing — assign documents to fixed-budget training
+    * sequences (context windows) by cumulative token count: doc d lands
+    * in the bin where its start offset falls (`(cumsum − tokens) div B`,
+    * integer arithmetic end-to-end). Packing is inherently sequential
+    * WITHIN a shard, so the window partitions by shard (lang here) and
+    * shards parallelize — the standard way a 100 TB tokenization job
+    * stays distributed: the running sum is a per-shard window, never a
+    * global order.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 512L
+    val wCum = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .withColumn("toks", size(split($"text", " ")).cast("long"))
+      .withColumn("cum", sum($"toks").over(wCum))
+      .withColumn("bin", expr(s"(cum - toks) div $budget"))
+      .groupBy($"lang", $"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("sum_tokens"))
+      .orderBy($"lang", $"bin")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_pack_sequences" -> (packSequences _),
     "llm_contamination" -> (contamination _),
     "llm_text_stats"    -> (textStats _),
     "llm_lang_id"       -> (langId _),
@@ -362,6 +386,20 @@ object TextStats extends QueryPack {
         |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM sampled WHERE bucket < 20
         |GROUP BY 1, 2 ORDER BY lang, part""".stripMargin,
+    "llm_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id, len(string_split(text, ' '))::BIGINT AS toks
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT lang, doc_id, toks,
+        |    SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+        |                    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t
+        |)
+        |SELECT lang, ((cum - toks) // 512)::BIGINT AS bin,
+        |  COUNT(*) AS n_docs, SUM(toks)::BIGINT AS sum_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
     "llm_contamination" ->
       s"""WITH ${Dedup.shingleCte(4)},
         |b AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 20),
