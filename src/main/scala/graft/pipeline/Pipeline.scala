@@ -50,7 +50,8 @@ final class Pipeline(
     // the type now — PER MODE — so an unsupported sink fails at build,
     // like the reference.
     val validSinks =
-      if (streaming) Set("kafka", "console", "memory", "parquet", "noop")
+      if (streaming) Set("kafka", "console", "memory", "parquet", "noop",
+                         "foreach_batch")
       else Set("kafka", "console", "parquet", "csv", "json", "noop")
     val t = config.sink.componentType.toLowerCase
     if (!validSinks.contains(t))

@@ -176,6 +176,36 @@ class PipelineSpec extends SparkSpec {
     assert(result.select($"content_hash").distinct().count() === result.count())
   }
 
+  test("streaming curation: documents file-stream -> quality filter -> " +
+       "foreach_batch parquet upsert (the full YAML path)") {
+    val inDir = tmpDir("pipe_scur_in")
+    graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(inDir)
+    graft.schema.SchemaRegistry.register("DOCS_TEST_SCHEMA",
+      spark.read.parquet(inDir).schema, overwrite = true)
+    val out = tmpDir("pipe_scur_out")
+    val ck = tmpDir("pipe_scur_ck")
+    val yaml =
+      s"""source:
+         |  type: "parquet"
+         |  config: {path: "$inDir", schema: "DOCS_TEST_SCHEMA"}
+         |processors:
+         |  - {name: "Quality", class: "quality_filter", params: {min_tokens: "20"}}
+         |  - {name: "Stats", class: "token_stats"}
+         |sink:
+         |  type: "foreach_batch"
+         |  config: {path: "$out", checkpoint_location: "$ck"}
+         |""".stripMargin
+    val p = Pipeline.fromYamlString(spark, yaml, streaming = true).build()
+    val q = p.run(awaitTermination = false).get
+    try q.processAllAvailable()
+    finally p.stop()
+    val result = spark.read.parquet(s"$out/batch_id=0")
+    assert(result.count() > 0)
+    assert(result.agg(org.apache.spark.sql.functions.min($"n_tokens"))
+      .as[Long].head() >= 20L)
+  }
+
   test("streaming pipeline: file stream -> uppercase -> memory sink, then stop()") {
     val in = writeInput()
     val yaml =
