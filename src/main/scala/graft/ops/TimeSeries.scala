@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Time-series operators over the `events` fixture: batch sessionization
+  * (the batch twin of the streaming session windows, C28) and
+  * resample/gap-fill — the two shapes event analytics always needs.
+  *
+  * Cross-engine determinism: all timestamps are handled as epoch
+  * MICROSECONDS in BIGINT (Spark reads the parquet ns column as a raw
+  * long and `div 1000`s it; DuckDB `epoch_ns(ts) // 1000` — identical
+  * floor division on non-negative values), so no timestamp/timezone
+  * dtype can diverge. Window orders carry `event_id` as the tiebreak so
+  * equal timestamps cannot reorder between engines.
+  *
+  * Scale notes: sessionization is ONE window shuffle on user_id with
+  * per-user sorts (bounded by a user's events, never corpus-wide);
+  * gap-fill explodes each user's bucket RANGE (bounded by time span, not
+  * event count) and joins on the (user, bucket) key — both linear
+  * shapes.
+  */
+object TimeSeries extends QueryPack {
+
+  private val SessionGapUs = 30L * 60 * 1000000 // 30 min
+  private val BucketUs     = 3600L * 1000000    // 1 hour
+
+  /** Batch sessionization: a session breaks when the gap to the previous
+    * event of the same user exceeds 30 minutes; session id is the
+    * running count of breaks (lag + cumulative sum — the classic
+    * two-window form).
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", expr("ts div 1000").as("tus"))
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    ev.withColumn("prev", lag($"tus", 1).over(w))
+      .withColumn("brk",
+        when($"prev".isNull || $"tus" - $"prev" > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum($"brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+           min($"tus").as("start_us"), max($"tus").as("end_us"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  /** Resample + gap-fill: per user, 1-hour buckets from the user's first
+    * to last event, with empty buckets filled as zero — the dense series
+    * downstream aggregations/charting expect.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", expr(s"(ts div 1000) div $BucketUs").as("bucket"))
+    val counts = ev.groupBy($"user_id", $"bucket").agg(count(lit(1)).as("n"))
+    val spans = ev.groupBy($"user_id")
+      .agg(min($"bucket").as("b0"), max($"bucket").as("b1"))
+    spans.select($"user_id", explode(expr("sequence(b0, b1)")).as("bucket"))
+      .join(counts, Seq("user_id", "bucket"), "left_outer")
+      .select($"user_id", $"bucket", coalesce($"n", lit(0L)).as("n_events"))
+      .orderBy($"user_id", $"bucket")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_sessionize" -> (sessionize _),
+    "ts_gapfill"    -> (gapFill _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "ts_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, (epoch_ns(ts) // 1000)::BIGINT AS tus
+        |  FROM events
+        |),
+        |l AS (
+        |  SELECT user_id, event_id, tus,
+        |    lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+        |  FROM e
+        |),
+        |b AS (
+        |  SELECT user_id, event_id, tus,
+        |    CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM l
+        |),
+        |s AS (
+        |  SELECT user_id, tus,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                   ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+        |  FROM b
+        |)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(tus) AS start_us, MAX(tus) AS end_us
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    "ts_gapfill" ->
+      """WITH e AS (
+        |  SELECT user_id, ((epoch_ns(ts) // 1000)::BIGINT // 3600000000)::BIGINT AS bucket
+        |  FROM events
+        |),
+        |c AS (SELECT user_id, bucket, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        |sp AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+        |       FROM e GROUP BY 1),
+        |g AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM sp)
+        |SELECT g.user_id, g.bucket, COALESCE(c.n, 0)::BIGINT AS n_events
+        |FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.bucket = c.bucket
+        |ORDER BY g.user_id, g.bucket""".stripMargin
+  )
+}
