@@ -63,4 +63,46 @@ class LawsSpec extends SparkSpec {
       assert(compacted.select($"key").as[String].collect().toSet === expectLive)
     }
   }
+
+  test("batch sessionization == Spark's session_window on the same events " +
+       "(batch/streaming unification, C28)") {
+    // Random event times per user; sessions break on gaps > 30 min. The
+    // batch lag+cumsum form (graft.ops.TimeSeries) must produce the SAME
+    // (user, start, end, count) sessions Spark's gap-based session_window
+    // computes — the two surfaces implement one semantic.
+    val times: Gen[List[(Int, Long)]] = Gen.listOfN(60, for {
+      u <- Gen.choose(0, 3)
+      t <- Gen.choose(0L, 6L * 3600) // seconds across 6 hours
+    } yield (u, t))
+    for (i <- 0 until 5;
+         evs <- times.apply(Gen.Parameters.default, Seed(i.toLong))) {
+      val distinctEvs = evs.distinct // equal timestamps collapse
+      val df = distinctEvs.toDF("user_id", "t")
+        .withColumn("ts", timestamp_seconds($"t"))
+      val viaWindow = df
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n"))
+        .select($"user_id",
+          unix_timestamp($"session_window.start").as("start_s"),
+          // session_window end = last event + gap
+          (unix_timestamp($"session_window.end") - 1800L).as("last_s"),
+          $"n")
+        .as[(Int, Long, Long, Long)].collect().toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"t")
+      val viaLag = df
+        .withColumn("prev", lag($"t", 1).over(w))
+        .withColumn("brk",
+          when($"prev".isNull || $"t" - $"prev" > 1800L, 1L).otherwise(0L))
+        .withColumn("sid", sum($"brk").over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                        org.apache.spark.sql.expressions.Window.currentRow)))
+        .groupBy($"user_id", $"sid")
+        .agg(min($"t").as("start_s"), max($"t").as("last_s"),
+             count(lit(1)).as("n"))
+        .select($"user_id", $"start_s", $"last_s", $"n")
+        .as[(Int, Long, Long, Long)].collect().toSet
+      assert(viaWindow === viaLag)
+    }
+  }
 }
