@@ -69,6 +69,71 @@ class SkewSpec extends SparkSpec {
     // the cap they never meet in the join at all
   }
 
+  test("bucketed tables join WITHOUT a shuffle (co-located join — the " +
+       "pre-partitioning story for repeated 100TB joins)") {
+    // Bucketing pays the shuffle ONCE at write time; every subsequent
+    // join on the bucket key reads co-located buckets and plans a
+    // sort-merge join with NO Exchange on either side.
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql("DROP TABLE IF EXISTS bk_orders")
+    spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+    graft.Tables.orders(spark, "/root/testdata/sf0.001")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("bk_orders")
+    graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("bk_lineitem")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bk_lineitem")
+        .join(spark.table("bk_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(p.contains("Bucketed: true"), p)
+      // the join reads both bucketed sides in place: NO exchange
+      // partitions on the join key (the only exchange is the groupBy's)
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p)
+      assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS bk_orders")
+      spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+    }
+  }
+
+  test("runtime bloom-filter injection prunes the probe side of a " +
+       "selective join (Spark's runtime row filtering)") {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // creationSideThreshold is a MAXIMUM size for the build side —
+      // raise it; applicationSide threshold is a MINIMUM — zero it
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      val ords = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+        .filter(col("o_totalprice") > 500000.0) // selective build side
+      val joined = li.join(ords, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("might_contain"),
+        s"expected a runtime bloom filter on the probe side:\n$p")
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("partitioned layout: filters become PartitionFilters and prune directories") {
     val dir = tmpDir("part_layout")
     graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
