@@ -181,7 +181,41 @@ object Aggregates extends QueryPack {
       .orderBy($"l_linestatus")
   }
 
+  /** Pearson correlation via exact-decimal co-moments. The built-in
+    * `corr` is an order-dependent streaming co-moment (partitioning
+    * changes the result bits), so — like [[stddevMoments]] — the exact
+    * sums come from [[Det.dsum]] decimal accumulation and the final
+    * formula is one fixed double expression both engines evaluate
+    * identically.
+    *
+    * The price is pre-scaled by 1/1000 (correlation is scale-invariant):
+    * the raw price-squared sum carries ~20 significant digits, and a
+    * DECIMAL(30,6) whose unscaled integer exceeds 2^53 converts to
+    * double with engine-specific last-ulp rounding (measured: Spark and
+    * DuckDB disagreed by 2 ulp). Scaling keeps every sum's unscaled
+    * integer exactly double-representable, so the conversion is a single
+    * correctly-rounded op in both engines — bit-identical.
+    */
+  def corrMoments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .withColumn("yk", $"l_extendedprice" / 1000.0)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+           Det.dsum($"l_quantity").as("sx"),
+           Det.dsum($"yk").as("sy"),
+           Det.dsum($"l_quantity" * $"l_quantity").as("sxx"),
+           Det.dsum($"yk" * $"yk").as("syy"),
+           Det.dsum($"l_quantity" * $"yk").as("sxy"))
+      .select($"l_returnflag", $"n", $"sx", $"sy", $"sxx", $"syy", $"sxy",
+        (($"n" * $"sxy" - $"sx" * $"sy") /
+         (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
+          sqrt($"n" * $"syy" - $"sy" * $"sy"))).as("corr_qty_price"))
+      .orderBy($"l_returnflag")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_corr_moments"    -> (corrMoments _),
     "q1_pricing_summary"  -> (q1Pricing _),
     "agg_min_max"         -> (minMax _),
     "agg_count_distinct"  -> (countDistinctQ _),
@@ -258,6 +292,19 @@ object Aggregates extends QueryPack {
         |  quantile_cont(l_quantity, 0.9) AS p90_qty,
         |  median(l_quantity) AS med_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_corr_moments" ->
+      s"""SELECT l_returnflag, n, sx, sy, sxx, syy, sxy,
+         |  ((n * sxy - sx * sy) /
+         |   (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))) AS corr_qty_price
+         |FROM (
+         |  SELECT l_returnflag, COUNT(*) AS n,
+         |    ${Det.sqlSum("l_quantity")} AS sx,
+         |    ${Det.sqlSum("l_extendedprice / 1000.0")} AS sy,
+         |    ${Det.sqlSum("l_quantity * l_quantity")} AS sxx,
+         |    ${Det.sqlSum("(l_extendedprice / 1000.0) * (l_extendedprice / 1000.0)")} AS syy,
+         |    ${Det.sqlSum("l_quantity * (l_extendedprice / 1000.0)")} AS sxy
+         |  FROM lineitem GROUP BY l_returnflag
+         |) ORDER BY l_returnflag""".stripMargin,
     "agg_stddev_moments" ->
       s"""SELECT l_linestatus,
          |  ((sum_sq - sum_x * sum_x / n) / (n - 1)) AS var_qty,
