@@ -298,7 +298,29 @@ object TextStats extends QueryPack {
       .orderBy($"lang", $"bin")
   }
 
+  /** Mixture weights for corpus balancing — the data-mixing stage of a
+    * training pipeline: per language, the sampling weight that flattens
+    * the observed distribution to uniform (`weight = N / (k·n)`, so
+    * over-represented shards down-weight and rare ones up-weight). One
+    * hash aggregate plus a global window over the K aggregated rows
+    * (K = number of shards — tiny by construction, so the unpartitioned
+    * window is over the AGGREGATE, never the corpus). The weight is a
+    * single division of exact integers — bit-identical cross-engine.
+    */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wAll = Window.partitionBy()
+    Tables.documents(spark, dir)
+      .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("total", sum($"n_docs").over(wAll))
+      .withColumn("k", count(lit(1)).over(wAll))
+      .select($"lang", $"n_docs",
+        ($"total" / ($"k" * $"n_docs")).as("sample_weight"))
+      .orderBy($"lang")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_mix_weights"   -> (mixWeights _),
     "llm_pack_sequences" -> (packSequences _),
     "llm_contamination" -> (contamination _),
     "llm_text_stats"    -> (textStats _),
@@ -386,6 +408,15 @@ object TextStats extends QueryPack {
         |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM sampled WHERE bucket < 20
         |GROUP BY 1, 2 ORDER BY lang, part""".stripMargin,
+    "llm_mix_weights" ->
+      """WITH a AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |    SUM(COUNT(*)) OVER ()::BIGINT AS total,
+        |    COUNT(*) OVER ()::BIGINT AS k
+        |  FROM documents GROUP BY lang
+        |)
+        |SELECT lang, n_docs, total / (k * n_docs) AS sample_weight
+        |FROM a ORDER BY lang""".stripMargin,
     "llm_pack_sequences" ->
       """WITH t AS (
         |  SELECT lang, doc_id, len(string_split(text, ' '))::BIGINT AS toks
