@@ -28,11 +28,11 @@ import graft.ops.QueryPack
   *    32-bit signature forces at least one of 4 disjoint 8-bit blocks to
   *    match, so the block-equality candidate join has 100% recall (unlike
   *    probabilistic MinHash banding).
-  *  - The embedding near-dup verify stage is exact; at production scale a
-  *    coarse quantizer (IVF cell id) would feed its candidate pairs — here
-  *    the corpus is one block, so the verify IS the join (documented
-  *    trade-off; the fixture's vectors are near-orthogonal random, which
-  *    no sublinear method separates at these thresholds).
+  *  - The embedding near-dup is an IVF coarse-quantizer cell shuffle
+  *    (deterministic md5-derived centroids, cell-pair replication so the
+  *    exact result is preserved) with the tight verify loop running per
+  *    cell-pair group — executor memory bounded by cell size, nothing
+  *    materialized on the driver (see [[dedupEmbedding]]).
   *
   * Cross-engine determinism: outputs avoid engine-specific hashes. Where a
   * hash IS the output (exact dedup, SimHash), md5 hex — bit-identical in
