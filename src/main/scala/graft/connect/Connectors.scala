@@ -31,7 +31,7 @@ object Sources {
           comp.config.str("starting_offsets").getOrElse(defaultOffsets))
         if (streaming) spark.readStream.format("kafka").options(opts).load()
         else spark.read.format("kafka").options(opts).load()
-      case fmt @ ("parquet" | "csv" | "json") =>
+      case fmt @ ("parquet" | "csv" | "json" | "orc") =>
         val path = comp.config.reqStr("path", s"Source '$fmt' requires a 'path'.")
         val schema = comp.config.str("schema").map(SchemaRegistry.getOrThrow)
         if (streaming) {
@@ -90,7 +90,7 @@ object Sinks {
       case "console" =>
         df.show(numRows = comp.config.str("num_rows").map(_.toInt).getOrElse(20),
                 truncate = false)
-      case fmt @ ("parquet" | "csv" | "json") =>
+      case fmt @ ("parquet" | "csv" | "json" | "orc") =>
         val path = comp.config.reqStr("path", s"Sink '$fmt' requires a 'path'.")
         df.write.mode(comp.config.str("mode").getOrElse("overwrite")).format(fmt).save(path)
       case "noop" =>

@@ -83,6 +83,31 @@ object ScansUdx extends QueryPack {
       .orderBy($"s_suppkey")
   }
 
+  /** C2 (columnar twin) ORC scan: customer → ORC → read back with
+    * explicit schema — the other columnar format Spark ships natively
+    * (predicate pushdown, column pruning, and vectorized reads work the
+    * same as parquet). The oracle reads the same rows from parquet, so
+    * the gate proves the ORC round-trip end-to-end.
+    */
+  def scanOrc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = renderOnce("orc", dir) { p =>
+      Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal")
+        .coalesce(1).write.mode("overwrite").orc(p)
+    }
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType)))
+    spark.read.schema(schema).orc(path)
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_customers"),
+           min($"c_custkey").as("min_key"), max($"c_custkey").as("max_key"))
+      .orderBy($"c_nationkey")
+  }
+
   /** B3 keyed produce: after `repartition(key)`, every key lives in
     * exactly one partition — asserted inside the query so the oracle can
     * pin it (`spark_partition_id` itself is engine-internal and never
@@ -115,6 +140,7 @@ object ScansUdx extends QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_csv"        -> (scanCsv _),
     "scan_json"       -> (scanJson _),
+    "scan_orc"        -> (scanOrc _),
     "keyed_colocate"  -> (keyedColocate _),
     "udf_slugify"     -> (udfSlugify _)
   )
@@ -127,6 +153,10 @@ object ScansUdx extends QueryPack {
     "scan_json" ->
       """SELECT s_suppkey, s_name, s_acctbal >= 0 AS in_good_standing
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "scan_orc" ->
+      """SELECT c_nationkey, COUNT(*) AS n_customers,
+        |  MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "keyed_colocate" ->
       """SELECT COUNT(DISTINCT user_id) AS n_keys, TRUE AS all_colocated
         |FROM events""".stripMargin,

@@ -264,6 +264,30 @@ class StreamingSpec extends SparkSpec {
       .as[Int].collect().sorted.toSeq === Seq(7, 8))
   }
 
+  test("Metrics collector observes per-batch progress (rows, duration) " +
+       "without instrumenting the query") {
+    implicit val ctx = spark.sqlContext
+    val collector = graft.streaming.Metrics.attach(spark)
+    try {
+      val in = MemoryStream[Int]
+      val q = in.toDF().writeStream.format("memory")
+        .queryName("metrics_sink").outputMode("append").start()
+      withQuery(q) {
+        in.addData(1, 2, 3)
+        q.processAllAvailable()
+        in.addData(4, 5)
+        q.processAllAvailable()
+      }
+      // listener events are async; wait for delivery
+      var tries = 0
+      while (collector.snapshot.count(_.queryName == "metrics_sink") < 2 &&
+             tries < 50) { Thread.sleep(100); tries += 1 }
+      val mine = collector.snapshot.filter(_.queryName == "metrics_sink")
+      assert(mine.map(_.numInputRows).sum === 5L, mine.toString)
+      assert(mine.forall(_.durationMs >= 0L))
+    } finally spark.streams.removeListener(collector.listener)
+  }
+
   test("B5 bounded drain: Trigger.AvailableNow reads everything then terminates") {
     val inDir = tmpDir("drain_in")
     Seq(("k1", "v1"), ("k2", "v2"), ("k3", "v3")).toDF("key", "value")
