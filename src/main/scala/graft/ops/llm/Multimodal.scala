@@ -84,11 +84,80 @@ object Multimodal extends QueryPack {
     }
   }
 
+  /** C40 frame sampling: the video-ingest pattern where frame INDICES are
+    * chosen from metadata (duration/fps) BEFORE any byte is decoded — the
+    * explode produces (uri, frame_idx) work items and only those frames
+    * ever reach the decoder. Here frame count derives deterministically
+    * from byte length (the fixture's stand-in for duration metadata):
+    * `n_frames = n_bytes div 25`, stride chosen so ≤ ~8 frames are kept
+    * per asset. All integer arithmetic — both engines produce identical
+    * frame sets.
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    assets(spark, dir)
+      .withColumn("mime", $"m.mime")
+      .withColumn("n_bytes", octet_length($"m.bytes").cast("long"))
+      .withColumn("n_frames", expr("n_bytes div 25"))
+      .filter($"n_frames" > 0)
+      .withColumn("stride", greatest(lit(1L), expr("n_frames div 8")))
+      .select($"m.uri".as("uri"), $"mime", $"n_frames",
+        explode(expr("sequence(0, n_frames - 1, stride)")).as("frame_idx"))
+      .groupBy($"mime")
+      .agg(count(lit(1)).as("n_sampled_frames"),
+           countDistinct($"uri").as("n_assets"),
+           max($"frame_idx").as("max_frame_idx"))
+      .orderBy($"mime")
+  }
+
+  /** Typed frame-extraction plumbing over the sampled (asset, frame)
+    * work items: flatMap from each asset to its sampled frames, the
+    * decoder stubbed exactly like [[decodeStub]]. A production extractor
+    * replaces the stub body; the schema, batching, and partition shape
+    * stay as-is.
+    */
+  final case class FrameFeature(uri: String, frameIdx: Long, value: Float)
+
+  def frameStub(assets: Dataset[Asset], maxFrames: Int): Dataset[FrameFeature] = {
+    import assets.sparkSession.implicits._
+    assets.flatMap { a =>
+      val nFrames = a.bytes.length / 25
+      val stride = math.max(1, nFrames / maxFrames)
+      (0 until nFrames by stride).map { idx =>
+        // STUB frame decoder: one deterministic byte statistic per frame
+        val b = a.bytes(math.min(idx * 25, a.bytes.length - 1)) & 0xff
+        FrameFeature(a.uri, idx.toLong, b.toFloat)
+      }
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "llm_multimodal_stats" -> (multimodalStats _)
+    "llm_multimodal_stats"  -> (multimodalStats _),
+    "llm_multimodal_frames" -> (frameSample _)
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_multimodal_frames" ->
+      """WITH a AS (
+        |  SELECT 'doc://' || doc_id AS uri,
+        |    CASE WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+        |           THEN 'image/png'
+        |         WHEN source IN ('src5', 'src6', 'src7', 'src8', 'src9')
+        |           THEN 'audio/wav'
+        |         ELSE 'text/plain' END AS mime,
+        |    (octet_length(encode(text)) // 25)::BIGINT AS n_frames
+        |  FROM documents
+        |),
+        |f AS (
+        |  SELECT uri, mime, n_frames,
+        |    unnest(range(0, n_frames,
+        |                 greatest(1, (n_frames // 8))::BIGINT)) AS frame_idx
+        |  FROM a WHERE n_frames > 0
+        |)
+        |SELECT mime, COUNT(*) AS n_sampled_frames,
+        |  COUNT(DISTINCT uri) AS n_assets,
+        |  MAX(frame_idx) AS max_frame_idx
+        |FROM f GROUP BY mime ORDER BY mime""".stripMargin,
     "llm_multimodal_stats" ->
       """WITH a AS (
         |  SELECT doc_id, lang, 'doc://' || doc_id AS uri,

@@ -11,6 +11,18 @@ class MultimodalSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("frameStub samples frame indices by stride and decodes only those") {
+    val bytes = Array.tabulate(250)(i => i.toByte) // 10 "frames" of 25 bytes
+    val assets = Seq(Multimodal.Asset("doc://v1", bytes, "video/mp4")).toDS()
+    val frames = Multimodal.frameStub(assets, maxFrames = 5)
+      .collect().sortBy(_.frameIdx)
+    // nFrames = 10, stride = 2 → indices 0, 2, 4, 6, 8
+    assert(frames.map(_.frameIdx).toSeq === Seq(0L, 2L, 4L, 6L, 8L))
+    assert(frames.forall(_.uri == "doc://v1"))
+    // deterministic stub value: byte at idx*25
+    assert(frames.head.value === (bytes(0) & 0xff).toFloat)
+  }
+
   test("decodeStub maps assets to fixed-width features deterministically") {
     val assets = Seq(
       Asset("doc://1", "hello".getBytes("UTF-8"), "text/plain"),
