@@ -74,7 +74,13 @@ object Bench {
       }
       val med =
         if (times.isEmpty) -1.0
-        else times.sorted.apply((times.size - 1) / 2)
+        else {
+          val s = times.sorted
+          // true median: average the two middles on an even sample count
+          // (lower-middle alone would report the MINIMUM for n = 2)
+          if (s.size % 2 == 1) s(s.size / 2)
+          else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+        }
       name -> med
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -84,9 +90,12 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Also persist to a file: the driver's stdout scrape of sbt output is
-    // fragile (BENCH_r01.json recorded parsed:null).
-    try Files.writeString(Paths.get("BENCH.json"), line + "\n")
-    catch { case _: Throwable => () }
+    // fragile (BENCH_r01.json recorded parsed:null). NEVER on a filtered
+    // run — a SPARK_GRAFT_BENCH_ONLY tuning run would otherwise clobber
+    // the full round snapshot with a partial one.
+    if (only.isEmpty)
+      try Files.writeString(Paths.get("BENCH.json"), line + "\n")
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -33,7 +33,7 @@ object Plans {
       val trimmed = tree.linesIterator
         .map(l => if (l.length > 110) l.take(107) + "..." else l)
         .mkString("\n")
-      sb ++= s"\n## $name\n\n```\n$trimmed```\n"
+      sb ++= s"\n## $name\n\n```\n$trimmed\n```\n"
     }
     Files.writeString(Paths.get(out), sb.toString)
     println(s"[plans] wrote $out")

@@ -9,7 +9,7 @@ import graft.Tables
   * product / author names) every curation stack eventually needs.
   *
   * Scale form: edit distance can never run all-pairs at 100 TB; the join
-  * is blocked on a cheap equality key (here the 10-char name prefix) so
+  * is blocked on a cheap equality key (here the 6-char name prefix) so
   * candidate pairs are generated per block — shuffle on the block key,
   * per-block candidates only, then the exact `levenshtein` filter on
   * candidates. Wider recall (typos in the prefix itself) comes from

@@ -41,8 +41,19 @@ object ScansUdx extends QueryPack {
         s"graft_scan_${fmt}_p${ProcessHandle.current().pid()}_" +
           dir.replaceAll("[^a-zA-Z0-9]", "_")).toString
       write(path)
+      // pid-unique dirs would otherwise accumulate across JVM runs
+      removeOnExit(path)
       path
     })
+
+  private def removeOnExit(path: String): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(path))
+    }))
 
   private val nationSchema = StructType(Seq(
     StructField("n_nationkey", IntegerType),

@@ -52,7 +52,7 @@ final class Pipeline(
     val validSinks =
       if (streaming) Set("kafka", "console", "memory", "parquet", "noop",
                          "foreach_batch")
-      else Set("kafka", "console", "parquet", "csv", "json", "noop")
+      else Set("kafka", "console", "parquet", "csv", "json", "orc", "noop")
     val t = config.sink.componentType.toLowerCase
     if (!validSinks.contains(t))
       throw new IllegalArgumentException(s"Unsupported writer type: $t")

@@ -35,6 +35,12 @@ object Metrics {
     c
   }
 
+  /** Retention bound: the collector keeps the most recent N batch events
+    * (a seconds-granularity trigger left attached for days would
+    * otherwise grow driver memory without limit).
+    */
+  private val MaxRetained = 10000
+
   final class Collector {
     private val q = new ConcurrentLinkedQueue[BatchProgress]()
 
@@ -54,6 +60,7 @@ object Metrics {
           p.processedRowsPerSecond,
           Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L),
           stateRows))
+        while (q.size > MaxRetained) q.poll()
       }
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()

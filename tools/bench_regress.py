@@ -33,17 +33,26 @@ def load(path):
     return {k: v for k, v in data.get("queries", {}).items() if v >= 0}
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     factor = 2.0
     min_sec = 0.5
-    argv = sys.argv[1:]
-    for i, a in enumerate(argv):
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a == "--factor":
-            factor = float(argv[i + 1])
-        if a == "--min-sec":
-            min_sec = float(argv[i + 1])
+            factor = float(argv[i + 1]); i += 2
+        elif a == "--min-sec":
+            min_sec = float(argv[i + 1]); i += 2
+        else:
+            args.append(a); i += 1
     prior, new = load(args[0]), load(args[1])
-    flagged, improved, added = [], [], []
+    flagged, improved, added, broken = [], [], [], []
+    # a query that PASSED before but now fails (-1, filtered by load) or
+    # vanished entirely is the worst regression — never drop it silently
+    for q in sorted(prior):
+        if q not in new:
+            broken.append(q)
     for q, t in sorted(new.items()):
         if q not in prior:
             added.append(q)
@@ -53,6 +62,8 @@ def main():
             flagged.append((q, p, t))
         elif p > t * factor and max(t, p) >= min_sec:
             improved.append((q, p, t))
+    for q in broken:
+        print(f"BROKEN    {q}: passed in prior round, failed or missing now")
     for q, p, t in flagged:
         print(f"REGRESSED {q}: {p:.2f}s -> {t:.2f}s ({t / p:.1f}x)")
     for q, p, t in improved:
@@ -62,8 +73,9 @@ def main():
     tp = sum(prior.values())
     tn = sum(v for k, v in new.items() if k in prior)
     print(f"== shared-query total {tp:.1f}s -> {tn:.1f}s; "
-          f"{len(flagged)} regressed (> {factor}x), {len(improved)} improved ==")
-    sys.exit(1 if flagged else 0)
+          f"{len(broken)} broken, {len(flagged)} regressed (> {factor}x), "
+          f"{len(improved)} improved ==")
+    sys.exit(1 if (flagged or broken) else 0)
 
 if __name__ == "__main__":
     main()

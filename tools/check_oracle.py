@@ -36,9 +36,14 @@ def array_cols(df):
         return []
     bad = []
     for c in df.columns:
-        v = df[c].iloc[0]
-        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-            bad.append(c)
+        # scan for the first non-null cell: a nullable array column whose
+        # row 0 is None would otherwise slip through to the row sort
+        for v in df[c]:
+            if v is None:
+                continue
+            if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                bad.append(c)
+            break
     return bad
 
 def row_sorted(df):
@@ -87,13 +92,18 @@ def main():
                 if str(got[c].dtype) != str(exp[c].dtype):
                     problems.append(f"dtype[{c}] spark={got[c].dtype} oracle={exp[c].dtype}")
             if not problems:
-                # exact value compare after the driver's row sort
+                # exact value compare after the driver's row sort; catch
+                # EVERYTHING — an unsortable cell raising TypeError must
+                # fail THIS query, not abort the remaining gate run
                 try:
                     pd.testing.assert_frame_equal(
                         row_sorted(got), row_sorted(exp), check_exact=True)
                 except AssertionError as e:
                     msg = str(e).split("\n")
                     problems.append("values differ: " + " | ".join(msg[:6]))
+                except Exception as e:
+                    problems.append(f"compare crashed ({type(e).__name__}: {e})"
+                                    " — mirrors a driver row-sorter crash")
         if problems:
             n_fail += 1
             print(f"FAIL {name}: " + "; ".join(problems))
