@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must pass through RAW: sbt's default LoggedOutput
+// prefixes every stdout line with "[info] ", which broke the driver's
+// parse of Bench's JSON line (BENCH_r01..r03 all recorded parsed:null
+// with the line present-but-prefixed in the captured tail).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
