@@ -1,7 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{Det, Tables}
 
 /** Skew-mitigation utilities (SURVEY.md §2 scale posture: "skewed keys →
   * salting or AQE skew-join").
@@ -13,7 +15,14 @@ import org.apache.spark.sql.functions._
   * not aggregates) and broadcast-ineligible skewed joins where one KEY —
   * not one partition — dominates.
   */
-object Skew {
+object Skew extends QueryPack {
+
+  /** Decimal accumulator type for two-phase deterministic sums: partials
+    * stay decimal across BOTH aggregation stages and only the final value
+    * casts to double, so the result is bit-identical to a one-stage
+    * [[graft.Det.dsum]] regardless of salt factor or partitioning.
+    */
+  private val Dec = DecimalType(30, 6)
 
   /** Deterministic row salt in [0, saltFactor): hash of the given
     * columns, NOT rand() — reruns and retried tasks must salt a row
@@ -56,4 +65,55 @@ object Skew {
       .groupBy(col(key))
       .agg(sum(col("_partial")).as("n"))
   }
+
+  /** Gate: two-phase salted aggregation over `events` keyed by the
+    * low-cardinality (therefore hot) `event_type`. Stage 1 groups by
+    * (key, salt) so one key's rows spread across `saltFactor` reducers;
+    * stage 2 merges the tiny per-salt partials. Sums accumulate in exact
+    * decimal through both stages (see [[Dec]]), so the oracle's one-stage
+    * sum matches bit-for-bit. At 100 TB this is the groupBy shape that
+    * survives a key owning 30% of the rows — AQE rebalances skewed JOIN
+    * partitions but not aggregate hot keys; salting is the fix there.
+    */
+  def saltedAggQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.withColumn("_salt", saltOf(16, col("event_id")))
+      .groupBy(col("event_type"), col("_salt"))
+      .agg(count(lit(1)).as("_n"), sum(col("value").cast(Dec)).as("_sum"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("_n")).as("n"), sum(col("_sum")).cast("double").as("total"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Gate: salted fact-to-dim equi-join (orders → customer on custkey),
+    * then a per-segment rollup. The dim replicates ×saltFactor, the fact
+    * salts deterministically; the join result is identical to the plain
+    * join, which is exactly what the oracle runs. The aggregate keeps the
+    * gated output small while still forcing every joined row to exist.
+    */
+  def saltedJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+      .withColumnRenamed("c_custkey", "o_custkey")
+    saltedEquiJoin(o, c, "o_custkey", saltFactor = 16)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_salted_agg"  -> (saltedAggQ _),
+    "skew_salted_join" -> (saltedJoinQ _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    // the salt is a physical rewrite: the oracle is the PLAIN aggregate
+    "skew_salted_agg" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${Det.sqlSum("value")} AS total
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "skew_salted_join" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n, ${Det.sqlSum("o_totalprice")} AS total
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  )
 }

@@ -469,7 +469,57 @@ object Dedup extends QueryPack {
       .orderBy($"cell")
   }
 
+  /** Segment (paragraph-level) width in words for [[paraDedup]]. The
+    * fixture text has no newline paragraph marks, so fixed 10-word
+    * segments stand in for paragraphs; on a real corpus the split would
+    * be on blank lines and everything downstream is unchanged.
+    */
+  private val SegWords = 10
+
+  /** Sub-document exact dedup — the corpus-level "remove repeated
+    * paragraphs" pass (RefinedWeb/C4-style): split every document into
+    * segments, keep only each distinct segment's FIRST occurrence
+    * (ordered by doc_id then position — deterministic), and reassemble
+    * the surviving segments per document.
+    *
+    * Scale notes: one explode (rows × segments-per-doc, bounded by
+    * document length), one window partitioned BY SEGMENT VALUE (the
+    * dedup shuffle — equivalent to a groupBy on the segment, never
+    * all-pairs), one groupBy(doc_id) to reassemble. At 100 TB the
+    * segment-hash shuffle is the same shape as exact document dedup;
+    * skew on a viral paragraph is bounded because the window computes
+    * only row_number (a streaming rank, no buffering beyond the sort).
+    * The reassembled text is emitted as md5 — the gate needs equality
+    * evidence, not a second copy of the corpus.
+    */
+  def paraDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val segs = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", explode(expr(
+        s"""transform(
+           |  sequence(0, cast(ceil(size(ws) / $SegWords.0) as int) - 1),
+           |  i -> struct(
+           |    cast(i as bigint) as seg_i,
+           |    array_join(slice(ws, i * $SegWords + 1, $SegWords), ' ') as seg))
+           |""".stripMargin)).as("s"))
+      .select($"doc_id", $"s.seg_i", $"s.seg")
+    val firstOcc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"seg").orderBy($"doc_id", $"seg_i")
+    segs.withColumn("keep", row_number().over(firstOcc) === 1)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_seg"),
+           sum($"keep".cast("long")).as("n_kept"),
+           md5(array_join(
+             transform(
+               array_sort(collect_list(when($"keep", struct($"seg_i", $"seg")))),
+               x => x.getField("seg")),
+             " ")).as("clean_md5"))
+      .orderBy($"doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_para_dedup"      -> (paraDedup _),
     "llm_dedup_exact"     -> (dedupExact _),
     "llm_dedup_minhash"   -> (dedupNearMinhash _),
     "llm_dedup_clusters"  -> (dedupClusters _),
@@ -480,6 +530,28 @@ object Dedup extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // same fixed-width segmentation, first-occurrence ranking, and
+    // ordered reassembly; COALESCE('') covers a document whose every
+    // segment was seen earlier (string_agg over zero rows is NULL,
+    // Spark's array_join over an empty array is '')
+    "llm_para_dedup" ->
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ex AS (SELECT doc_id, w,
+        |         unnest(range(CAST(ceil(len(w) / $SegWords.0) AS BIGINT))) AS seg_i
+        |       FROM ws),
+        |segs AS (SELECT doc_id, seg_i,
+        |           array_to_string(
+        |             list_slice(w, seg_i * $SegWords + 1, seg_i * $SegWords + $SegWords),
+        |             ' ') AS seg
+        |         FROM ex),
+        |rk AS (SELECT doc_id, seg_i, seg,
+        |         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_i) AS rn
+        |       FROM segs)
+        |SELECT doc_id, COUNT(*) AS n_seg,
+        |  COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+        |  md5(COALESCE(
+        |    string_agg(seg, ' ' ORDER BY seg_i) FILTER (WHERE rn = 1), '')) AS clean_md5
+        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -94,6 +94,41 @@ object TextStats extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** Gopher/C4-style heuristic quality RULES (distinct from the additive
+    * [[qualityScore]]): per-document hard filters of the kind production
+    * curation pipelines gate a crawl on — word-count bounds, mean word
+    * length bounds, minimum alphabetic-word fraction, minimum stopword
+    * evidence — each emitted as its own boolean plus the conjunction.
+    *
+    * Determinism: every threshold is integer cross-multiplication
+    * (e.g. mean word length in [3,10] ⟺ 3·n ≤ Σlen ≤ 10·n), so the
+    * booleans cannot diverge between engines; the one double emitted
+    * (`mean_wlen`) is a single IEEE division of two exact integers.
+    * Scale: pure map — no shuffle at all until the final presentation
+    * sort; at 100 TB this is a scan-rate filter.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("ws", split($"text", " "))
+      .withColumn("n_words", size($"ws").cast("long"))
+      .withColumn("sum_wlen", expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))"))
+      .withColumn("stop_cnt",
+        expr("cast(size(filter(ws, w -> w = 'the' or w = 'a' or w = 'of')) as bigint)"))
+      .withColumn("alpha_cnt",
+        expr("cast(size(filter(ws, w -> w rlike '[a-z]')) as bigint)"))
+      .withColumn("mean_wlen", $"sum_wlen".cast("double") / $"n_words")
+      .withColumn("r_count", $"n_words".between(40L, 100000L))
+      .withColumn("r_wlen",
+        ($"sum_wlen" >= $"n_words" * 3) && ($"sum_wlen" <= $"n_words" * 10))
+      .withColumn("r_alpha", $"alpha_cnt" * 5 >= $"n_words" * 4)
+      .withColumn("r_stop", $"stop_cnt" >= 2)
+      .withColumn("passes", $"r_count" && $"r_wlen" && $"r_alpha" && $"r_stop")
+      .select($"doc_id", $"n_words", $"mean_wlen", $"stop_cnt",
+              $"r_count", $"r_wlen", $"r_alpha", $"r_stop", $"passes")
+      .orderBy($"doc_id")
+  }
+
   /** C39 token counting, whitespace vs regex ("BPE-ish" word/number/symbol
     * classes — RE2-safe so both engines tokenize identically), aggregated
     * per language.
@@ -326,6 +361,7 @@ object TextStats extends QueryPack {
     "llm_text_stats"    -> (textStats _),
     "llm_lang_id"       -> (langId _),
     "llm_quality_score" -> (qualityScore _),
+    "llm_gopher_rules"  -> (gopherRules _),
     "llm_token_stats"   -> (tokenStats _),
     "llm_fingerprint"   -> (fingerprint _),
     "llm_winnow"        -> (winnowFingerprint _),
@@ -371,6 +407,31 @@ object TextStats extends QueryPack {
         |                               w -> w = 'the' OR w = 'a')) * 5
         |              <= len(string_split(text, ' ')) THEN 1 ELSE 0 END)::INT AS score
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // thresholds replayed as the same integer cross-multiplications;
+    // the only double is one exact-integer IEEE division per row
+    "llm_gopher_rules" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS n_words,
+        |    CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x)))
+        |         AS BIGINT) AS sum_wlen,
+        |    len(list_filter(string_split(text, ' '),
+        |                    x -> list_contains(['the', 'a', 'of'], x)))::BIGINT AS stop_cnt,
+        |    len(list_filter(string_split(text, ' '),
+        |                    x -> regexp_matches(x, '[a-z]')))::BIGINT AS alpha_cnt
+        |  FROM documents)
+        |SELECT doc_id, n_words,
+        |  CAST(sum_wlen AS DOUBLE) / n_words AS mean_wlen,
+        |  stop_cnt,
+        |  (n_words BETWEEN 40 AND 100000) AS r_count,
+        |  (sum_wlen >= n_words * 3 AND sum_wlen <= n_words * 10) AS r_wlen,
+        |  (alpha_cnt * 5 >= n_words * 4) AS r_alpha,
+        |  (stop_cnt >= 2) AS r_stop,
+        |  ((n_words BETWEEN 40 AND 100000)
+        |   AND (sum_wlen >= n_words * 3 AND sum_wlen <= n_words * 10)
+        |   AND (alpha_cnt * 5 >= n_words * 4)
+        |   AND (stop_cnt >= 2)) AS passes
+        |FROM s ORDER BY doc_id""".stripMargin,
     "llm_token_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  SUM(len(string_split(text, ' ')))::BIGINT AS sum_ws_tokens,

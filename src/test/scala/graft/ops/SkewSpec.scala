@@ -36,6 +36,28 @@ class SkewSpec extends SparkSpec {
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
   }
 
+  test("gated salted aggregation equals the plain one-stage aggregate") {
+    val dir = "/root/testdata/sf0.001"
+    val Dec = org.apache.spark.sql.types.DecimalType(30, 6)
+    val plain = graft.Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(Dec)).cast("double").as("total"))
+    val salted = Skew.saltedAggQ(spark, dir)
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  test("gated salted join rollup equals the plain join's rollup") {
+    val dir = "/root/testdata/sf0.001"
+    val plain = graft.Tables.orders(spark, dir)
+      .join(graft.Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), graft.Det.dsum($"o_totalprice").as("total"))
+    val salted = Skew.saltedJoinQ(spark, dir)
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
   test("salt is deterministic across evaluations (retry-safe)") {
     val s1 = skewed.select(Skew.saltOf(8, $"k", $"v").as("s")).collect().toSeq
     val s2 = skewed.select(Skew.saltOf(8, $"k", $"v").as("s")).collect().toSeq
