@@ -65,9 +65,41 @@ object TimeSeries extends QueryPack {
       .orderBy($"user_id", $"bucket")
   }
 
+  /** Sequential funnel analysis: how many users did view → click →
+    * purchase IN ORDER — each stage's timestamp must strictly follow the
+    * previous stage's first occurrence (the real funnel semantic, not
+    * just "did all three ever").
+    *
+    * Spark-first shape: three chained window aggregates over the SAME
+    * partitioning (user_id, no ordering) — Catalyst plans ONE exchange
+    * and evaluates the per-user stage minima in sequence without any
+    * self-join. The naive form is k-1 self-joins of events to itself
+    * (quadratic per hot user); this is one shuffle regardless of funnel
+    * depth. Timestamps compare as raw epoch-ns longs — only stage
+    * COUNTS are emitted, so no timestamp dtype crosses the gate.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+    Tables.events(spark, dir)
+      .withColumn("tv",
+        min(when($"event_type" === "view", $"ts")).over(w))
+      .withColumn("tc",
+        min(when($"event_type" === "click" && $"ts" > $"tv", $"ts")).over(w))
+      .withColumn("tp",
+        min(when($"event_type" === "purchase" && $"ts" > $"tc", $"ts")).over(w))
+      .groupBy($"user_id")
+      .agg(max($"tv").as("tv"), max($"tc").as("tc"), max($"tp").as("tp"))
+      .select(count($"tv").as("n1"), count($"tc").as("n2"), count($"tp").as("n3"))
+      .selectExpr(
+        "stack(3, '1_view', n1, '2_click', n2, '3_purchase', n3) AS (stage, n_users)")
+      .orderBy($"stage")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_sessionize" -> (sessionize _),
-    "ts_gapfill"    -> (gapFill _)
+    "ts_gapfill"    -> (gapFill _),
+    "ts_funnel"     -> (funnel _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -106,6 +138,26 @@ object TimeSeries extends QueryPack {
         |g AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM sp)
         |SELECT g.user_id, g.bucket, COALESCE(c.n, 0)::BIGINT AS n_events
         |FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.bucket = c.bucket
-        |ORDER BY g.user_id, g.bucket""".stripMargin
+        |ORDER BY g.user_id, g.bucket""".stripMargin,
+    // staged minima via joins (DuckDB has no chained window deps);
+    // ns-timestamp comparisons are order-identical to Spark's raw longs
+    "ts_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id,
+        |    MIN(ts) FILTER (WHERE event_type = 'view') AS tv
+        |  FROM events GROUP BY user_id),
+        |t2 AS (
+        |  SELECT e.user_id, ANY_VALUE(t1.tv) AS tv,
+        |    MIN(e.ts) FILTER (WHERE e.event_type = 'click' AND e.ts > t1.tv) AS tc
+        |  FROM events e JOIN t1 USING (user_id) GROUP BY e.user_id),
+        |t3 AS (
+        |  SELECT e.user_id, ANY_VALUE(t2.tv) AS tv, ANY_VALUE(t2.tc) AS tc,
+        |    MIN(e.ts) FILTER (WHERE e.event_type = 'purchase' AND e.ts > t2.tc) AS tp
+        |  FROM events e JOIN t2 USING (user_id) GROUP BY e.user_id)
+        |SELECT stage, n_users FROM (
+        |  SELECT '1_view' AS stage, COUNT(tv) AS n_users FROM t3
+        |  UNION ALL SELECT '2_click', COUNT(tc) FROM t3
+        |  UNION ALL SELECT '3_purchase', COUNT(tp) FROM t3)
+        |ORDER BY stage""".stripMargin
   )
 }

@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Structured-Streaming operator library (SURVEY.md §2 C25–C32): the
   * streaming form of the engine's semantics, over any streaming DataFrame
@@ -130,5 +131,72 @@ object StreamOps {
     ds.groupByKey(_.key)
       .transformWithState(new LatestPerKeyProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** An event-timestamped keyed record for the timer-based helpers. */
+  final case class Stamped(key: String, ts: java.sql.Timestamp)
+
+  /** A closed session emitted by [[SessionTimerProcessor]]. */
+  final case class SessionOut(key: String, n: Long)
+
+  /** Timer-driven session close on `transformWithState` EVENT-TIME
+    * timers: each key's state counts its events and keeps exactly one
+    * registered timer at (last event time + gap); when the WATERMARK
+    * passes that expiry the timer fires, the session summary is emitted,
+    * and the key's state is cleared. This is the push-based alternative
+    * to `session_window` aggregation: the operator decides WHEN to emit
+    * (on inactivity), which is what alerting/session-TTL use cases need.
+    *
+    * Determinism: timers are driven by the watermark, not the wall
+    * clock, so tests and replays produce identical emissions. State per
+    * key is two longs + one timer — O(active keys), watermark-bounded.
+    */
+  class SessionTimerProcessor(gapMs: Long)
+      extends StatefulProcessor[String, Stamped, SessionOut] {
+    @transient private var cnt: ValueState[Long] = _
+    @transient private var timerTs: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, TTLConfig.NONE)
+      timerTs = getHandle.getValueState[Long]("timerTs", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[Stamped],
+                                 timerValues: TimerValues): Iterator[SessionOut] = {
+      val batch = rows.toSeq
+      if (batch.isEmpty) return Iterator.empty
+      cnt.update((if (cnt.exists()) cnt.get() else 0L) + batch.size)
+      val newExpiry = batch.map(_.ts.getTime).max + gapMs
+      // exactly one live timer per key: extend, never duplicate
+      if (timerTs.exists()) {
+        val old = timerTs.get()
+        if (newExpiry > old) {
+          getHandle.deleteTimer(old)
+          getHandle.registerTimer(newExpiry)
+          timerTs.update(newExpiry)
+        }
+      } else {
+        getHandle.registerTimer(newExpiry)
+        timerTs.update(newExpiry)
+      }
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+      val n = if (cnt.exists()) cnt.get() else 0L
+      cnt.clear()
+      timerTs.clear()
+      if (n > 0) Iterator.single(SessionOut(key, n)) else Iterator.empty
+    }
+  }
+
+  /** C30/C28 hybrid: inactivity-closed sessions via event-time timers. */
+  def sessionizeWithTimers(ds: Dataset[Stamped], delay: String,
+                           gapMs: Long): Dataset[SessionOut] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("ts", delay)
+      .as[Stamped]
+      .groupByKey(_.key)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -173,6 +173,79 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("C30 event-time timers close idle sessions via transformWithState " +
+       "(watermark-driven, deterministic)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val ctx = spark.sqlContext
+      val in = MemoryStream[StreamOps.Stamped]
+      val q = StreamOps.sessionizeWithTimers(in.toDS(), "1 second", gapMs = 60000L)
+        .writeStream.format("memory").queryName("timer_sink")
+        .outputMode("append").start()
+      withQuery(q) {
+        in.addData(StreamOps.Stamped("a", ts("10:00:00")),
+                   StreamOps.Stamped("a", ts("10:00:30")))
+        q.processAllAvailable()
+        // watermark still behind a's expiry (10:01:30): nothing emitted
+        assert(spark.table("timer_sink").count() === 0)
+        // advance the watermark well past the expiry, then run one more
+        // batch so the fired timer's emission lands in the sink
+        in.addData(StreamOps.Stamped("b", ts("10:10:00")))
+        q.processAllAvailable()
+        in.addData(StreamOps.Stamped("b", ts("10:20:00")))
+        q.processAllAvailable()
+        val rows = spark.table("timer_sink").as[StreamOps.SessionOut].collect()
+        assert(rows.contains(StreamOps.SessionOut("a", 2L)),
+          s"expected a's 2-event session closed by its timer, got ${rows.toSeq}")
+        // a's state was CLEARED on close: no duplicate emission later
+        in.addData(StreamOps.Stamped("c", ts("10:40:00")))
+        q.processAllAvailable()
+        assert(spark.table("timer_sink").as[StreamOps.SessionOut].collect()
+          .count(_.key == "a") === 1)
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("C13 stream-stream LEFT OUTER join emits the unmatched left row " +
+       "with nulls once the watermark closes its window") {
+    implicit val ctx = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, String)]
+    val clicks = MemoryStream[(Timestamp, String)]
+    val joined = StreamOps.streamStreamJoin(
+      imps.toDF().toDF("imp_ts", "imp_ad"), "imp_ts", "1 minute",
+      clicks.toDF().toDF("click_ts", "click_ad"), "click_ts", "1 minute",
+      expr("""imp_ad = click_ad AND
+              click_ts BETWEEN imp_ts AND imp_ts + INTERVAL 10 MINUTES"""),
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssj_outer_sink")
+      .outputMode("append").start()
+    withQuery(q) {
+      imps.addData((ts("10:00:00"), "ad1"), (ts("10:00:00"), "ad_orphan"))
+      clicks.addData((ts("10:05:00"), "ad1"))
+      q.processAllAvailable()
+      // push BOTH watermarks far past ad_orphan's join window, then run
+      // follow-up batches so the null-padded row is finalized and emitted
+      imps.addData((ts("11:00:00"), "adv_late"))
+      clicks.addData((ts("11:00:00"), "click_late"))
+      q.processAllAvailable()
+      imps.addData((ts("11:30:00"), "adv_late2"))
+      clicks.addData((ts("11:30:00"), "click_late2"))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_outer_sink")
+        .select($"imp_ad", $"click_ad").as[(String, String)].collect().toSet
+      assert(rows.contains(("ad1", "ad1")))             // matched pair
+      assert(rows.contains(("ad_orphan", null)),        // outer null row
+        s"expected the orphan impression with null click, got $rows")
+    }
+  }
+
   test("C13 stream-stream join matches within the event-time bound") {
     implicit val ctx = spark.sqlContext
     val imps = MemoryStream[(Timestamp, String)]
