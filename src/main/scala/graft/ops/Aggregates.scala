@@ -164,6 +164,27 @@ object Aggregates extends QueryPack {
       .orderBy($"l_returnflag")
   }
 
+  /** C20 approximate percentile — the mergeable-sketch path for
+    * quantiles at 100 TB (percentile_approx builds per-partition
+    * sketches and merges them; exact percentile must buffer each
+    * group's values). Gated like the C16 sketches: the approximation
+    * must land within 1% of the exact in-engine median (accuracy 2000
+    * bounds rank error at 1/2000, far inside that), and only the exact
+    * row count plus the tolerance boolean cross the gate — sketch
+    * internals are engine-specific by design.
+    */
+  def approxPercentile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+           expr("percentile(l_extendedprice, 0.5)").as("_exact"),
+           percentile_approx($"l_extendedprice", lit(0.5), lit(2000)).as("_approx"))
+      .select($"l_returnflag", $"n_rows",
+              (abs($"_approx" - $"_exact") <= $"_exact" * 0.01).as("approx_ok"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Sample stddev/variance via deterministic decimal moments (built-in
     * stddev is an order-dependent streaming algorithm; the two-pass moment
     * form is engine-exact). Formula applied identically in the oracle.
@@ -220,6 +241,7 @@ object Aggregates extends QueryPack {
     "agg_min_max"         -> (minMax _),
     "agg_count_distinct"  -> (countDistinctQ _),
     "agg_approx_distinct" -> (approxDistinct _),
+    "agg_approx_percentile" -> (approxPercentile _),
     "agg_hll_mergeable"   -> (hllMergeable _),
     "agg_rollup"          -> (rollupQ _),
     "agg_cube"            -> (cubeQ _),
@@ -254,6 +276,9 @@ object Aggregates extends QueryPack {
     "agg_approx_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_exact,
         |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_approx_percentile" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows, TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_hll_mergeable" ->
       """SELECT COUNT(DISTINCT l_partkey) AS n_exact, TRUE AS approx_ok

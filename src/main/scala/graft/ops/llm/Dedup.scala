@@ -492,9 +492,15 @@ object Dedup extends QueryPack {
     * The reassembled text is emitted as md5 — the gate needs equality
     * evidence, not a second copy of the corpus.
     */
-  def paraDedup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val segs = Tables.documents(spark, dir)
+  def paraDedup(spark: SparkSession, dir: String): DataFrame =
+    paraDedupFrom(Tables.documents(spark, dir))
+
+  /** [[paraDedup]] over any (doc_id, text) corpus — also the entry point
+    * [[ScaleProbe]] drives at multiplied corpus sizes.
+    */
+  def paraDedupFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val segs = docs
       .select($"doc_id", split($"text", " ").as("ws"))
       .select($"doc_id", explode(expr(
         s"""transform(

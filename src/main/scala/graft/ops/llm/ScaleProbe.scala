@@ -42,6 +42,27 @@ object ScaleProbe {
       val n = 2000L * m
       println(f"[scale-probe] mult=$m%-3d corpus=$n%-6d pairs>=thr=$pairs%-8d time=$sec%.2fs")
     }
+
+    // Paragraph dedup at multiplied corpus: every copy beyond the first
+    // is 100% segment-duplicate, so the probe exercises the worst case —
+    // hot segment values whose window groups grow linearly with the
+    // multiplier (the "viral paragraph" skew case from the Scaladoc).
+    val docs = graft.Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    def timedPara(m: Int): (Long, Double) = {
+      val corpus = (0 until m)
+        .map(i => docs.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"), $"text"))
+        .reduce(_ union _)
+      val t0 = System.nanoTime()
+      val kept = Dedup.paraDedupFrom(corpus)
+        .agg(sum($"n_kept")).as[Long].collect().head
+      (kept, (System.nanoTime() - t0) / 1e9)
+    }
+    val nDocs = docs.count()
+    timedPara(1) // warmup
+    Seq(1, mult).foreach { m =>
+      val (kept, sec) = timedPara(m)
+      println(f"[scale-probe] para mult=$m%-3d docs=${nDocs * m}%-7d segs_kept=$kept%-8d time=$sec%.2fs")
+    }
     spark.stop()
   }
 }
