@@ -164,6 +164,25 @@ object Aggregates extends QueryPack {
       .orderBy($"l_returnflag")
   }
 
+  /** Mode (most frequent value) per group — count-then-argmax, the
+    * scalable form: one hash aggregate on (group, value) then a per-group
+    * rank, so no group ever buffers its raw rows. Ties break to the
+    * lexicographically smallest value (deterministic in both engines).
+    */
+  def modeQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.orders(spark, dir)
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_orderstatus").orderBy($"n".desc, $"o_orderpriority")
+    counts.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_orderstatus", $"o_orderpriority".as("mode_priority"),
+              $"n".as("n_mode"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** C20 approximate percentile — the mergeable-sketch path for
     * quantiles at 100 TB (percentile_approx builds per-partition
     * sketches and merges them; exact percentile must buffer each
@@ -242,6 +261,7 @@ object Aggregates extends QueryPack {
     "agg_count_distinct"  -> (countDistinctQ _),
     "agg_approx_distinct" -> (approxDistinct _),
     "agg_approx_percentile" -> (approxPercentile _),
+    "agg_mode" -> (modeQ _),
     "agg_hll_mergeable"   -> (hllMergeable _),
     "agg_rollup"          -> (rollupQ _),
     "agg_cube"            -> (cubeQ _),
@@ -280,6 +300,14 @@ object Aggregates extends QueryPack {
     "agg_approx_percentile" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows, TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+        |        ORDER BY n DESC, o_orderpriority) AS rn FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS n_mode
+        |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
     "agg_hll_mergeable" ->
       """SELECT COUNT(DISTINCT l_partkey) AS n_exact, TRUE AS approx_ok
         |FROM lineitem""".stripMargin,

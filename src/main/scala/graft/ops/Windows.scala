@@ -90,7 +90,23 @@ object Windows extends QueryPack {
       .orderBy($"o_orderkey")
   }
 
+  /** C21 distribution family: percent_rank and cume_dist. Both are exact
+    * ratios of integers ((rank−1)/(n−1), peers/n — one IEEE division, no
+    * rounding divergence), and both give tied rows identical values in
+    * every SQL engine, so no tiebreak is needed in the window order.
+    */
+  def distFamily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice")
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderstatus",
+              percent_rank().over(w).as("pr"),
+              cume_dist().over(w).as("cd"))
+      .orderBy($"o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_dist_family"    -> (distFamily _),
     "win_topk_per_group" -> (topKPerGroup _),
     "win_ranking_family" -> (rankingFamily _),
     "win_lag_lead"       -> (lagLead _),
@@ -99,6 +115,13 @@ object Windows extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "win_dist_family" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  PERCENT_RANK() OVER w AS pr,
+        |  CUME_DIST() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+        |ORDER BY o_orderkey""".stripMargin,
     "win_topk_per_group" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
