@@ -160,13 +160,43 @@ object Similarity extends QueryPack {
       .orderBy($"q_id", $"rk")
   }
 
+  /** Per-label embedding centroids (class prototypes / cluster means —
+    * the aggregation behind k-means steps, label prototypes, and
+    * centroid-based retrieval). Physical form: posexplode to
+    * (label, dim, value) then ONE hash aggregate on (label, dim) with
+    * decimal-exact accumulation — mergeable partials, no vector buffering,
+    * dimension count bounds the explosion factor. Emitting per-dimension
+    * rows (not an array column) keeps the gate sortable.
+    */
+  def centroids(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos")
+      .agg(count(lit(1)).as("n"), graft.Det.davg($"x".cast("double")).as("c"))
+      .filter($"pos" < 8) // 8 dims × labels keeps the gate output compact
+      .orderBy($"label", $"pos")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ann_cosine_topk" -> (annCosineTopK _),
     "llm_ann_lsh"         -> (annLshBuckets _),
-    "llm_ann_ivf"         -> (annIvf _)
+    "llm_ann_ivf"         -> (annIvf _),
+    "llm_centroids"       -> (centroids _)
   )
 
   def oracle: Map[String, String] = Map(
+    // generate_subscripts is 1-based and unnests in lockstep with
+    // unnest() in the same SELECT; Spark's posexplode is 0-based
+    "llm_centroids" ->
+      s"""WITH e AS (
+        |  SELECT label,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings)
+        |SELECT label, pos, COUNT(*) AS n, ${graft.Det.sqlAvg("x")} AS c
+        |FROM e WHERE pos < 8
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "llm_ann_ivf" ->
       """WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
         |            FROM embeddings),

@@ -129,6 +129,26 @@ object TextStats extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** Vocabulary construction: corpus-wide token frequencies, top-K by
+    * (count desc, token asc) — the first step of any tokenizer/BPE
+    * training run. Scale shape: one hash aggregate over the exploded
+    * tokens (map-side combine collapses each partition to its distinct
+    * tokens), then TakeOrderedAndProject for the top-K — the global rank
+    * window runs AFTER the limit, over K rows only, never over the
+    * full vocabulary.
+    */
+  def vocabTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+    counts.orderBy($"n".desc, $"w").limit(20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"n".desc, $"w")).cast("long"))
+      .select($"rank", $"w", $"n")
+      .orderBy($"rank")
+  }
+
   /** C39 token counting, whitespace vs regex ("BPE-ish" word/number/symbol
     * classes — RE2-safe so both engines tokenize identically), aggregated
     * per language.
@@ -362,6 +382,7 @@ object TextStats extends QueryPack {
     "llm_lang_id"       -> (langId _),
     "llm_quality_score" -> (qualityScore _),
     "llm_gopher_rules"  -> (gopherRules _),
+    "llm_vocab_topk"    -> (vocabTopK _),
     "llm_token_stats"   -> (tokenStats _),
     "llm_fingerprint"   -> (fingerprint _),
     "llm_winnow"        -> (winnowFingerprint _),
@@ -407,6 +428,13 @@ object TextStats extends QueryPack {
         |                               w -> w = 'the' OR w = 'a')) * 5
         |              <= len(string_split(text, ' ')) THEN 1 ELSE 0 END)::INT AS score
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_vocab_topk" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |g AS (SELECT w, COUNT(*) AS n FROM toks GROUP BY w),
+        |r AS (SELECT w, n,
+        |        row_number() OVER (ORDER BY n DESC, w) AS rank FROM g)
+        |SELECT rank, w, n FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // thresholds replayed as the same integer cross-multiplications;
     // the only double is one exact-integer IEEE division per row
     "llm_gopher_rules" ->
