@@ -119,4 +119,49 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("MapGroups") || p.contains("FlatMapGroups"), p)
     assert(!p.contains("BroadcastExchange"), p)
   }
+
+  test("ts_funnel: funnel depth adds NO shuffles — one user_id exchange " +
+       "shared by all three chained stage windows") {
+    val p = plan("ts_funnel")
+    val userExchanges =
+      "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(userExchanges === 1, p)
+    assert(!p.toLowerCase.contains("join"), p)
+  }
+
+  test("llm_vocab_topk: global top-K is TakeOrderedAndProject; the rank " +
+       "window runs after the take, not over the full vocabulary") {
+    val p = plan("llm_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the Window must sit ABOVE the take in the plan text (earlier line)
+    val takeAt = p.indexOf("TakeOrderedAndProject")
+    val winAt = p.indexOf("Window")
+    assert(winAt >= 0 && winAt < takeAt, p)
+  }
+
+  test("merge_upsert is one equi-join (no nested loop) over the key") {
+    val p = plan("merge_upsert")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"), p)
+  }
+
+  test("scd2_history: one window shuffle, no self-join (the naive SCD2 " +
+       "form is a quadratic per-key self-join)") {
+    val p = plan("scd2_history")
+    assert(!p.toLowerCase.contains("join"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("llm_para_dedup: segment dedup is a window by segment value plus " +
+       "one reassembly aggregate — never an all-pairs join") {
+    val p = plan("llm_para_dedup")
+    // "join" alone would false-positive on the array_join expression in
+    // the reassembly aggregate; check the join OPERATORS
+    val joinOps = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct")
+    assert(!joinOps.exists(p.contains), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("Generate"), p) // the segment explode
+  }
 }

@@ -156,6 +156,42 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("range-partitioned sorted write produces range-disjoint files — " +
+       "the globally-ordered output layout for 100TB writes") {
+    val dir = tmpDir("layout_range")
+    graft.Tables.orders(spark, "/root/testdata/sf0.001")
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(dir)
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"o_orderkey").as("lo"), max($"o_orderkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(perFile.length >= 3, s"expected >=3 range files, got $perFile")
+    // files tile the key space without overlap: each file's max is below
+    // the next file's min — a reader with a key-range predicate skips
+    // whole files on parquet footer stats alone
+    perFile.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, perFile.toString)
+      case _ => ()
+    }
+  }
+
+  test("maxRecordsPerFile bounds output file row counts (file-size control)") {
+    val dir = tmpDir("layout_maxrec")
+    graft.Tables.orders(spark, "/root/testdata/sf0.001")
+      .coalesce(1)
+      .write.option("maxRecordsPerFile", 500)
+      .mode("overwrite").parquet(dir)
+    val counts = spark.read.parquet(dir)
+      .groupBy(input_file_name()).count()
+      .collect().map(_.getLong(1)).toSeq
+    assert(counts.length >= 2, s"expected the writer to roll files: $counts")
+    assert(counts.forall(_ <= 500), counts.toString)
+    assert(counts.sum === 1500L)
+  }
+
   test("partitioned layout: filters become PartitionFilters and prune directories") {
     val dir = tmpDir("part_layout")
     graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
