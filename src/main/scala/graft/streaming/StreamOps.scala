@@ -3,8 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
-  TimerValues, ValueState}
+  GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 
 /** Structured-Streaming operator library (SURVEY.md §2 C25–C32): the
   * streaming form of the engine's semantics, over any streaming DataFrame
@@ -187,6 +187,46 @@ object StreamOps {
       timerTs.clear()
       if (n > 0) Iterator.single(SessionOut(key, n)) else Iterator.empty
     }
+  }
+
+  /** A (user, kind) event for the MapState helper. */
+  final case class TypedEvent(user: String, kind: String)
+
+  /** A per-(user, kind) running count emitted on every change. */
+  final case class KindCount(user: String, kind: String, n: Long)
+
+  /** C30 MapState: per-key SUB-KEYED state (a map per user, one counter
+    * per event kind). The point vs a flat (user, kind) grouping: all of
+    * a user's counters live in ONE state row group, so a per-user
+    * decision ("has this user done X and Y?") never needs a second
+    * shuffle — the state layout matches the access pattern. With the
+    * RocksDB provider each map entry is its own store key, so a hot
+    * user's map streams instead of deserializing wholesale.
+    */
+  class PerKindCountProcessor
+      extends StatefulProcessor[String, TypedEvent, KindCount] {
+    @transient private var counts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[TypedEvent],
+                                 timerValues: TimerValues): Iterator[KindCount] = {
+      val byKind = rows.toSeq.groupBy(_.kind)
+      byKind.toSeq.sortBy(_._1).map { case (kind, evs) =>
+        val n = (if (counts.containsKey(kind)) counts.getValue(kind) else 0L) +
+          evs.size
+        counts.updateValue(kind, n)
+        KindCount(key, kind, n)
+      }.iterator
+    }
+  }
+
+  /** C30: per-user per-kind running counts via MapState. */
+  def kindCounts(ds: Dataset[TypedEvent]): Dataset[KindCount] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user)
+      .transformWithState(new PerKindCountProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** C30/C28 hybrid: inactivity-closed sessions via event-time timers. */

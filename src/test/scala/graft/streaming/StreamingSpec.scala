@@ -213,6 +213,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("C30 MapState keeps per-key sub-keyed counters (one map per user, " +
+       "one counter per event kind)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val ctx = spark.sqlContext
+      val in = MemoryStream[StreamOps.TypedEvent]
+      val q = StreamOps.kindCounts(in.toDS())
+        .writeStream.format("memory").queryName("mapstate_sink")
+        .outputMode("update").start()
+      withQuery(q) {
+        in.addData(StreamOps.TypedEvent("u1", "view"),
+                   StreamOps.TypedEvent("u1", "view"),
+                   StreamOps.TypedEvent("u1", "click"),
+                   StreamOps.TypedEvent("u2", "view"))
+        q.processAllAvailable()
+        in.addData(StreamOps.TypedEvent("u1", "view")) // accumulates to 3
+        q.processAllAvailable()
+        val last = spark.table("mapstate_sink").as[StreamOps.KindCount]
+          .collect().groupBy(k => (k.user, k.kind))
+          .view.mapValues(_.map(_.n).max).toMap
+        assert(last === Map(
+          ("u1", "view") -> 3L, ("u1", "click") -> 1L, ("u2", "view") -> 1L))
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("C13 stream-stream LEFT OUTER join emits the unmatched left row " +
        "with nulls once the watermark closes its window") {
     implicit val ctx = spark.sqlContext
