@@ -84,6 +84,33 @@ object Multimodal extends QueryPack {
     }
   }
 
+  /** Resize plumbing (the third leg of decode / resize / frame-sample):
+    * per-partition batch transform Asset → Asset whose payload is
+    * downsampled to at most `targetBytes`. The "resampler" is a STUB —
+    * deterministic stride sampling of the byte payload standing in for
+    * pixel-grid interpolation (no image libs in this environment) — but
+    * the production-relevant properties are real: bytes stay opaque
+    * outside the lambda, metadata (uri/mime) is preserved, output size
+    * is bounded (the reason pipelines resize before shuffling: a resize
+    * BEFORE the next exchange caps shuffle volume at
+    * targetBytes × rows regardless of source asset size).
+    */
+  def resizeStub(assets: Dataset[Asset], targetBytes: Int): Dataset[Asset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val n = a.bytes.length
+        if (n <= targetBytes) a
+        else {
+          // deterministic stride sampling: always exactly targetBytes out
+          val out = Array.tabulate(targetBytes)(i =>
+            a.bytes(((i.toLong * n) / targetBytes).toInt))
+          Asset(a.uri, out, a.mime)
+        }
+      }
+    }
+  }
+
   /** C40 frame sampling: the video-ingest pattern where frame INDICES are
     * chosen from metadata (duration/fps) BEFORE any byte is decoded — the
     * explode produces (uri, frame_idx) work items and only those frames

@@ -23,6 +23,22 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.head.value === (bytes(0) & 0xff).toFloat)
   }
 
+  test("resizeStub bounds payload size, preserves metadata, and is " +
+       "deterministic (stride-sampled fake of pixel downsampling)") {
+    val big = Asset("doc://big", Array.tabulate(1000)(_.toByte), "image/png")
+    val small = Asset("doc://small", Array.tabulate(10)(_.toByte), "image/png")
+    val out = Multimodal.resizeStub(Seq(big, small).toDS(), targetBytes = 64)
+      .collect().map(a => a.uri -> a).toMap
+    assert(out("doc://big").bytes.length === 64)       // capped exactly
+    assert(out("doc://small").bytes.length === 10)     // small passes through
+    assert(out("doc://big").mime === "image/png")      // metadata preserved
+    // deterministic: same input → byte-identical output
+    val again = Multimodal.resizeStub(Seq(big).toDS(), 64).collect().head
+    assert(again.bytes.toSeq === out("doc://big").bytes.toSeq)
+    // stride sampling spans the WHOLE payload, not a prefix
+    assert((out("doc://big").bytes.last & 0xff) >= 900 % 256)
+  }
+
   test("decodeStub maps assets to fixed-width features deterministically") {
     val assets = Seq(
       Asset("doc://1", "hello".getBytes("UTF-8"), "text/plain"),
