@@ -164,6 +164,45 @@ object Aggregates extends QueryPack {
       .orderBy($"l_returnflag")
   }
 
+  /** Fixed-width histogram/binning — numeric distribution profiling as
+    * one hash aggregate: bin id by floor division (identical IEEE
+    * double division + floor in both engines), counts and exact-decimal
+    * sums per bin. At 100 TB this is the shape for any feature-
+    * distribution scan: map-side combine collapses each partition to
+    * its occupied bins.
+    */
+  def histogramQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .withColumn("bin", floor($"o_totalprice" / 50000.0).cast("long"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"), Det.dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"bin")
+  }
+
+  /** Approximate heavy hitters (frequent items): Spark's `freqItems`
+    * implements the merged Misra–Gries summary, whose guarantee is a
+    * SUPERSET — every value with frequency > support IS in the sketch
+    * (plus possible false positives), using O(1/support) memory per
+    * partition and one pass. The gate verifies that guarantee: every
+    * exact heavy hitter must appear in the sketch. Collecting the
+    * sketch row to the driver is O(1/support) — a bounded RESULT, like
+    * an HLL estimate, not corpus data.
+    */
+  def freqItemsQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val sketch: Seq[String] = ev.stat.freqItems(Array("event_type"), 0.1)
+      .collect()(0).getSeq[String](0)
+    val total = ev.count()
+    ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" * 10 > lit(total)) // exact heavy hitters: freq > 0.1
+      .select($"event_type", $"n",
+              $"event_type".isInCollection(sketch).as("in_sketch"))
+      .orderBy($"event_type")
+  }
+
   /** Mode (most frequent value) per group — count-then-argmax, the
     * scalable form: one hash aggregate on (group, value) then a per-group
     * rank, so no group ever buffers its raw rows. Ties break to the
@@ -262,6 +301,8 @@ object Aggregates extends QueryPack {
     "agg_approx_distinct" -> (approxDistinct _),
     "agg_approx_percentile" -> (approxPercentile _),
     "agg_mode" -> (modeQ _),
+    "agg_freq_items" -> (freqItemsQ _),
+    "agg_histogram" -> (histogramQ _),
     "agg_hll_mergeable"   -> (hllMergeable _),
     "agg_rollup"          -> (rollupQ _),
     "agg_cube"            -> (cubeQ _),
@@ -300,6 +341,15 @@ object Aggregates extends QueryPack {
     "agg_approx_percentile" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows, TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_histogram" ->
+      s"""SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+        |  COUNT(*) AS n, ${Det.sqlSum("o_totalprice")} AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
+    "agg_freq_items" ->
+      """SELECT event_type, COUNT(*) AS n, TRUE AS in_sketch
+        |FROM events GROUP BY event_type
+        |HAVING COUNT(*) * 10 > (SELECT COUNT(*) FROM events)
+        |ORDER BY event_type""".stripMargin,
     "agg_mode" ->
       """WITH c AS (
         |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n

@@ -149,6 +149,29 @@ object TextStats extends QueryPack {
       .orderBy($"rank")
   }
 
+  /** Out-of-vocabulary rate per source: the coverage metric every
+    * tokenizer/vocab decision is judged by — the fraction of corpus
+    * tokens NOT in the top-K vocabulary. Shape: the top-K vocab (tiny)
+    * broadcasts into a LEFT ANTI join against the exploded tokens, then
+    * one hash aggregate per source; the ratio is a single exact-integer
+    * IEEE division.
+    */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"source", explode(split($"text", " ")).as("w"))
+    val vocab = toks.groupBy($"w").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"w").limit(20).select($"w")
+    val oov = toks.join(broadcast(vocab), Seq("w"), "left_anti")
+      .groupBy($"source").agg(count(lit(1)).as("n_oov"))
+    toks.groupBy($"source").agg(count(lit(1)).as("n_tokens"))
+      .join(oov, Seq("source"), "left_outer")
+      .select($"source", $"n_tokens",
+              coalesce($"n_oov", lit(0L)).as("n_oov"))
+      .withColumn("oov_rate", $"n_oov".cast("double") / $"n_tokens")
+      .orderBy($"source")
+  }
+
   /** C39 token counting, whitespace vs regex ("BPE-ish" word/number/symbol
     * classes — RE2-safe so both engines tokenize identically), aggregated
     * per language.
@@ -383,6 +406,7 @@ object TextStats extends QueryPack {
     "llm_quality_score" -> (qualityScore _),
     "llm_gopher_rules"  -> (gopherRules _),
     "llm_vocab_topk"    -> (vocabTopK _),
+    "llm_oov_rate"      -> (oovRate _),
     "llm_token_stats"   -> (tokenStats _),
     "llm_fingerprint"   -> (fingerprint _),
     "llm_winnow"        -> (winnowFingerprint _),
@@ -428,6 +452,20 @@ object TextStats extends QueryPack {
         |                               w -> w = 'the' OR w = 'a')) * 5
         |              <= len(string_split(text, ' ')) THEN 1 ELSE 0 END)::INT AS score
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |vocab AS (
+        |  SELECT w FROM (SELECT w, COUNT(*) AS n FROM toks GROUP BY w
+        |                 ORDER BY n DESC, w LIMIT 20)),
+        |oov AS (
+        |  SELECT source, COUNT(*) AS n_oov FROM toks
+        |  WHERE w NOT IN (SELECT w FROM vocab) GROUP BY source),
+        |tot AS (SELECT source, COUNT(*) AS n_tokens FROM toks GROUP BY source)
+        |SELECT t.source, t.n_tokens, COALESCE(o.n_oov, 0) AS n_oov,
+        |  CAST(COALESCE(o.n_oov, 0) AS DOUBLE) / t.n_tokens AS oov_rate
+        |FROM tot t LEFT JOIN oov o ON t.source = o.source
+        |ORDER BY t.source""".stripMargin,
     "llm_vocab_topk" ->
       """WITH toks AS (
         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
