@@ -288,6 +288,13 @@ object Dedup extends QueryPack {
       .localCheckpoint()
     var labels = edges.select($"d1".as("doc")).distinct()
       .withColumn("lab", $"doc").localCheckpoint()
+    // Convergence witness: min-propagation labels are monotonically
+    // NON-INCREASING per node, so "no node changed" ⟺ "sum of labels
+    // unchanged" — one aggregate on the (checkpointed, tiny) label
+    // table instead of a join-and-compare against the previous round.
+    def labSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum($"lab")).head.getLong(0)
+    var prevSum = labSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
@@ -302,8 +309,9 @@ object Dedup extends QueryPack {
               Seq("lab"), "left_outer")
         .select($"doc", least($"lab", coalesce($"lab2", $"lab")).as("lab"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("lab", "old"), Seq("doc"))
-        .filter($"lab" =!= $"old").isEmpty
+      val s = labSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels = next
       iter += 1
     }
