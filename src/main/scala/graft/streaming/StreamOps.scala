@@ -3,8 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues, ValueState}
+  GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured-Streaming operator library (SURVEY.md §2 C25–C32): the
   * streaming form of the engine's semantics, over any streaming DataFrame
@@ -226,6 +226,39 @@ object StreamOps {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.user)
       .transformWithState(new PerKindCountProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** The last-N window a [[RecentEventsProcessor]] emits per input batch. */
+  final case class RecentOut(user: String, recent: String)
+
+  /** C30 ListState: a bounded per-key ring buffer of the N most recent
+    * event kinds — the "recent context" pattern (last N pages viewed,
+    * last N errors) that powers streaming feature generation. ListState
+    * appends are O(1) against RocksDB (no read-modify-write of the whole
+    * list on append); the trim rewrites at most N entries.
+    */
+  class RecentEventsProcessor(maxN: Int)
+      extends StatefulProcessor[String, TypedEvent, RecentOut] {
+    @transient private var recent: ListState[String] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      recent = getHandle.getListState[String](
+        "recent", Encoders.STRING, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[TypedEvent],
+                                 timerValues: TimerValues): Iterator[RecentOut] = {
+      rows.foreach(e => recent.appendValue(e.kind))
+      val all = recent.get().toArray
+      if (all.length > maxN) recent.put(all.takeRight(maxN))
+      val window = recent.get().toArray
+      Iterator.single(RecentOut(key, window.mkString(",")))
+    }
+  }
+
+  /** C30: per-key last-N recent-event window via ListState. */
+  def recentEvents(ds: Dataset[TypedEvent], maxN: Int): Dataset[RecentOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user)
+      .transformWithState(new RecentEventsProcessor(maxN),
         TimeMode.None(), OutputMode.Update())
   }
 

@@ -246,6 +246,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("C30 ListState keeps a bounded last-N window per key across batches") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val ctx = spark.sqlContext
+      val in = MemoryStream[StreamOps.TypedEvent]
+      val q = StreamOps.recentEvents(in.toDS(), maxN = 3)
+        .writeStream.format("memory").queryName("liststate_sink")
+        .outputMode("update").start()
+      withQuery(q) {
+        in.addData(StreamOps.TypedEvent("u1", "a"), StreamOps.TypedEvent("u1", "b"))
+        q.processAllAvailable()
+        in.addData(StreamOps.TypedEvent("u1", "c"), StreamOps.TypedEvent("u1", "d"))
+        q.processAllAvailable()
+        val emissions = spark.table("liststate_sink").as[StreamOps.RecentOut]
+          .collect().map(_.recent).toSeq
+        assert(emissions.contains("a,b"))   // first batch: under the cap
+        assert(emissions.contains("b,c,d"), // second: trimmed to last 3
+          s"expected the trimmed last-3 window, got $emissions")
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("C13 stream-stream LEFT OUTER join emits the unmatched left row " +
        "with nulls once the watermark closes its window") {
     implicit val ctx = spark.sqlContext
