@@ -113,7 +113,11 @@ object Bench {
                                  sfDir: String, budget: Int = 1800): String = {
     def r2(v: Double) = math.round(v * 100) / 100.0
     val sf = raw".*sf([0-9.]+)/?$$".r.findFirstMatchIn(sfDir)
-      .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
+      .map(_.group(1)).getOrElse(
+        // JSON-escape the fallback path: an unescaped quote/backslash
+        // would make the line unparseable — the exact failure this
+        // function exists to prevent
+        "\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
     def render(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + r2(v) }
         .mkString("{", ",", "}")

@@ -192,12 +192,16 @@ object Aggregates extends QueryPack {
   def freqItemsQ(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
+    // freqItems is Spark's eager sketch API (one single-pass job at this
+    // call; its result is the O(1/support) summary, not corpus data).
+    // Everything else stays lazy: the exact-heavy-hitter pass gets the
+    // corpus total from a cross-joined 1-row aggregate, not a count().
     val sketch: Seq[String] = ev.stat.freqItems(Array("event_type"), 0.1)
       .collect()(0).getSeq[String](0)
-    val total = ev.count()
     ev.groupBy($"event_type")
       .agg(count(lit(1)).as("n"))
-      .filter($"n" * 10 > lit(total)) // exact heavy hitters: freq > 0.1
+      .crossJoin(ev.agg(count(lit(1)).as("_total")))
+      .filter($"n" * 10 > $"_total") // exact heavy hitters: freq > 0.1
       .select($"event_type", $"n",
               $"event_type".isInCollection(sketch).as("in_sketch"))
       .orderBy($"event_type")

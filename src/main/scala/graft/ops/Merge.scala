@@ -30,8 +30,12 @@ object Merge extends QueryPack {
     val updates = base.filter($"o_orderkey" % 10 === 0)
       .select($"o_orderkey", ($"o_totalprice" + 100.0).as("price"),
               lit("U").as("status"), lit("update").as("op"))
+    // insert keys are NEGATED (-k - 1): provably disjoint from the real
+    // keyspace at ANY scale factor, unlike an additive offset which a
+    // large-enough fixture would collide with (silently turning inserts
+    // into destructive overwrites)
     val inserts = base.filter($"o_orderkey" % 1000 === 0)
-      .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+      .select((-$"o_orderkey" - 1L).as("o_orderkey"),
               $"o_totalprice".as("price"), lit("N").as("status"),
               lit("insert").as("op"))
     val deletes = base.filter($"o_orderkey" % 10 === 7)
@@ -62,7 +66,7 @@ object Merge extends QueryPack {
         |         'U' AS status, 'update' AS op
         |  FROM orders WHERE o_orderkey % 10 = 0
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000, o_totalprice, 'N', 'insert'
+        |  SELECT -o_orderkey - 1, o_totalprice, 'N', 'insert'
         |  FROM orders WHERE o_orderkey % 1000 = 0
         |  UNION ALL
         |  SELECT o_orderkey, 0.0, '', 'delete'

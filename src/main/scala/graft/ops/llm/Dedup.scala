@@ -293,7 +293,9 @@ object Dedup extends QueryPack {
     // unchanged" — one aggregate on the (checkpointed, tiny) label
     // table instead of a join-and-compare against the previous round.
     def labSum(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(sum($"lab")).head.getLong(0)
+      // coalesce: sum over an EMPTY label table (no near-dup pairs at
+      // this SF) is NULL; 0 makes the loop converge on first iteration
+      df.agg(coalesce(sum($"lab"), lit(0L))).head.getLong(0)
     var prevSum = labSum(labels)
     var converged = false
     var iter = 0

@@ -37,7 +37,7 @@ object ScaleProbe {
       (nPairs, (System.nanoTime() - t0) / 1e9)
     }
     timed(1) // warmup
-    Seq(1, mult).foreach { m =>
+    Seq(1, mult).distinct.foreach { m =>
       val (pairs, sec) = timed(m)
       val n = 2000L * m
       println(f"[scale-probe] mult=$m%-3d corpus=$n%-6d pairs>=thr=$pairs%-8d time=$sec%.2fs")
@@ -59,7 +59,7 @@ object ScaleProbe {
     }
     val nDocs = docs.count()
     timedPara(1) // warmup
-    Seq(1, mult).foreach { m =>
+    Seq(1, mult).distinct.foreach { m =>
       val (kept, sec) = timedPara(m)
       println(f"[scale-probe] para mult=$m%-3d docs=${nDocs * m}%-7d segs_kept=$kept%-8d time=$sec%.2fs")
     }

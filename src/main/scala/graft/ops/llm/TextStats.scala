@@ -137,12 +137,21 @@ object TextStats extends QueryPack {
     * window runs AFTER the limit, over K rows only, never over the
     * full vocabulary.
     */
+  /** The corpus-wide top-20 vocabulary (w, n) — shared by [[vocabTopK]]
+    * and [[oovRate]] so the (count desc, token asc) selection exists
+    * exactly once.
+    */
+  private def topVocab(toks: DataFrame): DataFrame = {
+    import toks.sparkSession.implicits._
+    toks.groupBy($"w").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"w").limit(20)
+  }
+
   def vocabTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val counts = Tables.documents(spark, dir)
+    val toks = Tables.documents(spark, dir)
       .select(explode(split($"text", " ")).as("w"))
-      .groupBy($"w").agg(count(lit(1)).as("n"))
-    counts.orderBy($"n".desc, $"w").limit(20)
+    topVocab(toks)
       .withColumn("rank",
         row_number().over(Window.orderBy($"n".desc, $"w")).cast("long"))
       .select($"rank", $"w", $"n")
@@ -160,15 +169,17 @@ object TextStats extends QueryPack {
     import spark.implicits._
     val toks = Tables.documents(spark, dir)
       .select($"source", explode(split($"text", " ")).as("w"))
-    val vocab = toks.groupBy($"w").agg(count(lit(1)).as("n"))
-      .orderBy($"n".desc, $"w").limit(20).select($"w")
-    val oov = toks.join(broadcast(vocab), Seq("w"), "left_anti")
-      .groupBy($"source").agg(count(lit(1)).as("n_oov"))
-    toks.groupBy($"source").agg(count(lit(1)).as("n_tokens"))
-      .join(oov, Seq("source"), "left_outer")
-      .select($"source", $"n_tokens",
-              coalesce($"n_oov", lit(0L)).as("n_oov"))
+    // one broadcast left join carrying a membership marker, then ONE
+    // aggregate computing totals and OOV counts together — the corpus
+    // explodes twice in total (once for the vocab, once here), never a
+    // third time
+    toks.join(broadcast(topVocab(toks).select($"w", lit(1).as("_in_v"))),
+              Seq("w"), "left_outer")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(when($"_in_v".isNull, 1L).otherwise(0L)).as("n_oov"))
       .withColumn("oov_rate", $"n_oov".cast("double") / $"n_tokens")
+      .select($"source", $"n_tokens", $"n_oov", $"oov_rate")
       .orderBy($"source")
   }
 

@@ -248,8 +248,10 @@ object StreamOps {
                                  timerValues: TimerValues): Iterator[RecentOut] = {
       rows.foreach(e => recent.appendValue(e.kind))
       val all = recent.get().toArray
-      if (all.length > maxN) recent.put(all.takeRight(maxN))
-      val window = recent.get().toArray
+      val window = if (all.length > maxN) all.takeRight(maxN) else all
+      // the trimmed window is already in hand: write it back without a
+      // second full state read
+      if (all.length > maxN) recent.put(window)
       Iterator.single(RecentOut(key, window.mkString(",")))
     }
   }

@@ -37,4 +37,9 @@ class BenchSpec extends AnyFunSuite {
     val line = Bench.compactLine(Seq("q1" -> 1.0), 1.0, "/some/dir")
     assert(line.endsWith("\"sf\":\"/some/dir\"}"))
   }
+
+  test("fallback path is JSON-escaped (quotes and backslashes)") {
+    val line = Bench.compactLine(Seq("q1" -> 1.0), 1.0, """/weird"dir\path""")
+    assert(line.endsWith("\"sf\":\"/weird\\\"dir\\\\path\"}"), line)
+  }
 }
