@@ -84,8 +84,30 @@ object Scalars extends QueryPack {
         get_json_object($"props", "$.k").as("k_str"),
         from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k INT"))
           .getField("k").as("k_int"),
-        to_json(struct($"event_id", $"event_type")).as("as_json"))
+        to_json(struct($"event_id", $"event_type")).as("as_json"),
+        // dev-time schema inference (SURVEY C-scalar: schema_of_json);
+        // foldable input ⇒ constant-folded, zero per-row cost
+        schema_of_json(lit("""{"k": 1}""")).as("inferred_schema"))
       .orderBy($"event_id")
+  }
+
+  /** Map family (SURVEY C-scalar map: map_keys / map_values / explode on
+    * a map): a map built per row, its key/value views reduced to scalars,
+    * and the map exploded to (k, v) rows alongside them — the generator
+    * form for MapType. Spark's `map()` preserves argument order, so the
+    * joined views and the explode order are deterministic.
+    */
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .withColumn("m", map(lit("brand"), $"p_brand", lit("type"), $"p_type"))
+      .select($"p_partkey",
+        array_join(map_keys($"m"), ",").as("mkeys"),
+        array_join(map_values($"m"), ",").as("mvals"),
+        size(map_keys($"m")).cast("long").as("n_entries"),
+        explode($"m").as(Seq("k", "v")))
+      .select($"p_partkey", $"mkeys", $"mvals", $"n_entries", $"k", $"v")
+      .orderBy($"p_partkey", $"k")
   }
 
   /** Array family + generator: explode part-name tokens into a word count
@@ -124,6 +146,7 @@ object Scalars extends QueryPack {
     "scalar_math"        -> (mathFuncs _),
     "scalar_date"        -> (dateFuncs _),
     "scalar_json"        -> (jsonFuncs _),
+    "scalar_map"         -> (mapFuncs _),
     "scalar_array_explode" -> (arrayFuncs _),
     "scalar_collections" -> (collectionFuncs _)
   )
@@ -171,8 +194,22 @@ object Scalars extends QueryPack {
       """SELECT event_id,
         |  json_extract_string(props, '$.k') AS k_str,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
-        |  '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS as_json
+        |  '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS as_json,
+        |  'STRUCT<k: BIGINT>' AS inferred_schema
         |FROM events ORDER BY event_id""".stripMargin,
+    // the map is replayed as its UNION ALL expansion (same rows Spark's
+    // explode(map) generates, in the same key order)
+    "scalar_map" ->
+      """SELECT p_partkey,
+        |  'brand,type' AS mkeys,
+        |  p_brand || ',' || p_type AS mvals,
+        |  CAST(2 AS BIGINT) AS n_entries, k, v
+        |FROM (
+        |  SELECT p_partkey, p_brand, p_type, 'brand' AS k, p_brand AS v FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, p_brand, p_type, 'type', p_type FROM part
+        |)
+        |ORDER BY p_partkey, k""".stripMargin,
     "scalar_array_explode" ->
       """SELECT word, COUNT(*) AS n FROM (
         |  SELECT UNNEST(string_split(p_name, ' ')) AS word FROM part
