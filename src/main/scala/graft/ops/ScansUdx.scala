@@ -35,7 +35,7 @@ object ScansUdx extends QueryPack {
     */
   private val rendered = scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def renderOnce(fmt: String, dir: String)(write: String => Unit): String =
+  private[ops] def renderOnce(fmt: String, dir: String)(write: String => Unit): String =
     rendered.getOrElseUpdate(s"$fmt|$dir", {
       val path = Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_scan_${fmt}_p${ProcessHandle.current().pid()}_" +

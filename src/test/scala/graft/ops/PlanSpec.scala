@@ -164,4 +164,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
     assert(p.contains("Generate"), p) // the segment explode
   }
+
+  test("layout_dpp_prune: the dim filter prunes fact PARTITIONS at runtime " +
+       "(dynamic partition pruning subquery in the scan's PartitionFilters)") {
+    val p = plan("layout_dpp_prune")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("layout_bucketed_join: join AND follow-on aggregate reuse the " +
+       "write-time bucketing — zero hash exchanges in the whole plan") {
+    val p = plan("layout_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$p")
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"), p)
+  }
+
+  test("llm_bm25: global top-20 is TakeOrderedAndProject, not a full sort") {
+    assert(plan("llm_bm25").contains("TakeOrderedAndProject"))
+  }
 }
