@@ -67,6 +67,17 @@ object StreamOps {
     left.withWatermark(leftTs, leftDelay)
       .join(right.withWatermark(rightTs, rightDelay), cond, joinType)
 
+  /** Stream–static enrichment join: a stream joined to a batch dimension
+    * table. Stateless — each micro-batch joins against the dim as of that
+    * batch (the dim source is re-scanned per batch, so an updated dim
+    * parquet is picked up without restarting the query). The dim side is
+    * broadcast: no shuffle of the stream, which is the only layout that
+    * works when the stream side is unbounded.
+    */
+  def streamStaticJoin(stream: DataFrame, dim: DataFrame,
+                       cond: Column, joinType: String = "inner"): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), cond, joinType)
+
   /** A keyed record for the typed-state helpers (the Kafka envelope's
     * key/offset/value triple).
     */

@@ -331,6 +331,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("C13 stream-static join enriches each micro-batch from a batch dim " +
+       "(broadcast — the stream side never shuffles)") {
+    implicit val ctx = spark.sqlContext
+    val events = MemoryStream[(String, Long)]
+    val sdf = events.toDF().toDF("code", "amount")
+    val dim = Seq(("us", "United States"), ("de", "Germany"))
+      .toDF("dim_code", "country")
+    val enriched = StreamOps.streamStaticJoin(
+        sdf, dim, col("code") === col("dim_code"), "left")
+      .select($"code", $"country", $"amount")
+    val q = enriched.writeStream.format("memory").queryName("ssj_static")
+      .outputMode("append").start()
+    withQuery(q) {
+      events.addData(("us", 10L), ("de", 20L), ("fr", 30L))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_static")
+        .as[(String, String, Long)].collect().toSet
+      assert(rows === Set(("us", "United States", 10L),
+                          ("de", "Germany", 20L),
+                          ("fr", null, 30L)))
+    }
+  }
+
   test("C31 complete output mode re-emits full aggregation state") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[String]
