@@ -96,13 +96,97 @@ object TimeSeries extends QueryPack {
       .orderBy($"stage")
   }
 
+  private val WeekUs = 7L * 86400 * 1000000
+
+  /** Cohort retention: users grouped by their first-activity epoch-week,
+    * counted per week-offset of later activity. Two aggregations and one
+    * join on user_id — the per-user first-week table is orders of
+    * magnitude smaller than the event log, and the final matrix is
+    * (cohorts × offsets), tiny at any scale. Pure integer week math.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wk = Tables.events(spark, dir)
+      .select($"user_id", expr(s"(ts div 1000) div $WeekUs").as("wk"))
+      .distinct()
+    val cohort = wk.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+    wk.join(cohort, "user_id")
+      .groupBy($"cohort_wk", ($"wk" - $"cohort_wk").as("offset_wk"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_wk", $"offset_wk")
+  }
+
+  /** Last-touch attribution: each purchase is credited to the user's most
+    * recent preceding click/view. One window shuffle on user_id with a
+    * rows-frame `last(..., ignoreNulls)` — never a self-join of the event
+    * log to itself. Missing sources surface as -1/'none' (COALESCE keeps
+    * every output column non-null so no nullable-int dtype wobble crosses
+    * the gate).
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type",
+              expr("ts div 1000").as("tus"))
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def src(c: org.apache.spark.sql.Column) =
+      last(when($"event_type".isin("click", "view"), c), ignoreNulls = true).over(w)
+    e.withColumn("src_id", src($"event_id"))
+      .withColumn("src_type", src($"event_type"))
+      .withColumn("src_tus", src($"tus"))
+      .where($"event_type" === "purchase")
+      .select($"event_id", $"user_id",
+              coalesce($"src_id", lit(-1L)).as("src_id"),
+              coalesce($"src_type", lit("none")).as("src_type"),
+              coalesce($"tus" - $"src_tus", lit(-1L)).as("lag_us"))
+      .orderBy($"event_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_retention"   -> (retention _),
+    "ts_attribution" -> (attribution _),
     "ts_sessionize" -> (sessionize _),
     "ts_gapfill"    -> (gapFill _),
     "ts_funnel"     -> (funnel _)
   )
 
   def oracle: Map[String, String] = Map(
+    "ts_retention" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT user_id,
+         |    (((epoch_ns(ts) // 1000)::BIGINT) // $WeekUs)::BIGINT AS wk
+         |  FROM events),
+         |f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY 1)
+         |SELECT f.cohort_wk, (e.wk - f.cohort_wk) AS offset_wk,
+         |  COUNT(DISTINCT e.user_id) AS n_users
+         |FROM e JOIN f ON e.user_id = f.user_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ts_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    (epoch_ns(ts) // 1000)::BIGINT AS tus
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, event_id, event_type, tus,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |               THEN event_id END IGNORE NULLS)
+        |      OVER w AS src_id,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |               THEN event_type END IGNORE NULLS)
+        |      OVER w AS src_type,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |               THEN tus END IGNORE NULLS)
+        |      OVER w AS src_tus
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id,
+        |  COALESCE(src_id, -1) AS src_id,
+        |  COALESCE(src_type, 'none') AS src_type,
+        |  COALESCE(tus - src_tus, -1) AS lag_us
+        |FROM a WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
     "ts_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, (epoch_ns(ts) // 1000)::BIGINT AS tus
