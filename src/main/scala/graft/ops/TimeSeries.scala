@@ -143,7 +143,29 @@ object TimeSeries extends QueryPack {
       .orderBy($"event_id")
   }
 
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands shape: distinct active days, `day − row_number`
+    * constant within a run, two aggregations. One user_id window shuffle;
+    * island keys never leave the user's partition. Pure integer day math.
+    */
+  def streaks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.events(spark, dir)
+      .select($"user_id", expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    d.withColumn("g", $"day" - row_number().over(w))
+      .groupBy($"user_id", $"g")
+      .agg(count(lit(1)).as("len"), min($"day").as("start_day"))
+      .groupBy($"user_id")
+      .agg(max($"len").as("best_streak"),
+           count(lit(1)).as("n_streaks"),
+           min($"start_day").as("first_day"))
+      .orderBy($"user_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_streaks"     -> (streaks _),
     "ts_retention"   -> (retention _),
     "ts_attribution" -> (attribution _),
     "ts_sessionize" -> (sessionize _),
@@ -152,6 +174,21 @@ object TimeSeries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "ts_streaks" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |    (((epoch_ns(ts) // 1000)::BIGINT) // 86400000000)::BIGINT AS day
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS g
+        |  FROM d),
+        |runs AS (
+        |  SELECT user_id, g, COUNT(*) AS len, MIN(day) AS start_day
+        |  FROM r GROUP BY 1, 2)
+        |SELECT user_id, MAX(len) AS best_streak, COUNT(*) AS n_streaks,
+        |  MIN(start_day) AS first_day
+        |FROM runs GROUP BY 1 ORDER BY user_id""".stripMargin,
     "ts_retention" ->
       s"""WITH e AS (
          |  SELECT DISTINCT user_id,
