@@ -102,7 +102,7 @@ object GraftFunctions {
   * gets the engine's native functions without code changes.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier("graft_dot"),
        new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
@@ -110,4 +110,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
          require(children.length == 2, "graft_dot expects exactly 2 arguments")
          DotProduct(children.head, children(1))
        }))
+    // conf-gated (default off) — injecting it costs nothing until a
+    // session opts in; see ApproxDistinctRewrite
+    ext.injectOptimizerRule(_ => ApproxDistinctRewrite)
+  }
 }
