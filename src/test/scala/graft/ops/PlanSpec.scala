@@ -186,33 +186,4 @@ class PlanSpec extends SparkSpec {
     assert(plan("llm_bm25").contains("TakeOrderedAndProject"))
   }
 
-  test("runtime bloom filter: a selective dim filter injects might_contain " +
-       "on the fact scan of a shuffle join (the non-partitioned twin of DPP)") {
-    // At 100 TB the fact side of a selective join should be pre-filtered by
-    // a bloom filter built from the dim side at runtime — Spark injects it
-    // when thresholds allow; pin that the feature engages on our join shape.
-    // Thresholds are sized for real clusters (10 GB application side), so
-    // scale them down to fixture size for the pin.
-    import org.apache.spark.sql.functions._
-    val c = spark.conf
-    val keys = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-      "spark.sql.autoBroadcastJoinThreshold")
-    val saved = keys.map(k => k -> c.getOption(k))
-    try {
-      c.set(keys(0), "0")      // fixture scans are far below the 10GB default
-      c.set(keys(1), "-1")     // force a shuffle join (bloom filters don't
-                               // apply to broadcast joins — the dim IS the filter there)
-      val fact = graft.Tables.lineitem(spark, dir)
-      val dim = graft.Tables.orders(spark, dir)
-        .where(col("o_totalprice") > 400000.0)
-      val j = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("l_returnflag")).count()
-      val p = j.queryExecution.optimizedPlan.toString
-      assert(p.contains("might_contain"),
-        s"no runtime bloom filter injected:\n$p")
-    } finally saved.foreach { case (k, v) =>
-      v.fold(c.unset(k))(c.set(k, _))
-    }
-  }
 }
