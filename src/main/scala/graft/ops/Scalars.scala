@@ -141,7 +141,31 @@ object Scalars extends QueryPack {
       .orderBy($"p_partkey")
   }
 
+  /** URL parsing — the web-curation scalar family. Spark's `parse_url`
+    * (HOST / PATH / QUERY / per-key QUERY) over URLs synthesized
+    * deterministically from fixture columns; DuckDB has no parse_url, so
+    * the oracle replays the extraction with anchored regexes — agreement
+    * proves the component semantics, not just the happy path (the
+    * fragment case exercises QUERY stopping at `#`).
+    */
+  def urlFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("url",
+        concat(lit("https://"), $"source", lit(".example.com/docs/"),
+               $"doc_id", lit("?lang="), $"lang", lit("&ref="), $"source",
+               lit("#sec"), $"doc_id" % 10))
+      .select($"doc_id",
+        parse_url($"url", lit("HOST")).as("host"),
+        parse_url($"url", lit("PATH")).as("path"),
+        parse_url($"url", lit("QUERY")).as("query"),
+        parse_url($"url", lit("QUERY"), lit("lang")).as("q_lang"),
+        parse_url($"url", lit("REF")).as("fragment"))
+      .orderBy($"doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_url"         -> (urlFuncs _),
     "scalar_string"      -> (stringFuncs _),
     "scalar_math"        -> (mathFuncs _),
     "scalar_date"        -> (dateFuncs _),
@@ -152,6 +176,20 @@ object Scalars extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "scalar_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example.com/docs/' || doc_id ||
+        |    '?lang=' || lang || '&ref=' || source || '#sec' || (doc_id % 10)
+        |      AS url
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        |  regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS query,
+        |  regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS q_lang,
+        |  regexp_extract(url, '#(.*)$', 1) AS fragment
+        |FROM u ORDER BY doc_id""".stripMargin,
     "scalar_string" ->
       """SELECT p_partkey,
         |  UPPER(p_name) AS name_upper,
