@@ -186,4 +186,26 @@ class PlanSpec extends SparkSpec {
     assert(plan("llm_bm25").contains("TakeOrderedAndProject"))
   }
 
+  test("SWEEP: no gated query plans CartesianProduct (the one deliberate " +
+       "cross join is bounded and explicit)") {
+    // A cartesian anywhere else means a join lost its equi-condition — the
+    // per-query pins above catch known shapes; this catches the next one.
+    val allowed = Set(
+      "join_cross_small" // C10: explicit tiny-domain cross join, by design
+    )
+    val offenders = graft.SparkEntry.queries.collect {
+      case (name, fn) if !allowed(name) &&
+        fn(spark, dir).queryExecution.executedPlan.toString
+          .contains("CartesianProduct") => name
+    }
+    assert(offenders.isEmpty, s"cartesian joins in: ${offenders.mkString(", ")}")
+  }
+
+  test("SWEEP: every gated query has a DuckDB oracle (key parity — a " +
+       "query without an oracle silently downgrades the driver's check)") {
+    val q = graft.SparkEntry.queries.keySet
+    val o = graft.SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries missing oracles: ${(q -- o).mkString(", ")}")
+    assert((o -- q).isEmpty, s"orphan oracles: ${(o -- q).mkString(", ")}")
+  }
 }
