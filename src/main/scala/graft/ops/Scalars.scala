@@ -164,7 +164,32 @@ object Scalars extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** Error-safe scalar family — Spark 4 runs ANSI mode by default, where
+    * a single malformed cell or division by zero fails the whole 100 TB
+    * job; the `try_*` forms return NULL instead. The gate plants both
+    * failure kinds (un-castable strings, zero denominators) and pins the
+    * NULL contract against DuckDB's TRY_CAST / NULLIF twins.
+    */
+  def tryFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select($"p_partkey",
+        expr("try_cast(regexp_extract(p_brand, '#([0-9]+)', 1) AS INT)")
+          .as("brand_num"),                       // always castable
+        // castable only above size 25 → mixed NULLs (both engines surface
+        // a nullable int column identically; an ALL-null column's pandas
+        // dtype would depend on the engine)
+        expr("try_cast(CASE WHEN p_size > 25 THEN CAST(p_size AS STRING) " +
+             "ELSE p_type END AS INT)").as("maybe_num"),
+        expr("try_divide(p_retailprice, p_size - 25)").as("per_size"),
+        coalesce(expr("try_divide(p_retailprice, p_size - 25)"), lit(0.0))
+          .as("per_size_safe"),
+        expr("try_cast(p_size AS STRING)").as("size_str"))
+      .orderBy($"p_partkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_try"         -> (tryFuncs _),
     "scalar_url"         -> (urlFuncs _),
     "scalar_string"      -> (stringFuncs _),
     "scalar_math"        -> (mathFuncs _),
@@ -176,6 +201,17 @@ object Scalars extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "scalar_try" ->
+      """SELECT p_partkey,
+        |  TRY_CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS INTEGER)
+        |    AS brand_num,
+        |  TRY_CAST(CASE WHEN p_size > 25 THEN CAST(p_size AS VARCHAR)
+        |           ELSE p_type END AS INTEGER) AS maybe_num,
+        |  p_retailprice / NULLIF(p_size - 25, 0) AS per_size,
+        |  COALESCE(p_retailprice / NULLIF(p_size - 25, 0), 0.0)
+        |    AS per_size_safe,
+        |  CAST(p_size AS VARCHAR) AS size_str
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "scalar_url" ->
       """WITH u AS (
         |  SELECT doc_id,
