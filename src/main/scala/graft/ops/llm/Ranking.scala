@@ -39,12 +39,16 @@ object Ranking extends QueryPack {
     * tiny aggregates broadcast back, so the corpus streams once however
     * large it is.
     */
-  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+  def tfidf(spark: SparkSession, dir: String): DataFrame =
+    tfidfFrom(Tables.documents(spark, dir))
+
+  private[llm] def tfidfFrom(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val t  = toks(spark, dir)
+    val t  = docs.select($"doc_id", explode(split($"text", " ")).as("w"))
     val tf = t.groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
     val df = t.groupBy($"w").agg(countDistinct($"doc_id").as("df"))
-    val n  = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val n  = docs.agg(count(lit(1)).as("n_docs"))
     val rn = Window.partitionBy($"doc_id").orderBy($"score".desc, $"w")
     tf.join(broadcast(df), "w").crossJoin(broadcast(n))
       .withColumn("score",
@@ -144,9 +148,13 @@ object Ranking extends QueryPack {
 
   /** The weighted word-transition graph: one distributed pass over the
     * corpus (tokenize → bigram explode → count). */
-  private[llm] def bigramEdges(spark: SparkSession, dir: String): DataFrame = {
+  private[llm] def bigramEdges(spark: SparkSession, dir: String): DataFrame =
+    bigramEdgesFrom(Tables.documents(spark, dir))
+
+  private[llm] def bigramEdgesFrom(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables.documents(spark, dir)
+    docs
       .select(split($"text", " ").as("t"))
       .where(size($"t") >= 2)
       .select(explode(expr(

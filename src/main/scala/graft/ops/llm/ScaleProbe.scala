@@ -63,6 +63,28 @@ object ScaleProbe {
       val (kept, sec) = timedPara(m)
       println(f"[scale-probe] para mult=$m%-3d docs=${nDocs * m}%-7d segs_kept=$kept%-8d time=$sec%.2fs")
     }
+
+    // Ranking pipelines at multiplied corpus: tf-idf (two shuffles over
+    // the token stream) and TextRank (corpus pass + iterate). Both should
+    // scale ≈linearly — the aggregates' key spaces (vocab, vocab²) do not
+    // grow with the multiplier.
+    def corpusM(m: Int) = (0 until m)
+      .map(i => docs.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"), $"text"))
+      .reduce(_ union _)
+    def timedRank(m: Int): (Long, Double, Double) = {
+      val c = corpusM(m)
+      val t0 = System.nanoTime()
+      val nTf = Ranking.tfidfFrom(c).count()
+      val t1 = System.nanoTime()
+      Ranking.textrankDistributed(spark, Ranking.bigramEdgesFrom(c)).count()
+      val t2 = System.nanoTime()
+      (nTf, (t1 - t0) / 1e9, (t2 - t1) / 1e9)
+    }
+    timedRank(1) // warmup
+    Seq(1, mult).distinct.foreach { m =>
+      val (nTf, tfSec, trSec) = timedRank(m)
+      println(f"[scale-probe] rank mult=$m%-3d tfidf_rows=$nTf%-7d tfidf=$tfSec%.2fs textrank_dist=$trSec%.2fs")
+    }
     spark.stop()
   }
 }
