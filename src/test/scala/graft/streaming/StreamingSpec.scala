@@ -57,6 +57,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("C25 chained stateful operators: window-over-window aggregation in " +
+       "ONE streaming query (5-min counts rolled into 10-min maxima)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val fine = in.toDF().toDF("ts", "k")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window($"ts", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+    // second stateful operator chained on the first's event-time column
+    val coarse = fine
+      .groupBy(window(window_time($"window"), "10 minutes").as("w10"))
+      .agg(max($"n").as("peak_5min"), sum($"n").as("total"))
+    val q = coarse.writeStream.format("memory").queryName("chain_sink")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData((ts("10:00:00"), "a"), (ts("10:01:00"), "b"),
+                 (ts("10:06:00"), "c"))
+      q.processAllAvailable()
+      // push the watermark far enough to finalize BOTH stateful layers
+      in.addData((ts("10:30:00"), "z"))
+      q.processAllAvailable()
+      in.addData((ts("10:40:00"), "z2"))
+      q.processAllAvailable()
+      val rows = spark.table("chain_sink")
+        .select($"w10.start".cast("string"), $"peak_5min", $"total")
+        .as[(String, Long, Long)].collect().toSet
+      // [10:00,10:05) held 2 events, [10:05,10:10) held 1 → one 10-min
+      // row with peak 2, total 3
+      assert(rows === Set(("2024-01-01 10:00:00", 2L, 3L)))
+    }
+  }
+
   test("C27 sliding windows assign rows to overlapping windows") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
