@@ -13,8 +13,8 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     Aggregates, Joins, Windows, SortSetOps, Scalars, Keyed, ScansUdx, Reshape,
-    TimeSeries, Fuzzy, Skew, Scd, Merge, Layout, llm.Dedup, llm.Similarity,
-    llm.TextStats, llm.Multimodal, llm.Ranking
+    TimeSeries, Fuzzy, Skew, Scd, Merge, Layout, Tpch, llm.Dedup,
+    llm.Similarity, llm.TextStats, llm.Multimodal, llm.Ranking
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

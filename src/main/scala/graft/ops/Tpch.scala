@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** Composite analytics queries in the TPC-H shape — multi-join +
+  * filter + aggregate + top-k in one plan. The single-operator gates
+  * prove each piece; these prove the pieces COMPOSE the way a real
+  * warehouse workload uses them, with the plan properties that matter at
+  * 100 TB: filters pushed beneath the joins (each table is pre-filtered
+  * before its join), dims broadcast, the fact table shuffled once per
+  * join key, top-k as TakeOrderedAndProject.
+  *
+  * (The reference itself has no such workload; SURVEY.md §2 Tier C
+  * mandates the relational surface these exercise end-to-end.)
+  */
+object Tpch extends QueryPack {
+
+  private val Cutoff = "timestamp'1996-01-01 00:00:00'"
+
+  /** Q3 analog — shipping priority: revenue of not-yet-shipped lineitems
+    * for one customer segment, top-10 orders by revenue.
+    */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .where($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .where(expr(s"o_orderdate < $Cutoff"))
+      .select($"o_orderkey", $"o_custkey",
+              date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
+              $"o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .where(expr(s"l_shipdate > $Cutoff"))
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"order_date", $"o_orderpriority")
+      .agg(Det.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+      .select($"l_orderkey", $"order_date", $"o_orderpriority", $"revenue")
+  }
+
+  /** Q5 analog — local supplier volume: revenue where supplier and
+    * customer share a nation, per nation of one region, one year.
+    * Six tables; region→nation→supplier collapse into one broadcast
+    * dim; the order/lineitem/customer chain shuffles on its join keys.
+    */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nat = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).where($"r_name" === "ASIA"),
+            $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val sup = Tables.supplier(spark, dir)
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_nationkey", $"n_name")
+    val ord = Tables.orders(spark, dir)
+      .where(expr(s"o_orderdate >= $Cutoff") &&
+             expr("o_orderdate < timestamp'1997-01-01 00:00:00'"))
+      .select($"o_orderkey", $"o_custkey")
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey"),
+            $"o_custkey" === $"c_custkey")
+      .where($"c_nationkey" === $"s_nationkey")
+      .groupBy($"n_name")
+      .agg(Det.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q3_shipping_priority" -> (q3Shipping _),
+    "q5_local_supplier"    -> (q5LocalSupplier _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+         |  o_orderpriority,
+         |  ${Det.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1996-01-01'
+         |  AND l_shipdate > TIMESTAMP '1996-01-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      s"""SELECT n_name,
+         |  ${Det.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND c_nationkey = s_nationkey
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin
+  )
+}

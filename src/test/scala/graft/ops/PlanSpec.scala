@@ -186,6 +186,21 @@ class PlanSpec extends SparkSpec {
     assert(plan("llm_bm25").contains("TakeOrderedAndProject"))
   }
 
+  test("q3_shipping_priority: filters pushed to every scan, top-10 is " +
+       "TakeOrderedAndProject over the aggregate") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), " +
+      "EqualTo(c_mktsegment,BUILDING)") || p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+  }
+
+  test("q5_local_supplier: the region→nation→supplier dim chain broadcasts " +
+       "(the fact chain never shuffles for those joins)") {
+    val p = plan("q5_local_supplier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("SWEEP: no gated query plans CartesianProduct (the one deliberate " +
        "cross join is bounded and explicit)") {
     // A cartesian anywhere else means a join lost its equi-condition — the
