@@ -74,9 +74,29 @@ object Tpch extends QueryPack {
       .orderBy($"revenue".desc, $"n_name")
   }
 
+  /** Q18 analog — large-volume orders: aggregate-HAVING subquery feeding
+    * the main join (orders whose total quantity clears a threshold, with
+    * their customer). The quantity sums are int-valued doubles far below
+    * 2^53, so they are exact in any accumulation order — no decimal
+    * detour needed, and the HAVING cut is an exact integer compare.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity").as("total_qty"))
+      .where($"total_qty" > 180.0)
+    big.join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"o_orderkey", $"total_qty")
+      .orderBy($"total_qty".desc, $"o_orderkey")
+      .limit(20)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_shipping_priority" -> (q3Shipping _),
-    "q5_local_supplier"    -> (q5LocalSupplier _)
+    "q5_local_supplier"    -> (q5LocalSupplier _),
+    "q18_large_orders"     -> (q18LargeOrders _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -107,6 +127,15 @@ object Tpch extends QueryPack {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01'
          |  AND o_orderdate < TIMESTAMP '1997-01-01'
          |GROUP BY n_name
-         |ORDER BY revenue DESC, n_name""".stripMargin
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 180.0)
+        |SELECT c_custkey, c_name, o_orderkey, total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin
   )
 }
