@@ -93,10 +93,40 @@ object Tpch extends QueryPack {
       .limit(20)
   }
 
+  /** Data-quality audit — the integrity checks a warehouse runs before
+    * trusting a load: key uniqueness, referential orphans (anti-joins),
+    * null rates, domain violations. One row of counters; each violation
+    * class is a separate linear scan or anti-join, unioned as audit rows
+    * so adding a check never reshapes the output schema.
+    */
+  def auditIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+    val ord  = Tables.orders(spark, dir)
+    val li   = Tables.lineitem(spark, dir)
+    def check(name: String, n: DataFrame): DataFrame =
+      n.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check_name"), $"n_violations")
+    Seq(
+      check("customer_dup_keys",
+        cust.groupBy($"c_custkey").count().where($"count" > 1)),
+      check("orders_orphan_custkey",
+        ord.join(cust, $"o_custkey" === $"c_custkey", "left_anti")),
+      check("lineitem_orphan_orderkey",
+        li.join(ord, $"l_orderkey" === $"o_orderkey", "left_anti")),
+      check("orders_null_or_nonpos_price",
+        ord.where($"o_totalprice".isNull || $"o_totalprice" <= 0)),
+      check("lineitem_discount_out_of_range",
+        li.where($"l_discount" < 0 || $"l_discount" > 0.5)),
+      check("customer_null_name", cust.where($"c_name".isNull))
+    ).reduce(_ union _).orderBy($"check_name")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_shipping_priority" -> (q3Shipping _),
     "q5_local_supplier"    -> (q5LocalSupplier _),
-    "q18_large_orders"     -> (q18LargeOrders _)
+    "q18_large_orders"     -> (q18LargeOrders _),
+    "audit_integrity"      -> (auditIntegrity _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -136,6 +166,26 @@ object Tpch extends QueryPack {
         |FROM big
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
-        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+    "audit_integrity" ->
+      """SELECT * FROM (
+        |  SELECT 'customer_dup_keys' AS check_name, COUNT(*) AS n_violations
+        |  FROM (SELECT c_custkey FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1)
+        |  UNION ALL
+        |  SELECT 'orders_orphan_custkey', COUNT(*) FROM orders
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        |  UNION ALL
+        |  SELECT 'lineitem_orphan_orderkey', COUNT(*) FROM lineitem
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |  UNION ALL
+        |  SELECT 'orders_null_or_nonpos_price', COUNT(*) FROM orders
+        |  WHERE o_totalprice IS NULL OR o_totalprice <= 0
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_out_of_range', COUNT(*) FROM lineitem
+        |  WHERE l_discount < 0 OR l_discount > 0.5
+        |  UNION ALL
+        |  SELECT 'customer_null_name', COUNT(*) FROM customer
+        |  WHERE c_name IS NULL
+        |) ORDER BY check_name""".stripMargin
   )
 }
