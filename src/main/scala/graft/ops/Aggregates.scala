@@ -29,6 +29,24 @@ object Aggregates extends QueryPack {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** Weighted average (discount weighted by quantity) — the ratio of two
+    * decimal-exact sums, each converted to double once, then one exact
+    * IEEE division. Operands chosen overflow-aware: disc·qty ≤ 5, so the
+    * numerator's unscaled decimal stays far below 2^53 at any tested SF
+    * and the decimal→double conversion is a single correctly-rounded op
+    * in both engines (see Det's scaling note).
+    */
+  def weightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg((Det.dsum($"l_discount" * $"l_quantity") / Det.dsum($"l_quantity"))
+             .as("wavg_disc"),
+           Det.dsum($"l_quantity").as("sum_qty"),
+           count(lit(1)).as("n_items"))
+      .orderBy($"l_returnflag")
+  }
+
   /** C14 min/max (exactly order-independent, no decimal detour needed). */
   def minMax(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -300,6 +318,7 @@ object Aggregates extends QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_corr_moments"    -> (corrMoments _),
     "q1_pricing_summary"  -> (q1Pricing _),
+    "agg_weighted_avg"    -> (weightedAvg _),
     "agg_min_max"         -> (minMax _),
     "agg_count_distinct"  -> (countDistinctQ _),
     "agg_approx_distinct" -> (approxDistinct _),
@@ -329,6 +348,14 @@ object Aggregates extends QueryPack {
          |FROM lineitem
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_weighted_avg" ->
+      s"""SELECT l_returnflag,
+         |  (${Det.sqlSum("l_discount * l_quantity")} / ${Det.sqlSum("l_quantity")})
+         |    AS wavg_disc,
+         |  ${Det.sqlSum("l_quantity")} AS sum_qty,
+         |  COUNT(*) AS n_items
+         |FROM lineitem GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
     "agg_min_max" ->
       """SELECT o_orderpriority, MIN(o_totalprice) AS min_price,
         |  MAX(o_totalprice) AS max_price, MIN(o_orderkey) AS min_key,
