@@ -128,6 +128,38 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (the automatic " +
+       "complement to explicit salting)") {
+    // Salting (above) is the deliberate rewrite when skew is known ahead
+    // of time; AQE's skew-join handling is the runtime safety net. Pin
+    // that it engages on our skew shape once its cluster-sized thresholds
+    // (256MB partitions) are scaled down to fixture size.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "20KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "10KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = skewed.join(dim.hint("merge"), Seq("k"))
+        .select($"k", $"v", $"attr")
+      // execute THIS dataframe (count() would be a separate QueryExecution)
+      // so its adaptive plan finalizes
+      assert(joined.collect().length === 10000 + 100 * 10)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the skewed join partition:\n$p")
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("runtime bloom-filter injection prunes the probe side of a " +
        "selective join (Spark's runtime row filtering)") {
     val confs = Seq(
