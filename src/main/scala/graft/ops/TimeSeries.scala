@@ -164,7 +164,32 @@ object TimeSeries extends QueryPack {
       .orderBy($"user_id")
   }
 
+  /** Z-score outlier detection per event type: exact-decimal moments
+    * (the [[graft.ops.Aggregates.stddevMoments]] technique — values
+    * pre-scaled 1/100 so the squared sum's unscaled decimal stays below
+    * 2^53; z-scores are scale-invariant so the flagged set is unchanged),
+    * broadcast back over the stream for the row-level filter. One
+    * aggregate pass + one broadcast join — no window over the full log.
+    */
+  def anomalies(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"event_id", $"event_type", ($"value" / 100.0).as("v"), $"value")
+    val stats = e.groupBy($"event_type")
+      .agg(graft.Det.dsum($"v" * $"v").as("sum_sq"),
+           graft.Det.dsum($"v").as("sum_x"),
+           count($"v").as("n"))
+      .select($"event_type",
+        ($"sum_x" / $"n").as("mean_v"),
+        sqrt(($"sum_sq" - $"sum_x" * $"sum_x" / $"n") / ($"n" - 1)).as("std_v"))
+    e.join(broadcast(stats), "event_type")
+      .where(abs($"v" - $"mean_v") > $"std_v" * 2.0)
+      .select($"event_id", $"event_type", $"value")
+      .orderBy($"event_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_anomaly"     -> (anomalies _),
     "ts_streaks"     -> (streaks _),
     "ts_retention"   -> (retention _),
     "ts_attribution" -> (attribution _),
@@ -174,6 +199,23 @@ object TimeSeries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "ts_anomaly" ->
+      s"""WITH e AS (
+         |  SELECT event_id, event_type, value / 100.0 AS v, value FROM events),
+         |s AS (
+         |  SELECT event_type,
+         |    ${graft.Det.sqlSum("v * v")} AS sum_sq,
+         |    ${graft.Det.sqlSum("v")} AS sum_x,
+         |    COUNT(v) AS n
+         |  FROM e GROUP BY event_type),
+         |st AS (
+         |  SELECT event_type, (sum_x / n) AS mean_v,
+         |    sqrt((sum_sq - sum_x * sum_x / n) / (n - 1)) AS std_v
+         |  FROM s)
+         |SELECT event_id, e.event_type, value
+         |FROM e JOIN st ON e.event_type = st.event_type
+         |WHERE abs(v - mean_v) > std_v * 2.0
+         |ORDER BY event_id""".stripMargin,
     "ts_streaks" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id,
