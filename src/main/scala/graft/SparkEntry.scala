@@ -13,7 +13,7 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     Aggregates, Joins, Windows, SortSetOps, Scalars, Keyed, ScansUdx, Reshape,
-    TimeSeries, Fuzzy, Skew, Scd, Merge, Layout, Tpch, llm.Dedup,
+    TimeSeries, Fuzzy, Skew, Scd, Merge, Layout, Tpch, Graph, llm.Dedup,
     llm.Similarity, llm.TextStats, llm.Multimodal, llm.Ranking
   )
 

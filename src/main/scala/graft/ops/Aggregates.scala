@@ -315,7 +315,63 @@ object Aggregates extends QueryPack {
       .orderBy($"l_returnflag")
   }
 
+  /** Heavy hitters via Count–Min Sketch, tolerance-gated like the HLL
+    * rows. The sketch is built by ONE distributed aggregate (mergeable —
+    * per-partition sketches OR together; only the ~eps⁻¹·ln δ⁻¹ counter
+    * array reaches the driver, never the keys), then the exact per-key
+    * counts of the heavy keys are checked against the sketch's estimates.
+    * CMS guarantees est ≥ exact and P[est > exact + eps·N] < δ; with
+    * eps = 10⁻³ and the fixture's N the slack is far below the planted
+    * heavy keys' counts, so `cms_ok` is deterministically TRUE in any
+    * engine — the oracle asserts the guarantee, not the sketch internals.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val eps = 0.001
+    // one pass for the sketch, one for the scalars it is checked against
+    val sketchBytes = ev
+      .agg(expr(s"count_min_sketch(user_id, ${eps}d, 0.99d, 42)"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+    val est = udf((k: Long) => cms.estimateCount(k))
+    val row = ev.agg(count(lit(1)), count_distinct($"user_id")).head
+    val (total, nu) = (row.getLong(0), row.getLong(1))
+    ev.groupBy($"user_id").agg(count(lit(1)).as("n_exact"))
+      // heavy = ≥ 1.2× the mean key frequency: 5·n·nu ≥ 6·total
+      // (integer-exact compare, engine-independent)
+      .where($"n_exact" * lit(5L * nu) >= lit(6L * total))
+      .select($"user_id", $"n_exact",
+              ($"n_exact" <= est($"user_id") &&
+               est($"user_id") <= $"n_exact" + lit((eps * total).toLong))
+                .as("cms_ok"))
+      .orderBy($"user_id")
+  }
+
+  /** Exact distinct counting via bitmaps — the warehouse pattern for
+    * COUNT(DISTINCT intkey) at 100 TB: each key sets one bit in a
+    * fixed-width bucket bitmap, partial aggregates OR bitmaps instead of
+    * spilling key sets, and the final count sums popcounts. State per
+    * group is O(key range / 8 bytes) bounded, vs. an unbounded hash set
+    * for naive distinct. Gate: equals DuckDB's exact COUNT(DISTINCT).
+    */
+  def bitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag",
+              expr("bitmap_bucket_number(l_partkey)").as("bucket"),
+              expr("bitmap_bit_position(l_partkey)").as("pos"))
+      .groupBy($"l_returnflag", $"bucket")
+      .agg(expr("bitmap_count(bitmap_construct_agg(pos))").as("n_bucket"))
+      .groupBy($"l_returnflag")
+      .agg(sum($"n_bucket").as("n_parts"))
+      .orderBy($"l_returnflag")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_heavy_hitters"   -> (heavyHitters _),
+    "agg_bitmap_distinct" -> (bitmapDistinct _),
     "agg_corr_moments"    -> (corrMoments _),
     "q1_pricing_summary"  -> (q1Pricing _),
     "agg_weighted_avg"    -> (weightedAvg _),
@@ -337,6 +393,17 @@ object Aggregates extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_heavy_hitters" ->
+      """WITH t AS (SELECT COUNT(*) AS total, COUNT(DISTINCT user_id) AS nu
+        |           FROM events)
+        |SELECT user_id, COUNT(*) AS n_exact, TRUE AS cms_ok
+        |FROM events, t
+        |GROUP BY user_id, t.total, t.nu
+        |HAVING COUNT(*) * 5 * nu >= 6 * total
+        |ORDER BY user_id""".stripMargin,
+    "agg_bitmap_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${Det.sqlSum("l_quantity")} AS sum_qty,

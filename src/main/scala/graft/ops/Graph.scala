@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph analytics over a co-occurrence projection of the fact table —
+  * the relational form of the graph workloads a training-data pipeline
+  * runs (entity linking, community sanity checks). The iterative side
+  * (connected components, PageRank) lives in [[llm.Dedup]] /
+  * [[llm.Ranking]]; this pack covers the one-shot combinatorial side.
+  *
+  * Graph: vertices = parts, edges = two parts co-occurring in the same
+  * order among high-quantity lines (`l_quantity > 25` keeps the
+  * projection sparse — the unfiltered co-occurrence graph over the
+  * uniform fixture is near-complete and degenerate for triangle work).
+  */
+object Graph extends QueryPack {
+
+  /** Distinct undirected edges (a < b) of the co-occurrence graph. */
+  private def edges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.lineitem(spark, dir)
+      .where($"l_quantity" > 25)
+      .select($"l_orderkey".as("o"), $"l_partkey".as("s"))
+      .distinct()
+    pairs.as("p1")
+      .join(pairs.as("p2"), $"p1.o" === $"p2.o" && $"p1.s" < $"p2.s")
+      .select($"p1.s".as("a"), $"p2.s".as("b"))
+      .distinct()
+  }
+
+  /** Triangle count via DEGREE-ORIENTED wedge closing. Orienting every
+    * edge from its lower-(degree, id) endpoint to the higher bounds each
+    * vertex's out-degree by O(√m) regardless of how skewed the raw degree
+    * distribution is, so the wedge join's fanout is O(m^1.5) spread evenly
+    * across keys — the hub vertex that would explode a naive
+    * neighbor-pair enumeration at 100 TB becomes a SINK (out-degree small)
+    * instead of a wedge center. Each triangle is counted exactly once
+    * because orientation by a total order makes the triangle a DAG with
+    * one unique source. The oracle counts the same triangles with the
+    * plain id-ordered 3-way self-join (the count is orientation-
+    * invariant), so the gate proves the optimized form equals the
+    * textbook form.
+    */
+  def trianglesQ(spark: SparkSession, dir: String): DataFrame =
+    triangleSummary(spark, edges(spark, dir))
+
+  /** Vertex/edge/triangle counts of an undirected graph given as distinct
+    * `(a, b)` edge rows with `a < b`. Separated from the fixture wiring so
+    * the orientation-invariance law is testable on handcrafted graphs.
+    */
+  def triangleSummary(spark: SparkSession, e: DataFrame): DataFrame = {
+    import spark.implicits._
+    val deg = e.select($"a".as("v")).union(e.select($"b".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("deg"))
+    // total order k(v) = (degree, id); both branches build the SAME field
+    // names so the when/otherwise struct types unify
+    val ka = struct($"da".as("d"), $"a".as("i"))
+    val kb = struct($"db".as("d"), $"b".as("i"))
+    val oriented = e
+      .join(deg.select($"v".as("a"), $"deg".as("da")), "a")
+      .join(deg.select($"v".as("b"), $"deg".as("db")), "b")
+      .select(
+        when(ka < kb, $"a").otherwise($"b").as("src"),
+        when(ka < kb, kb).otherwise(ka).as("kdst"))
+      .withColumn("dst", $"kdst.i")
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+            $"e1.src" === $"e2.src" && $"e1.kdst" < $"e2.kdst")
+      .select($"e1.dst".as("v"), $"e2.dst".as("w"))
+      .join(oriented.as("e3"), $"v" === $"e3.src" && $"w" === $"e3.dst", "left_semi")
+    val nv = deg.agg(count(lit(1)).as("n_vertices"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    val nt = tri.agg(count(lit(1)).as("n_triangles"))
+    nv.crossJoin(ne).crossJoin(nt)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_triangles" -> (trianglesQ _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "graph_triangles" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS s
+        |  FROM lineitem WHERE l_quantity > 25),
+        |edges AS (
+        |  SELECT DISTINCT p1.s AS a, p2.s AS b
+        |  FROM pairs p1 JOIN pairs p2 ON p1.o = p2.o AND p1.s < p2.s),
+        |verts AS (SELECT a AS v FROM edges UNION SELECT b FROM edges)
+        |SELECT
+        |  (SELECT COUNT(*) FROM verts) AS n_vertices,
+        |  (SELECT COUNT(*) FROM edges) AS n_edges,
+        |  (SELECT COUNT(*) FROM edges e1
+        |     JOIN edges e2 ON e2.a = e1.b
+        |     JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""".stripMargin
+  )
+}

@@ -222,7 +222,38 @@ object Joins extends QueryPack {
       .orderBy($"month")
   }
 
+  /** Bloom-filter semi-join reduction — sideways information passing: the
+    * filtering side (machinery-segment customers) is summarized into a
+    * Bloom filter (a few MB regardless of row count: built distributed
+    * via `df.stat.bloomFilter`'s internal treeAggregate, only the BITS
+    * reach the driver), the fact table is pre-filtered by `mightContain`
+    * BEFORE its shuffle, and the exact semi join afterwards removes the
+    * false positives. At 100 TB this is the pattern that keeps a
+    * selective dim-filtered join from shuffling the whole fact table —
+    * Spark's own runtime row-level filtering does the same rewrite, but
+    * only when statistics let it; this form forces it. The oracle is the
+    * PLAIN semi join: the Bloom pass must be semantically invisible
+    * (no false negatives; positives re-verified).
+    */
+  def bloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val custKeys = Tables.customer(spark, dir)
+      .where($"c_mktsegment" === "MACHINERY")
+      .select($"c_custkey")
+    // ~1% fpp at the fixture's key count; 8 bits/key → stays tiny even
+    // if sized for 10^9 keys (~1.2 GB, still executor-broadcastable)
+    val bloom = custKeys.stat.bloomFilter("c_custkey", 100000L, 0.01)
+    val mightContain = udf((k: Long) => bloom.mightContainLong(k))
+    Tables.orders(spark, dir)
+      .where(mightContain($"o_custkey"))            // cheap map-side cut
+      .join(custKeys, $"o_custkey" === $"c_custkey", "left_semi") // exact
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), Det.dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderpriority")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_bloom_prefilter"  -> (bloomPrefilter _),
     "join_inner_equi"       -> (innerEqui _),
     "join_left_outer"       -> (leftOuter _),
     "join_right_outer"      -> (rightOuter _),
@@ -237,6 +268,14 @@ object Joins extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "join_bloom_prefilter" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  ${Det.sqlSum("o_totalprice")} AS total
+         |FROM orders
+         |WHERE EXISTS (SELECT 1 FROM customer
+         |              WHERE c_custkey = o_custkey
+         |                AND c_mktsegment = 'MACHINERY')
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "join_inner_equi" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n_items,
          |  ${Det.sqlSum("l_extendedprice")} AS revenue

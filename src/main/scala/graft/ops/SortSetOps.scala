@@ -71,7 +71,31 @@ object SortSetOps extends QueryPack {
       .orderBy($"p_partkey")
   }
 
+  /** Stratified fixed-k sampling: exactly k rows per stratum, chosen by
+    * a deterministic hash order — the repeatable train/eval sampling a
+    * data pipeline needs (same sample on every run, any cluster size, no
+    * RNG state). One shuffle on the stratum key; the per-group top-k by
+    * hash is a window row_number, which AQE executes as a partial
+    * top-k per partition before the exchange. Ranking by
+    * [[llm.CrossHash.hex60]] makes the oracle replay the SAME sample —
+    * sampling decisions are portable across engines, so a DuckDB-side
+    * audit of a Spark-drawn sample agrees row-for-row.
+    */
+  def sampleStratifiedK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy(col("hv"), $"c_custkey")
+    Tables.customer(spark, dir)
+      .withColumn("hv", expr(llm.CrossHash.hex60("cast(c_custkey as string)")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where($"rk" <= 4)
+      .select($"c_mktsegment", $"rk", $"c_custkey", $"c_name")
+      .orderBy($"c_mktsegment", $"rk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_stratified_k" -> (sampleStratifiedK _),
     "topk_global"      -> (topKGlobal _),
     "sort_multi_key"   -> (sortMultiKey _),
     "set_union"        -> (unionDistinct _),
@@ -81,6 +105,16 @@ object SortSetOps extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "sample_stratified_k" ->
+      s"""WITH ranked AS (
+         |  SELECT c_mktsegment, c_custkey, c_name,
+         |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+         |      ORDER BY ${llm.CrossHash.hex60Sql("CAST(c_custkey AS VARCHAR)")},
+         |               c_custkey) AS rk
+         |  FROM customer)
+         |SELECT c_mktsegment, rk, c_custkey, c_name
+         |FROM ranked WHERE rk <= 4
+         |ORDER BY c_mktsegment, rk""".stripMargin,
     "topk_global" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber

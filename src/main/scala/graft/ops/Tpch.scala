@@ -93,6 +93,84 @@ object Tpch extends QueryPack {
       .limit(20)
   }
 
+  /** Q4 analog — order-priority checking: orders in one quarter that had
+    * at least one returned lineitem, counted per priority. The EXISTS
+    * becomes a LEFT SEMI join: the fact-to-fact probe never widens rows
+    * (semi output ≤ left input) and duplicate matching lineitems are
+    * absorbed by the join itself instead of a post-hoc distinct — at
+    * 100 TB that is the difference between shuffling the lineitem rows
+    * once and materializing a joined blow-up. (Fixture lineitem has no
+    * commitdate/receiptdate, so the reference predicate `l_commitdate <
+    * l_receiptdate` is replaced by `l_returnflag = 'R'` — same shape.)
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .where(expr(s"o_orderdate >= $Cutoff") &&
+             expr("o_orderdate < timestamp'1996-04-01 00:00:00'"))
+      .select($"o_orderkey", $"o_orderpriority")
+    val returned = Tables.lineitem(spark, dir)
+      .where($"l_returnflag" === "R").select($"l_orderkey")
+    ord.join(returned, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Q7 analog — volume shipping between two nations, by direction and
+    * ship year. Both nation filters collapse into broadcast dims
+    * (supplier side and customer side), so the only shuffles are the
+    * lineitem→orders key and the orders→customer key; the OR over the
+    * two directions is a post-join filter on two broadcast-joined
+    * columns, not a join condition, keeping both joins equi.
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nat = Tables.nation(spark, dir)
+      .where($"n_name".isin("NATION_1", "NATION_2"))
+    val sup = Tables.supplier(spark, dir)
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .where(expr("l_shipdate >= timestamp'1997-01-01 00:00:00'") &&
+             expr("l_shipdate < timestamp'1999-01-01 00:00:00'"))
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate",
+              $"l_extendedprice", $"l_discount")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .where($"supp_nation" =!= $"cust_nation")
+      .groupBy($"supp_nation", $"cust_nation",
+               year($"l_shipdate").cast("long").as("ship_year"))
+      .agg(Det.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("volume"))
+      .orderBy($"supp_nation", $"cust_nation", $"ship_year")
+  }
+
+  /** Q13 analog — customer order-count distribution: LEFT OUTER join so
+    * zero-order customers survive with n_orders = 0, then a second
+    * aggregation over the first's output. The join-side filter
+    * (priority ≠ URGENT) rides INSIDE the join condition — pushing it
+    * into a WHERE after an outer join would silently turn the join
+    * inner and drop the zero-order bucket.
+    */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderpriority")
+    Tables.customer(spark, dir).select($"c_custkey")
+      .join(ord, $"c_custkey" === $"o_custkey" &&
+                 $"o_orderpriority" =!= "1-URGENT", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("n_orders"))
+      .groupBy($"n_orders")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"n_customers".desc, $"n_orders".desc)
+  }
+
   /** Data-quality audit — the integrity checks a warehouse runs before
     * trusting a load: key uniqueness, referential orphans (anti-joins),
     * null rates, domain violations. One row of counters; each violation
@@ -124,7 +202,10 @@ object Tpch extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_shipping_priority" -> (q3Shipping _),
+    "q4_order_priority"    -> (q4OrderPriority _),
     "q5_local_supplier"    -> (q5LocalSupplier _),
+    "q7_volume_shipping"   -> (q7VolumeShipping _),
+    "q13_customer_distribution" -> (q13CustomerDistribution _),
     "q18_large_orders"     -> (q18LargeOrders _),
     "audit_integrity"      -> (auditIntegrity _)
   )
@@ -158,6 +239,43 @@ object Tpch extends QueryPack {
          |  AND o_orderdate < TIMESTAMP '1997-01-01'
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q7_volume_shipping" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         |  EXTRACT(YEAR FROM l_shipdate) AS ship_year,
+         |  ${Det.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS volume
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+         |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+         |  AND sn.n_name <> cn.n_name
+         |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate < TIMESTAMP '1999-01-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY supp_nation, cust_nation, ship_year""".stripMargin,
+    "q13_customer_distribution" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |  FROM customer
+        |  LEFT JOIN orders ON c_custkey = o_custkey
+        |                  AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT n_orders, COUNT(*) AS n_customers
+        |FROM per_cust
+        |GROUP BY n_orders
+        |ORDER BY n_customers DESC, n_orders DESC""".stripMargin,
     "q18_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey, SUM(l_quantity) AS total_qty

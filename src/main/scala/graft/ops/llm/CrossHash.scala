@@ -8,7 +8,7 @@ package graft.ops.llm
   * sampling buckets) derives from this single definition so the
   * determinism-critical expression can never drift between queries.
   */
-private[llm] object CrossHash {
+private[ops] object CrossHash {
 
   /** Spark SQL expression string: hex60 of `inner` as BIGINT. */
   def hex60(inner: String): String =

@@ -34,6 +34,21 @@ class LawsSpec extends SparkSpec {
       .agg(max_by(struct($"off", $"v"), $"off").as("last"))
       .select($"key", $"last.off".as("off"), $"last.v".as("v"))
 
+  test("count-min sketch never underestimates, for EVERY key (the one-sided " +
+       "guarantee agg_heavy_hitters gates on its heavy subset)") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val bytes = ev.agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val exact = ev.groupBy($"user_id").count().collect()
+    assert(exact.nonEmpty)
+    exact.foreach { r =>
+      val (k, n) = (r.getLong(0), r.getLong(1))
+      assert(cms.estimateCount(k) >= n, s"CMS underestimated key $k")
+    }
+  }
+
   test("exact dedup is idempotent (C36)") {
     for (log <- samples(10)) {
       val df = log.toDF("off", "key", "v").select($"key", $"v")

@@ -201,6 +201,48 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q4_order_priority: the EXISTS is a LEFT SEMI join (no row blow-up, " +
+       "no distinct after the join)") {
+    val p = plan("q4_order_priority")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("HashAggregate(keys=[o_orderkey"), p)
+  }
+
+  test("q7_volume_shipping: both nation-filtered dims broadcast; the fact " +
+       "never shuffles for them") {
+    val p = plan("q7_volume_shipping")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q13_customer_distribution: outer join survives (zero-order bucket " +
+       "present) and both aggregations are partial+final") {
+    val p = plan("q13_customer_distribution")
+    assert(p.contains("LeftOuter"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("join_bloom_prefilter: the bloom probe filters BELOW the semi join " +
+       "(map-side cut before the shuffle)") {
+    val p = plan("join_bloom_prefilter")
+    val semiAt = p.indexOf("LeftSemi")
+    val udfAt = p.lastIndexOf("UDF")
+    assert(semiAt >= 0 && udfAt > semiAt,
+      s"bloom probe must sit under the join (semi@$semiAt, udf@$udfAt)\n$p")
+  }
+
+  test("agg_bitmap_distinct: no Expand, no sort — two clean hash aggregates") {
+    val p = plan("agg_bitmap_distinct")
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("sample_stratified_k: rank filter becomes WindowGroupLimit (per-" +
+       "partition top-k before the stratum shuffle, not a full sort+filter)") {
+    val p = plan("sample_stratified_k")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("SWEEP: no gated query plans CartesianProduct (the one deliberate " +
        "cross join is bounded and explicit)") {
     // A cartesian anywhere else means a join lost its equi-condition — the
