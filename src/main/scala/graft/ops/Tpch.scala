@@ -200,13 +200,141 @@ object Tpch extends QueryPack {
     ).reduce(_ union _).orderBy($"check_name")
   }
 
+  /** Q10 analog — returned-item reporting: the customers who returned the
+    * most revenue in one quarter, with their nation. Classic fact-heavy
+    * top-k: the returnflag filter prunes lineitem at the scan, the quarter
+    * filter prunes orders before the join, nation rides in as a broadcast,
+    * and the final top-20 is TakeOrderedAndProject over the aggregate —
+    * never a global sort of the customer dimension.
+    */
+  def q10ReturnedItem(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .where(expr("o_orderdate >= timestamp'1997-01-01 00:00:00'") &&
+             expr("o_orderdate < timestamp'1997-04-01 00:00:00'"))
+      .select($"o_orderkey", $"o_custkey")
+    Tables.lineitem(spark, dir)
+      .where($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, dir)
+              .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal"),
+            $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)
+              .select($"n_nationkey", $"n_name")),
+            $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"n_name", $"c_acctbal")
+      .agg(Det.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+      .select($"c_custkey", $"c_name", $"n_name", $"c_acctbal", $"revenue")
+  }
+
+  /** Q14 analog — promotion effect: the share of one month's revenue that
+    * came from PROMO-typed parts. Part is the broadcast side; both sums
+    * come out of ONE aggregate over one lineitem pass (a conditional sum,
+    * not two scans), and the final percentage is a single ordered
+    * double expression over the two exact-decimal sums.
+    */
+  def q14PromoEffect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    Tables.lineitem(spark, dir)
+      .where(expr("l_shipdate >= timestamp'1997-03-01 00:00:00'") &&
+             expr("l_shipdate < timestamp'1997-04-01 00:00:00'"))
+      .select($"l_partkey", $"l_extendedprice", $"l_discount")
+      .join(broadcast(Tables.part(spark, dir).select($"p_partkey", $"p_type")),
+            $"l_partkey" === $"p_partkey")
+      .agg(Det.dsum(when($"p_type" === "PROMO", rev).otherwise(lit(0.0))).as("promo_rev"),
+           Det.dsum(rev).as("total_rev"))
+      .select((lit(100.0) * $"promo_rev" / $"total_rev").as("promo_pct"),
+              $"promo_rev", $"total_rev")
+  }
+
+  /** Q16 analog — supplier variety per part profile: how many distinct
+    * suppliers ship each (brand, type, size), excluding one brand and
+    * suppliers in bad standing (negative balance — the fixture's stand-in
+    * for TPC-H's complaint filter). The fixture has no partsupp table, so
+    * the observed (part, supplier) pairs from lineitem stand in for it —
+    * distinct-ed BEFORE the joins so the heavy fact collapses to the pair
+    * domain first. The exclusion list is tiny → anti-join broadcasts;
+    * part attributes broadcast; the count-distinct shuffles once on the
+    * (brand, type, size) profile key.
+    */
+  def q16SupplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_suppkey").distinct()
+    val excluded = Tables.supplier(spark, dir)
+      .where($"s_acctbal" < 0.0).select($"s_suppkey")
+    pairs
+      .join(broadcast(excluded), $"l_suppkey" === $"s_suppkey", "left_anti")
+      .join(broadcast(Tables.part(spark, dir)
+              .where($"p_brand" =!= "Brand#9")
+              .select($"p_partkey", $"p_brand", $"p_type", $"p_size")),
+            $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
+
+  /** Q19 analog — discounted revenue under an OR-of-ANDs predicate
+    * (brand × size-band × quantity-band). The join itself stays a plain
+    * broadcast equi-join on partkey; the disjunction is a post-join
+    * filter, so Catalyst keeps the join strategy and pushes the shared
+    * `p_size <= 15` / quantity envelope beneath it where it can. The
+    * answer is one row: exact-decimal revenue + the matched line count.
+    */
+  def q19DiscountedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val joined = Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice", $"l_discount")
+      .join(broadcast(Tables.part(spark, dir)
+              .select($"p_partkey", $"p_brand", $"p_size")),
+            $"l_partkey" === $"p_partkey")
+    joined.where(
+        ($"p_brand" === "Brand#1"  && $"p_size".between(1, 5)  && $"l_quantity".between(1, 11)) ||
+        ($"p_brand" === "Brand#13" && $"p_size".between(1, 10) && $"l_quantity".between(10, 20)) ||
+        ($"p_brand" === "Brand#23" && $"p_size".between(1, 15) && $"l_quantity".between(20, 30)))
+      .agg(Det.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+           count(lit(1)).as("n_lines"))
+  }
+
+  /** Q22 analog — dormant high-balance customers: customers whose balance
+    * beats the positive-balance average but who placed no order after the
+    * cutoff, bucketed by market segment. Composes a scalar subquery (the
+    * global average, a one-row broadcast cross join — never a shuffle) with
+    * an anti-join against the filtered fact. The average itself is
+    * decimal-exact so the `>` cut is bit-identical cross-engine.
+    */
+  def q22DormantCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+    val avgBal = cust.where($"c_acctbal" > 0.0)
+      .agg(Det.davg($"c_acctbal").as("avg_bal"))
+    val recent = Tables.orders(spark, dir)
+      .where(expr("o_orderdate >= timestamp'2000-01-01 00:00:00'"))
+      .select($"o_custkey")
+    cust.crossJoin(broadcast(avgBal))
+      .where($"c_acctbal" > $"avg_bal")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"), Det.dsum($"c_acctbal").as("total_bal"))
+      .orderBy($"c_mktsegment")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_shipping_priority" -> (q3Shipping _),
     "q4_order_priority"    -> (q4OrderPriority _),
     "q5_local_supplier"    -> (q5LocalSupplier _),
     "q7_volume_shipping"   -> (q7VolumeShipping _),
+    "q10_returned_item"    -> (q10ReturnedItem _),
     "q13_customer_distribution" -> (q13CustomerDistribution _),
+    "q14_promo_effect"     -> (q14PromoEffect _),
+    "q16_supplier_variety" -> (q16SupplierVariety _),
     "q18_large_orders"     -> (q18LargeOrders _),
+    "q19_discounted_revenue" -> (q19DiscountedRevenue _),
+    "q22_dormant_customers" -> (q22DormantCustomers _),
     "audit_integrity"      -> (auditIntegrity _)
   )
 
@@ -265,6 +393,59 @@ object Tpch extends QueryPack {
          |  AND l_shipdate < TIMESTAMP '1999-01-01'
          |GROUP BY 1, 2, 3
          |ORDER BY supp_nation, cust_nation, ship_year""".stripMargin,
+    "q10_returned_item" ->
+      s"""SELECT c_custkey, c_name, n_name, c_acctbal,
+         |  ${Det.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-04-01'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q14_promo_effect" ->
+      s"""WITH sums AS (
+         |  SELECT
+         |    ${Det.sqlSum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS promo_rev,
+         |    ${Det.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS total_rev
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01')
+         |SELECT 100.0 * promo_rev / total_rev AS promo_pct, promo_rev, total_rev
+         |FROM sums""".stripMargin,
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#9'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q19_discounted_revenue" ->
+      s"""SELECT
+         |  ${Det.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 5
+         |        AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+         |        AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15
+         |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_dormant_customers" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_customers,
+         |  ${Det.sqlSum("c_acctbal")} AS total_bal
+         |FROM customer
+         |WHERE c_acctbal > (SELECT ${Det.sqlAvg("c_acctbal")}
+         |                   FROM customer WHERE c_acctbal > 0.0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |                  WHERE o_custkey = c_custkey
+         |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin,
     "q13_customer_distribution" ->
       """WITH per_cust AS (
         |  SELECT c_custkey, COUNT(o_orderkey) AS n_orders

@@ -222,6 +222,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q10_returned_item: returnflag filter pushed to the lineitem scan, " +
+       "nation broadcast, top-20 is TakeOrderedAndProject") {
+    val p = plan("q10_returned_item")
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q14_promo_effect: ONE lineitem pass — a single aggregate computes " +
+       "both conditional sums; part broadcasts") {
+    val p = plan("q14_promo_effect")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // one partial+final pair, not two separate aggregations unioned
+    assert("HashAggregate".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q16_supplier_variety: exclusion anti-join broadcasts (tiny list " +
+       "never shuffles the pair fact)") {
+    val p = plan("q16_supplier_variety")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
+  test("q19_discounted_revenue: the OR-of-ANDs stays a broadcast equi-join " +
+       "(no nested-loop fallback)") {
+    val p = plan("q19_discounted_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q22_dormant_customers: scalar subquery is a broadcast (one-row " +
+       "cross join, no shuffle), dormancy is an anti-join") {
+    val p = plan("q22_dormant_customers")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("join_bloom_prefilter: the bloom probe filters BELOW the semi join " +
        "(map-side cut before the shuffle)") {
     val p = plan("join_bloom_prefilter")
