@@ -14,7 +14,7 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     Aggregates, Joins, Windows, SortSetOps, Scalars, Keyed, ScansUdx, Reshape,
     TimeSeries, Fuzzy, Skew, Scd, Merge, Layout, Tpch, Graph, llm.Dedup,
-    llm.Similarity, llm.TextStats, llm.Multimodal, llm.Ranking
+    llm.Similarity, llm.TextStats, llm.Multimodal, llm.Ranking, llm.Curation
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,225 @@
+package graft.ops.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.QueryPack
+
+/** Corpus-curation operators that sit between cleaning and tokenization
+  * in a training-data pipeline: context-window chunking (split long
+  * documents into overlapping model-context slices), boilerplate
+  * removal (drop segments repeated across documents — the C4/RefinedWeb
+  * line-dedup pass, but removing ALL occurrences rather than keeping the
+  * first as [[Dedup.paraDedup]] does), and statistical-LM scoring (rank
+  * documents by how well a corpus bigram model predicts them — the
+  * classic perplexity quality filter).
+  *
+  * Scale notes: every operator is explode + window-partitioned-by-key +
+  * hash aggregate — the shapes that survive any corpus size. Nothing
+  * here materializes to the driver; the only broadcasts are the
+  * vocab-bounded count tables in [[perplexity]] (and those degrade
+  * gracefully to shuffle joins when the vocabulary is open — the hint is
+  * on the provably-small side only).
+  */
+object Curation extends QueryPack {
+
+  /** Context window (tokens) and stride for [[chunking]]. Stride < window
+    * gives the overlap that lets attention see across chunk boundaries.
+    */
+  private val ChunkW = 32
+  private val ChunkS = 24
+
+  /** Sliding-window context chunking: split each document into
+    * fixed-token chunks of [[ChunkW]] tokens every [[ChunkS]] — the
+    * standard way long documents become training sequences. Emits one row
+    * per chunk with its token span and an md5 of the actual slice (the
+    * gate proves the slicing, not just the arithmetic).
+    *
+    * Scale: one scan + one explode bounded by tokens/stride per doc; no
+    * shuffle at all until the output sort — chunk arithmetic is pure
+    * per-row integer work, so this pipelines with whatever runs next.
+    */
+  def chunking(spark: SparkSession, dir: String): DataFrame =
+    chunkingFrom(Tables.documents(spark, dir))
+
+  /** [[chunking]] over any (doc_id, text) corpus — the law-test entry. */
+  def chunkingFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .withColumn("n_tokens", size($"ws").cast("long"))
+      .withColumn("n_chunks",
+        when($"n_tokens" <= ChunkW, lit(1L))
+          .otherwise(expr(s"1 + (n_tokens - $ChunkW + ${ChunkS - 1}) div $ChunkS")))
+      .select($"doc_id", $"ws", $"n_tokens",
+              explode(sequence(lit(0L), $"n_chunks" - 1)).as("chunk_i"))
+      .withColumn("start_tok", $"chunk_i" * ChunkS)
+      .withColumn("end_tok", least($"start_tok" + ChunkW, $"n_tokens"))
+      .withColumn("chunk_toks", $"end_tok" - $"start_tok")
+      .select($"doc_id", $"n_tokens", $"chunk_i", $"start_tok", $"end_tok",
+              $"chunk_toks",
+              md5(array_join(
+                slice($"ws", ($"start_tok" + 1).cast("int"),
+                      $"chunk_toks".cast("int")), " ")).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_i")
+  }
+
+  /** Segment width (words) for [[boilerplate]] — same stand-in-for-lines
+    * convention as [[Dedup.paraDedup]] (the fixture text has no newlines).
+    */
+  private val SegWords = 10
+
+  /** Boilerplate removal: segments that appear in ≥ 2 DISTINCT documents
+    * are boilerplate (headers, footers, license banners) and every
+    * occurrence is dropped; the per-document residue is reassembled in
+    * order. Differs from paragraph dedup (keep-first) exactly the way C4's
+    * "discard any line seen more than once" differs from RefinedWeb dedup.
+    *
+    * The document-frequency per segment comes from dense_rank + max over
+    * the same `seg` partition — ONE shuffle, no self-join, and the rank is
+    * streaming (no per-key buffering), so a viral segment skews a sort,
+    * never a hash table.
+    */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame =
+    boilerplateFrom(Tables.documents(spark, dir))
+
+  /** [[boilerplate]] over any (doc_id, text) corpus — the law-test entry. */
+  def boilerplateFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    // dense_rank over doc_id ONLY: a document that repeats the segment
+    // internally must not inflate the distinct-document frequency
+    val wRank = Window.partitionBy($"seg").orderBy($"doc_id")
+    val wSeg  = Window.partitionBy($"seg")
+    docs
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", explode(expr(
+        s"""transform(
+           |  sequence(0, cast(ceil(size(ws) / $SegWords.0) as int) - 1),
+           |  i -> struct(
+           |    cast(i as bigint) as seg_i,
+           |    array_join(slice(ws, i * $SegWords + 1, $SegWords), ' ') as seg))
+           |""".stripMargin)).as("s"))
+      .select($"doc_id", $"s.seg_i", $"s.seg")
+      .withColumn("dr", dense_rank().over(wRank))
+      .withColumn("df", max($"dr").over(wSeg))
+      .withColumn("keep", $"df" < 2)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_seg"),
+           sum(when($"keep", 0L).otherwise(1L)).as("n_boiler"),
+           md5(array_join(
+             transform(
+               array_sort(collect_list(when($"keep", struct($"seg_i", $"seg")))),
+               x => x.getField("seg")),
+             " ")).as("clean_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** Statistical-LM document scoring — the perplexity quality filter. A
+    * corpus bigram model is fit in-plan (prefix counts c1(w₁) and bigram
+    * counts c2(w₁,w₂) over adjacent token pairs); each document is scored
+    * by its mean inverse conditional-probability support. True perplexity
+    * exponentiates a mean log-probability, but libm `ln` is not
+    * correctly-rounded and differs across engines, so the gate uses the
+    * monotone-equivalent RATIONAL surprisal Σc1/Σc2 — exact integers up to
+    * one final correctly-rounded division, bit-identical at any scale and
+    * ranking documents the same way for the filter's purpose.
+    *
+    * Scale: the pair stream shuffles once on doc_id (the lead window);
+    * the count tables are vocabulary-bounded — broadcast here, and the
+    * identical plan without the hint shuffle-joins on w₁/(w₁,w₂) when the
+    * vocabulary is open. Nothing is quadratic anywhere.
+    */
+  def perplexity(spark: SparkSession, dir: String): DataFrame =
+    perplexityFrom(Tables.documents(spark, dir))
+
+  /** [[perplexity]] over any (doc_id, text) corpus — the law-test entry. */
+  def perplexityFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    val pairs = docs
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w1")))
+      .withColumn("w2", lead($"w1", 1).over(wDoc))
+      .where($"w2".isNotNull)
+      .select($"doc_id", $"w1", $"w2")
+    val c1 = pairs.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val c2 = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    pairs
+      .join(broadcast(c1), Seq("w1"))
+      .join(broadcast(c2), Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+           sum($"c1").as("sum_prefix_cnt"),
+           sum($"c2").as("sum_bigram_cnt"))
+      .select($"doc_id", $"n_pairs", $"sum_prefix_cnt", $"sum_bigram_cnt",
+              ($"sum_prefix_cnt".cast("double") / $"sum_bigram_cnt").as("ppl_proxy"))
+      .orderBy($"doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_chunking"    -> (chunking _),
+    "llm_boilerplate" -> (boilerplate _),
+    "llm_perplexity"  -> (perplexity _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "llm_chunking" ->
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |d AS (SELECT doc_id, w, len(w) AS n,
+         |        CASE WHEN len(w) <= $ChunkW THEN 1
+         |             ELSE 1 + (len(w) - $ChunkW + ${ChunkS - 1}) // $ChunkS END AS n_chunks
+         |      FROM ws),
+         |ex AS (SELECT doc_id, w, n, unnest(range(n_chunks)) AS chunk_i FROM d)
+         |SELECT doc_id, n AS n_tokens, chunk_i,
+         |  chunk_i * $ChunkS AS start_tok,
+         |  least(chunk_i * $ChunkS + $ChunkW, n) AS end_tok,
+         |  least(chunk_i * $ChunkS + $ChunkW, n) - chunk_i * $ChunkS AS chunk_toks,
+         |  md5(array_to_string(
+         |    list_slice(w, chunk_i * $ChunkS + 1,
+         |               least(chunk_i * $ChunkS + $ChunkW, n)), ' ')) AS chunk_md5
+         |FROM ex
+         |ORDER BY doc_id, chunk_i""".stripMargin,
+    "llm_boilerplate" ->
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |ex AS (SELECT doc_id, w,
+         |         unnest(range(CAST(ceil(len(w) / $SegWords.0) AS BIGINT))) AS seg_i
+         |       FROM ws),
+         |segs AS (SELECT doc_id, seg_i,
+         |           array_to_string(
+         |             list_slice(w, seg_i * $SegWords + 1,
+         |                        seg_i * $SegWords + $SegWords), ' ') AS seg
+         |         FROM ex),
+         |ranked AS (SELECT doc_id, seg_i, seg,
+         |             MAX(dr) OVER (PARTITION BY seg) AS df
+         |           FROM (SELECT *, DENSE_RANK() OVER
+         |                   (PARTITION BY seg ORDER BY doc_id) AS dr
+         |                 FROM segs))
+         |SELECT doc_id, COUNT(*) AS n_seg,
+         |  SUM(CASE WHEN df < 2 THEN 0 ELSE 1 END)::BIGINT AS n_boiler,
+         |  md5(COALESCE(string_agg(CASE WHEN df < 2 THEN seg END, ' '
+         |                          ORDER BY seg_i), '')) AS clean_md5
+         |FROM ranked
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+    "llm_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS w1
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |p AS (
+        |  SELECT doc_id, w1,
+        |         LEAD(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM toks),
+        |pairs AS (SELECT doc_id, w1, w2 FROM p WHERE w2 IS NOT NULL),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY w1, w2)
+        |SELECT doc_id, COUNT(*) AS n_pairs,
+        |  SUM(c1.c1)::BIGINT AS sum_prefix_cnt,
+        |  SUM(c2.c2)::BIGINT AS sum_bigram_cnt,
+        |  (CAST(SUM(c1.c1) AS DOUBLE) / SUM(c2.c2)::BIGINT) AS ppl_proxy
+        |FROM pairs
+        |JOIN c1 USING (w1)
+        |JOIN c2 USING (w1, w2)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+  )
+}
