@@ -156,11 +156,125 @@ object Curation extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** Number of BPE merge rounds [[bpeMerges]] learns. */
+  private val BpeIters = 8
+
+  /** BPE tokenizer training — the learn-the-merges half of byte-pair
+    * encoding: [[BpeIters]] rounds of "count adjacent symbol pairs across
+    * the word-frequency table, merge the most frequent everywhere"
+    * (tie-break: count desc, then pair lexicographic — total order, so
+    * both engines pick the same pair). Output is the learned merge table,
+    * which IS the tokenizer artifact a training pipeline ships.
+    *
+    * State encoding: `' sym  sym  sym '` — TWO spaces between symbols, ONE
+    * at each edge. A merge of pair (a,b) is then the literal replacement
+    * `' a  b ' → ' ab '`: adjacent occurrences each own one space of the
+    * shared two-space gap, so plain left-to-right non-overlapping
+    * `replace` (identical semantics in Spark and DuckDB) applies the merge
+    * exactly the way BPE defines it — no occurrence is ever blocked by a
+    * neighbor having consumed its boundary space, and a merged symbol can
+    * never spuriously re-match (the pattern requires the bare symbol
+    * between separators).
+    *
+    * Scale: the corpus collapses to the word-frequency table in one hash
+    * aggregate FIRST (BPE statistics are word-level — the classic
+    * optimization), so each round's pair count runs over |vocab| rows,
+    * not the corpus. Each round is one explode + one aggregate + a one-row
+    * driver probe (the argmax — bounded, like [[Ranking.textrank]]'s
+    * probe) + one projection; nothing iterative ever rescans raw text.
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesFrom(Tables.documents(spark, dir))
+
+  /** [[bpeMerges]] over any (doc_id, text) corpus — the law-test entry. */
+  def bpeMergesFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val spark = docs.sparkSession
+    // word-frequency table: the only corpus-wide pass
+    var states = docs
+      .select(explode(split($"text", " ")).as("word"))
+      .where(length($"word") > 0)
+      .groupBy($"word").agg(count(lit(1)).as("f"))
+      .select($"f",
+        concat(lit(" "),
+               trim(regexp_replace($"word", "(.)", "$1  ")),
+               lit(" ")).as("state"))
+      .localCheckpoint() // vocab-sized; pins the aggregate result
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= BpeIters && !exhausted) {
+      val pairCounts = states
+        .select($"f", split(trim($"state"), "  ").as("syms"))
+        // guard: sequence(1, 0) would DESCEND and index 0 is an ANSI error
+        .where(size($"syms") >= 2)
+        .select($"f", explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> struct(element_at(syms, i) as a,
+            |              element_at(syms, i + 1) as b))""".stripMargin)).as("p"))
+        .groupBy($"p.a", $"p.b").agg(sum($"f").as("cnt"))
+        .orderBy($"cnt".desc, $"a", $"b")
+      pairCounts.head(1) match { // bounded probe: at most one row
+        case Array(best) =>
+          val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+          merges += ((k.toLong, a, b, cnt))
+          states = states.select($"f",
+            replace($"state", lit(s" $a  $b "), lit(s" $a$b ")).as("state"))
+            .localCheckpoint() // truncate the per-round projection lineage
+          k += 1
+        case _ =>
+          // no pairs left (every word fully merged) — the oracle's empty
+          // b_k rounds vanish from its UNION the same way
+          exhausted = true
+      }
+    }
+    merges.result()
+      .toDF("merge_i", "sym_a", "sym_b", "pair_cnt")
+      .orderBy($"merge_i")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_chunking"    -> (chunking _),
     "llm_boilerplate" -> (boilerplate _),
-    "llm_perplexity"  -> (perplexity _)
+    "llm_perplexity"  -> (perplexity _),
+    "llm_bpe_merges"  -> (bpeMerges _)
   )
+
+  /** The BPE oracle replays every merge round as an unrolled CTE chain
+    * generated from the same [[BpeIters]] constant — each round re-derives
+    * the pair counts from the previous round's states, takes the same
+    * (cnt desc, pair asc) argmax, and applies the same two-space literal
+    * replacement, so the two engines cannot disagree on any round.
+    */
+  private val bpeOracle: String = {
+    val base =
+      """WITH words AS (
+        |  SELECT w AS word, COUNT(*) AS f
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) > 0 GROUP BY w),
+        |s0 AS (
+        |  SELECT f,
+        |    ' ' || trim(regexp_replace(word, '(.)', '\1  ', 'g')) || ' ' AS state
+        |  FROM words)""".stripMargin
+    val rounds = (1 to BpeIters).map { k =>
+      s"""p$k AS (
+         |  SELECT s[i] AS a, s[i + 1] AS b, SUM(f)::BIGINT AS cnt
+         |  FROM (SELECT f, s, generate_subscripts(s, 1) AS i
+         |        FROM (SELECT f, string_split(trim(state), '  ') AS s
+         |              FROM s${k - 1}))
+         |  WHERE i < len(s)
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+         |s$k AS (
+         |  SELECT f, replace(state, ' ' || a || '  ' || b || ' ',
+         |                    ' ' || a || b || ' ') AS state
+         |  FROM s${k - 1} CROSS JOIN b$k)""".stripMargin
+    }
+    val out = (1 to BpeIters).map(k =>
+      s"SELECT ${k}::BIGINT AS merge_i, a AS sym_a, b AS sym_b, cnt AS pair_cnt FROM b$k")
+      .mkString("\nUNION ALL\n")
+    base + ",\n" + rounds.mkString(",\n") + "\n" + out + "\nORDER BY merge_i"
+  }
 
   def oracle: Map[String, String] = Map(
     "llm_chunking" ->
@@ -220,6 +334,7 @@ object Curation extends QueryPack {
         |JOIN c1 USING (w1)
         |JOIN c2 USING (w1, w2)
         |GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "llm_bpe_merges" -> bpeOracle
   )
 }

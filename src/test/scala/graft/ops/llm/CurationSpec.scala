@@ -85,6 +85,25 @@ class CurationSpec extends SparkSpec {
       s"common-bigram doc must be more predictable: ${out(1L)} vs ${out(20L)}")
   }
 
+  test("bpe learns the textbook merge sequence (counts weighted by word " +
+       "frequency, ties broken lexicographically)") {
+    // corpus: abab ×2, abc ×1 → (a,b) appears 2/word in abab + 1 in abc = 5
+    val out = Curation.bpeMergesFrom(docs(1L -> "abab abab abc"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toList
+    assert(out == List((1L, "a", "b", 5L), (2L, "ab", "ab", 2L), (3L, "ab", "c", 1L)),
+      out.toString) // then exhausted: early-stop before BpeIters
+  }
+
+  test("bpe merge application is non-overlapping left-to-right: 'aaaa' " +
+       "merges to two 'aa', counting (a,a) = 3 occurrences first") {
+    val out = Curation.bpeMergesFrom(docs(1L -> "aaaa"))
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toList
+    // round 1: pairs (a,a)×3 → merge; state ' aa  aa ' (NOT ' aa a a ')
+    // round 2: (aa,aa)×1 — only possible if BOTH adjacent pairs merged
+    assert(out == List(("a", "a", 3L), ("aa", "aa", 1L)), out.toString)
+  }
+
   test("perplexity proxy of a perfectly deterministic corpus is exactly 1") {
     // every prefix has exactly one continuation: c1(w) == c2(w, next)
     val out = Curation.perplexityFrom(docs(1L -> "a b c", 2L -> "a b c"))
