@@ -189,13 +189,22 @@ object Curation extends QueryPack {
   /** [[bpeMerges]] over any (doc_id, text) corpus — the law-test entry. */
   def bpeMergesFrom(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val spark = docs.sparkSession
+    bpeTrain(docs)._1.toDF("merge_i", "sym_a", "sym_b", "pair_cnt")
+      .orderBy($"merge_i")
+  }
+
+  /** The training loop shared by [[bpeMerges]] (wants the merge table) and
+    * [[bpeEncode]] (wants the final per-word segmentations): returns the
+    * learned merges and the word → final-state table.
+    */
+  private def bpeTrain(docs: DataFrame): (Seq[(Long, String, String, Long)], DataFrame) = {
+    import docs.sparkSession.implicits._
     // word-frequency table: the only corpus-wide pass
     var states = docs
       .select(explode(split($"text", " ")).as("word"))
       .where(length($"word") > 0)
       .groupBy($"word").agg(count(lit(1)).as("f"))
-      .select($"f",
+      .select($"word", $"f",
         concat(lit(" "),
                trim(regexp_replace($"word", "(.)", "$1  ")),
                lit(" ")).as("state"))
@@ -218,7 +227,7 @@ object Curation extends QueryPack {
         case Array(best) =>
           val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
           merges += ((k.toLong, a, b, cnt))
-          states = states.select($"f",
+          states = states.select($"word", $"f",
             replace($"state", lit(s" $a  $b "), lit(s" $a$b ")).as("state"))
             .localCheckpoint() // truncate the per-round projection lineage
           k += 1
@@ -228,16 +237,50 @@ object Curation extends QueryPack {
           exhausted = true
       }
     }
-    merges.result()
-      .toDF("merge_i", "sym_a", "sym_b", "pair_cnt")
-      .orderBy($"merge_i")
+    (merges.result(), states)
+  }
+
+  /** BPE corpus encoding — the apply-the-merges half: tokenize every
+    * document with the just-trained tokenizer and report per-language
+    * fertility (BPE symbols per whitespace token) and compression
+    * (chars per BPE symbol) — the numbers a tokenizer team actually
+    * reviews before shipping a vocab.
+    *
+    * Scale: training collapses to the vocab table (above); encoding joins
+    * the per-(lang, word) occurrence counts to the final segmentations —
+    * a vocab-keyed equi-join that Spark broadcasts when the vocab is
+    * small and shuffle-joins when it is open-ended — then one aggregate.
+    * No per-document work ever touches the merge loop.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeFrom(Tables.documents(spark, dir))
+
+  /** [[bpeEncode]] over any (lang, text) corpus — the law-test entry. */
+  def bpeEncodeFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val finalStates = bpeTrain(docs)._2
+      .select($"word", size(split(trim($"state"), "  ")).cast("long").as("n_syms"))
+    docs
+      .select($"lang", explode(split($"text", " ")).as("word"))
+      .where(length($"word") > 0)
+      .groupBy($"lang", $"word").agg(count(lit(1)).as("f"))
+      .join(finalStates, Seq("word"))
+      .groupBy($"lang")
+      .agg(sum($"f").as("n_tokens_ws"),
+           sum($"f" * $"n_syms").as("n_syms_bpe"),
+           sum($"f" * length($"word").cast("long")).as("n_chars"))
+      .select($"lang", $"n_tokens_ws", $"n_syms_bpe", $"n_chars",
+              ($"n_syms_bpe".cast("double") / $"n_tokens_ws").as("fertility"),
+              ($"n_chars".cast("double") / $"n_syms_bpe").as("chars_per_sym"))
+      .orderBy($"lang")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_chunking"    -> (chunking _),
     "llm_boilerplate" -> (boilerplate _),
     "llm_perplexity"  -> (perplexity _),
-    "llm_bpe_merges"  -> (bpeMerges _)
+    "llm_bpe_merges"  -> (bpeMerges _),
+    "llm_bpe_encode"  -> (bpeEncode _)
   )
 
   /** The BPE oracle replays every merge round as an unrolled CTE chain
@@ -246,14 +289,14 @@ object Curation extends QueryPack {
     * (cnt desc, pair asc) argmax, and applies the same two-space literal
     * replacement, so the two engines cannot disagree on any round.
     */
-  private val bpeOracle: String = {
+  private val bpeChain: String = {
     val base =
       """WITH words AS (
         |  SELECT w AS word, COUNT(*) AS f
         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |  WHERE len(w) > 0 GROUP BY w),
         |s0 AS (
-        |  SELECT f,
+        |  SELECT word, f,
         |    ' ' || trim(regexp_replace(word, '(.)', '\1  ', 'g')) || ' ' AS state
         |  FROM words)""".stripMargin
     val rounds = (1 to BpeIters).map { k =>
@@ -266,15 +309,38 @@ object Curation extends QueryPack {
          |  GROUP BY 1, 2),
          |b$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
          |s$k AS (
-         |  SELECT f, replace(state, ' ' || a || '  ' || b || ' ',
-         |                    ' ' || a || b || ' ') AS state
+         |  SELECT word, f, replace(state, ' ' || a || '  ' || b || ' ',
+         |                          ' ' || a || b || ' ') AS state
          |  FROM s${k - 1} CROSS JOIN b$k)""".stripMargin
     }
+    base + ",\n" + rounds.mkString(",\n")
+  }
+
+  private val bpeOracle: String = {
     val out = (1 to BpeIters).map(k =>
       s"SELECT ${k}::BIGINT AS merge_i, a AS sym_a, b AS sym_b, cnt AS pair_cnt FROM b$k")
       .mkString("\nUNION ALL\n")
-    base + ",\n" + rounds.mkString(",\n") + "\n" + out + "\nORDER BY merge_i"
+    bpeChain + "\n" + out + "\nORDER BY merge_i"
   }
+
+  private val bpeEncodeOracle: String =
+    bpeChain + s""",
+      |wl AS (
+      |  SELECT lang, w AS word, COUNT(*) AS f
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) > 0 GROUP BY 1, 2),
+      |fin AS (
+      |  SELECT word, len(string_split(trim(state), '  '))::BIGINT AS n_syms
+      |  FROM s$BpeIters)
+      |SELECT lang,
+      |  SUM(f)::BIGINT AS n_tokens_ws,
+      |  SUM(f * n_syms)::BIGINT AS n_syms_bpe,
+      |  SUM(f * len(word))::BIGINT AS n_chars,
+      |  (CAST(SUM(f * n_syms) AS DOUBLE) / SUM(f)::BIGINT) AS fertility,
+      |  (CAST(SUM(f * len(word)) AS DOUBLE) / SUM(f * n_syms)::BIGINT) AS chars_per_sym
+      |FROM wl JOIN fin USING (word)
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "llm_chunking" ->
@@ -335,6 +401,7 @@ object Curation extends QueryPack {
         |JOIN c2 USING (w1, w2)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
-    "llm_bpe_merges" -> bpeOracle
+    "llm_bpe_merges" -> bpeOracle,
+    "llm_bpe_encode" -> bpeEncodeOracle
   )
 }

@@ -104,6 +104,19 @@ class CurationSpec extends SparkSpec {
     assert(out == List(("a", "a", 3L), ("aa", "aa", 1L)), out.toString)
   }
 
+  test("bpe encode: a fully-merged vocab reaches fertility 1 (every word " +
+       "one symbol after merges a+b, ab+ab, ab+c)") {
+    import spark.implicits._
+    val corpus = Seq((1L, "abab abab abc", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.bpeEncodeFrom(corpus).collect().head
+    assert(out.getLong(1) == 3L)                 // 3 whitespace tokens
+    assert(out.getLong(2) == 3L)                 // all three words → 1 symbol
+    assert(out.getLong(3) == 11L)                // 4+4+3 chars
+    assert(out.getDouble(4) == 1.0)              // fertility
+    assert(out.getDouble(5) == 11.0 / 3.0)       // chars per symbol
+  }
+
   test("perplexity proxy of a perfectly deterministic corpus is exactly 1") {
     // every prefix has exactly one continuation: c1(w) == c2(w, next)
     val out = Curation.perplexityFrom(docs(1L -> "a b c", 2L -> "a b c"))
