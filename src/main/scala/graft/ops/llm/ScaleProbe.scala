@@ -85,6 +85,37 @@ object ScaleProbe {
       val (nTf, tfSec, trSec) = timedRank(m)
       println(f"[scale-probe] rank mult=$m%-3d tfidf_rows=$nTf%-7d tfidf=$tfSec%.2fs textrank_dist=$trSec%.2fs")
     }
+
+    // Curation pack at multiplied corpus. Boilerplate is the stress case:
+    // multiplying the corpus turns EVERY segment into cross-document
+    // boilerplate (df = mult), so its seg-partitioned windows hit maximum
+    // duplication. BPE's round cost is vocab-bound — the probe shows the
+    // merge loop is ~flat as the corpus multiplies (only the first
+    // word-count pass grows).
+    val docsL = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text", $"lang")
+    def corpusL(m: Int) = (0 until m)
+      .map(i => docsL.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"),
+                             $"text", $"lang"))
+      .reduce(_ union _)
+    def timedCuration(m: Int): (Double, Double, Double, Double) = {
+      val c = corpusL(m)
+      val t0 = System.nanoTime()
+      Curation.chunkingFrom(c).count()
+      val t1 = System.nanoTime()
+      Curation.boilerplateFrom(c).count()
+      val t2 = System.nanoTime()
+      Curation.perplexityFrom(c).count()
+      val t3 = System.nanoTime()
+      Curation.bpeMergesFrom(c).count()
+      val t4 = System.nanoTime()
+      ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9, (t4 - t3) / 1e9)
+    }
+    timedCuration(1) // warmup
+    Seq(1, mult).distinct.foreach { m =>
+      val (chk, boil, ppl, bpe) = timedCuration(m)
+      println(f"[scale-probe] curation mult=$m%-3d chunking=$chk%.2fs boilerplate=$boil%.2fs perplexity=$ppl%.2fs bpe=$bpe%.2fs")
+    }
     spark.stop()
   }
 }
