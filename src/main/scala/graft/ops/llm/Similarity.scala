@@ -178,11 +178,58 @@ object Similarity extends QueryPack {
       .orderBy($"label", $"pos")
   }
 
+  /** One full Lloyd (k-means) refinement over the embedding corpus:
+    * assign each vector to its nearest [[Dedup.withIvfCell]] seed cell,
+    * recompute each cell's centroid as the per-dimension mean, then
+    * REASSIGN every vector against the refined centroids — the iterative
+    * clustering step behind semantic dedup / IVF index training. The gate
+    * output is the refined cluster census plus the movement count (how
+    * many vectors changed cells — proof an actual Lloyd step ran, not a
+    * re-labeling) and one centroid coordinate.
+    *
+    * Scale: assignment is a K-row broadcast against a linear scan;
+    * the update is one explode + a (cell, dim)-keyed hash aggregate with
+    * map-side partials (key space K×dim, independent of corpus size);
+    * reassignment is the same broadcast pattern with the learned
+    * centroids. Iterating T times multiplies cost by T, not by data —
+    * the loop never returns data to the driver.
+    *
+    * Determinism: means are decimal-exact ([[graft.Det]], the
+    * llm_centroids-proven path); dots are [[graft.functions.DotProduct]]
+    * left-folds, bit-identical to DuckDB's list_reduce; the argmax is a
+    * row_number over (dot DESC, cell) — totally ordered.
+    */
+  def kmeansRefine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells0 = Dedup.withIvfCell(corpus(spark, dir))
+      .select($"vec_id", $"v", $"cell".as("c0"))
+    val cent1 = cells0
+      .select($"c0".as("cell"), posexplode($"v").as(Seq("d", "x")))
+      .groupBy($"cell", $"d")
+      .agg(graft.Det.davg($"x").as("m"))
+      .groupBy($"cell")
+      .agg(collect_list(struct($"d", $"m")).as("dm"))
+      .select($"cell", expr("transform(array_sort(dm), s -> s.m)").as("carr"))
+    val w = Window.partitionBy($"vec_id").orderBy($"dot".desc, $"cell")
+    cells0.crossJoin(broadcast(cent1))
+      .withColumn("dot", call_function("graft_dot", $"v", $"carr"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"vec_id", $"c0", $"cell", element_at($"carr", 1).as("m0"))
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_vecs"),
+           sum(when($"c0" =!= $"cell", 1L).otherwise(0L)).as("n_moved"),
+           min($"vec_id").as("first_vec"), max($"vec_id").as("last_vec"),
+           min($"m0").as("m_dim0"))
+      .orderBy($"cell")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ann_cosine_topk" -> (annCosineTopK _),
     "llm_ann_lsh"         -> (annLshBuckets _),
     "llm_ann_ivf"         -> (annIvf _),
-    "llm_centroids"       -> (centroids _)
+    "llm_centroids"       -> (centroids _),
+    "llm_kmeans"          -> (kmeansRefine _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -197,6 +244,40 @@ object Similarity extends QueryPack {
         |SELECT label, pos, COUNT(*) AS n, ${graft.Det.sqlAvg("x")} AS c
         |FROM e WHERE pos < 8
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "llm_kmeans" ->
+      s"""WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |            FROM embeddings),
+        |cent0 AS (SELECT c, list_transform(range(0, 64), d ->
+        |    ('0x' || substr(md5('ivf_' || c::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT::DOUBLE
+        |    / 576460752303423488.0 - 1.0) AS w
+        |  FROM range(0, 4) t(c)),
+        |d0 AS (SELECT vec_id, c,
+        |    list_reduce(list_transform(range(1, 65), k -> v[k] * w[k]),
+        |                (a, b) -> a + b) AS dot
+        |  FROM v0, cent0),
+        |cells0 AS (SELECT vec_id, c::INT AS c0 FROM (
+        |    SELECT vec_id, c,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
+        |    FROM d0) WHERE rn = 1),
+        |ex AS (SELECT c0, generate_subscripts(v, 1) - 1 AS d, unnest(v) AS x
+        |       FROM v0 JOIN cells0 USING (vec_id)),
+        |m1 AS (SELECT c0 AS cell, d, ${graft.Det.sqlAvg("x")} AS m
+        |       FROM ex GROUP BY 1, 2),
+        |cent1 AS (SELECT cell, list(m ORDER BY d) AS carr FROM m1 GROUP BY cell),
+        |d1 AS (SELECT vec_id, cell, carr,
+        |    list_reduce(list_transform(range(1, 65), k -> v[k] * carr[k]),
+        |                (a, b) -> a + b) AS dot
+        |  FROM v0, cent1),
+        |cells1 AS (SELECT vec_id, cell, carr[1] AS m0 FROM (
+        |    SELECT vec_id, cell, carr,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell) AS rn
+        |    FROM d1) WHERE rn = 1)
+        |SELECT cell, COUNT(*) AS n_vecs,
+        |  SUM(CASE WHEN c0 <> cell THEN 1 ELSE 0 END)::BIGINT AS n_moved,
+        |  MIN(vec_id) AS first_vec, MAX(vec_id) AS last_vec,
+        |  MIN(m0) AS m_dim0
+        |FROM cells1 JOIN cells0 USING (vec_id)
+        |GROUP BY cell ORDER BY cell""".stripMargin,
     "llm_ann_ivf" ->
       """WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
         |            FROM embeddings),
