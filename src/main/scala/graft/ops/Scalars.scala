@@ -188,7 +188,28 @@ object Scalars extends QueryPack {
       .orderBy($"p_partkey")
   }
 
+  /** Regex scalar family — the pattern toolkit every curation rule is
+    * built from: occurrence counting, group extraction (first and all,
+    * the all-matches list serialized to a scalar for the gate), and
+    * pattern predicates. Patterns stay inside the RE2 ∩ java.util.regex
+    * common subset (literals, classes, alternation, `\b`) — the portable
+    * dialect a cross-engine pipeline must standardize on anyway.
+    */
+  def regexFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        regexp_count($"text", lit("""\b(fast|slow)\b""")).cast("long").as("n_speed"),
+        regexp_extract($"text", """\b(fast|slow)\b""", 1).as("first_speed"),
+        array_join(
+          regexp_extract_all($"text", lit("""\b(fast|slow)\b"""), lit(1)), "|")
+          .as("all_speed"),
+        $"text".rlike("(fast|slow) table").as("has_speed_table"))
+      .orderBy($"doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_regex"       -> (regexFuncs _),
     "scalar_try"         -> (tryFuncs _),
     "scalar_url"         -> (urlFuncs _),
     "scalar_string"      -> (stringFuncs _),
@@ -201,6 +222,14 @@ object Scalars extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "scalar_regex" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '\b(fast|slow)\b', 1))::BIGINT AS n_speed,
+        |  regexp_extract(text, '\b(fast|slow)\b', 1) AS first_speed,
+        |  COALESCE(array_to_string(regexp_extract_all(text, '\b(fast|slow)\b', 1),
+        |                           '|'), '') AS all_speed,
+        |  regexp_matches(text, '(fast|slow) table') AS has_speed_table
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "scalar_try" ->
       """SELECT p_partkey,
         |  TRY_CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS INTEGER)
