@@ -187,6 +187,30 @@ object Joins extends QueryPack {
       .orderBy($"p_event_id")
   }
 
+  /** Forward as-of with tolerance: for each purchase, the EARLIEST LATER
+    * click by the same user within 1000 event-ids — the other direction
+    * of [[asOf]], plus the bounded-window clause every production as-of
+    * carries (an unbounded forward search would pair a purchase with a
+    * click months later). Same join-free shape: one window per user, but
+    * with a VALUE-bounded `rangeBetween(1, 1000)` frame, so the tolerance
+    * is enforced inside the frame instead of a post-join filter, and
+    * `min` over the frame IS the first-later-within-bound semantics.
+    */
+  def asOfForward(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"event_id", $"user_id", $"event_type")
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rangeBetween(1, 1000)
+    ev.withColumn("next_click_id",
+        min(when($"event_type" === "click", $"event_id")).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id".as("p_event_id"), $"user_id",
+              coalesce($"next_click_id", lit(-1L)).as("next_click_id"))
+      .orderBy($"p_event_id")
+  }
+
   /** C12 interval overlap join: 7-day shipping windows × month intervals,
     * overlap predicate start1 < end2 AND end1 > start2.
     *
@@ -264,6 +288,7 @@ object Joins extends QueryPack {
     "join_theta_range"      -> (thetaRange _),
     "join_cross_small"      -> (crossSmall _),
     "join_asof"             -> (asOf _),
+    "join_asof_forward"     -> (asOfForward _),
     "join_interval_overlap" -> (intervalOverlap _)
   )
 
@@ -332,6 +357,16 @@ object Joins extends QueryPack {
         |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |    ON p.user_id = c.user_id AND c.event_id < p.event_id
         |) WHERE rn = 1
+        |ORDER BY p_event_id""".stripMargin,
+    "join_asof_forward" ->
+      """SELECT p_event_id, user_id, COALESCE(c_min, -1) AS next_click_id
+        |FROM (
+        |  SELECT p.event_id AS p_event_id, p.user_id, MIN(c.event_id) AS c_min
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.event_id > p.event_id
+        |   AND c.event_id <= p.event_id + 1000
+        |  GROUP BY 1, 2)
         |ORDER BY p_event_id""".stripMargin,
     "join_interval_overlap" ->
       """SELECT strftime(m_start, '%Y-%m') AS month, COUNT(*) AS n_windows

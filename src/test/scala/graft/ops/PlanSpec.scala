@@ -46,6 +46,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("join_asof_forward is window-based with a range frame: no join, " +
+       "tolerance enforced in-frame") {
+    val p = plan("join_asof_forward")
+    assert(!p.toLowerCase.contains("join"), p)
+    assert(p.contains("specifiedwindowframe(RangeFrame, 1, 1000)"), p)
+  }
+
   test("keyed_latest_per_key is a partial+final aggregate (map-side combine), not a window sort") {
     val p = plan("keyed_latest_per_key")
     // max_by(struct) carries a struct buffer, so Spark plans SortAggregate
