@@ -134,6 +134,38 @@ object Layout extends QueryPack {
       .orderBy($"zblock")
   }
 
+  /** Post-compaction file census — what [[compact]] returns. */
+  final case class CompactStats(filesBefore: Int, filesAfter: Int, rows: Long)
+
+  /** Small-file compaction — the maintenance job every streaming or
+    * incremental writer needs: N tiny files (one per micro-batch per
+    * partition) become a few range-sorted files with bounded record
+    * counts. `repartitionByRange(sortCol)` gives files with DISJOINT key
+    * ranges (so file-level min/max pruning works after compaction) and
+    * `sortWithinPartitions` orders rows inside each file (so row-group
+    * stats prune too); `maxRecordsPerFile` rolls any oversized range.
+    *
+    * Scale: one range shuffle of the data being compacted (range
+    * boundaries come from Spark's reservoir sampling of the sort key) —
+    * the same cost as the terminal sort any rewrite pays; no driver
+    * materialization. Compaction of a partitioned table runs this
+    * per-partition, embarrassingly parallel.
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              sortCol: String, targetFiles: Int,
+              maxRecordsPerFile: Long = Long.MaxValue): CompactStats = {
+    def parquetFiles(d: String): Int =
+      Option(new java.io.File(d).listFiles()).fold(0)(
+        _.count(f => f.getName.endsWith(".parquet")))
+    val in = spark.read.parquet(inDir)
+    in.repartitionByRange(targetFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite").parquet(outDir)
+    CompactStats(parquetFiles(inDir), parquetFiles(outDir),
+                 spark.read.parquet(outDir).count())
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_dpp_prune"     -> (dppPrune _),
     "layout_bucketed_join" -> (bucketedJoin _),
