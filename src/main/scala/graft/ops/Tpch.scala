@@ -200,6 +200,22 @@ object Tpch extends QueryPack {
     ).reduce(_ union _).orderBy($"check_name")
   }
 
+  /** Q6 analog — forecast revenue change: the single-scan filter+aggregate
+    * benchmark point. No joins at all; the date/discount/quantity
+    * predicates all push to the parquet scan, so at 100 TB this is pure
+    * scan bandwidth times predicate selectivity — the query that measures
+    * the storage layer, which is why every engine benchmark keeps it.
+    */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .where(expr(s"l_shipdate >= $Cutoff") &&
+             expr("l_shipdate < timestamp'1997-01-01 00:00:00'") &&
+             $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24.0)
+      .agg(Det.dsum($"l_extendedprice" * $"l_discount").as("revenue"),
+           count(lit(1)).as("n_lines"))
+  }
+
   /** Q10 analog — returned-item reporting: the customers who returned the
     * most revenue in one quarter, with their nation. Classic fact-heavy
     * top-k: the returnflag filter prunes lineitem at the scan, the quarter
@@ -328,6 +344,7 @@ object Tpch extends QueryPack {
     "q4_order_priority"    -> (q4OrderPriority _),
     "q5_local_supplier"    -> (q5LocalSupplier _),
     "q7_volume_shipping"   -> (q7VolumeShipping _),
+    "q6_forecast_revenue"  -> (q6Forecast _),
     "q10_returned_item"    -> (q10ReturnedItem _),
     "q13_customer_distribution" -> (q13CustomerDistribution _),
     "q14_promo_effect"     -> (q14PromoEffect _),
@@ -393,6 +410,14 @@ object Tpch extends QueryPack {
          |  AND l_shipdate < TIMESTAMP '1999-01-01'
          |GROUP BY 1, 2, 3
          |ORDER BY supp_nation, cust_nation, ship_year""".stripMargin,
+    "q6_forecast_revenue" ->
+      s"""SELECT ${Det.sqlSum("l_extendedprice * l_discount")} AS revenue,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24.0""".stripMargin,
     "q10_returned_item" ->
       s"""SELECT c_custkey, c_name, n_name, c_acctbal,
          |  ${Det.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
