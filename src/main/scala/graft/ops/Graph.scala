@@ -50,8 +50,17 @@ object Graph extends QueryPack {
     * `(a, b)` edge rows with `a < b`. Separated from the fixture wiring so
     * the orientation-invariance law is testable on handcrafted graphs.
     */
-  def triangleSummary(spark: SparkSession, e: DataFrame): DataFrame = {
+  def triangleSummary(spark: SparkSession, eRaw: DataFrame): DataFrame = {
     import spark.implicits._
+    // The edge list feeds degree counting, the orientation joins, and the
+    // edge census; the oriented list feeds all THREE wedge-join sides.
+    // The static plan re-derives each from the raw pair self-join per
+    // consumer (49 exchanges, zero ReusedExchange nodes); checkpointing
+    // both pins the materialize-once shape a 100 TB triangle job needs
+    // rather than relying on AQE's runtime exchange reuse to find it
+    // (measured neutral at sf0.1 — AQE was recovering it — but reuse
+    // across an AQE re-plan boundary is not guaranteed at scale).
+    val e = eRaw.localCheckpoint()
     val deg = e.select($"a".as("v")).union(e.select($"b".as("v")))
       .groupBy($"v").agg(count(lit(1)).as("deg"))
     // total order k(v) = (degree, id); both branches build the SAME field
@@ -65,6 +74,7 @@ object Graph extends QueryPack {
         when(ka < kb, $"a").otherwise($"b").as("src"),
         when(ka < kb, kb).otherwise(ka).as("kdst"))
       .withColumn("dst", $"kdst.i")
+      .localCheckpoint()
     val tri = oriented.as("e1")
       .join(oriented.as("e2"),
             $"e1.src" === $"e2.src" && $"e1.kdst" < $"e2.kdst")
