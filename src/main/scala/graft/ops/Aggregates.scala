@@ -369,7 +369,32 @@ object Aggregates extends QueryPack {
       .orderBy($"l_returnflag")
   }
 
+  /** FILTER-clause aggregates, run through the `spark.sql(...)` ENTRY
+    * PATH over the registered catalog views — so the driver gate proves
+    * the SQL-string surface end-to-end, not just the DataFrame API (both
+    * compile to the same conditional-aggregate plan; the oracle is the
+    * IDENTICAL statement, since DuckDB shares the standard FILTER
+    * syntax). Conditional aggregation without FILTER means CASE
+    * expressions inside every aggregate — FILTER keeps the plan a single
+    * partial+final hash aggregate either way, which is the 100 TB shape.
+    */
+  def filteredAggSql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(filteredAggStmt)
+  }
+
+  private val filteredAggStmt: String =
+    s"""SELECT l_returnflag,
+       |  COUNT(*) AS n_lines,
+       |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6)))
+       |       FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS rev_discounted
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_filtered_agg"  -> (filteredAggSql _),
     "agg_heavy_hitters"   -> (heavyHitters _),
     "agg_bitmap_distinct" -> (bitmapDistinct _),
     "agg_corr_moments"    -> (corrMoments _),
@@ -393,6 +418,8 @@ object Aggregates extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // the SAME statement both engines run — FILTER is standard SQL
+    "sql_filtered_agg" -> filteredAggStmt,
     "agg_heavy_hitters" ->
       """WITH t AS (SELECT COUNT(*) AS total, COUNT(DISTINCT user_id) AS nu
         |           FROM events)
