@@ -156,6 +156,58 @@ object Curation extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** Held-out trigram LM scoring with stupid backoff — the realistic
+    * perplexity-filter setup: the model (trigram and context counts) is
+    * fit on the TRAIN split of the deterministic hash split (the same
+    * `hex60(doc_id + '#split') % 100 < 80` rule as `llm_sample_hash`),
+    * and EVAL documents are scored against it, so unseen trigrams
+    * genuinely occur and the backoff path (0.4 × bigram estimate, the
+    * "stupid backoff" of Brants et al.'s large-LM recipe, expressed in
+    * exact ×1000 fixed-point with floor division) actually fires.
+    *
+    * Scale: one lead-window pass per document (doc_id shuffle), count
+    * tables keyed by vocab³ at worst — broadcast here, shuffle joins at
+    * open vocab; scores are integer fixed-point so any partitioning
+    * yields the identical sum.
+    */
+  def trigramBackoff(spark: SparkSession, dir: String): DataFrame =
+    trigramBackoffFrom(Tables.documents(spark, dir))
+
+  /** [[trigramBackoff]] over any (doc_id, text) corpus. */
+  def trigramBackoffFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val splitPct = expr(
+      CrossHash.hex60("concat(cast(doc_id as string), '#split')") + " % 100")
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    val tri = docs
+      .withColumn("part", when(splitPct < 80, "train").otherwise("eval"))
+      .select($"doc_id", $"part", posexplode(split($"text", " ")).as(Seq("pos", "w1")))
+      .withColumn("w2", lead($"w1", 1).over(wDoc))
+      .withColumn("w3", lead($"w1", 2).over(wDoc))
+      .where($"w3".isNotNull)
+      .select($"doc_id", $"part", $"w1", $"w2", $"w3")
+    val train = tri.where($"part" === "train")
+    val c3  = train.groupBy($"w1", $"w2", $"w3").agg(count(lit(1)).as("c3"))
+    val c2  = train.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val c2b = train.groupBy($"w2", $"w3").agg(count(lit(1)).as("c2b"))
+    val c1b = train.groupBy($"w2").agg(count(lit(1)).as("c1b"))
+    tri.where($"part" === "eval")
+      .join(broadcast(c3), Seq("w1", "w2", "w3"), "left")
+      .join(broadcast(c2), Seq("w1", "w2"), "left")
+      .join(broadcast(c2b), Seq("w2", "w3"), "left")
+      .join(broadcast(c1b), Seq("w2"), "left")
+      .withColumn("score_i",
+        when($"c3".isNotNull, expr("(1000 * c3) div c2"))
+          .when($"c2b".isNotNull, expr("(400 * c2b) div c1b"))
+          .otherwise(lit(0L)))
+      .withColumn("backoff", when($"c3".isNull, 1L).otherwise(0L))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tri"),
+           sum($"backoff").as("n_backoff"),
+           sum($"score_i").as("score_fp"))
+      .orderBy($"doc_id")
+  }
+
   /** Number of BPE merge rounds [[bpeMerges]] learns. */
   private val BpeIters = 8
 
@@ -280,7 +332,8 @@ object Curation extends QueryPack {
     "llm_boilerplate" -> (boilerplate _),
     "llm_perplexity"  -> (perplexity _),
     "llm_bpe_merges"  -> (bpeMerges _),
-    "llm_bpe_encode"  -> (bpeEncode _)
+    "llm_bpe_encode"  -> (bpeEncode _),
+    "llm_trigram_backoff" -> (trigramBackoff _)
   )
 
   /** The BPE oracle replays every merge round as an unrolled CTE chain
@@ -402,6 +455,39 @@ object Curation extends QueryPack {
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
     "llm_bpe_merges" -> bpeOracle,
-    "llm_bpe_encode" -> bpeEncodeOracle
+    "llm_bpe_encode" -> bpeEncodeOracle,
+    "llm_trigram_backoff" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || '#split'), 1, 15))::BIGINT
+        |              % 100 < 80
+        |         THEN 'train' ELSE 'eval' END AS part
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, part, generate_subscripts(w, 1) AS pos, unnest(w) AS w1
+        |  FROM (SELECT doc_id, part, string_split(text, ' ') AS w FROM base)),
+        |tri0 AS (
+        |  SELECT doc_id, part, w1,
+        |    LEAD(w1, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+        |    LEAD(w1, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+        |  FROM toks),
+        |tri AS (SELECT * FROM tri0 WHERE w3 IS NOT NULL),
+        |c3  AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri WHERE part = 'train' GROUP BY 1, 2, 3),
+        |c2  AS (SELECT w1, w2, COUNT(*) AS c2 FROM tri WHERE part = 'train' GROUP BY 1, 2),
+        |c2b AS (SELECT w2, w3, COUNT(*) AS c2b FROM tri WHERE part = 'train' GROUP BY 1, 2),
+        |c1b AS (SELECT w2, COUNT(*) AS c1b FROM tri WHERE part = 'train' GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_tri,
+        |  SUM(CASE WHEN c3.c3 IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_backoff,
+        |  SUM(CASE WHEN c3.c3 IS NOT NULL THEN (1000 * c3.c3) // c2.c2
+        |           WHEN c2b.c2b IS NOT NULL THEN (400 * c2b.c2b) // c1b.c1b
+        |           ELSE 0 END)::BIGINT AS score_fp
+        |FROM tri
+        |LEFT JOIN c3  USING (w1, w2, w3)
+        |LEFT JOIN c2  USING (w1, w2)
+        |LEFT JOIN c2b USING (w2, w3)
+        |LEFT JOIN c1b USING (w2)
+        |WHERE part = 'eval'
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
   )
 }
