@@ -54,12 +54,42 @@ object Reshape extends QueryPack {
       .orderBy($"metric")
   }
 
+  /** The SQL `PIVOT` clause through the `spark.sql` entry path — same
+    * semantics as the DataFrame pivot above (explicit value domain, no
+    * implicit distinct scan), proving the SQL-surface spelling. The
+    * oracle is the equivalent conditional aggregation, which is also
+    * exactly what Catalyst lowers PIVOT to.
+    */
+  def pivotSql(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir)
+    spark.sql(
+      """SELECT * FROM (
+        |  SELECT l_returnflag, l_linestatus,
+        |         CAST(l_quantity AS DECIMAL(30,6)) AS q
+        |  FROM lineitem)
+        |PIVOT (CAST(SUM(q) AS DOUBLE)
+        |       FOR l_linestatus IN ('O' AS qty_open, 'F' AS qty_filled))
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_pivot"      -> (pivotSql _),
     "reshape_pivot"   -> (pivotQ _),
     "reshape_unpivot" -> (unpivotQ _)
   )
 
   def oracle: Map[String, String] = Map(
+    "sql_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+        |                THEN CAST(l_quantity AS DECIMAL(30,6)) END) AS DOUBLE)
+        |    AS qty_open,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |                THEN CAST(l_quantity AS DECIMAL(30,6)) END) AS DOUBLE)
+        |    AS qty_filled
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // portable pivot: filtered aggregates (identical semantics to Spark's
     // explicit-domain pivot)
     "reshape_pivot" ->
