@@ -72,8 +72,25 @@ object Reshape extends QueryPack {
         |ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** The SQL `UNPIVOT` clause (Spark 3.4+) through `spark.sql` — columns
+    * to rows with explicit metric labels. NULL cells are excluded by
+    * UNPIVOT's default, which the chosen NOT-NULL measures make moot; the
+    * oracle is the portable UNION ALL spelling.
+    */
+  def unpivotSql(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir)
+    spark.sql(
+      """SELECT p_partkey, metric, val FROM (
+        |  SELECT p_partkey, CAST(p_size AS DOUBLE) AS size_v,
+        |         p_retailprice AS price_v
+        |  FROM part)
+        |UNPIVOT (val FOR metric IN (size_v AS size, price_v AS price))
+        |ORDER BY p_partkey, metric""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_pivot"      -> (pivotSql _),
+    "sql_unpivot"    -> (unpivotSql _),
     "reshape_pivot"   -> (pivotQ _),
     "reshape_unpivot" -> (unpivotQ _)
   )
@@ -90,6 +107,13 @@ object Reshape extends QueryPack {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "sql_unpivot" ->
+      """SELECT p_partkey, metric, val FROM (
+        |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val
+        |  FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'price', p_retailprice FROM part)
+        |ORDER BY p_partkey, metric""".stripMargin,
     // portable pivot: filtered aggregates (identical semantics to Spark's
     // explicit-domain pivot)
     "reshape_pivot" ->

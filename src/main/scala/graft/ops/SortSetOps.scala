@@ -57,6 +57,30 @@ object SortSetOps extends QueryPack {
     all.except(sold).orderBy($"p_partkey")
   }
 
+  /** Bag-semantics set ops — EXCEPT ALL / INTERSECT ALL keep
+    * multiplicities (the distinct-less forms a dedup pipeline needs when
+    * counting how MANY copies survive, not just which values). Spark
+    * plans both as a single hash aggregate over tagged counts — one
+    * shuffle, no distinct, same shape as the set versions.
+    */
+  def exceptAllBrands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val small = Tables.part(spark, dir)
+      .filter($"p_size" <= 25).select($"p_brand")
+    val promo = Tables.part(spark, dir)
+      .filter($"p_type" === "PROMO").select($"p_brand")
+    small.exceptAll(promo).orderBy($"p_brand")
+  }
+
+  def intersectAllBrands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val small = Tables.part(spark, dir)
+      .filter($"p_size" <= 25).select($"p_brand")
+    val promo = Tables.part(spark, dir)
+      .filter($"p_type" === "PROMO").select($"p_brand")
+    small.intersectAll(promo).orderBy($"p_brand")
+  }
+
   /** C-filter showcase: null-safe / isin / between / like predicates pushed
     * into the parquet scan.
     */
@@ -101,6 +125,8 @@ object SortSetOps extends QueryPack {
     "set_union"        -> (unionDistinct _),
     "set_intersect"    -> (intersectKeys _),
     "set_except"       -> (exceptKeys _),
+    "set_except_all"   -> (exceptAllBrands _),
+    "set_intersect_all" -> (intersectAllBrands _),
     "filter_pushdown"  -> (filterPushdown _)
   )
 
@@ -137,6 +163,16 @@ object SortSetOps extends QueryPack {
         |EXCEPT
         |SELECT l_partkey AS p_partkey FROM lineitem
         |ORDER BY p_partkey""".stripMargin,
+    "set_except_all" ->
+      """SELECT p_brand FROM part WHERE p_size <= 25
+        |EXCEPT ALL
+        |SELECT p_brand FROM part WHERE p_type = 'PROMO'
+        |ORDER BY p_brand""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT p_brand FROM part WHERE p_size <= 25
+        |INTERSECT ALL
+        |SELECT p_brand FROM part WHERE p_type = 'PROMO'
+        |ORDER BY p_brand""".stripMargin,
     "filter_pushdown" ->
       """SELECT p_partkey, p_brand, p_size FROM part
         |WHERE p_size BETWEEN 10 AND 40
