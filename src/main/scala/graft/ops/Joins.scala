@@ -187,6 +187,31 @@ object Joins extends QueryPack {
       .orderBy($"p_event_id")
   }
 
+  /** Null-safe equality join: `<=>` treats NULL as a joinable value (one
+    * NULL bucket) instead of never-matching — the semantics an entity
+    * store needs when "unknown" is itself a key. Still a HASH-partitioned
+    * equi-join (NULL hashes like any value under null-safe equality), so
+    * the plan is identical to a plain equi-join — no nested-loop penalty
+    * for the null bucket. Outputs COALESCE sentinels (nullable int
+    * columns wobble pandas dtypes — FIXTURES lesson from ts_attribution).
+    */
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def keyed(f: DataFrame) = f
+      .withColumn("k", expr("nullif(user_id % 50, 0)"))
+      .groupBy($"k")
+    val clicks = keyed(Tables.events(spark, dir)
+        .filter($"event_type" === "click"))
+      .agg(count(lit(1)).as("n_clicks"))
+    val buys = keyed(Tables.events(spark, dir)
+        .filter($"event_type" === "purchase"))
+      .agg(count(lit(1)).as("n_buys"))
+    clicks.join(buys, clicks("k") <=> buys("k"))
+      .select(coalesce(clicks("k"), lit(-1L)).as("k"),
+              $"n_clicks", $"n_buys")
+      .orderBy($"k")
+  }
+
   /** Forward as-of with tolerance: for each purchase, the EARLIEST LATER
     * click by the same user within 1000 event-ids — the other direction
     * of [[asOf]], plus the bounded-window clause every production as-of
@@ -289,6 +314,7 @@ object Joins extends QueryPack {
     "join_cross_small"      -> (crossSmall _),
     "join_asof"             -> (asOf _),
     "join_asof_forward"     -> (asOfForward _),
+    "join_null_safe"        -> (nullSafeJoin _),
     "join_interval_overlap" -> (intervalOverlap _)
   )
 
@@ -358,6 +384,16 @@ object Joins extends QueryPack {
         |    ON p.user_id = c.user_id AND c.event_id < p.event_id
         |) WHERE rn = 1
         |ORDER BY p_event_id""".stripMargin,
+    "join_null_safe" ->
+      """WITH clicks AS (
+        |  SELECT NULLIF(user_id % 50, 0) AS k, COUNT(*) AS n_clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |buys AS (
+        |  SELECT NULLIF(user_id % 50, 0) AS k, COUNT(*) AS n_buys
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT COALESCE(clicks.k, -1) AS k, n_clicks, n_buys
+        |FROM clicks JOIN buys ON clicks.k IS NOT DISTINCT FROM buys.k
+        |ORDER BY k""".stripMargin,
     "join_asof_forward" ->
       """SELECT p_event_id, user_id, COALESCE(c_min, -1) AS next_click_id
         |FROM (
