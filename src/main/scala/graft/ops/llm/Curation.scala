@@ -1,6 +1,6 @@
 package graft.ops.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -154,6 +154,39 @@ object Curation extends QueryPack {
       .select($"doc_id", $"n_pairs", $"sum_prefix_cnt", $"sum_bigram_cnt",
               ($"sum_prefix_cnt".cast("double") / $"sum_bigram_cnt").as("ppl_proxy"))
       .orderBy($"doc_id")
+  }
+
+  /** Dataset card — the datasheet a corpus release ships with, computed
+    * as ONE composed plan: per-language doc/token volumes plus
+    * corpus-health counters (exact-duplicate docs, repetitive docs,
+    * too-short docs). Every metric is an integer count (nothing to
+    * diverge cross-engine) and every branch is a scan + hash aggregate;
+    * the union is lazy assembly of aggregate ROWS, so adding a metric
+    * never reshapes the output schema — the same discipline as
+    * `audit_integrity`.
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+    def row(metric: String, dim: Column, v: Column, src: DataFrame): DataFrame =
+      src.groupBy(dim.as("dim")).agg(v.as("value"))
+        .select(lit(metric).as("metric"), $"dim", $"value")
+    val perLangDocs   = row("docs_per_lang", $"lang", count(lit(1)), docs)
+    val perLangTokens = row("tokens_per_lang", $"lang", sum($"n_tokens"), docs)
+    val dupDocs = row("exact_dup_docs", lit("all"),
+      (count(lit(1)) - countDistinct(md5($"text"))), docs)
+    val shortDocs = row("short_docs", lit("all"),
+      sum(when($"n_tokens" < 20L, 1L).otherwise(0L)), docs)
+    val repetitive = Dedup.shingles(spark, dir, 3, distinct = false)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"), countDistinct($"s").as("n_distinct"))
+      .withColumn("rep", ($"n_grams" - $"n_distinct") * 5 >= $"n_grams")
+    val repDocs = row("repetitive_docs", lit("all"),
+      sum(when($"rep", 1L).otherwise(0L)), repetitive)
+    Seq(perLangDocs, perLangTokens, dupDocs, shortDocs, repDocs)
+      .reduce(_ union _)
+      .orderBy($"metric", $"dim")
   }
 
   /** Held-out trigram LM scoring with stupid backoff — the realistic
@@ -333,7 +366,8 @@ object Curation extends QueryPack {
     "llm_perplexity"  -> (perplexity _),
     "llm_bpe_merges"  -> (bpeMerges _),
     "llm_bpe_encode"  -> (bpeEncode _),
-    "llm_trigram_backoff" -> (trigramBackoff _)
+    "llm_trigram_backoff" -> (trigramBackoff _),
+    "llm_dataset_card" -> (datasetCard _)
   )
 
   /** The BPE oracle replays every merge round as an unrolled CTE chain
@@ -488,6 +522,32 @@ object Curation extends QueryPack {
         |LEFT JOIN c1b USING (w2)
         |WHERE part = 'eval'
         |GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "llm_dataset_card" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, lang,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens
+        |  FROM documents),
+        |g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |           unnest(range(1, len(ws) - 1)) AS t(i)
+        |      WHERE len(ws) >= 3),
+        |rep AS (SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT s) AS n_distinct
+        |        FROM g GROUP BY doc_id)
+        |SELECT * FROM (
+        |  SELECT 'docs_per_lang' AS metric, lang AS dim, COUNT(*) AS value
+        |  FROM d GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'tokens_per_lang', lang, SUM(n_tokens)::BIGINT FROM d GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'exact_dup_docs', 'all', COUNT(*) - COUNT(DISTINCT md5(text)) FROM d
+        |  UNION ALL
+        |  SELECT 'short_docs', 'all',
+        |    SUM(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END)::BIGINT FROM d
+        |  UNION ALL
+        |  SELECT 'repetitive_docs', 'all',
+        |    SUM(CASE WHEN (n_grams - n_distinct) * 5 >= n_grams
+        |             THEN 1 ELSE 0 END)::BIGINT FROM rep)
+        |ORDER BY metric, dim""".stripMargin
   )
 }

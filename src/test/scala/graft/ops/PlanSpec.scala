@@ -265,6 +265,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("join_null_safe stays a HASH equi-join (the NULL bucket does not " +
+       "degrade the plan to nested-loop)") {
+    val p = plan("join_null_safe")
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("join_bloom_prefilter: the bloom probe filters BELOW the semi join " +
        "(map-side cut before the shuffle)") {
     val p = plan("join_bloom_prefilter")
