@@ -116,6 +116,20 @@ object ScaleProbe {
       val (chk, boil, ppl, bpe) = timedCuration(m)
       println(f"[scale-probe] curation mult=$m%-3d chunking=$chk%.2fs boilerplate=$boil%.2fs perplexity=$ppl%.2fs bpe=$bpe%.2fs")
     }
+
+    // Trigram backoff at multiplied corpus: the pair stream is linear and
+    // every count table is vocab-bounded, so time should scale with the
+    // corpus, not the model.
+    def timedTrigram(m: Int): Double = {
+      val c = corpusL(m)
+      val t0 = System.nanoTime()
+      Curation.trigramBackoffFrom(c).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    timedTrigram(1) // warmup
+    Seq(1, mult).distinct.foreach { m =>
+      println(f"[scale-probe] trigram mult=$m%-3d time=${timedTrigram(m)}%.2fs")
+    }
     spark.stop()
   }
 }

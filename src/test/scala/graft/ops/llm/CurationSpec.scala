@@ -117,6 +117,30 @@ class CurationSpec extends SparkSpec {
     assert(out.getDouble(5) == 11.0 / 3.0)       // chars per symbol
   }
 
+  test("trigram backoff: seen trigrams score via the trigram path, " +
+       "wholly-unseen text backs off (or zeroes) — split replayed from " +
+       "the same hash the operator uses") {
+    // predict split membership with the operator's own hash rule
+    def isEval(id: Long) =
+      java.lang.Math.floorMod(CrossHash.hex60Jvm(s"$id#split"), 100L) >= 80
+    val ids = (1L to 200L)
+    val trainIds = ids.filterNot(isEval).take(3)
+    val evalIds  = ids.filter(isEval).take(2)
+    assert(trainIds.size == 3 && evalIds.size == 2, "split probe failed")
+    val corpus = docs(
+      (trainIds.map(_ -> "a b c d") ++
+       Seq(evalIds(0) -> "a b c d",     // every trigram seen in train
+           evalIds(1) -> "p q r s")): _*) // nothing seen anywhere in train
+    val out = Curation.trigramBackoffFrom(corpus)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // seen doc: 2 trigrams, no backoff, deterministic c3/c2 = 3/3 → 1000 each
+    assert(out(evalIds(0)) == ((2L, 0L, 2000L)), out.toString)
+    // unseen doc: every trigram backs off, and even the backoff bigrams
+    // are unseen → score 0
+    assert(out(evalIds(1)) == ((2L, 2L, 0L)), out.toString)
+  }
+
   test("perplexity proxy of a perfectly deterministic corpus is exactly 1") {
     // every prefix has exactly one continuation: c1(w) == c2(w, next)
     val out = Curation.perplexityFrom(docs(1L -> "a b c", 2L -> "a b c"))
