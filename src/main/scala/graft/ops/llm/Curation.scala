@@ -156,6 +156,21 @@ object Curation extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** Apply a TRAINED merge table to a word column — the deploy side of
+    * the tokenizer: merges are learned in batch ([[bpeMerges]]) and then
+    * applied as a pure column expression, so the same tokenizer runs in a
+    * batch projection or a streaming select with NO state (the
+    * batch-train / stream-apply architecture every production tokenizer
+    * deployment uses). Returns the symbol array.
+    */
+  def tokenizeWith(word: Column, merges: Seq[(String, String)]): Column = {
+    val s0 = concat(lit(" "), trim(regexp_replace(word, "(.)", "$1  ")), lit(" "))
+    val sN = merges.foldLeft(s0) { case (st, (a, b)) =>
+      replace(st, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    split(trim(sN), "  ")
+  }
+
   /** Dataset card — the datasheet a corpus release ships with, computed
     * as ONE composed plan: per-language doc/token volumes plus
     * corpus-health counters (exact-duplicate docs, repetitive docs,

@@ -141,6 +141,34 @@ class CurationSpec extends SparkSpec {
     assert(out(evalIds(1)) == ((2L, 2L, 0L)), out.toString)
   }
 
+  test("tokenizeWith replays training segmentations and runs UNCHANGED " +
+       "in a streaming select (batch-train / stream-apply)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = docs(1L -> "abab abab abc")
+    val merges = Curation.bpeMergesFrom(corpus)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    // batch: applying the merges to the raw words reproduces training
+    val batch = corpus
+      .select(explode(split($"text", " ")).as("word")).distinct()
+      .select($"word", Curation.tokenizeWith($"word", merges).as("syms"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(batch("abab") == List("abab") && batch("abc") == List("abc"), batch.toString)
+
+    // streaming: the SAME expression in a readStream→select, no state
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    mem.addData("abab", "abc", "ab")
+    val q = mem.toDF().select(
+        Curation.tokenizeWith($"value", merges).as("syms"))
+      .writeStream.format("memory").queryName("graft_tok_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("graft_tok_stream")
+      .collect().map(_.getSeq[String](0).toList).toSet
+    assert(streamed == Set(List("abab"), List("abc"), List("ab")), streamed.toString)
+  }
+
   test("perplexity proxy of a perfectly deterministic corpus is exactly 1") {
     // every prefix has exactly one continuation: c1(w) == c2(w, next)
     val out = Curation.perplexityFrom(docs(1L -> "a b c", 2L -> "a b c"))
