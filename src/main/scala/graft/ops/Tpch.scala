@@ -246,6 +246,28 @@ object Tpch extends QueryPack {
       .select($"c_custkey", $"c_name", $"n_name", $"c_acctbal", $"revenue")
   }
 
+  /** Q12 analog — shipping-class priority audit: for each return class of
+    * lines shipped in one year (the fixture's stand-in for TPC-H's ship
+    * modes), how many came from urgent/high-priority orders vs the rest.
+    * The shape Q12 exists to test: a fact-to-fact equi-join feeding
+    * CONDITIONAL counts — one shuffle on orderkey, both counters from one
+    * aggregate pass (no union of two filtered scans).
+    */
+  def q12PriorityClass(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val isHigh = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .where(expr(s"l_shipdate >= $Cutoff") &&
+             expr("l_shipdate < timestamp'1997-01-01 00:00:00'"))
+      .select($"l_orderkey", $"l_returnflag")
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_orderpriority"),
+            $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+           sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Q14 analog — promotion effect: the share of one month's revenue that
     * came from PROMO-typed parts. Part is the broadcast side; both sums
     * come out of ONE aggregate over one lineitem pass (a conditional sum,
@@ -346,6 +368,7 @@ object Tpch extends QueryPack {
     "q7_volume_shipping"   -> (q7VolumeShipping _),
     "q6_forecast_revenue"  -> (q6Forecast _),
     "q10_returned_item"    -> (q10ReturnedItem _),
+    "q12_priority_class"   -> (q12PriorityClass _),
     "q13_customer_distribution" -> (q13CustomerDistribution _),
     "q14_promo_effect"     -> (q14PromoEffect _),
     "q16_supplier_variety" -> (q16SupplierVariety _),
@@ -471,6 +494,18 @@ object Tpch extends QueryPack {
          |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
          |GROUP BY c_mktsegment
          |ORDER BY c_mktsegment""".stripMargin,
+    "q12_priority_class" ->
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q13_customer_distribution" ->
       """WITH per_cust AS (
         |  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
