@@ -208,7 +208,25 @@ object Scalars extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** Bitwise scalar family — the bit-level toolkit behind bitmap indexes,
+    * bloom probes, and the Z-order interleave: and/or/xor, shifts, and
+    * popcount, everything cast to INT so both engines surface int32.
+    */
+  def bitwiseFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select($"p_partkey",
+        expr("p_size & 15").cast("int").as("b_and"),
+        expr("p_size | 16").cast("int").as("b_or"),
+        expr("p_size ^ cast(p_partkey % 256 as int)").cast("int").as("b_xor"),
+        shiftleft($"p_size", 2).cast("int").as("b_shl"),
+        shiftright($"p_size", 1).cast("int").as("b_shr"),
+        bit_count($"p_size").cast("int").as("b_pop"))
+      .orderBy($"p_partkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_bitwise"     -> (bitwiseFuncs _),
     "scalar_regex"       -> (regexFuncs _),
     "scalar_try"         -> (tryFuncs _),
     "scalar_url"         -> (urlFuncs _),
@@ -222,6 +240,15 @@ object Scalars extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "scalar_bitwise" ->
+      """SELECT p_partkey,
+        |  CAST(p_size & 15 AS INTEGER) AS b_and,
+        |  CAST(p_size | 16 AS INTEGER) AS b_or,
+        |  CAST(xor(p_size, CAST(p_partkey % 256 AS INTEGER)) AS INTEGER) AS b_xor,
+        |  CAST(p_size << 2 AS INTEGER) AS b_shl,
+        |  CAST(p_size >> 1 AS INTEGER) AS b_shr,
+        |  CAST(bit_count(p_size) AS INTEGER) AS b_pop
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "scalar_regex" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '\b(fast|slow)\b', 1))::BIGINT AS n_speed,

@@ -105,7 +105,26 @@ object Windows extends QueryPack {
       .orderBy($"o_orderkey")
   }
 
+  /** Window VALUE functions over whole-partition frames: nth_value and
+    * last_value need `ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+    * FOLLOWING` to mean "of the partition" (the default frame stops at
+    * the current row — the classic last_value gotcha this gate pins in
+    * both engines at once).
+    */
+  def valueFamily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val full = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .select($"event_id", $"user_id",
+              coalesce(nth_value($"event_type", 2).over(full), lit("-"))
+                .as("second_type"),
+              last($"event_type").over(full).as("last_type"))
+      .orderBy($"event_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_value_family"   -> (valueFamily _),
     "win_dist_family"    -> (distFamily _),
     "win_topk_per_group" -> (topKPerGroup _),
     "win_ranking_family" -> (rankingFamily _),
@@ -115,6 +134,14 @@ object Windows extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "win_value_family" ->
+      """SELECT event_id, user_id,
+        |  COALESCE(NTH_VALUE(event_type, 2) OVER w, '-') AS second_type,
+        |  LAST_VALUE(event_type) OVER w AS last_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
     "win_dist_family" ->
       """SELECT o_orderkey, o_orderstatus,
         |  PERCENT_RANK() OVER w AS pr,

@@ -171,6 +171,24 @@ object Curation extends QueryPack {
     split(trim(sN), "  ")
   }
 
+  /** Log₂-bucketed document-length histogram — the length distribution a
+    * curation team reads before choosing context windows and packing
+    * budgets. The bucket is `len(bin(n_tokens))` = ⌊log₂ n⌋ + 1: an
+    * INTEGER derived through identical binary-string semantics in both
+    * engines, so no floating log can diverge. One scan + one tiny
+    * aggregate, key space = 64 buckets regardless of corpus size.
+    */
+  def lenHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("n", size(split($"text", " ")).cast("long"))
+      .withColumn("bucket", length(bin($"n")).cast("long"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+           min($"n").as("min_tokens"), max($"n").as("max_tokens"))
+      .orderBy($"bucket")
+  }
+
   /** Dataset card — the datasheet a corpus release ships with, computed
     * as ONE composed plan: per-language doc/token volumes plus
     * corpus-health counters (exact-duplicate docs, repetitive docs,
@@ -382,7 +400,8 @@ object Curation extends QueryPack {
     "llm_bpe_merges"  -> (bpeMerges _),
     "llm_bpe_encode"  -> (bpeEncode _),
     "llm_trigram_backoff" -> (trigramBackoff _),
-    "llm_dataset_card" -> (datasetCard _)
+    "llm_dataset_card" -> (datasetCard _),
+    "llm_len_histogram" -> (lenHistogram _)
   )
 
   /** The BPE oracle replays every merge round as an unrolled CTE chain
@@ -563,6 +582,12 @@ object Curation extends QueryPack {
         |  SELECT 'repetitive_docs', 'all',
         |    SUM(CASE WHEN (n_grams - n_distinct) * 5 >= n_grams
         |             THEN 1 ELSE 0 END)::BIGINT FROM rep)
-        |ORDER BY metric, dim""".stripMargin
+        |ORDER BY metric, dim""".stripMargin,
+    "llm_len_histogram" ->
+      """WITH d AS (
+        |  SELECT len(string_split(text, ' '))::BIGINT AS n FROM documents)
+        |SELECT len(bin(n))::BIGINT AS bucket, COUNT(*) AS n_docs,
+        |  MIN(n) AS min_tokens, MAX(n) AS max_tokens
+        |FROM d GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 }
