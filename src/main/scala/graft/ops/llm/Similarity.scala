@@ -203,25 +203,60 @@ object Similarity extends QueryPack {
     import spark.implicits._
     val cells0 = Dedup.withIvfCell(corpus(spark, dir))
       .select($"vec_id", $"v", $"cell".as("c0"))
-    val cent1 = cells0
-      .select($"c0".as("cell"), posexplode($"v").as(Seq("d", "x")))
+    kmeansCensus(lloydStep(cells0, "c0"))
+  }
+
+  /** One DECLARATIVE Lloyd step over `(vec_id, v, <prevCol>)`: centroid
+    * update (decimal-exact per-dim means) + broadcast reassignment, all
+    * in-plan — no driver action anywhere, which is what lets iterations
+    * COMPOSE into one job. Returns `(vec_id, v, <prevCol>, cell, m0)`.
+    */
+  private def lloydStep(cells: DataFrame, prevCol: String): DataFrame = {
+    import cells.sparkSession.implicits._
+    val cent = cells
+      .select(col(prevCol).as("cell"), posexplode($"v").as(Seq("d", "x")))
       .groupBy($"cell", $"d")
       .agg(graft.Det.davg($"x").as("m"))
       .groupBy($"cell")
       .agg(collect_list(struct($"d", $"m")).as("dm"))
       .select($"cell", expr("transform(array_sort(dm), s -> s.m)").as("carr"))
     val w = Window.partitionBy($"vec_id").orderBy($"dot".desc, $"cell")
-    cells0.crossJoin(broadcast(cent1))
+    cells.select($"vec_id", $"v", col(prevCol))
+      .crossJoin(broadcast(cent))
       .withColumn("dot", call_function("graft_dot", $"v", $"carr"))
       .withColumn("rn", row_number().over(w))
       .where($"rn" === 1)
-      .select($"vec_id", $"c0", $"cell", element_at($"carr", 1).as("m0"))
+      .select($"vec_id", $"v", col(prevCol),
+              $"cell", element_at($"carr", 1).as("m0"))
+  }
+
+  /** Refined-cluster census over a [[lloydStep]] output: sizes, id range,
+    * movement count vs the step's previous assignment, one coordinate.
+    */
+  private def kmeansCensus(stepped: DataFrame): DataFrame = {
+    import stepped.sparkSession.implicits._
+    val prev = stepped.columns.filter(c =>
+      !Set("vec_id", "v", "cell", "m0").contains(c)).head
+    stepped
       .groupBy($"cell")
       .agg(count(lit(1)).as("n_vecs"),
-           sum(when($"c0" =!= $"cell", 1L).otherwise(0L)).as("n_moved"),
+           sum(when(col(prev) =!= $"cell", 1L).otherwise(0L)).as("n_moved"),
            min($"vec_id").as("first_vec"), max($"vec_id").as("last_vec"),
            min($"m0").as("m_dim0"))
       .orderBy($"cell")
+  }
+
+  /** TWO composed Lloyd iterations, still one declarative plan (zero
+    * driver actions): the second step's movement census must shrink as
+    * clustering converges — the signal an IVF-index training job watches.
+    */
+  def kmeansTwoStep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells0 = Dedup.withIvfCell(corpus(spark, dir))
+      .select($"vec_id", $"v", $"cell".as("c0"))
+    val step1 = lloydStep(cells0, "c0")
+      .select($"vec_id", $"v", $"cell".as("c1"))
+    kmeansCensus(lloydStep(step1, "c1"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -229,7 +264,8 @@ object Similarity extends QueryPack {
     "llm_ann_lsh"         -> (annLshBuckets _),
     "llm_ann_ivf"         -> (annIvf _),
     "llm_centroids"       -> (centroids _),
-    "llm_kmeans"          -> (kmeansRefine _)
+    "llm_kmeans"          -> (kmeansRefine _),
+    "llm_kmeans2"         -> (kmeansTwoStep _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -277,6 +313,53 @@ object Similarity extends QueryPack {
         |  MIN(vec_id) AS first_vec, MAX(vec_id) AS last_vec,
         |  MIN(m0) AS m_dim0
         |FROM cells1 JOIN cells0 USING (vec_id)
+        |GROUP BY cell ORDER BY cell""".stripMargin,
+    "llm_kmeans2" ->
+      s"""WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |            FROM embeddings),
+        |cent0 AS (SELECT c, list_transform(range(0, 64), d ->
+        |    ('0x' || substr(md5('ivf_' || c::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT::DOUBLE
+        |    / 576460752303423488.0 - 1.0) AS w
+        |  FROM range(0, 4) t(c)),
+        |d0 AS (SELECT vec_id, c,
+        |    list_reduce(list_transform(range(1, 65), k -> v[k] * w[k]),
+        |                (a, b) -> a + b) AS dot
+        |  FROM v0, cent0),
+        |cells0 AS (SELECT vec_id, c::INT AS c0 FROM (
+        |    SELECT vec_id, c,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
+        |    FROM d0) WHERE rn = 1),
+        |ex1 AS (SELECT c0, generate_subscripts(v, 1) - 1 AS d, unnest(v) AS x
+        |        FROM v0 JOIN cells0 USING (vec_id)),
+        |m1 AS (SELECT c0 AS cell, d, ${graft.Det.sqlAvg("x")} AS m
+        |       FROM ex1 GROUP BY 1, 2),
+        |cent1 AS (SELECT cell, list(m ORDER BY d) AS carr FROM m1 GROUP BY cell),
+        |d1 AS (SELECT vec_id, cell,
+        |    list_reduce(list_transform(range(1, 65), k -> v[k] * carr[k]),
+        |                (a, b) -> a + b) AS dot
+        |  FROM v0, cent1),
+        |cells1 AS (SELECT vec_id, cell AS c1 FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |ex2 AS (SELECT c1, generate_subscripts(v, 1) - 1 AS d, unnest(v) AS x
+        |        FROM v0 JOIN cells1 USING (vec_id)),
+        |m2 AS (SELECT c1 AS cell, d, ${graft.Det.sqlAvg("x")} AS m
+        |       FROM ex2 GROUP BY 1, 2),
+        |cent2 AS (SELECT cell, list(m ORDER BY d) AS carr FROM m2 GROUP BY cell),
+        |d2 AS (SELECT vec_id, cell, carr,
+        |    list_reduce(list_transform(range(1, 65), k -> v[k] * carr[k]),
+        |                (a, b) -> a + b) AS dot
+        |  FROM v0, cent2),
+        |cells2 AS (SELECT vec_id, cell, carr[1] AS m0 FROM (
+        |    SELECT vec_id, cell, carr,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell) AS rn
+        |    FROM d2) WHERE rn = 1)
+        |SELECT cell, COUNT(*) AS n_vecs,
+        |  SUM(CASE WHEN c1 <> cell THEN 1 ELSE 0 END)::BIGINT AS n_moved,
+        |  MIN(vec_id) AS first_vec, MAX(vec_id) AS last_vec,
+        |  MIN(m0) AS m_dim0
+        |FROM cells2 JOIN cells1 USING (vec_id)
         |GROUP BY cell ORDER BY cell""".stripMargin,
     "llm_ann_ivf" ->
       """WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
