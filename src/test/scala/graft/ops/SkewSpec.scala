@@ -128,6 +128,28 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("AQE coalesces oversized shuffle-partition counts at runtime (the " +
+       "other half of adaptive sizing: 64 configured -> few actual for a " +
+       "tiny aggregate)") {
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.shuffle.partitions" -> "64")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      val agg = spark.range(10000)
+        .groupBy(($"id" % 5).as("k")).count()
+      // rdd materializes the FINAL adaptive plan's partitioning
+      val n = agg.rdd.getNumPartitions
+      assert(n < 64, s"AQE left $n partitions for a 5-group aggregate")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime (the automatic " +
        "complement to explicit salting)") {
     // Salting (above) is the deliberate rewrite when skew is known ahead
