@@ -340,6 +340,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("C13 stream-stream FULL OUTER join emits null-padded rows from " +
+       "BOTH sides once watermarks close their windows") {
+    implicit val ctx = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, String)]
+    val clicks = MemoryStream[(Timestamp, String)]
+    val joined = StreamOps.streamStreamJoin(
+      imps.toDF().toDF("imp_ts", "imp_ad"), "imp_ts", "1 minute",
+      clicks.toDF().toDF("click_ts", "click_ad"), "click_ts", "1 minute",
+      expr("""imp_ad = click_ad AND
+              click_ts BETWEEN imp_ts AND imp_ts + INTERVAL 10 MINUTES"""),
+      joinType = "full_outer")
+    val q = joined.writeStream.format("memory").queryName("ssj_full_sink")
+      .outputMode("append").start()
+    withQuery(q) {
+      imps.addData((ts("10:00:00"), "ad1"), (ts("10:00:00"), "imp_only"))
+      clicks.addData((ts("10:05:00"), "ad1"), (ts("10:05:00"), "click_only"))
+      q.processAllAvailable()
+      // advance both watermarks past every open window, twice, so both
+      // orphan rows finalize
+      for (h <- Seq("11:00:00", "11:30:00")) {
+        imps.addData((ts(h), "wm_imp"))
+        clicks.addData((ts(h), "wm_click"))
+        q.processAllAvailable()
+      }
+      val rows = spark.table("ssj_full_sink")
+        .select($"imp_ad", $"click_ad").as[(String, String)].collect().toSet
+      assert(rows.contains(("ad1", "ad1")))
+      assert(rows.contains(("imp_only", null)),
+        s"left orphan missing from $rows")
+      assert(rows.contains((null, "click_only")),
+        s"right orphan missing from $rows")
+    }
+  }
+
   test("C13 stream-stream join matches within the event-time bound") {
     implicit val ctx = spark.sqlContext
     val imps = MemoryStream[(Timestamp, String)]
