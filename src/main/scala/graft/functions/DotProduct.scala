@@ -91,10 +91,21 @@ object GraftFunctions {
     DotProduct(children.head, children(1))
   }
 
-  /** Register `graft_dot` on a live session (idempotent overwrite). */
-  def register(spark: SparkSession): Unit =
+  private val md5Info =
+    new ExpressionInfo(classOf[Md5Hex60].getName, "graft_md5_60")
+
+  private def md5Builder(children: Seq[Expression]): Expression = {
+    require(children.length == 1, "graft_md5_60 expects exactly 1 argument")
+    Md5Hex60(children.head)
+  }
+
+  /** Register the native functions on a live session (idempotent). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_dot"), info, builder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_md5_60"), md5Info, md5Builder _)
+  }
 }
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` — the
@@ -109,6 +120,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
        (children: Seq[Expression]) => {
          require(children.length == 2, "graft_dot expects exactly 2 arguments")
          DotProduct(children.head, children(1))
+       }))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_md5_60"),
+       new ExpressionInfo(classOf[Md5Hex60].getName, "graft_md5_60"),
+       (children: Seq[Expression]) => {
+         require(children.length == 1, "graft_md5_60 expects exactly 1 argument")
+         Md5Hex60(children.head)
        }))
     // conf-gated (default off) — injecting it costs nothing until a
     // session opts in; see ApproxDistinctRewrite

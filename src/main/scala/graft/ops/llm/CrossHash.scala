@@ -14,6 +14,13 @@ private[ops] object CrossHash {
   def hex60(inner: String): String =
     s"cast(conv(substr(md5($inner), 1, 15), 16, 10) as bigint)"
 
+  /** The NATIVE form of [[hex60]] — `graft.functions.Md5Hex60`, digest
+    * bytes straight to the long with no hex-string materialization.
+    * Bit-identical (Md5Hex60Spec proves it exhaustively); use in hot
+    * per-gram/per-shingle paths, after `GraftFunctions.register`.
+    */
+  def hex60Native(inner: String): String = s"graft_md5_60($inner)"
+
   /** The STRING form of the same 60 bits: the first 15 hex chars of md5,
     * uncoverted. Lexicographic order over the fixed-width lowercase hex
     * equals numeric order over [[hex60]], so min/sort-based consumers

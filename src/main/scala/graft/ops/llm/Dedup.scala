@@ -239,9 +239,11 @@ object Dedup extends QueryPack {
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // 60-bit base hash both engines can compute (CrossHash).
+    // 60-bit base hash both engines can compute (CrossHash; native form —
+    // one digest, no hex-string round trip, per distinct shingle).
+    graft.functions.GraftFunctions.register(spark)
     val hv = shingles3(spark, dir)
-      .select($"doc_id", expr(CrossHash.hex60("s")).as("hv"))
+      .select($"doc_id", expr(CrossHash.hex60Native("s")).as("hv"))
     // All 32 sign counters in ONE codegen'd hash aggregate (32
     // conditional sums) instead of exploding ×32 and shuffling
     // |shingles|×32 rows; the signature assembles in the projection.

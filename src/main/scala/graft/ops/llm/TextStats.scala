@@ -227,11 +227,13 @@ object TextStats extends QueryPack {
     * minimum — the selected set is a position-robust document signature
     * with guaranteed coverage (every w-run contributes a fingerprint),
     * which plain min-k sketches don't give. The per-gram hash is the
-    * cross-engine md5 hex STRING ([[CrossHash.hex15]] — lexicographic
-    * min over fixed-width hex equals numeric min over the bigint form,
-    * and skipping the base conversion is measurably cheaper; the
-    * rolling-hash formulation is an equivalent streaming optimization of
-    * the same k-gram hashes; the selected set is identical).
+    * cross-engine 60-bit md5 prefix in its NATIVE form
+    * ([[CrossHash.hex60Native]] / `graft.functions.Md5Hex60` — digest
+    * bytes straight to a long, no hex-string materialization; this
+    * expression runs once per character position, the hottest scalar in
+    * the whole bench). The rolling-hash formulation is an equivalent
+    * streaming optimization of the same k-gram hashes; the selected set
+    * is identical.
     *
     * Scale notes: explode by character position is linear in corpus
     * bytes; the window-min partitions by doc_id so the sort is per-doc
@@ -239,6 +241,7 @@ object TextStats extends QueryPack {
     */
   def winnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val k = 8 // gram width (chars)
     val w = 4 // winnowing window (grams)
     val grams = Tables.documents(spark, dir)
@@ -247,7 +250,10 @@ object TextStats extends QueryPack {
         explode(expr(s"sequence(0, length(text) - $k)")).as("i"),
         $"text")
       .select($"doc_id", $"len", $"i",
-        expr(CrossHash.hex15(s"substring(text, i + 1, $k)")).as("hv"))
+        // native hex60: this is THE hot expression of the whole bench
+        // (one md5 per char position) — digest bytes straight to a long,
+        // no 32-char hex string, no substring, no base conversion
+        expr(CrossHash.hex60Native(s"substring(text, i + 1, $k)")).as("hv"))
     val win = Window.partitionBy($"doc_id").orderBy($"i")
       .rowsBetween(Window.currentRow, w - 1)
     // ONE collect_set aggregate; n_fps = its size (a separate
@@ -262,7 +268,9 @@ object TextStats extends QueryPack {
       .agg(sort_array(collect_set($"wmin")).as("fps"))
       .select($"doc_id",
         size($"fps").cast("long").as("n_fps"),
-        concat_ws("|", slice($"fps", 1, 8)).as("fp_head"))
+        concat_ws("|",
+          expr("transform(slice(fps, 1, 8), x -> cast(x as string))"))
+          .as("fp_head"))
       .orderBy($"doc_id")
   }
 
@@ -519,7 +527,7 @@ object TextStats extends QueryPack {
     "llm_winnow" ->
       """WITH grams AS (
         |  SELECT doc_id, len(text) AS l, i,
-        |    substr(md5(substring(text, i + 1, 8)), 1, 15) AS hv
+        |    ('0x' || substr(md5(substring(text, i + 1, 8)), 1, 15))::BIGINT AS hv
         |  FROM documents, unnest(range(0, len(text) - 7)) AS t(i)
         |  WHERE len(text) >= 11
         |),
