@@ -393,7 +393,25 @@ object Aggregates extends QueryPack {
        |GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin
 
+  /** Boolean aggregate family — every/any/count_if, the predicates-over-
+    * groups surface data-quality rules compile to ("EVERY row in the
+    * partition passed", "ANY violation seen"). Plans as one hash
+    * aggregate; booleans cannot diverge cross-engine.
+    */
+  def boolFamily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(expr("every(l_quantity > 0)").as("all_positive_qty"),
+           expr("any(l_discount > 0.09)").as("any_deep_discount"),
+           expr("count_if(l_tax = 0)").as("n_tax_free"),
+           expr("every(l_shipdate >= timestamp'1995-01-01 00:00:00')")
+             .as("all_shipped_in_range"))
+      .orderBy($"l_returnflag")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bool_family"   -> (boolFamily _),
     "sql_filtered_agg"  -> (filteredAggSql _),
     "agg_heavy_hitters"   -> (heavyHitters _),
     "agg_bitmap_distinct" -> (bitmapDistinct _),
@@ -418,6 +436,15 @@ object Aggregates extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_bool_family" ->
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity > 0) AS all_positive_qty,
+        |  bool_or(l_discount > 0.09) AS any_deep_discount,
+        |  count_if(l_tax = 0)::BIGINT AS n_tax_free,
+        |  bool_and(l_shipdate >= TIMESTAMP '1995-01-01') AS all_shipped_in_range
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // the SAME statement both engines run — FILTER is standard SQL
     "sql_filtered_agg" -> filteredAggStmt,
     "agg_heavy_hitters" ->
