@@ -130,6 +130,23 @@ object ScaleProbe {
     Seq(1, mult).distinct.foreach { m =>
       println(f"[scale-probe] trigram mult=$m%-3d time=${timedTrigram(m)}%.2fs")
     }
+
+    // Winnowing (the bench's hottest query) at multiplied corpus: one md5
+    // per char position + a per-doc window — must scale with corpus
+    // BYTES, nothing else.
+    def timedWinnow(m: Int): Double = {
+      val c = corpusL(m).select($"doc_id", $"text")
+      val t0 = System.nanoTime()
+      // force EVERY output column (count() would let Catalyst prune the
+      // fingerprint work being measured — the Bench lesson)
+      TextStats.winnowFrom(c)
+        .agg(sum($"n_fps"), sum(length($"fp_head"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    timedWinnow(1) // warmup
+    Seq(1, mult).distinct.foreach { m =>
+      println(f"[scale-probe] winnow mult=$m%-3d time=${timedWinnow(m)}%.2fs")
+    }
     spark.stop()
   }
 }

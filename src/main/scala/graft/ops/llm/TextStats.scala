@@ -239,12 +239,18 @@ object TextStats extends QueryPack {
     * bytes; the window-min partitions by doc_id so the sort is per-doc
     * and bounded by document length, never corpus-wide.
     */
-  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    graft.functions.GraftFunctions.register(spark)
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame =
+    winnowFrom(Tables.documents(spark, dir))
+
+  /** [[winnowFingerprint]] over any (doc_id, text) corpus — also the
+    * [[ScaleProbe]] entry.
+    */
+  def winnowFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val k = 8 // gram width (chars)
     val w = 4 // winnowing window (grams)
-    val grams = Tables.documents(spark, dir)
+    val grams = docs
       .filter(length($"text") >= k + w - 1)
       .select($"doc_id", length($"text").as("len"),
         explode(expr(s"sequence(0, length(text) - $k)")).as("i"),
