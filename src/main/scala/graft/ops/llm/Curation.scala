@@ -171,6 +171,30 @@ object Curation extends QueryPack {
     split(trim(sN), "  ")
   }
 
+  /** CCNet-style quality bucketing: rank every document by its LM score
+    * and cut the corpus into head/middle/tail terciles — the bucketing
+    * CCNet uses to stratify CommonCrawl by perplexity before sampling.
+    * ntile over (score, doc_id) is totally ordered, so the cut points
+    * are deterministic in both engines.
+    *
+    * Scale: the ranking window is global by definition (a percentile cut
+    * IS a global statement) — at 100 TB this exact form becomes
+    * approx-quantile cut points (the tolerance-gated approx_percentile
+    * pattern) computed in one pass and applied map-side; the tercile
+    * semantics are identical and nothing else changes.
+    */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wAll = Window.orderBy($"ppl_proxy", $"doc_id")
+    perplexity(spark, dir)
+      .withColumn("bucket", ntile(3).over(wAll).cast("long"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+           min($"ppl_proxy").as("min_ppl"), max($"ppl_proxy").as("max_ppl"),
+           min($"doc_id").as("first_doc"))
+      .orderBy($"bucket")
+  }
+
   /** Log₂-bucketed document-length histogram — the length distribution a
     * curation team reads before choosing context windows and packing
     * budgets. The bucket is `len(bin(n_tokens))` = ⌊log₂ n⌋ + 1: an
@@ -401,7 +425,8 @@ object Curation extends QueryPack {
     "llm_bpe_encode"  -> (bpeEncode _),
     "llm_trigram_backoff" -> (trigramBackoff _),
     "llm_dataset_card" -> (datasetCard _),
-    "llm_len_histogram" -> (lenHistogram _)
+    "llm_len_histogram" -> (lenHistogram _),
+    "llm_ccnet_buckets" -> (ccnetBuckets _)
   )
 
   /** The BPE oracle replays every merge round as an unrolled CTE chain
@@ -410,6 +435,30 @@ object Curation extends QueryPack {
     * (cnt desc, pair asc) argmax, and applies the same two-space literal
     * replacement, so the two engines cannot disagree on any round.
     */
+  /** The llm_perplexity oracle — also nested verbatim as llm_ccnet_buckets'
+    * `ppl` CTE, so the two gates can never drift apart.
+    */
+  private val perplexityOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS w1
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      |p AS (
+      |  SELECT doc_id, w1,
+      |         LEAD(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      |  FROM toks),
+      |pairs AS (SELECT doc_id, w1, w2 FROM p WHERE w2 IS NOT NULL),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY w1, w2)
+      |SELECT doc_id, COUNT(*) AS n_pairs,
+      |  SUM(c1.c1)::BIGINT AS sum_prefix_cnt,
+      |  SUM(c2.c2)::BIGINT AS sum_bigram_cnt,
+      |  (CAST(SUM(c1.c1) AS DOUBLE) / SUM(c2.c2)::BIGINT) AS ppl_proxy
+      |FROM pairs
+      |JOIN c1 USING (w1)
+      |JOIN c2 USING (w1, w2)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   private val bpeChain: String = {
     val base =
       """WITH words AS (
@@ -502,28 +551,20 @@ object Curation extends QueryPack {
          |FROM ranked
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
-    "llm_perplexity" ->
-      """WITH toks AS (
-        |  SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS w1
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-        |p AS (
-        |  SELECT doc_id, w1,
-        |         LEAD(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
-        |  FROM toks),
-        |pairs AS (SELECT doc_id, w1, w2 FROM p WHERE w2 IS NOT NULL),
-        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1),
-        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY w1, w2)
-        |SELECT doc_id, COUNT(*) AS n_pairs,
-        |  SUM(c1.c1)::BIGINT AS sum_prefix_cnt,
-        |  SUM(c2.c2)::BIGINT AS sum_bigram_cnt,
-        |  (CAST(SUM(c1.c1) AS DOUBLE) / SUM(c2.c2)::BIGINT) AS ppl_proxy
-        |FROM pairs
-        |JOIN c1 USING (w1)
-        |JOIN c2 USING (w1, w2)
-        |GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin,
+    "llm_perplexity" -> perplexityOracle,
+    "llm_ccnet_buckets" ->
+      s"""WITH ppl AS ($perplexityOracle)
+        |SELECT bucket, COUNT(*) AS n_docs,
+        |  MIN(ppl_proxy) AS min_ppl, MAX(ppl_proxy) AS max_ppl,
+        |  MIN(doc_id) AS first_doc
+        |FROM (SELECT doc_id, ppl_proxy,
+        |        NTILE(3) OVER (ORDER BY ppl_proxy, doc_id)::BIGINT AS bucket
+        |      FROM ppl)
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
     "llm_bpe_merges" -> bpeOracle,
     "llm_bpe_encode" -> bpeEncodeOracle,
+
     "llm_trigram_backoff" ->
       """WITH base AS (
         |  SELECT doc_id, text,
