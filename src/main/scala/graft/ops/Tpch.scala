@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{Det, Tables}
 
 /** Composite analytics queries in the TPC-H shape — multi-join +
@@ -361,7 +362,253 @@ object Tpch extends QueryPack {
       .orderBy($"c_mktsegment")
   }
 
+  /** Q2 analog — minimum-cost supplier: for each LARGE-typed part, the
+    * EUROPE supplier(s) offering the lowest observed unit price. The
+    * fixture has no partsupp, so the observed (part, supplier) pairs from
+    * lineitem stand in, with cost = MIN(unit price) — an order-independent
+    * exact aggregate. The correlated-min subquery (TPC-H's signature
+    * shape) becomes ONE window min over the partkey partition of the
+    * already-supplier-restricted cost table: at 100 TB that is one keyed
+    * shuffle of the pair domain instead of a per-part re-aggregation,
+    * and the supplier/nation/region side rides in as a broadcast.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cost = Tables.lineitem(spark, dir)
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(min($"l_extendedprice" / $"l_quantity").as("supplycost"))
+    val elig = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+              .join(Tables.region(spark, dir).where($"r_name" === "EUROPE"),
+                    $"n_regionkey" === $"r_regionkey")
+              .select($"n_nationkey", $"n_name")),
+            $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_acctbal", $"s_name", $"n_name")
+    val best = cost.join(broadcast(elig), $"l_suppkey" === $"s_suppkey")
+      .withColumn("min_cost", min($"supplycost").over(Window.partitionBy($"l_partkey")))
+      .where($"supplycost" === $"min_cost")
+    best.join(broadcast(Tables.part(spark, dir)
+            .where($"p_type" === "LARGE").select($"p_partkey", $"p_brand")),
+          $"l_partkey" === $"p_partkey")
+      .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"p_brand",
+              $"supplycost")
+      .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+      .limit(100)
+  }
+
+  /** Q8 analog — national market share: of the revenue ASIA customers
+    * generated in 1996–1997, the share supplied by NATION_1, per order
+    * year. Both the numerator and denominator come out of ONE aggregate
+    * pass (a conditional decimal sum), so the share is a single ordered
+    * division of two exact values — never two scans of the fact.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    val asiaCust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+              .join(Tables.region(spark, dir).where($"r_name" === "ASIA"),
+                    $"n_regionkey" === $"r_regionkey")
+              .select($"n_nationkey")),
+            $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey")
+    val supN = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).select($"n_nationkey", $"n_name")),
+            $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      .join(Tables.orders(spark, dir)
+              .where(expr(s"o_orderdate >= $Cutoff") &&
+                     expr("o_orderdate < timestamp'1998-01-01 00:00:00'"))
+              .select($"o_orderkey", $"o_custkey",
+                      year($"o_orderdate").cast("long").as("o_year")),
+            $"l_orderkey" === $"o_orderkey")
+      .join(asiaCust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(supN), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"o_year")
+      .agg(Det.dsum(when($"supp_nation" === "NATION_1", rev).otherwise(lit(0.0)))
+             .as("nation_rev"),
+           Det.dsum(rev).as("total_rev"))
+      .select($"o_year", ($"nation_rev" / $"total_rev").as("mkt_share"),
+              $"nation_rev", $"total_rev")
+      .orderBy($"o_year")
+  }
+
+  /** Q9 analog — product-type profit by nation and year: profit on
+    * widget-named parts, with cost proxied as 60% of the part's retail
+    * price (no partsupp in the fixture). The part and supplier sides both
+    * broadcast; the only shuffles are the lineitem→orders key and the
+    * final (nation, year) aggregate.
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val profit = $"l_extendedprice" * (lit(1.0) - $"l_discount") -
+      lit(0.6) * $"p_retailprice" * $"l_quantity"
+    val supN = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).select($"n_nationkey", $"n_name")),
+            $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("nation"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+              .where($"p_name".contains("widget"))
+              .select($"p_partkey", $"p_retailprice")),
+            $"l_partkey" === $"p_partkey")
+      .join(broadcast(supN), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.orders(spark, dir)
+              .select($"o_orderkey", year($"o_orderdate").cast("long").as("o_year")),
+            $"l_orderkey" === $"o_orderkey")
+      .groupBy($"nation", $"o_year")
+      .agg(Det.dsum(profit).as("profit"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+
+  /** Q11 analog — important stock: parts whose ASIA-supplied value exceeds
+    * 2× the mean per-part value. TPC-H's fixed fraction breaks under
+    * scale-up (the part domain grows with SF, so every share shrinks);
+    * the mean-relative cut is scale-invariant by construction. The
+    * threshold compare is exact decimal cross-multiplication — value ×
+    * n_parts > 2 × total — never a float division.
+    */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val elig = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+              .join(Tables.region(spark, dir).where($"r_name" === "ASIA"),
+                    $"n_regionkey" === $"r_regionkey")
+              .select($"n_nationkey")),
+            $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey")
+    val vals = Tables.lineitem(spark, dir)
+      .join(broadcast(elig), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"l_partkey")
+      .agg(sum($"l_extendedprice".cast("decimal(30,6)")).as("val_dec"))
+    val tot = vals.agg(sum($"val_dec").as("tot_dec"),
+                       count(lit(1)).as("n_parts"))
+    vals.crossJoin(broadcast(tot))
+      .where($"val_dec" * $"n_parts" > $"tot_dec" * 2)
+      .select($"l_partkey", $"val_dec".cast("double").as("stock_value"))
+      .orderBy($"stock_value".desc, $"l_partkey")
+  }
+
+  /** Q15 analog — top supplier: the supplier(s) with maximum revenue in
+    * one quarter. The scalar-subquery max is a one-row broadcast cross
+    * join over the per-supplier aggregate — the revenue view is computed
+    * ONCE and reused for both the max and the final filter, where the SQL
+    * form's naive plan would re-aggregate the fact twice.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val revs = Tables.lineitem(spark, dir)
+      .where(expr("l_shipdate >= timestamp'1997-01-01 00:00:00'") &&
+             expr("l_shipdate < timestamp'1997-04-01 00:00:00'"))
+      .groupBy($"l_suppkey")
+      .agg(Det.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+             .as("total_rev"))
+    val mx = revs.agg(max($"total_rev").as("max_rev"))
+    revs.crossJoin(broadcast(mx))
+      .where($"total_rev" === $"max_rev")
+      .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"total_rev")
+      .orderBy($"s_suppkey")
+  }
+
+  /** Q17 analog — small-quantity revenue: average yearly revenue lost if
+    * sub-20%-of-average-quantity orders of one brand were dropped. The
+    * correlated per-part AVG becomes an aggregate-then-broadcast-join over
+    * the brand's partkey domain (bounded by |part|, not |lineitem|).
+    * Quantities are integer-valued doubles, so the average is exact in any
+    * accumulation order and the 0.2× cut is bit-identical cross-engine.
+    */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val brandLines = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+              .where($"p_brand" === "Brand#1").select($"p_partkey")),
+            $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+    val avgQty = brandLines.groupBy($"l_partkey".as("ap"))
+      .agg(avg($"l_quantity").as("avg_qty"))
+    brandLines.join(broadcast(avgQty), $"l_partkey" === $"ap")
+      .where($"l_quantity" < lit(0.2) * $"avg_qty")
+      .agg((Det.dsum($"l_extendedprice") / lit(7.0)).as("avg_yearly"),
+           count(lit(1)).as("n_lines"))
+  }
+
+  /** Q20 analog — excess-stock promotion candidates: AFRICA suppliers who
+    * shipped more than 450 units of red-named parts in 1997. The nested
+    * IN-subqueries become a pre-aggregated inner (per-supplier shipped
+    * quantity over the red-part domain, integer-exact) feeding a LEFT SEMI
+    * probe of the supplier dim — the fact is aggregated once, and the
+    * semi join never widens rows.
+    */
+  def q20ExcessStock(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val shipped = Tables.lineitem(spark, dir)
+      .where(expr("l_shipdate >= timestamp'1997-01-01 00:00:00'") &&
+             expr("l_shipdate < timestamp'1998-01-01 00:00:00'"))
+      .join(broadcast(Tables.part(spark, dir)
+              .where($"p_name".startsWith("red")).select($"p_partkey")),
+            $"l_partkey" === $"p_partkey")
+      .groupBy($"l_suppkey")
+      .agg(sum($"l_quantity").as("qty"))
+      .where($"qty" > 450.0)
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+              .join(Tables.region(spark, dir).where($"r_name" === "AFRICA"),
+                    $"n_regionkey" === $"r_regionkey")
+              .select($"n_nationkey")),
+            $"s_nationkey" === $"n_nationkey")
+      .join(shipped, $"s_suppkey" === $"l_suppkey", "left_semi")
+      .select($"s_suppkey", $"s_name")
+      .orderBy($"s_suppkey")
+  }
+
+  /** Q21 analog — suppliers who kept orders waiting: ASIA suppliers whose
+    * returned line was the ONLY return on a finished multi-supplier order.
+    * The EXISTS becomes a LEFT SEMI and the NOT EXISTS a LEFT ANTI against
+    * the same fact — both keyed on orderkey with the supplier-mismatch
+    * as a residual condition, so the self-probes stay equi-joins (one
+    * orderkey shuffle each, no cartesian blow-up) at any scale.
+    */
+  def q21WaitingOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val asiaSup = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+              .join(Tables.region(spark, dir).where($"r_name" === "ASIA"),
+                    $"n_regionkey" === $"r_regionkey")
+              .select($"n_nationkey")),
+            $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name")
+    val li = Tables.lineitem(spark, dir)
+    val l1 = li.where($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_suppkey")
+      .join(Tables.orders(spark, dir).where($"o_orderstatus" === "F")
+              .select($"o_orderkey"),
+            $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(asiaSup), $"l_suppkey" === $"s_suppkey")
+    val others = li.select($"l_orderkey".as("o2k"), $"l_suppkey".as("s2k"))
+    val othersR = li.where($"l_returnflag" === "R")
+      .select($"l_orderkey".as("o3k"), $"l_suppkey".as("s3k"))
+    l1.join(others, $"l_orderkey" === $"o2k" && $"l_suppkey" =!= $"s2k",
+            "left_semi")
+      .join(othersR, $"l_orderkey" === $"o3k" && $"l_suppkey" =!= $"s3k",
+            "left_anti")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(20)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q8_market_share"      -> (q8MarketShare _),
+    "q9_product_profit"    -> (q9ProductProfit _),
+    "q11_important_stock"  -> (q11ImportantStock _),
+    "q15_top_supplier"     -> (q15TopSupplier _),
+    "q17_small_quantity"   -> (q17SmallQuantity _),
+    "q20_excess_stock"     -> (q20ExcessStock _),
+    "q21_waiting_orders"   -> (q21WaitingOrders _),
     "q3_shipping_priority" -> (q3Shipping _),
     "q4_order_priority"    -> (q4OrderPriority _),
     "q5_local_supplier"    -> (q5LocalSupplier _),
@@ -379,6 +626,122 @@ object Tpch extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "q2_min_cost_supplier" ->
+      """WITH cost AS (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk,
+        |         MIN(l_extendedprice / l_quantity) AS supplycost
+        |  FROM lineitem GROUP BY 1, 2),
+        |elig AS (
+        |  SELECT s_suppkey, s_acctbal, s_name, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, supplycost
+        |FROM part
+        |JOIN cost ON p_partkey = pk
+        |JOIN elig ON sk = s_suppkey
+        |WHERE p_type = 'LARGE'
+        |  AND supplycost = (SELECT MIN(c2.supplycost)
+        |                    FROM cost c2 JOIN elig e2 ON c2.sk = e2.s_suppkey
+        |                    WHERE c2.pk = p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+    "q8_market_share" ->
+      s"""SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+         |  ${Det.sqlSum("CASE WHEN sn.n_name = 'NATION_1' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+         |    / ${Det.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS mkt_share,
+         |  ${Det.sqlSum("CASE WHEN sn.n_name = 'NATION_1' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS nation_rev,
+         |  ${Det.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS total_rev
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |JOIN region ON cn.n_regionkey = r_regionkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1
+         |ORDER BY o_year""".stripMargin,
+    "q9_product_profit" ->
+      s"""SELECT sn.n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+         |  ${Det.sqlSum("l_extendedprice * (1.0 - l_discount) - 0.6 * p_retailprice * l_quantity")} AS profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE '%widget%'
+         |GROUP BY 1, 2
+         |ORDER BY nation, o_year DESC""".stripMargin,
+    "q11_important_stock" ->
+      """WITH elig AS (
+        |  SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |vals AS (
+        |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS v
+        |  FROM lineitem JOIN elig ON l_suppkey = s_suppkey
+        |  GROUP BY 1)
+        |SELECT l_partkey, CAST(v AS DOUBLE) AS stock_value
+        |FROM vals
+        |WHERE v * (SELECT COUNT(*) FROM vals) > (SELECT SUM(v) FROM vals) * 2
+        |ORDER BY stock_value DESC, l_partkey""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH revs AS (
+         |  SELECT l_suppkey,
+         |    ${Det.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS total_rev
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, total_rev
+         |FROM revs JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_rev = (SELECT MAX(total_rev) FROM revs)
+         |ORDER BY s_suppkey""".stripMargin,
+    "q17_small_quantity" ->
+      s"""SELECT ${Det.sqlSum("l_extendedprice")} / 7.0 AS avg_yearly,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_brand = 'Brand#1'
+         |  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+         |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q20_excess_stock" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'AFRICA'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    JOIN part ON l_partkey = p_partkey
+        |    WHERE p_name LIKE 'red%'
+        |      AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |      AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    GROUP BY l_suppkey
+        |    HAVING SUM(l_quantity) > 450.0)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q21_waiting_orders" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON l1.l_orderkey = o_orderkey
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND l1.l_returnflag = 'R'
+        |  AND o_orderstatus = 'F'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "q3_shipping_priority" ->
       s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
          |  o_orderpriority,
