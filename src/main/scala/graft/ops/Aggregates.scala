@@ -410,7 +410,41 @@ object Aggregates extends QueryPack {
       .orderBy($"l_returnflag")
   }
 
+  /** LISTAGG with WITHIN GROUP ordering through the spark.sql entry path
+    * (Spark 4's standard spelling; DuckDB's twin is string_agg ORDER BY).
+    * The explicit in-group order is what makes a string aggregate
+    * deterministic under any partitioning — unordered listagg output is
+    * partition-order-dependent and would never hash-match.
+    */
+  def listaggSql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(
+      """SELECT r_regionkey,
+        |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_regionkey
+        |ORDER BY r_regionkey""".stripMargin)
+  }
+
+  /** grouping()/grouping_id() flags over a cube — how a reporting layer
+    * tells a subtotal row from a genuine NULL group. Both engines emit
+    * the flags straight from the Expand metadata; cast to int because
+    * Spark types grouping() as tinyint and DuckDB as bigint.
+    */
+  def groupingIdQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(grouping($"l_returnflag").cast("int").as("g_rf"),
+           grouping($"l_linestatus").cast("int").as("g_ls"),
+           grouping_id().cast("int").as("gid"),
+           count(lit(1)).as("n_lines"))
+      .orderBy($"gid", $"l_returnflag", $"l_linestatus")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_listagg"       -> (listaggSql _),
+    "agg_grouping_id"   -> (groupingIdQ _),
     "agg_bool_family"   -> (boolFamily _),
     "sql_filtered_agg"  -> (filteredAggSql _),
     "agg_heavy_hitters"   -> (heavyHitters _),
@@ -436,6 +470,21 @@ object Aggregates extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "sql_listagg" ->
+      """SELECT r_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_regionkey
+        |ORDER BY r_regionkey""".stripMargin,
+    "agg_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag)::INTEGER AS g_rf,
+        |  GROUPING(l_linestatus)::INTEGER AS g_ls,
+        |  (2 * GROUPING(l_returnflag) + GROUPING(l_linestatus))::INTEGER AS gid,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
     "agg_bool_family" ->
       """SELECT l_returnflag,
         |  bool_and(l_quantity > 0) AS all_positive_qty,

@@ -301,7 +301,27 @@ object Joins extends QueryPack {
       .orderBy($"o_orderpriority")
   }
 
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT through the
+    * spark.sql entry path — per-nation top-3 orders. Catalyst
+    * decorrelates the limit into a window rank under the hood
+    * (DecorrelateInnerQuery), so the declared plan stays one join + one
+    * per-key window pass rather than 25 re-executed subqueries — the
+    * property that makes SQL-authored lateral probes survive scale.
+    */
+  def lateralTopkSql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(
+      """SELECT n_name, o_orderkey, o_totalprice
+        |FROM nation, LATERAL (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        |ORDER BY n_name, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_lateral_topk"      -> (lateralTopkSql _),
     "join_bloom_prefilter"  -> (bloomPrefilter _),
     "join_inner_equi"       -> (innerEqui _),
     "join_left_outer"       -> (leftOuter _),
@@ -319,6 +339,14 @@ object Joins extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "sql_lateral_topk" ->
+      """SELECT n_name, o_orderkey, o_totalprice
+        |FROM nation, LATERAL (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        |ORDER BY n_name, o_totalprice DESC, o_orderkey""".stripMargin,
     "join_bloom_prefilter" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
          |  ${Det.sqlSum("o_totalprice")} AS total

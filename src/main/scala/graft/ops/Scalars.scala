@@ -225,7 +225,29 @@ object Scalars extends QueryPack {
       .orderBy($"p_partkey")
   }
 
+  /** Conditional scalar family — greatest/least, NULLIF/COALESCE, IF and
+    * multi-branch CASE: the null-routing and clamping toolkit every
+    * cleaning pipeline leans on. All pure row-local expressions (one
+    * codegen'd projection, no shuffle) with integer/string outputs that
+    * cannot diverge cross-engine.
+    */
+  def conditionalFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select($"p_partkey",
+        greatest($"p_size", lit(10)).as("size_floor10"),
+        least($"p_size", lit(25)).as("size_cap25"),
+        expr("nullif(p_type, 'PROMO')").as("type_nullifed"),
+        coalesce(expr("nullif(p_type, 'PROMO')"), lit("OTHER")).as("type_or_other"),
+        expr("if(p_size > 25, 'big', 'small')").as("size_class"),
+        when($"p_retailprice" > 1500.0, "premium")
+          .when($"p_retailprice" > 800.0, "mid")
+          .otherwise("budget").as("price_tier"))
+      .orderBy($"p_partkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_conditional" -> (conditionalFuncs _),
     "scalar_bitwise"     -> (bitwiseFuncs _),
     "scalar_regex"       -> (regexFuncs _),
     "scalar_try"         -> (tryFuncs _),
@@ -240,6 +262,17 @@ object Scalars extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "scalar_conditional" ->
+      """SELECT p_partkey,
+        |  greatest(p_size, 10)::INTEGER AS size_floor10,
+        |  least(p_size, 25)::INTEGER AS size_cap25,
+        |  nullif(p_type, 'PROMO') AS type_nullifed,
+        |  COALESCE(nullif(p_type, 'PROMO'), 'OTHER') AS type_or_other,
+        |  IF(p_size > 25, 'big', 'small') AS size_class,
+        |  CASE WHEN p_retailprice > 1500.0 THEN 'premium'
+        |       WHEN p_retailprice > 800.0 THEN 'mid'
+        |       ELSE 'budget' END AS price_tier
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "scalar_bitwise" ->
       """SELECT p_partkey,
         |  CAST(p_size & 15 AS INTEGER) AS b_and,

@@ -417,7 +417,46 @@ object Curation extends QueryPack {
       .orderBy($"lang")
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each document by
+    * how much more likely its hashed-unigram features are under the
+    * TARGET distribution (here the `lang = 'en'` slice) than under the
+    * raw corpus. The real DSIR uses log probability ratios; this keeps
+    * the estimator shape but swaps ln for the integer floor-log2
+    * (`length(bin(n)) - 1`) so every weight is an exact integer —
+    * bit-identical cross-engine with zero float drift.
+    *
+    * Scale shape: one explode pass builds the hashed-feature stream; the
+    * two count tables are bounded by the 256-bucket feature space (NOT
+    * the corpus — that is the point of hashed features at 100 TB), so
+    * the ratio dictionary broadcasts; the per-doc score is one keyed
+    * aggregate. Top-k via TakeOrderedAndProject.
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("w"))
+      .where(length($"w") > 0)
+      .withColumn("b", expr(s"${CrossHash.hex60Native("w")} % 256"))
+    val src = toks.groupBy($"b").agg(count(lit(1)).as("scnt"))
+    val tgt = toks.where($"lang" === "en")
+      .groupBy($"b").agg(count(lit(1)).as("tcnt"))
+    val dict = src.join(tgt, Seq("b"), "left_outer")
+      .na.fill(0L, Seq("tcnt"))
+      .select($"b",
+        ((length(bin($"tcnt" + 1)) - 1) - (length(bin($"scnt" + 1)) - 1))
+          .cast("long").as("lw"))
+    toks.groupBy($"doc_id", $"b").agg(count(lit(1)).as("tf"))
+      .join(broadcast(dict), Seq("b"))
+      .groupBy($"doc_id")
+      .agg(sum($"tf" * $"lw").as("dsir_weight"))
+      .orderBy($"dsir_weight".desc, $"doc_id")
+      .limit(20)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dsir_weights" -> (dsirWeights _),
     "llm_chunking"    -> (chunking _),
     "llm_boilerplate" -> (boilerplate _),
     "llm_perplexity"  -> (perplexity _),
@@ -513,6 +552,24 @@ object Curation extends QueryPack {
       |ORDER BY lang""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "llm_dsir_weights" ->
+      s"""WITH tb AS (
+         |  SELECT doc_id, lang, ${CrossHash.hex60Sql("w")} % 256 AS b
+         |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+         |        FROM documents)
+         |  WHERE len(w) > 0),
+         |src AS (SELECT b, COUNT(*) AS scnt FROM tb GROUP BY 1),
+         |tgt AS (SELECT b, COUNT(*) AS tcnt FROM tb WHERE lang = 'en' GROUP BY 1),
+         |dict AS (
+         |  SELECT s.b,
+         |    ((length(bin(1 + COALESCE(tcnt, 0))) - 1)
+         |     - (length(bin(1 + scnt)) - 1))::BIGINT AS lw
+         |  FROM src s LEFT JOIN tgt t ON s.b = t.b),
+         |tf AS (SELECT doc_id, b, COUNT(*) AS tf FROM tb GROUP BY 1, 2)
+         |SELECT doc_id, SUM(tf * lw)::BIGINT AS dsir_weight
+         |FROM tf JOIN dict USING (b)
+         |GROUP BY doc_id
+         |ORDER BY dsir_weight DESC, doc_id LIMIT 20""".stripMargin,
     "llm_chunking" ->
       s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |d AS (SELECT doc_id, w, len(w) AS n,
