@@ -320,7 +320,29 @@ object Joins extends QueryPack {
         |ORDER BY n_name, o_totalprice DESC, o_orderkey""".stripMargin)
   }
 
+  /** NOT IN vs NOT EXISTS under a NULL-bearing subquery — the
+    * three-valued-logic trap pinned in one row: NOT IN over a set
+    * containing NULL is never TRUE (n_not_in = 0), while NOT EXISTS
+    * ignores the NULLed entries (n_not_exists > 0). Spark plans the
+    * NOT IN as a null-aware anti join (a distinct physical operator from
+    * the plain anti); an engine that rewrites one into the other
+    * silently corrupts results, which is why this gate exists.
+    */
+  def notInNullSql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(
+      """SELECT
+        |  (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+        |    (SELECT CASE WHEN c_custkey % 100 = 7 THEN NULL ELSE c_custkey END
+        |     FROM customer WHERE c_mktsegment = 'MACHINERY')) AS n_not_in,
+        |  (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_mktsegment = 'MACHINERY'
+        |     AND (CASE WHEN c.c_custkey % 100 = 7 THEN NULL
+        |          ELSE c.c_custkey END) = o.o_custkey)) AS n_not_exists""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_not_in_null"       -> (notInNullSql _),
     "sql_lateral_topk"      -> (lateralTopkSql _),
     "join_bloom_prefilter"  -> (bloomPrefilter _),
     "join_inner_equi"       -> (innerEqui _),
@@ -339,6 +361,15 @@ object Joins extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "sql_not_in_null" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+        |    (SELECT CASE WHEN c_custkey % 100 = 7 THEN NULL ELSE c_custkey END
+        |     FROM customer WHERE c_mktsegment = 'MACHINERY')) AS n_not_in,
+        |  (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_mktsegment = 'MACHINERY'
+        |     AND (CASE WHEN c.c_custkey % 100 = 7 THEN NULL
+        |          ELSE c.c_custkey END) = o.o_custkey)) AS n_not_exists""".stripMargin,
     "sql_lateral_topk" ->
       """SELECT n_name, o_orderkey, o_totalprice
         |FROM nation, LATERAL (

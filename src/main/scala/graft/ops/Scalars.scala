@@ -246,7 +246,26 @@ object Scalars extends QueryPack {
       .orderBy($"p_partkey")
   }
 
+  /** Struct construction + JSON serialization — nested values cross the
+    * gate as canonical JSON text (the driver's comparator cannot sort
+    * struct cells, same rule as arrays), proving named_struct/to_json on
+    * one side and struct_pack/to_json on the other produce byte-identical
+    * canonical form.
+    */
+  def structJson(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select($"p_partkey",
+        to_json(struct($"p_brand".as("brand"), $"p_size".as("size")))
+          .as("part_info"),
+        get_json_object(
+          to_json(struct($"p_type".as("t"), $"p_retailprice".as("price"))),
+          "$.t").as("type_roundtrip"))
+      .orderBy($"p_partkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_struct_json" -> (structJson _),
     "scalar_conditional" -> (conditionalFuncs _),
     "scalar_bitwise"     -> (bitwiseFuncs _),
     "scalar_regex"       -> (regexFuncs _),
@@ -262,6 +281,14 @@ object Scalars extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "scalar_struct_json" ->
+      """SELECT p_partkey,
+        |  to_json(struct_pack(brand := p_brand, size := p_size))::VARCHAR
+        |    AS part_info,
+        |  json_extract_string(
+        |    to_json(struct_pack(t := p_type, price := p_retailprice)), '$.t')
+        |    AS type_roundtrip
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "scalar_conditional" ->
       """SELECT p_partkey,
         |  greatest(p_size, 10)::INTEGER AS size_floor10,

@@ -123,7 +123,29 @@ object Windows extends QueryPack {
       .orderBy($"event_id")
   }
 
+  /** Time-interval RANGE frame — rolling 7-day revenue per supplier,
+    * through the spark.sql entry path (the DataFrame rangeBetween API is
+    * numeric-only; calendar-interval frames are SQL surface). RANGE
+    * includes date peers in the frame, so tied ship dates share one
+    * value — which is also what makes the output deterministic. One
+    * shuffle on suppkey; the frame scan is a per-partition sliding
+    * accumulator, never a self-join.
+    */
+  def rangeInterval(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(
+      """SELECT l_suppkey, l_shipdate,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate
+        |    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS rev_7d
+        |FROM lineitem
+        |WHERE l_suppkey < 20
+        |ORDER BY l_suppkey, l_shipdate""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_range_interval" -> (rangeInterval _),
     "win_value_family"   -> (valueFamily _),
     "win_dist_family"    -> (distFamily _),
     "win_topk_per_group" -> (topKPerGroup _),
@@ -134,6 +156,15 @@ object Windows extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "win_range_interval" ->
+      """SELECT l_suppkey, l_shipdate,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate
+        |    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS rev_7d
+        |FROM lineitem
+        |WHERE l_suppkey < 20
+        |ORDER BY l_suppkey, l_shipdate""".stripMargin,
     "win_value_family" ->
       """SELECT event_id, user_id,
         |  COALESCE(NTH_VALUE(event_type, 2) OVER w, '-') AS second_type,
