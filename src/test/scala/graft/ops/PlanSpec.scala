@@ -293,6 +293,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q2_min_cost_supplier: correlated min is ONE window pass over the " +
+       "pair aggregate; dims broadcast; no re-aggregation per part") {
+    val p = plan("q2_min_cost_supplier")
+    assert("Window \\[min".r.findAllIn(p).size == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q21_waiting_orders: EXISTS/NOT EXISTS stay equi semi/anti probes " +
+       "on orderkey (residual supplier-mismatch only), never nested-loop") {
+    val p = plan("q21_waiting_orders")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("sql_lateral_topk: the correlated LIMIT decorrelates to " +
+       "WindowGroupLimit (one join + one window pass, not a re-executed " +
+       "subquery per outer row)") {
+    val p = plan("sql_lateral_topk")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("sql_not_in_null: both counts plan as anti-join shapes (the NOT IN " +
+       "side null-aware), not per-row subquery re-execution") {
+    val p = plan("sql_not_in_null")
+    assert("LeftAnti".r.findAllIn(p).size >= 2, p)
+  }
+
   test("SWEEP: no gated query plans CartesianProduct (the one deliberate " +
        "cross join is bounded and explicit)") {
     // A cartesian anywhere else means a join lost its equi-condition — the
