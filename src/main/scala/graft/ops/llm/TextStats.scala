@@ -422,7 +422,62 @@ object TextStats extends QueryPack {
       .orderBy($"lang")
   }
 
+  /** Cross-source n-gram novelty — per source, the share of its 3-gram
+    * occurrences whose 3-gram appears in NO other source. The estimator
+    * behind train/test-leakage and source-diversity audits: a source
+    * with low novelty is mostly restating the rest of the corpus. One
+    * explode builds the gram stream; the gram→distinct-source table is
+    * one aggregate keyed by gram (bounded by distinct grams, not
+    * occurrences); the final ratio is integer ppm (floor division) so it
+    * cannot drift cross-engine.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = Tables.documents(spark, dir)
+      .select($"source", split($"text", " ").as("ws"))
+      .where(size($"ws") >= 3)
+      .select($"source", explode(expr(
+        "transform(sequence(0, size(ws) - 3), " +
+        "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("gram"))
+    val df = g.groupBy($"gram")
+      .agg(countDistinct($"source").as("nsrc"))
+    g.join(df, Seq("gram"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_grams"),
+           sum(when($"nsrc" === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select($"source", $"n_grams", $"n_novel",
+              expr("(1000000 * n_novel) div n_grams").as("novelty_ppm"))
+      .orderBy($"source")
+  }
+
+  /** Per-document character diversity as the Simpson collision
+    * probability — P[two random characters of the doc collide], in exact
+    * integer ppb: (10⁹ · Σ n(n-1)) div (t(t-1)). A repetition/quality
+    * signal with NO transcendental math (the usual Shannon-entropy form
+    * needs ln, which is not bit-portable across engines); docs bucket
+    * into terciles by an ntile over the exact score.
+    */
+  def charDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"collision_ppb", $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(split(regexp_replace($"text", " ", ""), ""))
+                .as("c"))
+      .where($"c" =!= "")
+      .groupBy($"doc_id", $"c").agg(count(lit(1)).as("n"))
+      .groupBy($"doc_id")
+      .agg(sum($"n" * ($"n" - 1)).as("num"), sum($"n").as("t"))
+      .where($"t" > 1)
+      .select($"doc_id",
+              expr("(1000000000 * num) div (t * (t - 1))").as("collision_ppb"))
+      .withColumn("bucket", ntile(3).over(w))
+      .orderBy($"doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ngram_novelty" -> (ngramNovelty _),
+    "llm_char_diversity" -> (charDiversity _),
     "llm_mix_weights"   -> (mixWeights _),
     "llm_pack_sequences" -> (packSequences _),
     "llm_contamination" -> (contamination _),
@@ -444,6 +499,35 @@ object TextStats extends QueryPack {
     profiles.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
 
   def oracle: Map[String, String] = Map(
+    "llm_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT source, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (
+        |  SELECT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) t),
+        |df AS (SELECT gram, COUNT(DISTINCT source) AS nsrc FROM g GROUP BY 1)
+        |SELECT source, COUNT(*) AS n_grams,
+        |  (COUNT(*) FILTER (WHERE nsrc = 1))::BIGINT AS n_novel,
+        |  ((1000000 * COUNT(*) FILTER (WHERE nsrc = 1)) // COUNT(*))::BIGINT
+        |    AS novelty_ppm
+        |FROM g JOIN df USING (gram)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "llm_char_diversity" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(replace(text, ' ', ''), '')) AS c
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, c, COUNT(*) AS n FROM ch WHERE c <> ''
+        |        GROUP BY 1, 2),
+        |col AS (
+        |  SELECT doc_id,
+        |    ((1000000000 * SUM(n * (n - 1))) // (SUM(n) * (SUM(n) - 1)))::BIGINT
+        |      AS collision_ppb
+        |  FROM cnt GROUP BY doc_id HAVING SUM(n) > 1)
+        |SELECT doc_id, collision_ppb,
+        |  NTILE(3) OVER (ORDER BY collision_ppb, doc_id)::INTEGER AS bucket
+        |FROM col ORDER BY doc_id""".stripMargin,
     "llm_text_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  SUM(n_chars)::BIGINT AS sum_chars,
