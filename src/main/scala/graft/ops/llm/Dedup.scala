@@ -536,7 +536,29 @@ object Dedup extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** End-to-end dedup survivor selection — the step that turns a cluster
+    * map into an actual keep/drop decision. Policy: keep the LONGEST
+    * member of each near-dup cluster (most content survives), ties to
+    * the lowest doc_id. Composes [[dedupClusters]] with the documents
+    * dim: one join + one max_by aggregate on the cluster key — the
+    * cluster map is tiny relative to the corpus, so at scale this costs
+    * one keyed shuffle of the clustered subset, nothing corpus-wide.
+    */
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val clusters = dedupClusters(spark, dir)
+    clusters.join(Tables.documents(spark, dir).select($"doc_id", $"n_chars"),
+                  Seq("doc_id"))
+      .groupBy($"cluster_rep")
+      .agg(count(lit(1)).as("n_members"),
+           expr("max_by(doc_id, struct(n_chars, -doc_id))").as("survivor_doc_id"),
+           max($"n_chars").as("survivor_chars"))
+      .where($"n_members" > 1)
+      .orderBy($"cluster_rep")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_survivors" -> (dedupSurvivors _),
     "llm_para_dedup"      -> (paraDedup _),
     "llm_dedup_exact"     -> (dedupExact _),
     "llm_dedup_minhash"   -> (dedupNearMinhash _),
@@ -589,6 +611,36 @@ object Dedup extends QueryPack {
         |FROM p JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
         |WHERE 5 * inter >= 3 * (s1.n + s2.n - inter)
         |ORDER BY d1, d2""".stripMargin,
+    // the survivors oracle nests the SAME recursive-CTE cluster
+    // resolution as llm_dedup_clusters (the two gates cannot drift),
+    // then applies the keep-longest policy as a window rank
+    "llm_dedup_survivors" ->
+      s"""WITH RECURSIVE ${shingleCte(3)},
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2
+        |  FROM p JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+        |  WHERE 5 * inter >= 3 * (s1.n + s2.n - inter)),
+        |edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |nodes AS (SELECT DISTINCT d1 AS doc FROM edges),
+        |reach(doc, lab) AS (
+        |  SELECT doc, doc FROM nodes
+        |  UNION
+        |  SELECT e.d2, r.lab FROM reach r JOIN edges e ON e.d1 = r.doc
+        |),
+        |cl AS (SELECT doc AS doc_id, MIN(lab) AS cluster_rep
+        |       FROM reach GROUP BY doc),
+        |r AS (SELECT cluster_rep, cl.doc_id, n_chars,
+        |        ROW_NUMBER() OVER (PARTITION BY cluster_rep
+        |                           ORDER BY n_chars DESC, cl.doc_id) AS rn,
+        |        COUNT(*) OVER (PARTITION BY cluster_rep) AS n_members
+        |      FROM cl JOIN documents d ON cl.doc_id = d.doc_id)
+        |SELECT cluster_rep, n_members, doc_id AS survivor_doc_id,
+        |  n_chars AS survivor_chars
+        |FROM r WHERE rn = 1 AND n_members > 1
+        |ORDER BY cluster_rep""".stripMargin,
     "llm_dedup_clusters" ->
       s"""WITH RECURSIVE ${shingleCte(3)},
         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),

@@ -431,9 +431,13 @@ object TextStats extends QueryPack {
     * occurrences); the final ratio is integer ppm (floor division) so it
     * cannot drift cross-engine.
     */
-  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val g = Tables.documents(spark, dir)
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNoveltyFrom(Tables.documents(spark, dir))
+
+  /** [[ngramNovelty]] over any (source, text) corpus — scale-probe entry. */
+  private[graft] def ngramNoveltyFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val g = docs
       .select($"source", split($"text", " ").as("ws"))
       .where(size($"ws") >= 3)
       .select($"source", explode(expr(
@@ -456,6 +460,13 @@ object TextStats extends QueryPack {
     * signal with NO transcendental math (the usual Shannon-entropy form
     * needs ln, which is not bit-portable across engines); docs bucket
     * into terciles by an ntile over the exact score.
+    *
+    * Scale note: the ntile runs on the per-doc AGGREGATE table (one row
+    * per document) and is the only global-order step. The exact gate
+    * needs exact ranks; a 100 TB corpus would swap it for fixed bucket
+    * thresholds from a mergeable quantile sketch
+    * (`approx_percentile(collision_ppb, array(1/3, 2/3))`) — same output
+    * schema, no single-partition window.
     */
   def charDiversity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
