@@ -442,7 +442,68 @@ object Aggregates extends QueryPack {
       .orderBy($"gid", $"l_returnflag", $"l_linestatus")
   }
 
+  /** Linear-regression aggregate family (regr_slope / intercept / r² per
+    * group) — built from EXACT integer base sums rather than the native
+    * regr_* aggregates: Spark and DuckDB both accumulate those in
+    * doubles, whose partial-merge order differs run-to-run and
+    * engine-to-engine, so the native forms can never hash-match. Here
+    * n, Σx, Σy, Σx², Σy², Σxy are overflow-free BIGINTs (values
+    * cent-scaled), combined in DECIMAL(38,0)/HUGEINT — still exact —
+    * and only the last step (cast to double, one fixed expression tree
+    * of * / −) is floating-point, identical in both engines. The plan
+    * stays ONE partial+final hash aggregate — the same shape the native
+    * aggregate family compiles to, with mergeable partials at any
+    * partitioning.
+    */
+  def regrFamily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type", $"user_id".as("x"),
+              expr("cast(round(value * 100) as bigint)").as("y"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+           sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+           sum($"x" * $"y").as("sxy"))
+      .withColumn("num_xy", expr(
+        """cast(cast(n as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy
+          |as double)""".stripMargin))
+      .withColumn("den_xx", expr(
+        """cast(cast(n as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx
+          |as double)""".stripMargin))
+      .withColumn("den_yy", expr(
+        """cast(cast(n as decimal(38,0)) * syy - cast(sy as decimal(38,0)) * sy
+          |as double)""".stripMargin))
+      .withColumn("slope", $"num_xy" / $"den_xx")
+      .withColumn("intercept",
+        ($"sy".cast("double") - $"slope" * $"sx".cast("double"))
+          / $"n".cast("double"))
+      .withColumn("r2", ($"num_xy" * $"num_xy") / ($"den_xx" * $"den_yy"))
+      .select($"event_type", $"n", $"slope", $"intercept", $"r2")
+      .orderBy($"event_type")
+  }
+
+  /** GROUP BY ALL / ORDER BY ALL through the spark.sql entry path — the
+    * modern analyst spelling (every non-aggregate select item groups;
+    * output orders by every column left-to-right). Both engines share
+    * the syntax and compile it to the ordinary hash aggregate.
+    */
+  def groupByAllSql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(groupByAllStmt)
+  }
+
+  private[ops] val groupByAllStmt: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  COUNT(*) AS n_lines,
+      |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+      |  COUNT(DISTINCT l_suppkey) AS n_suppliers
+      |FROM lineitem
+      |GROUP BY ALL
+      |ORDER BY ALL""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_regr_family"   -> (regrFamily _),
+    "sql_group_by_all"  -> (groupByAllSql _),
     "sql_listagg"       -> (listaggSql _),
     "agg_grouping_id"   -> (groupingIdQ _),
     "agg_bool_family"   -> (boolFamily _),
@@ -470,6 +531,31 @@ object Aggregates extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // exact-integer base sums; HUGEINT is DuckDB's exact wide integer
+    // (Spark's twin is DECIMAL(38,0)); the double expression trees are
+    // spelled identically so every IEEE op matches 1:1
+    "agg_regr_family" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(x)::BIGINT AS sx,
+        |    SUM(y)::BIGINT AS sy, SUM(x * x)::BIGINT AS sxx,
+        |    SUM(y * y)::BIGINT AS syy, SUM(x * y)::BIGINT AS sxy
+        |  FROM e GROUP BY 1),
+        |d AS (
+        |  SELECT event_type, n, sx, sy,
+        |    (n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE AS num_xy,
+        |    (n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE AS den_xx,
+        |    (n::HUGEINT * syy - sy::HUGEINT * sy)::DOUBLE AS den_yy
+        |  FROM s),
+        |r AS (SELECT *, num_xy / den_xx AS slope FROM d)
+        |SELECT event_type, n, slope,
+        |  (sy::DOUBLE - slope * sx::DOUBLE) / n::DOUBLE AS intercept,
+        |  (num_xy * num_xy) / (den_xx * den_yy) AS r2
+        |FROM r ORDER BY event_type""".stripMargin,
+    "sql_group_by_all" -> groupByAllStmt,
     "sql_listagg" ->
       """SELECT r_regionkey,
         |  string_agg(n_name, ',' ORDER BY n_name) AS nations

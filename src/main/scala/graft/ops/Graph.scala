@@ -86,11 +86,52 @@ object Graph extends QueryPack {
     nv.crossJoin(ne).crossJoin(nt)
   }
 
+  /** Recursive CTE hierarchy walk through the `spark.sql` ENTRY PATH —
+    * Spark 4's `WITH RECURSIVE` (one of the last classic SQL surfaces
+    * Spark lacked; DuckDB shares the standard spelling). The hierarchy is
+    * derived decimal-digit containment over `part` (parent = key DIV 10 —
+    * a forest of fan-out-10 trees), and the walk accumulates every
+    * (node, ancestor, depth) edge of the transitive closure, reduced to a
+    * per-depth census.
+    *
+    * Scale shape: each recursion level is ONE distributed self-free step
+    * (previous level + integer arithmetic — no growing join), the
+    * frontier SHRINKS by 10× per level, and depth is log₁₀(maxkey), so
+    * the loop count is data-logarithmic. This is the declarative twin of
+    * the pointer-doubling loop in [[llm.Dedup.dedupClusters]] — linear
+    * chains there need doubling; bounded-depth hierarchies are exactly
+    * what engine-level recursion handles well.
+    */
+  def recursiveAncestors(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir)
+    spark.sql(
+      """WITH RECURSIVE anc(node, anc, depth) AS (
+        |  SELECT p_partkey, p_partkey DIV 10, 1 FROM part WHERE p_partkey >= 10
+        |  UNION ALL
+        |  SELECT node, anc DIV 10, depth + 1 FROM anc WHERE anc >= 10
+        |)
+        |SELECT depth, COUNT(*) AS n_links, SUM(node) AS sum_node,
+        |  SUM(anc) AS sum_anc, MIN(anc) AS min_anc, MAX(anc) AS max_anc
+        |FROM anc GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_triangles" -> (trianglesQ _)
+    "graph_triangles" -> (trianglesQ _),
+    "sql_recursive_cte" -> (recursiveAncestors _)
   )
 
   def oracle: Map[String, String] = Map(
+    // DuckDB's integer division is `//` where Spark's is DIV; the
+    // depth literal starts INT32 in both and stays INT32 through +1
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE anc(node, anc, depth) AS (
+        |  SELECT p_partkey, p_partkey // 10, 1 FROM part WHERE p_partkey >= 10
+        |  UNION ALL
+        |  SELECT node, anc // 10, depth + 1 FROM anc WHERE anc >= 10
+        |)
+        |SELECT depth, COUNT(*) AS n_links, SUM(node)::BIGINT AS sum_node,
+        |  SUM(anc)::BIGINT AS sum_anc, MIN(anc) AS min_anc, MAX(anc) AS max_anc
+        |FROM anc GROUP BY depth ORDER BY depth""".stripMargin,
     "graph_triangles" ->
       """WITH pairs AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS s

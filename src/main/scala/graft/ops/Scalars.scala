@@ -264,7 +264,55 @@ object Scalars extends QueryPack {
       .orderBy($"p_partkey")
   }
 
+  /** Native XML parsing (Spark 4 `from_xml` — the semi-structured
+    * ingestion path for feed/scrape corpora). DuckDB has no XML reader,
+    * so the gate is a ROUND-TRIP oracle: the XML is constructed in-plan
+    * from table fields (integer/char-only — no float or escaping
+    * hazards), Spark parses it back with `from_xml` and emits the parsed
+    * fields; the oracle computes the same construction (string concat is
+    * engine-portable) and passes the source fields through directly. A
+    * parser divergence breaks the hash on `parsed_k`/`parsed_s`.
+    * Scalar-only → codegen'd, embarrassingly parallel.
+    */
+  def xmlFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .withColumn("xml", concat(
+        lit("<o><k>"), $"o_orderkey", lit("</k><s>"), $"o_orderstatus",
+        lit("</s><p>"), $"o_orderpriority", lit("</p></o>")))
+      .withColumn("px", from_xml($"xml",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, s STRING, p STRING")))
+      .select($"o_orderkey", $"xml",
+        $"px.k".as("parsed_k"), $"px.s".as("parsed_s"),
+        $"px.p".as("parsed_p"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** VARIANT — Spark 4's open semi-structured type (the
+    * schema-on-read path for heterogeneous JSON event props at ingest
+    * scale: parse once into a binary-encoded variant, extract typed
+    * fields lazily). `parse_json` → `variant_get` with typed paths;
+    * DuckDB's twin is its JSON type with `json_extract`. Untyped
+    * `variant_get(…)::string` of a JSON object is engine-specific
+    * formatting, so the gate extracts TYPED leaves only.
+    */
+  def variantFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_id",
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k_big"),
+        expr("variant_get(parse_json(props), '$.k', 'string')").as("k_str"),
+        coalesce(
+          expr("variant_get(parse_json(props), '$.missing', 'bigint')"),
+          lit(-1L)).as("k_missing"),
+        expr("try_parse_json('not json') is null").as("bad_parses_null"))
+      .orderBy($"event_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_xml"         -> (xmlFuncs _),
+    "scalar_variant"     -> (variantFuncs _),
     "scalar_struct_json" -> (structJson _),
     "scalar_conditional" -> (conditionalFuncs _),
     "scalar_bitwise"     -> (bitwiseFuncs _),
@@ -281,6 +329,24 @@ object Scalars extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // round-trip: the oracle rebuilds the identical XML string and passes
+    // the source fields straight through — Spark's from_xml must invert
+    // the construction exactly or parsed_* breaks the hash
+    "scalar_xml" ->
+      """SELECT o_orderkey,
+        |  '<o><k>' || o_orderkey || '</k><s>' || o_orderstatus ||
+        |    '</s><p>' || o_orderpriority || '</p></o>' AS xml,
+        |  o_orderkey AS parsed_k,
+        |  o_orderstatus AS parsed_s,
+        |  o_orderpriority AS parsed_p
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "scalar_variant" ->
+      """SELECT event_id,
+        |  json_extract(props, '$.k')::BIGINT AS k_big,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  COALESCE(json_extract(props, '$.missing')::BIGINT, -1) AS k_missing,
+        |  TRUE AS bad_parses_null
+        |FROM events ORDER BY event_id""".stripMargin,
     "scalar_struct_json" ->
       """SELECT p_partkey,
         |  to_json(struct_pack(brand := p_brand, size := p_size))::VARCHAR

@@ -188,7 +188,65 @@ object TimeSeries extends QueryPack {
       .orderBy($"event_id")
   }
 
+  /** OHLC resampling — the candlestick downsample every metrics store
+    * runs: per (event_type, hour bucket) the opening/closing/extreme
+    * values plus volume. ONE hash aggregate: open/close are
+    * `min_by`/`max_by` over an in-bucket order key (no window, no sort
+    * of the full log), high/low are plain min/max — all order-
+    * independent, so partial aggregation merges correctly at any
+    * partitioning. The order key packs (µs-offset-within-bucket,
+    * event_id) into one BIGINT — offset < 3.6e9, ×1e7 + id stays far
+    * under 2^63 — because DuckDB's arg_min/arg_max take a single sort
+    * expression; values are picked, never accumulated, so doubles are
+    * safe.
+    */
+  def ohlc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"event_type", $"event_id", $"value",
+              expr("ts div 1000").as("tus"))
+      .withColumn("bucket", expr(s"tus div $BucketUs"))
+      .withColumn("ok", ($"tus" % BucketUs) * 10000000L + $"event_id")
+    e.groupBy($"event_type", $"bucket")
+      .agg(expr("min_by(value, ok)").as("open"),
+           max($"value").as("high"),
+           min($"value").as("low"),
+           expr("max_by(value, ok)").as("close"),
+           count(lit(1)).as("volume"))
+      .orderBy($"event_type", $"bucket")
+  }
+
+  /** Bounded-horizon EWMA (8-tap, α = 1/2) per user — the smoothing pass
+    * behind rate limiters and trend features. The exponential tail is
+    * truncated at 8 lags so the state is FINITE (a true infinite EWMA is
+    * a sequential scan — unbounded state that batch engines cannot merge);
+    * weights 2⁷⁻ᵏ and cent-scaled values keep numerator/denominator exact
+    * BIGINTs, the single final division is the only float op (bit-identical
+    * cross-engine). One window pass on the user_id shuffle; the 8 lag()
+    * calls share one frame traversal.
+    */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", expr("ts div 1000").as("tus"),
+              expr("cast(round(value * 100) as bigint)").as("cents"))
+    val taps = (0 to 7).map { k =>
+      val wt = 1L << (7 - k)
+      val l = if (k == 0) $"cents" else lag($"cents", k).over(w)
+      (when(l.isNotNull, l * wt).otherwise(0L),
+       when(l.isNotNull, lit(wt)).otherwise(0L))
+    }
+    e.withColumn("num", taps.map(_._1).reduce(_ + _))
+      .withColumn("den", taps.map(_._2).reduce(_ + _))
+      .select($"user_id", $"event_id", $"num", $"den",
+              ($"num".cast("double") / $"den".cast("double")).as("ewma"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_ohlc"        -> (ohlc _),
+    "ts_ewma"        -> (ewma _),
     "ts_anomaly"     -> (anomalies _),
     "ts_streaks"     -> (streaks _),
     "ts_retention"   -> (retention _),
@@ -199,6 +257,44 @@ object TimeSeries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "ts_ohlc" ->
+      s"""WITH e AS (
+         |  SELECT event_type, event_id, value,
+         |    (epoch_ns(ts) // 1000)::BIGINT AS tus
+         |  FROM events),
+         |b AS (
+         |  SELECT event_type, value, tus // $BucketUs AS bucket,
+         |    (tus % $BucketUs) * 10000000 + event_id AS ok
+         |  FROM e)
+         |SELECT event_type, bucket,
+         |  arg_min(value, ok) AS open,
+         |  MAX(value) AS high,
+         |  MIN(value) AS low,
+         |  arg_max(value, ok) AS close,
+         |  COUNT(*) AS volume
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ts_ewma" -> {
+      val taps = (0 to 7).map { k =>
+        val wt = 1L << (7 - k)
+        val l = if (k == 0) "cents" else s"lag(cents, $k) OVER w"
+        (s"COALESCE($l * $wt, 0)",
+         s"CASE WHEN $l IS NOT NULL THEN $wt ELSE 0 END")
+      }
+      s"""WITH e AS (
+         |  SELECT user_id, event_id,
+         |    (epoch_ns(ts) // 1000)::BIGINT AS tus,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events),
+         |t AS (
+         |  SELECT user_id, event_id,
+         |    (${taps.map(_._1).mkString(" + ")})::BIGINT AS num,
+         |    (${taps.map(_._2).mkString(" + ")})::BIGINT AS den
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+         |SELECT user_id, event_id, num, den,
+         |  num::DOUBLE / den::DOUBLE AS ewma
+         |FROM t ORDER BY user_id, event_id""".stripMargin
+    },
     "ts_anomaly" ->
       s"""WITH e AS (
          |  SELECT event_id, event_type, value / 100.0 AS v, value FROM events),

@@ -455,7 +455,33 @@ object Curation extends QueryPack {
       .limit(20)
   }
 
+  /** K-anonymity audit over quasi-identifiers — the privacy gate a
+    * training-data release runs before shipping: any combination of
+    * (lang, source, length-bucket) shared by fewer than k documents is
+    * re-identifying and must be suppressed or generalized. Two hash
+    * aggregates (QI census → per-lang rollup), both keyed and mergeable;
+    * the QI key space bounds state, not the corpus. Output: per lang,
+    * how many QI groups / documents survive at k=5 and how many fall to
+    * suppression — all integers.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 5L
+    val qi = Tables.documents(spark, dir)
+      .select($"lang", $"source", expr("n_chars div 200").as("len_b"))
+      .groupBy($"lang", $"source", $"len_b")
+      .agg(count(lit(1)).as("grp_n"))
+    qi.groupBy($"lang")
+      .agg(count(lit(1)).as("n_groups"),
+           sum(when($"grp_n" >= k, 1L).otherwise(0L)).as("n_safe_groups"),
+           sum($"grp_n").as("n_docs"),
+           sum(when($"grp_n" < k, $"grp_n").otherwise(0L))
+             .as("n_suppressed_docs"))
+      .orderBy($"lang")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_k_anonymity"  -> (kAnonymity _),
     "llm_dsir_weights" -> (dsirWeights _),
     "llm_chunking"    -> (chunking _),
     "llm_boilerplate" -> (boilerplate _),
@@ -552,6 +578,16 @@ object Curation extends QueryPack {
       |ORDER BY lang""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "llm_k_anonymity" ->
+      """WITH qi AS (
+        |  SELECT lang, source, n_chars // 200 AS len_b, COUNT(*) AS grp_n
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT lang, COUNT(*) AS n_groups,
+        |  SUM(CASE WHEN grp_n >= 5 THEN 1 ELSE 0 END)::BIGINT AS n_safe_groups,
+        |  SUM(grp_n)::BIGINT AS n_docs,
+        |  SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END)::BIGINT
+        |    AS n_suppressed_docs
+        |FROM qi GROUP BY lang ORDER BY lang""".stripMargin,
     "llm_dsir_weights" ->
       s"""WITH tb AS (
          |  SELECT doc_id, lang, ${CrossHash.hex60Sql("w")} % 256 AS b

@@ -301,11 +301,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q21_waiting_orders: EXISTS/NOT EXISTS stay equi semi/anti probes " +
-       "on orderkey (residual supplier-mismatch only), never nested-loop") {
+  test("q21_waiting_orders: both correlated subqueries collapse into ONE " +
+       "per-order aggregate (Expand for the two count-distincts), no " +
+       "fact-wide semi/anti probe builds, never nested-loop") {
     val p = plan("q21_waiting_orders")
-    assert(p.contains("LeftSemi"), p)
-    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("Expand"), p) // multi-countDistinct aggregate
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
@@ -321,6 +322,35 @@ class PlanSpec extends SparkSpec {
        "side null-aware), not per-row subquery re-execution") {
     val p = plan("sql_not_in_null")
     assert("LeftAnti".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("ts_ohlc: ONE hash aggregate (min_by/max_by over the packed order " +
+       "key), no window, no sort of the event log") {
+    val p = plan("ts_ohlc")
+    assert(!p.contains("Window"), p)
+    assert(!p.toLowerCase.contains("join"), p)
+    // the only Sort is the output ORDER BY, above the aggregate
+    assert(p.contains("min_by") && p.contains("max_by"), p)
+  }
+
+  test("ts_ewma: the 8 lag taps share ONE window pass (a single Window " +
+       "node, one user_id exchange)") {
+    val p = plan("ts_ewma")
+    assert("Window ".r.findAllIn(p).size == 1, p)
+    assert(!p.toLowerCase.contains("join"), p)
+  }
+
+  test("agg_regr_family: one partial+final hash aggregate; the exact " +
+       "decimal combination happens ABOVE the aggregate, per group") {
+    val p = plan("agg_regr_family")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window") && !p.toLowerCase.contains("join"), p)
+  }
+
+  test("sql_recursive_cte: engine-level recursion (UnionLoop), grouped " +
+       "census above it — no driver-side iteration anywhere") {
+    val p = plan("sql_recursive_cte")
+    assert(p.contains("UnionLoop") || p.contains("Recursion"), p)
   }
 
   test("SWEEP: no gated query plans CartesianProduct (the one deliberate " +
