@@ -310,7 +310,25 @@ object Scalars extends QueryPack {
       .orderBy($"event_id")
   }
 
+  /** explode_outer — the generator's null-preserving form: a row whose
+    * array is EMPTY survives with a NULL element instead of vanishing
+    * (plain explode silently drops it — the classic row-loss bug when
+    * flattening optional lists). DuckDB's lateral unnest has the
+    * drop-the-row behavior, so the oracle spells the preservation
+    * explicitly: unnest a [NULL] substitute for empty arrays.
+    */
+  def explodeOuterFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .withColumn("long_words",
+        expr("filter(split(p_type, ' '), w -> length(w) >= 8)"))
+      .select($"p_partkey", size($"long_words").as("n_long"),
+              explode_outer($"long_words").as("word"))
+      .orderBy($"p_partkey", $"word")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_explode_outer" -> (explodeOuterFuncs _),
     "scalar_xml"         -> (xmlFuncs _),
     "scalar_variant"     -> (variantFuncs _),
     "scalar_struct_json" -> (structJson _),
@@ -329,6 +347,16 @@ object Scalars extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "scalar_explode_outer" ->
+      """WITH a AS (
+        |  SELECT p_partkey,
+        |    list_filter(string_split(p_type, ' '), w -> len(w) >= 8)
+        |      AS long_words
+        |  FROM part)
+        |SELECT p_partkey, len(long_words)::INT AS n_long,
+        |  unnest(CASE WHEN len(long_words) = 0
+        |              THEN [NULL]::VARCHAR[] ELSE long_words END) AS word
+        |FROM a ORDER BY p_partkey, word""".stripMargin,
     // round-trip: the oracle rebuilds the identical XML string and passes
     // the source fields straight through — Spark's from_xml must invert
     // the construction exactly or parsed_* breaks the hash

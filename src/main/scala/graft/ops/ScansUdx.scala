@@ -148,7 +148,31 @@ object ScansUdx extends QueryPack {
       .orderBy($"initial")
   }
 
+  /** SQL-defined scalar function (Spark 4 `CREATE FUNCTION … RETURN`) —
+    * the declarative UDF path: the body is a SQL expression, so unlike a
+    * JVM closure it stays INSIDE Catalyst (inlined at plan time,
+    * codegen'd, pushdown-transparent — `.explain` shows no
+    * BatchEvalPython/ScalaUDF barrier). This is the preferred extension
+    * point whenever the logic is expressible as SQL; DuckDB's twin is
+    * CREATE MACRO, and the oracle inlines the same expression by hand.
+    */
+  def sqlUdf(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_net_revenue(
+        |  price DOUBLE, disc DOUBLE, tax DOUBLE)
+        |RETURNS DOUBLE
+        |RETURN price * (1.0 - disc) * (1.0 + tax)""".stripMargin)
+    spark.sql(
+      """SELECT l_orderkey, l_linenumber,
+        |  graft_net_revenue(l_extendedprice, l_discount, l_tax) AS net_rev
+        |FROM lineitem
+        |WHERE graft_net_revenue(l_extendedprice, l_discount, l_tax) > 60000.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_udf"         -> (sqlUdf _),
     "scan_csv"        -> (scanCsv _),
     "scan_json"       -> (scanJson _),
     "scan_orc"        -> (scanOrc _),
@@ -157,6 +181,14 @@ object ScansUdx extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // the UDF body inlined by hand — per-row scalar float math is
+    // bit-identical when the expression tree is spelled identically
+    "sql_udf" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS net_rev
+        |FROM lineitem
+        |WHERE l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) > 60000.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "scan_csv" ->
       """SELECT r_name, COUNT(*) AS n_nations, MIN(n_name) AS first_nation
         |FROM nation JOIN region ON n_regionkey = r_regionkey

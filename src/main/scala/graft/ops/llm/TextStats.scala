@@ -247,6 +247,29 @@ object TextStats extends QueryPack {
     */
   def winnowFrom(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
+    // ONE collect_set aggregate; n_fps = its size (a separate
+    // countDistinct would add a distinct-aggregate expand path for a
+    // number the set already carries). fp_head is serialized ('|'-joined)
+    // so the gate's row-sorter can order it (VERDICT r2 #1); bigint →
+    // string casting is identical in both engines.
+    winnowMins(docs)
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_set($"wmin")).as("fps"))
+      .select($"doc_id",
+        size($"fps").cast("long").as("n_fps"),
+        concat_ws("|",
+          expr("transform(slice(fps, 1, 8), x -> cast(x as string))"))
+          .as("fp_head"))
+      .orderBy($"doc_id")
+  }
+
+  /** The shared winnowing core: per-char-gram native md5 hashes →
+    * per-position window minima over fully-populated windows. Feeds both
+    * the per-doc fingerprint aggregate ([[winnowFrom]]) and the
+    * cross-doc pair join ([[winnowPairs]]).
+    */
+  private def winnowMins(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val k = 8 // gram width (chars)
     val w = 4 // winnowing window (grams)
@@ -262,22 +285,49 @@ object TextStats extends QueryPack {
         expr(CrossHash.hex60Native(s"substring(text, i + 1, $k)")).as("hv"))
     val win = Window.partitionBy($"doc_id").orderBy($"i")
       .rowsBetween(Window.currentRow, w - 1)
-    // ONE collect_set aggregate; n_fps = its size (a separate
-    // countDistinct would add a distinct-aggregate expand path for a
-    // number the set already carries). fp_head is serialized ('|'-joined)
-    // so the gate's row-sorter can order it (VERDICT r2 #1); bigint →
-    // string casting is identical in both engines.
     grams
       .withColumn("wmin", min($"hv").over(win))
       .filter($"i" <= $"len" - k - (w - 1)) // only fully-populated windows
-      .groupBy($"doc_id")
-      .agg(sort_array(collect_set($"wmin")).as("fps"))
-      .select($"doc_id",
-        size($"fps").cast("long").as("n_fps"),
-        concat_ws("|",
-          expr("transform(slice(fps, 1, 8), x -> cast(x as string))"))
-          .as("fp_head"))
-      .orderBy($"doc_id")
+  }
+
+  /** MOSS cross-document copy detection: documents sharing ≥ 3 selected
+    * winnow fingerprints become candidate plagiarism/copy pairs, scored
+    * by shared-fingerprint count and an integer-ppm overlap ratio vs the
+    * smaller document's fingerprint set. This is the step that makes
+    * winnowing a PAIRWISE detector rather than a per-doc sketch — and
+    * the reason winnowing selects ~1/w of the grams: the inverted index
+    * the self-join runs over is w× sparser than a full-gram index.
+    * Same skeleton as the [[Dedup]] n-gram Jaccard join: inverted index
+    * on the fingerprint value, document-frequency cap (df ≤ 50) so a
+    * boilerplate fingerprint shared by half the corpus cannot degenerate
+    * the self-join quadratically (the cap is part of the operator's
+    * definition, mirrored in the oracle), pair aggregation keyed on
+    * (d1, d2) — never an all-pairs comparison.
+    */
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sel = winnowMins(Tables.documents(spark, dir))
+      .select($"doc_id", $"wmin").distinct()
+    val sz = sel.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val keep = sel.groupBy($"wmin").agg(count(lit(1)).as("df"))
+      .where($"df" <= 50)
+    val idx = sel.join(keep.select($"wmin"), Seq("wmin"))
+    val pairs = idx.select($"wmin", $"doc_id".as("d1"))
+      .join(idx.select($"wmin", $"doc_id".as("d2")), Seq("wmin"))
+      .where($"d1" < $"d2")
+      .groupBy($"d1", $"d2")
+      .agg(count(lit(1)).as("n_shared"))
+      .where($"n_shared" >= 3)
+    pairs
+      .join(sz.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
+      .join(sz.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
+      .select($"d1", $"d2", $"n_shared",
+        expr("(1000000 * n_shared) div least(n1, n2)").as("overlap_ppm"))
+      // report pairs ≥ 30% overlap: on this shared-vocab fixture the
+      // raw ≥3-shared mist is 72k pairs while ≥30% is the planted
+      // near-dups plus their neighborhood — the copy-report bar
+      .where($"overlap_ppm" >= 300000)
+      .orderBy($"d1", $"d2")
   }
 
   /** Deterministic hash-based stratified sampling + train/eval split —
@@ -501,6 +551,7 @@ object TextStats extends QueryPack {
     "llm_token_stats"   -> (tokenStats _),
     "llm_fingerprint"   -> (fingerprint _),
     "llm_winnow"        -> (winnowFingerprint _),
+    "llm_winnow_pairs"  -> (winnowPairs _),
     "llm_sample_hash"   -> (sampleHash _),
     "llm_repetition"    -> (repetition _),
     "llm_pii_scrub"     -> (piiScrub _)
@@ -510,6 +561,34 @@ object TextStats extends QueryPack {
     profiles.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
 
   def oracle: Map[String, String] = Map(
+    // replays the llm_winnow selection CTE, then the df-capped inverted-
+    // index pair join — the two gates share the fingerprint definition
+    "llm_winnow_pairs" ->
+      """WITH grams AS (
+        |  SELECT doc_id, len(text) AS l, i,
+        |    ('0x' || substr(md5(substring(text, i + 1, 8)), 1, 15))::BIGINT AS hv
+        |  FROM documents, unnest(range(0, len(text) - 7)) AS t(i)
+        |  WHERE len(text) >= 11
+        |),
+        |wm AS (
+        |  SELECT doc_id, l, i,
+        |    MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+        |                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |  FROM grams
+        |),
+        |sel AS (SELECT DISTINCT doc_id, wmin FROM wm WHERE i <= l - 8 - 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sel GROUP BY 1),
+        |keep AS (SELECT wmin FROM sel GROUP BY wmin HAVING COUNT(*) <= 50),
+        |idx AS (SELECT s.doc_id, s.wmin FROM sel s JOIN keep USING (wmin)),
+        |p AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
+        |  FROM idx a JOIN idx b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT d1, d2, n_shared,
+        |  (1000000 * n_shared) // LEAST(s1.n, s2.n) AS overlap_ppm
+        |FROM p JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+        |WHERE (1000000 * n_shared) // LEAST(s1.n, s2.n) >= 300000
+        |ORDER BY d1, d2""".stripMargin,
     "llm_ngram_novelty" ->
       """WITH toks AS (
         |  SELECT source, string_split(text, ' ') AS ws FROM documents

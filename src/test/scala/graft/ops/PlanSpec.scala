@@ -353,6 +353,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("UnionLoop") || p.contains("Recursion"), p)
   }
 
+  test("sql_udf: the SQL-defined function INLINES into the plan — no " +
+       "ScalaUDF/eval barrier, expression stays codegen-visible") {
+    val p = plan("sql_udf")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEval"), p)
+    // the inlined body is plain arithmetic over the scan columns
+    assert(p.contains("l_extendedprice"), p)
+  }
+
+  test("llm_winnow_pairs: inverted-index equi-joins only — the pair " +
+       "generation is keyed on the fingerprint value, never all-pairs") {
+    val p = plan("llm_winnow_pairs")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"), p)
+  }
+
   test("SWEEP: no gated query plans CartesianProduct (the one deliberate " +
        "cross join is bounded and explicit)") {
     // A cartesian anywhere else means a join lost its equi-condition — the
