@@ -118,7 +118,32 @@ object SortSetOps extends QueryPack {
       .orderBy($"c_mktsegment", $"rk")
   }
 
+  /** NULL-ordering parity — the silent cross-engine divergence: Spark
+    * defaults to NULLS FIRST on ASC, DuckDB to NULLS LAST, so any
+    * limit/top-k over a nullable key silently selects DIFFERENT rows
+    * unless the null position is spelled explicitly. Both legs pin an
+    * explicit spelling (ASC NULLS FIRST / DESC NULLS LAST) under a
+    * LIMIT, where the selected SET — not just its order — depends on
+    * null placement. Nulls are injected deterministically (nullif), and
+    * the leg tag makes the union's provenance part of the hash.
+    */
+  def sortNullsOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .select($"o_orderkey",
+        nullif($"o_orderstatus", lit("O")).as("st"),
+        nullif($"o_orderpriority", lit("3-MEDIUM")).as("pri"))
+    val nf = o.orderBy($"st".asc_nulls_first, $"pri".asc_nulls_first,
+                       $"o_orderkey")
+      .limit(50).withColumn("leg", lit("asc_nulls_first"))
+    val nl = o.orderBy($"st".desc_nulls_last, $"pri".desc_nulls_last,
+                       $"o_orderkey")
+      .limit(50).withColumn("leg", lit("desc_nulls_last"))
+    nf.union(nl).orderBy($"leg", $"o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sort_nulls_order" -> (sortNullsOrder _),
     "sample_stratified_k" -> (sampleStratifiedK _),
     "topk_global"      -> (topKGlobal _),
     "sort_multi_key"   -> (sortMultiKey _),
@@ -131,6 +156,19 @@ object SortSetOps extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "sort_nulls_order" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS st,
+        |    NULLIF(o_orderpriority, '3-MEDIUM') AS pri
+        |  FROM orders),
+        |nf AS (SELECT o_orderkey, st, pri, 'asc_nulls_first' AS leg
+        |       FROM o ORDER BY st ASC NULLS FIRST, pri ASC NULLS FIRST,
+        |                      o_orderkey LIMIT 50),
+        |nl AS (SELECT o_orderkey, st, pri, 'desc_nulls_last' AS leg
+        |       FROM o ORDER BY st DESC NULLS LAST, pri DESC NULLS LAST,
+        |                      o_orderkey LIMIT 50)
+        |SELECT * FROM nf UNION ALL SELECT * FROM nl
+        |ORDER BY leg, o_orderkey""".stripMargin,
     "sample_stratified_k" ->
       s"""WITH ranked AS (
          |  SELECT c_mktsegment, c_custkey, c_name,

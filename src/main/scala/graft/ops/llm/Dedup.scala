@@ -125,7 +125,7 @@ object Dedup extends QueryPack {
     * [[dedupClusters]] re-shuffle immediately, so the global sort would
     * be pure wasted work for them.
     */
-  private def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // Raw (non-distinct) shingles: min() and collect_set() dedup
     // inherently, so the pre-aggregation distinct shuffle is pure waste.
@@ -557,7 +557,30 @@ object Dedup extends QueryPack {
       .orderBy($"cluster_rep")
   }
 
+  /** Character-level verification of the near-dup candidates: exact
+    * Levenshtein distance + integer-ppm similarity over the MinHash
+    * pair set — the second, orthogonal metric a dedup pipeline uses to
+    * adjudicate borderline pairs (token-set Jaccard is blind to
+    * within-token edits and ordering; edit distance is not). Quadratic
+    * DP per pair is affordable precisely BECAUSE it runs on the LSH
+    * candidates (|pairs|, bounded by banding) and never corpus-wide —
+    * the same candidates-only economics as the exact-Jaccard verify.
+    */
+  def dedupEditDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    nearDupPairs(spark, dir).select($"d1", $"d2")
+      .join(docs.select($"doc_id".as("d1"), $"text".as("t1")), Seq("d1"))
+      .join(docs.select($"doc_id".as("d2"), $"text".as("t2")), Seq("d2"))
+      .withColumn("dist", levenshtein($"t1", $"t2").cast("long"))
+      .withColumn("maxlen", greatest(length($"t1"), length($"t2")).cast("long"))
+      .select($"d1", $"d2", $"dist",
+        expr("(1000000 * (maxlen - dist)) div maxlen").as("sim_ppm"))
+      .orderBy($"d1", $"d2")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_editdist"  -> (dedupEditDist _),
     "llm_dedup_survivors" -> (dedupSurvivors _),
     "llm_para_dedup"      -> (paraDedup _),
     "llm_dedup_exact"     -> (dedupExact _),
@@ -570,6 +593,27 @@ object Dedup extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // the pair set replays as exact Jaccard (the minhash verify is
+    // exact, so LSH banding only ever prunes TRUE negatives on this
+    // fixture — same argument as the llm_dedup_minhash oracle), then
+    // DuckDB's levenshtein adjudicates identically
+    "llm_dedup_editdist" ->
+      s"""WITH ${shingleCte(3)},
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2
+        |  FROM p JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+        |  WHERE 5 * inter >= 3 * (s1.n + s2.n - inter)),
+        |e AS (SELECT d1, d2,
+        |        levenshtein(a.text, b.text)::BIGINT AS dist,
+        |        GREATEST(len(a.text), len(b.text))::BIGINT AS maxlen
+        |      FROM pairs JOIN documents a ON d1 = a.doc_id
+        |                 JOIN documents b ON d2 = b.doc_id)
+        |SELECT d1, d2, dist,
+        |  (1000000 * (maxlen - dist)) // maxlen AS sim_ppm
+        |FROM e ORDER BY d1, d2""".stripMargin,
     // same fixed-width segmentation, first-occurrence ranking, and
     // ordered reassembly; COALESCE('') covers a document whose every
     // segment was seen earlier (string_agg over zero rows is NULL,

@@ -53,4 +53,23 @@ class GraphSpec extends SparkSpec {
     val es = Seq.fill(120)((nxt(25), nxt(25))).filter { case (x, y) => x != y }
     assert(count(es)._3 === naiveTriangles(es))
   }
+
+  test("dedupClusters matches GraphX ConnectedComponents on the fixture " +
+       "near-dup graph (independent engine cross-check)") {
+    // GraphX CC converges to the minimum vertex id per component — the
+    // same representative our min-label propagation selects, so the two
+    // must agree EXACTLY on both membership and representative.
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val ours = graft.ops.llm.Dedup.dedupClusters(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(ours.nonEmpty, "fixture produced no near-dup clusters")
+    val edges = graft.ops.llm.Dedup.nearDupPairs(spark, dir)
+      .select($"d1", $"d2").as[(Long, Long)].rdd
+    val cc = org.apache.spark.graphx.lib.ConnectedComponents
+      .run(org.apache.spark.graphx.Graph.fromEdgeTuples(edges, 0))
+      .vertices.collect().toMap
+    assert(ours.keySet === cc.keySet)
+    ours.foreach { case (doc, rep) => assert(cc(doc) === rep, s"doc $doc") }
+  }
 }
