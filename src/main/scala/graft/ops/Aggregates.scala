@@ -501,7 +501,28 @@ object Aggregates extends QueryPack {
       |GROUP BY ALL
       |ORDER BY ALL""".stripMargin
 
+  /** SQL pipe syntax (Spark 4 `|>`) — the linear query spelling where
+    * each stage reads top-to-bottom (FROM → WHERE → AGGREGATE → HAVING
+    * as a plain WHERE over aggregate outputs → ORDER BY). Compiles to
+    * the identical partial+final hash aggregate as the nested form;
+    * DuckDB has no pipe operator, so the oracle is the standard-SQL
+    * translation — same plan semantics, different surface.
+    */
+  def pipeSyntaxSql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(
+      """FROM lineitem
+        ||> WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        ||> AGGREGATE COUNT(*) AS n_lines,
+        |     CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+        |       AS sum_qty
+        |   GROUP BY l_returnflag, l_linestatus
+        ||> WHERE n_lines > 100
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_pipe_syntax"   -> (pipeSyntaxSql _),
     "agg_regr_family"   -> (regrFamily _),
     "sql_group_by_all"  -> (groupByAllSql _),
     "sql_listagg"       -> (listaggSql _),
@@ -556,6 +577,14 @@ object Aggregates extends QueryPack {
         |  (num_xy * num_xy) / (den_xx * den_yy) AS r2
         |FROM r ORDER BY event_type""".stripMargin,
     "sql_group_by_all" -> groupByAllStmt,
+    "sql_pipe_syntax" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |HAVING COUNT(*) > 100
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "sql_listagg" ->
       """SELECT r_regionkey,
         |  string_agg(n_name, ',' ORDER BY n_name) AS nations

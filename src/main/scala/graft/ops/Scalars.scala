@@ -327,7 +327,32 @@ object Scalars extends QueryPack {
       .orderBy($"p_partkey", $"word")
   }
 
+  /** String collations (Spark 4) — case-insensitive semantics pushed
+    * INTO the type instead of wrapping every expression in lower():
+    * grouping and equality on a `COLLATE UTF8_LCASE` column merge case
+    * variants engine-side. The fixture plants deterministic case
+    * variants (partkey mod 3 picks upper/lower/original), so collation
+    * visibly changes the group count. DuckDB's twin spells the same
+    * semantics with lower(); outputs are the lowercase canonical key +
+    * counts, never a raw collated representative (which group member
+    * "represents" a collated group is not deterministic).
+    */
+  def collationFuncs(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(
+      """WITH v AS (
+        |  SELECT CAST(CASE WHEN p_partkey % 3 = 0 THEN upper(p_type)
+        |              WHEN p_partkey % 3 = 1 THEN lower(p_type)
+        |              ELSE p_type END AS STRING COLLATE UTF8_LCASE) AS t
+        |  FROM part)
+        |SELECT min(lower(t)) AS type_key, COUNT(*) AS n,
+        |  COUNT_IF(t = 'standard anodized brass') AS n_eq_ci,
+        |  COUNT_IF(startswith(t, 'PROMO')) AS n_promo_ci
+        |FROM v GROUP BY t ORDER BY type_key""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_collation"   -> (collationFuncs _),
     "scalar_explode_outer" -> (explodeOuterFuncs _),
     "scalar_xml"         -> (xmlFuncs _),
     "scalar_variant"     -> (variantFuncs _),
@@ -347,6 +372,19 @@ object Scalars extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // the lower()-spelled twin of the collated semantics
+    "scalar_collation" ->
+      """WITH v AS (
+        |  SELECT CASE WHEN p_partkey % 3 = 0 THEN upper(p_type)
+        |         WHEN p_partkey % 3 = 1 THEN lower(p_type)
+        |         ELSE p_type END AS t
+        |  FROM part)
+        |SELECT lower(t) AS type_key, COUNT(*) AS n,
+        |  (COUNT(*) FILTER (WHERE lower(t) = 'standard anodized brass'))::BIGINT
+        |    AS n_eq_ci,
+        |  (COUNT(*) FILTER (WHERE lower(t) LIKE 'promo%'))::BIGINT
+        |    AS n_promo_ci
+        |FROM v GROUP BY lower(t) ORDER BY type_key""".stripMargin,
     "scalar_explode_outer" ->
       """WITH a AS (
         |  SELECT p_partkey,
