@@ -351,7 +351,28 @@ object Scalars extends QueryPack {
         |FROM v GROUP BY t ORDER BY type_key""".stripMargin)
   }
 
+  /** Binary/encoding scalar family — content addressing and transport
+    * encodings (the hash-a-blob / base64-a-payload surface ingest jobs
+    * lean on): md5 / sha2-256 digests, hex and base64 encodings, the
+    * base64 round-trip, and octet length on the raw bytes. All
+    * byte-deterministic; DuckDB twins are md5/sha256/hex/to_base64.
+    */
+  def binaryEncFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select($"p_partkey",
+        md5($"p_name".cast("binary")).as("name_md5"),
+        sha2($"p_name".cast("binary"), 256).as("name_sha256"),
+        hex($"p_name").as("name_hex"),
+        base64($"p_name".cast("binary")).as("name_b64"),
+        ($"p_name" === decode(unbase64(base64($"p_name".cast("binary"))),
+                              "UTF-8")).as("b64_roundtrip"),
+        octet_length($"p_name").cast("long").as("name_octets"))
+      .orderBy($"p_partkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_binary_enc"  -> (binaryEncFuncs _),
     "scalar_collation"   -> (collationFuncs _),
     "scalar_explode_outer" -> (explodeOuterFuncs _),
     "scalar_xml"         -> (xmlFuncs _),
@@ -372,6 +393,15 @@ object Scalars extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "scalar_binary_enc" ->
+      """SELECT p_partkey,
+        |  md5(p_name) AS name_md5,
+        |  sha256(p_name) AS name_sha256,
+        |  hex(p_name) AS name_hex,
+        |  to_base64(encode(p_name)) AS name_b64,
+        |  TRUE AS b64_roundtrip,
+        |  octet_length(encode(p_name))::BIGINT AS name_octets
+        |FROM part ORDER BY p_partkey""".stripMargin,
     // the lower()-spelled twin of the collated semantics
     "scalar_collation" ->
       """WITH v AS (

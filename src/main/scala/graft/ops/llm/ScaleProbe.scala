@@ -147,6 +147,26 @@ object ScaleProbe {
     Seq(1, mult).distinct.foreach { m =>
       println(f"[scale-probe] winnow mult=$m%-3d time=${timedWinnow(m)}%.2fs")
     }
+
+    // Winnow PAIR JOIN at multiplied corpus — the adversarial case for
+    // any inverted-index self-join: duplicating the corpus multiplies
+    // every fingerprint's document frequency by m, so hot fingerprints
+    // cross the df≤50 cap and fall OUT of the index — the cap converts
+    // what would be m²-growing join fanout into bounded work by
+    // construction. Pair counts legitimately differ across multipliers
+    // (the cap is part of the operator's definition); the quantity of
+    // interest is that TIME stays near-linear in corpus bytes.
+    def timedWinnowPairs(m: Int): (Long, Double) = {
+      val c = corpusL(m).select($"doc_id", $"text")
+      val t0 = System.nanoTime()
+      val n = TextStats.winnowPairsFrom(c).count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    timedWinnowPairs(1) // warmup
+    Seq(1, mult).distinct.foreach { m =>
+      val (n, s) = timedWinnowPairs(m)
+      println(f"[scale-probe] winnow-pairs mult=$m%-3d pairs=$n%-8d time=$s%.2fs")
+    }
     spark.stop()
   }
 }

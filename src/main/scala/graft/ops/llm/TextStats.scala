@@ -304,9 +304,15 @@ object TextStats extends QueryPack {
     * definition, mirrored in the oracle), pair aggregation keyed on
     * (d1, d2) — never an all-pairs comparison.
     */
-  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val sel = winnowMins(Tables.documents(spark, dir))
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame =
+    winnowPairsFrom(Tables.documents(spark, dir))
+
+  /** [[winnowPairs]] over any (doc_id, text) corpus — also the
+    * [[ScaleProbe]] entry.
+    */
+  def winnowPairsFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sel = winnowMins(docs)
       .select($"doc_id", $"wmin").distinct()
     val sz = sel.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val keep = sel.groupBy($"wmin").agg(count(lit(1)).as("df"))
