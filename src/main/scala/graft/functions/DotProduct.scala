@@ -128,8 +128,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
          require(children.length == 1, "graft_md5_60 expects exactly 1 argument")
          Md5Hex60(children.head)
        }))
-    // conf-gated (default off) — injecting it costs nothing until a
-    // session opts in; see ApproxDistinctRewrite
+    // conf-gated (default off) — injecting them costs nothing until a
+    // session opts in; see ApproxDistinctRewrite / RangeJoinBandRewrite
     ext.injectOptimizerRule(_ => ApproxDistinctRewrite)
+    ext.injectOptimizerRule(_ => RangeJoinBandRewrite)
   }
 }

@@ -341,7 +341,34 @@ object Joins extends QueryPack {
         |          ELSE c.c_custkey END) = o.o_custkey)) AS n_not_exists""".stripMargin)
   }
 
+  /** The [[graft.functions.RangeJoinBandRewrite]] rule under the driver
+    * gate: the query is written as the NAIVE interval-containment join —
+    * no manual banding anywhere — and the injected optimizer rule
+    * band-decomposes it into an equi join at plan time (PlanSpec pins
+    * the shape: Generate + hash/sort-merge join, no nested-loop). The
+    * manual twin of this rewrite is [[thetaRange]]; this gate proves a
+    * user can write the declarative form and still get the scale-safe
+    * plan. The width conf stays set for the session: the rule's scope
+    * guard makes it a no-op for every other gated query (each either
+    * has an equi key or no cross-side inequality pair).
+    */
+  def rangeAutoJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.RangeJoinBandRewrite.register(spark)
+    spark.conf.set(graft.functions.RangeJoinBandRewrite.WidthKey, "16")
+    Tables.lineitem(spark, dir)
+      .select($"l_extendedprice".as("price"))
+      .join(Tables.part(spark, dir)
+              .select($"p_brand", $"p_retailprice"),
+            $"price" >= $"p_retailprice" - 5.0 &&
+              $"price" <= $"p_retailprice" + 5.0)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_close_priced"))
+      .orderBy($"p_brand")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_range_auto"       -> (rangeAutoJoin _),
     "sql_not_in_null"       -> (notInNullSql _),
     "sql_lateral_topk"      -> (lateralTopkSql _),
     "join_bloom_prefilter"  -> (bloomPrefilter _),
@@ -361,6 +388,14 @@ object Joins extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // the same naive containment join — DuckDB plans it as its own
+    // IEJoin; the Spark side relies on the injected band rewrite
+    "join_range_auto" ->
+      """SELECT p_brand, COUNT(*) AS n_close_priced
+        |FROM lineitem JOIN part
+        |  ON l_extendedprice >= p_retailprice - 5.0
+        | AND l_extendedprice <= p_retailprice + 5.0
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "sql_not_in_null" ->
       """SELECT
         |  (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN

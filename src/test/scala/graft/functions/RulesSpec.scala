@@ -67,4 +67,71 @@ class RulesSpec extends SparkSpec {
       assert(n === 50L, s"got $n")
     }
   }
+
+  // ---- RangeJoinBandRewrite ----
+
+  /** Interval-containment join fixture: 2000 points × 300 intervals
+    * (width ≤ 40), with NULL bounds and NULL points planted. Small
+    * enough for the nested-loop ground truth, shaped enough (interval
+    * spans band boundaries) to catch off-by-one banding.
+    */
+  private def points = spark.range(2000)
+    .select($"id".as("pid"),
+      when($"id" % 97 === 0, lit(null)).otherwise(($"id" * 7) % 1000)
+        .as("x"))
+  private def intervals = spark.range(300)
+    .select($"id".as("iid"),
+      when($"id" % 41 === 0, lit(null)).otherwise(($"id" * 13) % 960)
+        .as("lo"))
+    .withColumn("hi", $"lo" + ($"iid" % 5) * 10 + 5)
+
+  private def containment = points.join(intervals,
+    $"x" >= $"lo" && $"x" <= $"hi")
+
+  private def rangeOptimized(df: org.apache.spark.sql.DataFrame): String = {
+    RangeJoinBandRewrite.register(spark)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("range-join conf off (default): containment join stays nested-loop") {
+    RangeJoinBandRewrite.register(spark)
+    val p = rangeOptimized(containment)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"), p)
+  }
+
+  test("range-join conf on: containment join becomes a banded EQUI join " +
+       "with identical results (nulls included)") {
+    val expected = containment.collect().map(_.toSeq).toSet
+    withConf(RangeJoinBandRewrite.WidthKey -> "64") {
+      val p = rangeOptimized(containment)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+             !p.contains("CartesianProduct"), p)
+      assert(p.contains("Generate"), p) // the band explode
+      val got = containment.collect().map(_.toSeq).toSet
+      assert(got === expected)
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("range-join: a join that already has a cross-side equi key is " +
+       "out of scope and unchanged") {
+    withConf(RangeJoinBandRewrite.WidthKey -> "64") {
+      val withKey = points.withColumn("k", $"pid" % 10)
+        .join(intervals.withColumn("k", $"iid" % 10), Seq("k"))
+        .where($"x" >= $"lo" && $"x" <= $"hi")
+      val p = rangeOptimized(withKey)
+      assert(!p.contains("Generate"), p)
+    }
+  }
+
+  test("range-join: band width respects the conf (narrower bands → wider " +
+       "Generate fanout, same results)") {
+    val expected = containment.count()
+    withConf(RangeJoinBandRewrite.WidthKey -> "8") {
+      assert(containment.count() === expected)
+    }
+    withConf(RangeJoinBandRewrite.WidthKey -> "512") {
+      assert(containment.count() === expected)
+    }
+  }
 }

@@ -370,6 +370,16 @@ class PlanSpec extends SparkSpec {
            p.contains("BroadcastHashJoin"), p)
   }
 
+  test("join_range_auto: the OPTIMIZER band-decomposes the naive " +
+       "containment join — Generate + equi join, no nested-loop") {
+    val p = plan("join_range_auto")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+           !p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"), p)
+  }
+
   test("SWEEP: no gated query plans CartesianProduct (the one deliberate " +
        "cross join is bounded and explicit)") {
     // A cartesian anywhere else means a join lost its equi-condition — the
