@@ -371,7 +371,29 @@ object Scalars extends QueryPack {
       .orderBy($"p_partkey")
   }
 
+  /** Pad / trim-chars / translate family — fixed-width rendering and
+    * character-level cleanup (report keys, code normalization). DuckDB
+    * shares lpad/rpad/trim-chars/translate/repeat/reverse; initcap has
+    * no DuckDB builtin, so the oracle spells it as a split→capitalize→
+    * rejoin over single-space-tokenized input (the fixture's shape).
+    */
+  def padTrimFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select($"p_partkey",
+        lpad($"p_partkey".cast("string"), 10, "0").as("key_padded"),
+        rpad($"p_brand", 12, ".").as("brand_padded"),
+        ltrim(concat(lit("###"), $"p_brand"), lit("#")).as("brand_ltrim"),
+        rtrim(concat($"p_type", lit("___")), lit("_")).as("type_rtrim"),
+        translate($"p_brand", "#123456789", "-ABCDEFGHI").as("brand_coded"),
+        repeat(lit("ab"), ($"p_partkey" % 4).cast("int")).as("rep"),
+        reverse($"p_name").as("name_rev"),
+        initcap($"p_type").as("type_title"))
+      .orderBy($"p_partkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_pad_trim"    -> (padTrimFuncs _),
     "scalar_binary_enc"  -> (binaryEncFuncs _),
     "scalar_collation"   -> (collationFuncs _),
     "scalar_explode_outer" -> (explodeOuterFuncs _),
@@ -393,6 +415,18 @@ object Scalars extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "scalar_pad_trim" ->
+      """SELECT p_partkey,
+        |  lpad(p_partkey::VARCHAR, 10, '0') AS key_padded,
+        |  rpad(p_brand, 12, '.') AS brand_padded,
+        |  ltrim('###' || p_brand, '#') AS brand_ltrim,
+        |  rtrim(p_type || '___', '_') AS type_rtrim,
+        |  translate(p_brand, '#123456789', '-ABCDEFGHI') AS brand_coded,
+        |  repeat('ab', (p_partkey % 4)::INT) AS rep,
+        |  reverse(p_name) AS name_rev,
+        |  array_to_string(list_transform(string_split(lower(p_type), ' '),
+        |    w -> upper(w[1]) || w[2:]), ' ') AS type_title
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "scalar_binary_enc" ->
       """SELECT p_partkey,
         |  md5(p_name) AS name_md5,

@@ -244,7 +244,30 @@ object TimeSeries extends QueryPack {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** Batch sessionization via Spark's NATIVE `session_window` — the
+    * same 30-minute-gap semantics as [[sessionize]]'s lag+cumsum form
+    * but expressed as one aggregate whose grouping key is the merging
+    * session window (exactly what the streaming layer runs — C28; the
+    * two forms are proven equivalent row-for-row in LawsSpec, and this
+    * gate puts the native operator itself under the driver's check).
+    * The window struct is reduced to epoch-µs scalars: `start` equals
+    * the session's first event time by construction, and the oracle
+    * derives the same sessions with the portable lag+cumsum SQL.
+    */
+  def sessionNative(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts_utc", expr("ts div 1000").as("tus"))
+      .groupBy($"user_id", session_window($"ts_utc", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+           min($"tus").as("start_us"), max($"tus").as("end_us"))
+      .select($"user_id", unix_micros($"sw.start").as("win_start_us"),
+              $"n_events", $"start_us", $"end_us")
+      .orderBy($"user_id", $"start_us")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_session_native" -> (sessionNative _),
     "ts_ohlc"        -> (ohlc _),
     "ts_ewma"        -> (ewma _),
     "ts_anomaly"     -> (anomalies _),
@@ -257,6 +280,26 @@ object TimeSeries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // the portable lag+cumsum spelling of the same 30-min-gap sessions;
+    // the native session_window's start IS the first event's time
+    "ts_session_native" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, (epoch_ns(ts) // 1000)::BIGINT AS tus
+         |  FROM events),
+         |a AS (
+         |  SELECT user_id, event_id, tus,
+         |    CASE WHEN lag(tus) OVER w IS NULL
+         |              OR tus - lag(tus) OVER w > $SessionGapUs
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         |s AS (
+         |  SELECT user_id, tus,
+         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |                   ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM a)
+         |SELECT user_id, MIN(tus) AS win_start_us, COUNT(*) AS n_events,
+         |  MIN(tus) AS start_us, MAX(tus) AS end_us
+         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
     "ts_ohlc" ->
       s"""WITH e AS (
          |  SELECT event_type, event_id, value,
