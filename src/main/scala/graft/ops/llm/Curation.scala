@@ -480,7 +480,51 @@ object Curation extends QueryPack {
       .orderBy($"lang")
   }
 
+  /** The END-TO-END curation funnel as ONE composed plan — the pipeline
+    * a corpus release actually ships: additive quality scoring (the
+    * [[TextStats.qualityScore]] features) → exact content dedup among
+    * the quality survivors (keep-lowest-id canonical per md5) →
+    * deterministic hash-mod sampling (the [[TextStats.sampleHash]]
+    * membership function) → per-language funnel report. Physically:
+    * one scan, one window shuffle keyed by content hash, one final
+    * aggregate — stage composition adds NO extra passes over the corpus,
+    * which is the point of declaring the whole funnel in one plan and
+    * the property that holds at 100 TB. The per-stage counts are the
+    * data-loss audit every curation run publishes.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = Tables.documents(spark, dir)
+      .withColumn("ws", split($"text", " "))
+      .withColumn("n_tokens", size($"ws").cast("long"))
+      .withColumn("score",
+        ($"n_chars".between(100, 400)).cast("int")
+          + ($"n_tokens" >= 20).cast("int")
+          + (size(array_distinct($"ws")).cast("long") * 2 >= $"n_tokens")
+              .cast("int")
+          + (expr("cast(size(filter(ws, w -> w = 'the' or w = 'a')) as bigint)")
+               * 5 <= $"n_tokens").cast("int"))
+      .withColumn("qual", $"score" >= 3)
+    // one window keyed on the content hash: the group's first QUALITY
+    // doc (qual sorts first, then lowest id) is the canonical survivor
+    val wDup = Window.partitionBy(md5($"text"))
+      .orderBy($"qual".desc, $"doc_id")
+    scored
+      .withColumn("canon", $"qual" && row_number().over(wDup) === 1)
+      .withColumn("samp", $"canon" &&
+        expr(CrossHash.hex60("concat(cast(doc_id as string), '#sample')") +
+             " % 100") < 50)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_raw"),
+           sum($"qual".cast("long")).as("n_quality"),
+           sum($"canon".cast("long")).as("n_unique"),
+           sum($"samp".cast("long")).as("n_sampled"),
+           sum(when($"samp", $"n_chars").otherwise(0L)).as("sampled_chars"))
+      .orderBy($"lang")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_curation_funnel" -> (curationFunnel _),
     "llm_k_anonymity"  -> (kAnonymity _),
     "llm_dsir_weights" -> (dsirWeights _),
     "llm_chunking"    -> (chunking _),
@@ -578,6 +622,36 @@ object Curation extends QueryPack {
       |ORDER BY lang""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // the same three stages as portable CTEs; boolean DESC puts true
+    // first in both engines, so the canonical pick cannot diverge
+    "llm_curation_funnel" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, text, n_chars,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |    (CASE WHEN n_chars BETWEEN 100 AND 400 THEN 1 ELSE 0 END
+        |     + CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1 ELSE 0 END
+        |     + CASE WHEN len(list_distinct(string_split(text, ' '))) * 2
+        |                >= len(string_split(text, ' ')) THEN 1 ELSE 0 END
+        |     + CASE WHEN len(list_filter(string_split(text, ' '),
+        |                                 w -> w = 'the' OR w = 'a')) * 5
+        |                <= len(string_split(text, ' ')) THEN 1 ELSE 0 END)
+        |      AS score
+        |  FROM documents),
+        |q AS (SELECT *, score >= 3 AS qual FROM f),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+        |                ORDER BY qual DESC, doc_id) AS rn FROM q),
+        |s AS (SELECT *, (qual AND rn = 1) AS canon,
+        |        (qual AND rn = 1 AND
+        |         ('0x' || substr(md5(doc_id::VARCHAR || '#sample'), 1, 15))
+        |           ::BIGINT % 100 < 50) AS samp
+        |      FROM r)
+        |SELECT lang, COUNT(*) AS n_raw,
+        |  (COUNT(*) FILTER (WHERE qual))::BIGINT AS n_quality,
+        |  (COUNT(*) FILTER (WHERE canon))::BIGINT AS n_unique,
+        |  (COUNT(*) FILTER (WHERE samp))::BIGINT AS n_sampled,
+        |  COALESCE(SUM(n_chars) FILTER (WHERE samp), 0)::BIGINT
+        |    AS sampled_chars
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
     "llm_k_anonymity" ->
       """WITH qi AS (
         |  SELECT lang, source, n_chars // 200 AS len_b, COUNT(*) AS grp_n

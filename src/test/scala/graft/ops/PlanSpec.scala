@@ -380,6 +380,14 @@ class PlanSpec extends SparkSpec {
            p.contains("BroadcastHashJoin"), p)
   }
 
+  test("llm_curation_funnel: the three-stage funnel composes into ONE " +
+       "corpus pass — a single scan, one content-hash window, no join") {
+    val p = plan("llm_curation_funnel")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert("Window ".r.findAllIn(p).size == 1, p)
+    assert(!p.toLowerCase.contains("join"), p)
+  }
+
   test("SWEEP: no gated query plans CartesianProduct (the one deliberate " +
        "cross join is bounded and explicit)") {
     // A cartesian anywhere else means a join lost its equi-condition — the
