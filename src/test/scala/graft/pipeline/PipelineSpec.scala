@@ -206,6 +206,49 @@ class PipelineSpec extends SparkSpec {
       .as[Long].head() >= 20L)
   }
 
+  test("replay parity (Kappa law): the SAME stateless curation chain " +
+       "yields IDENTICAL rows run as batch and as a streaming replay") {
+    // the property that lets one YAML serve both modes: a stateless
+    // processor chain is a pure function of the input rows, so a
+    // streaming replay over the same files must reproduce the batch
+    // output exactly — not just pass the same per-row predicates
+    val inDir = tmpDir("pipe_par_in")
+    graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(inDir)
+    graft.schema.SchemaRegistry.register("DOCS_PAR_SCHEMA",
+      spark.read.parquet(inDir).schema, overwrite = true)
+    def chainYaml(sink: String): String =
+      s"""source:
+         |  type: "parquet"
+         |  config: {path: "$inDir", schema: "DOCS_PAR_SCHEMA"}
+         |processors:
+         |  - {name: "Quality", class: "quality_filter", params: {min_tokens: "20"}}
+         |  - {name: "Stats", class: "token_stats"}
+         |$sink""".stripMargin
+    val outB = tmpDir("pipe_par_b")
+    Pipeline.fromYamlString(spark, chainYaml(
+      s"""sink:
+         |  type: "parquet"
+         |  config: {path: "$outB", mode: "overwrite"}""".stripMargin),
+      streaming = false).build().run()
+    val outS = tmpDir("pipe_par_s")
+    val ck = tmpDir("pipe_par_ck")
+    val p = Pipeline.fromYamlString(spark, chainYaml(
+      s"""sink:
+         |  type: "foreach_batch"
+         |  config: {path: "$outS", checkpoint_location: "$ck"}""".stripMargin),
+      streaming = true).build()
+    val q = p.run(awaitTermination = false).get
+    try q.processAllAvailable()
+    finally p.stop()
+    val batch = spark.read.parquet(outB)
+    val stream = spark.read.parquet(s"$outS/batch_id=0")
+      .select(batch.columns.map(org.apache.spark.sql.functions.col): _*)
+    assert(batch.count() > 0)
+    assert(batch.exceptAll(stream).isEmpty && stream.exceptAll(batch).isEmpty,
+      s"batch=${batch.count()} stream=${stream.count()}")
+  }
+
   test("streaming pipeline: file stream -> uppercase -> memory sink, then stop()") {
     val in = writeInput()
     val yaml =
