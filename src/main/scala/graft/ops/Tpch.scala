@@ -178,6 +178,28 @@ object Tpch extends QueryPack {
     * class is a separate linear scan or anti-join, unioned as audit rows
     * so adding a check never reshapes the output schema.
     */
+  /** The [[graft.quality.Expectations]] contract layer under the driver
+    * gate: seven declarative checks — six holding, one PLANTED failure
+    * (`values_in_l_linestatus` with domain {O}) so the report's failure
+    * path is part of the hash — all folded into ONE aggregate over ONE
+    * scan (adding a check never adds a pass; the complement of
+    * [[auditIntegrity]]'s lazy-union shape). The oracle computes the
+    * same one-pass aggregate in a CTE and unpivots it.
+    */
+  def qualityExpectations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.quality.Expectations._
+    report(Tables.lineitem(spark, dir), Seq(
+      RowCountBetween(1L, 1000000000L),
+      NotNull("l_orderkey"),
+      Unique(Seq("l_orderkey", "l_linenumber")),
+      ValuesIn("l_returnflag", Seq("A", "N", "R")),
+      ValuesIn("l_linestatus", Seq("O")), // planted failure: F exists too
+      NonNegative("l_quantity"),
+      Predicate("discount_lt_half", $"l_discount" < 0.5)
+    )).orderBy($"check")
+  }
+
   def auditIntegrity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cust = Tables.customer(spark, dir)
@@ -666,7 +688,8 @@ object Tpch extends QueryPack {
     "q18_large_orders"     -> (q18LargeOrders _),
     "q19_discounted_revenue" -> (q19DiscountedRevenue _),
     "q22_dormant_customers" -> (q22DormantCustomers _),
-    "audit_integrity"      -> (auditIntegrity _)
+    "audit_integrity"      -> (auditIntegrity _),
+    "quality_expectations" -> (qualityExpectations _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -933,6 +956,31 @@ object Tpch extends QueryPack {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+    // the one-pass aggregate computed in a CTE, then unpivoted — check
+    // names must match the API's generated names exactly
+    "quality_expectations" ->
+      """WITH a AS (
+        |  SELECT COUNT(*)::BIGINT AS total,
+        |    COUNT(l_orderkey)::BIGINT AS o_nn,
+        |    COUNT(DISTINCT (l_orderkey, l_linenumber))::BIGINT AS o_uq,
+        |    SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END)
+        |      ::BIGINT AS o_rf,
+        |    SUM(CASE WHEN l_linestatus IN ('O') THEN 0 ELSE 1 END)
+        |      ::BIGINT AS o_ls,
+        |    SUM(CASE WHEN l_quantity >= 0 THEN 0 ELSE 1 END)::BIGINT AS o_q,
+        |    SUM(CASE WHEN l_discount < 0.5 THEN 0 ELSE 1 END)::BIGINT AS o_d
+        |  FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'row_count_between_1_1000000000' AS "check",
+        |    total BETWEEN 1 AND 1000000000 AS passed,
+        |    total AS observed, total AS total_rows FROM a
+        |  UNION ALL SELECT 'not_null_l_orderkey', o_nn = total, o_nn, total FROM a
+        |  UNION ALL SELECT 'unique_l_orderkey_l_linenumber', o_uq = total, o_uq, total FROM a
+        |  UNION ALL SELECT 'values_in_l_returnflag', o_rf = 0, o_rf, total FROM a
+        |  UNION ALL SELECT 'values_in_l_linestatus', o_ls = 0, o_ls, total FROM a
+        |  UNION ALL SELECT 'non_negative_l_quantity', o_q = 0, o_q, total FROM a
+        |  UNION ALL SELECT 'discount_lt_half', o_d = 0, o_d, total FROM a)
+        |ORDER BY "check"""".stripMargin,
     "audit_integrity" ->
       """SELECT * FROM (
         |  SELECT 'customer_dup_keys' AS check_name, COUNT(*) AS n_violations
