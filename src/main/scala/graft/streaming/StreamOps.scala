@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
   GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor,
-  TTLConfig, TimeMode, TimerValues, ValueState}
+  StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 
 /** Structured-Streaming operator library (SURVEY.md §2 C25–C32): the
   * streaming form of the engine's semantics, over any streaming DataFrame
@@ -142,6 +143,49 @@ object StreamOps {
     ds.groupByKey(_.key)
       .transformWithState(new LatestPerKeyProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** [[LatestPerKeyProcessor]] with WAREHOUSE-SNAPSHOT BOOTSTRAP — the
+    * Spark 4 initial-state API: a batch Dataset seeds each key's state
+    * BEFORE the first micro-batch, so a migrated/restarted pipeline
+    * resumes from the warehouse's latest-per-key truth instead of
+    * re-emitting (or missing) history. `handleInitialState` runs once
+    * per snapshot key; the per-batch logic is unchanged.
+    */
+  class LatestPerKeyBootstrapProcessor
+      extends StatefulProcessorWithInitialState[String, Keyed, Keyed, Keyed] {
+    @transient private var latest: ValueState[Keyed] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      latest = getHandle.getValueState[Keyed](
+        "latest", Encoders.product[Keyed], TTLConfig.NONE)
+    override def handleInitialState(key: String, initialState: Keyed,
+                                    timerValues: TimerValues): Unit =
+      latest.update(initialState)
+    override def handleInputRows(key: String, rows: Iterator[Keyed],
+                                 timerValues: TimerValues): Iterator[Keyed] = {
+      val incoming = rows.toSeq
+      if (incoming.isEmpty) Iterator.empty
+      else {
+        val best = incoming.maxBy(_.off)
+        val prior = if (latest.exists()) Some(latest.get()) else None
+        if (prior.forall(_.off < best.off)) {
+          latest.update(best)
+          Iterator.single(best)
+        } else Iterator.empty
+      }
+    }
+  }
+
+  /** [[latestPerKeyTws]] seeded from a batch snapshot (the kappa
+    * bootstrap: warehouse state → streaming state, no replay).
+    */
+  def latestPerKeyTwsBootstrapped(ds: Dataset[Keyed],
+                                  snapshot: Dataset[Keyed]): Dataset[Keyed] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .transformWithState(new LatestPerKeyBootstrapProcessor,
+        TimeMode.None(), OutputMode.Update(),
+        snapshot.groupByKey(_.key))
   }
 
   /** An event-timestamped keyed record for the timer-based helpers. */

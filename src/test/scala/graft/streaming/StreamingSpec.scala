@@ -205,6 +205,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("C30 initial-state bootstrap: a batch snapshot seeds " +
+       "transformWithState state before the first micro-batch") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val ctx = spark.sqlContext
+      // warehouse truth: key a already saw offset 5
+      val snapshot = Seq(Keyed("a", 5, "warehouse")).toDS()
+      val in = MemoryStream[Keyed]
+      val q = StreamOps.latestPerKeyTwsBootstrapped(in.toDS(), snapshot)
+        .writeStream.format("memory").queryName("tws_boot_sink")
+        .outputMode("update").start()
+      withQuery(q) {
+        // stale vs the BOOTSTRAPPED state → suppressed (without the
+        // snapshot this would wrongly emit); newer → emits; unseeded
+        // key → emits
+        in.addData(Keyed("a", 3, "stale"), Keyed("b", 1, "fresh"))
+        q.processAllAvailable()
+        in.addData(Keyed("a", 9, "newer"))
+        q.processAllAvailable()
+        val emissions = spark.table("tws_boot_sink").as[Keyed].collect().toSeq
+        assert(emissions.toSet === Set(Keyed("b", 1, "fresh"),
+                                       Keyed("a", 9, "newer")))
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("C30 event-time timers close idle sessions via transformWithState " +
        "(watermark-driven, deterministic)") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
