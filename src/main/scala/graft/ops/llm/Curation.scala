@@ -492,9 +492,15 @@ object Curation extends QueryPack {
     * the property that holds at 100 TB. The per-stage counts are the
     * data-loss audit every curation run publishes.
     */
-  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val scored = Tables.documents(spark, dir)
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame =
+    curationFunnelFrom(Tables.documents(spark, dir))
+
+  /** [[curationFunnel]] over any (doc_id, lang, text, n_chars) corpus —
+    * also the [[ScaleProbe]] entry.
+    */
+  private[graft] def curationFunnelFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val scored = docs
       .withColumn("ws", split($"text", " "))
       .withColumn("n_tokens", size($"ws").cast("long"))
       .withColumn("score",

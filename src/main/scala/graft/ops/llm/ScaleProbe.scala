@@ -167,6 +167,29 @@ object ScaleProbe {
       val (n, s) = timedWinnowPairs(m)
       println(f"[scale-probe] winnow-pairs mult=$m%-3d pairs=$n%-8d time=$s%.2fs")
     }
+
+    // End-to-end curation funnel at multiplied corpus: duplication makes
+    // the exact-dedup stage maximally busy (every copy beyond the first
+    // is a duplicate — content-hash window groups grow linearly with the
+    // multiplier) while quality flags and sampling stay per-row. One
+    // scan, one window, one aggregate at any multiplier.
+    val docsF = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"text", $"n_chars")
+    def timedFunnel(m: Int): (Long, Double) = {
+      val c = (0 until m)
+        .map(i => docsF.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"),
+                               $"lang", $"text", $"n_chars"))
+        .reduce(_ union _)
+      val t0 = System.nanoTime()
+      val sampled = Curation.curationFunnelFrom(c)
+        .agg(sum($"n_sampled")).as[Long].collect().head
+      (sampled, (System.nanoTime() - t0) / 1e9)
+    }
+    timedFunnel(1) // warmup
+    Seq(1, mult).distinct.foreach { m =>
+      val (n, s) = timedFunnel(m)
+      println(f"[scale-probe] funnel mult=$m%-3d sampled=$n%-8d time=$s%.2fs")
+    }
     spark.stop()
   }
 }
