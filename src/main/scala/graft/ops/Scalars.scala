@@ -392,7 +392,28 @@ object Scalars extends QueryPack {
       .orderBy($"p_partkey")
   }
 
+  /** Timezone-offset conversions (from_utc_timestamp / to_utc_timestamp)
+    * — pinned with FIXED offsets only: region zones would couple the
+    * gate to the JVM-vs-ICU tzdata versions (a DST rule change breaks
+    * bit-equality for reasons that are nobody's bug), while fixed
+    * offsets reduce to exact epoch arithmetic, which is precisely what
+    * the oracle computes — so the gate checks Spark's offset parsing
+    * and shifting against plain integer math.
+    */
+  def timezoneFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_id",
+        unix_micros(from_utc_timestamp($"ts_utc", "+05:30")).as("ist_us"),
+        unix_micros(to_utc_timestamp($"ts_utc", "-08:00")).as("from_pst_us"),
+        hour(from_utc_timestamp($"ts_utc", "+05:30")).as("ist_hour"),
+        date_format(from_utc_timestamp($"ts_utc", "+05:30"), "yyyy-MM-dd")
+          .as("ist_date"))
+      .orderBy($"event_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_timezone"    -> (timezoneFuncs _),
     "scalar_pad_trim"    -> (padTrimFuncs _),
     "scalar_binary_enc"  -> (binaryEncFuncs _),
     "scalar_collation"   -> (collationFuncs _),
@@ -415,6 +436,17 @@ object Scalars extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // fixed offsets are exact epoch arithmetic: +05:30 = 19_800s,
+    // to_utc from -08:00 adds 28_800s; hour/date derive by floor math
+    "scalar_timezone" ->
+      """WITH e AS (
+        |  SELECT event_id, (epoch_ns(ts) // 1000)::BIGINT AS tus FROM events)
+        |SELECT event_id,
+        |  tus + 19800000000 AS ist_us,
+        |  tus + 28800000000 AS from_pst_us,
+        |  (((tus + 19800000000) // 3600000000) % 24)::INT AS ist_hour,
+        |  strftime(make_timestamp(tus + 19800000000), '%Y-%m-%d') AS ist_date
+        |FROM e ORDER BY event_id""".stripMargin,
     "scalar_pad_trim" ->
       """SELECT p_partkey,
         |  lpad(p_partkey::VARCHAR, 10, '0') AS key_padded,
