@@ -29,8 +29,28 @@ object Bench {
     ()
   }
 
+  /** 1-minute loadavg from /proc — recorded at run start/end so a reader
+    * of BENCH.json can tell host contention from a genuine regression
+    * without re-running (VERDICT r4 #2: a 78× per-query anomaly was only
+    * diagnosable by reproduction because run conditions weren't logged).
+    */
+  private def loadAvg(): Double =
+    try Files.readString(Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** MemAvailable from /proc/meminfo, in MiB (-1 if unreadable). */
+  private def memAvailMb(): Long =
+    try {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(Paths.get("/proc/meminfo")).asScala
+        .find(_.startsWith("MemAvailable:"))
+        .map(_.split("\\s+")(1).toLong / 1024)
+        .getOrElse(-1L)
+    } catch { case _: Throwable => -1L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val (load0, mem0) = (loadAvg(), memAvailMb())
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -59,6 +79,14 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
+      // Per-query debris sweep (VERDICT r4 #2): 191 queries in one JVM
+      // accumulate cached plans, localCheckpoint RDD blocks, and pending
+      // broadcasts; late-alphabet queries otherwise inherit 150 queries
+      // of storage-memory pressure (the mechanism behind the r4
+      // llm_winnow_pairs 78× official-vs-isolated anomaly).
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(
+        _.unpersist(blocking = false))
       val times = (1 to reps).flatMap { _ =>
         // Drain the async cleanup backlog (shuffle files, broadcasts) from
         // prior queries before timing: 60 queries in one JVM otherwise
@@ -86,8 +114,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val (load1, mem1) = (loadAvg(), memAvailMb())
+    val env = s""""env":{"load_start":$load0,"load_end":$load1,""" +
+      s""""mem_avail_start_mb":$mem0,"mem_avail_end_mb":$mem1}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$env,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Also persist to a file: the driver's stdout scrape of sbt output is
     // fragile (BENCH_r01.json recorded parsed:null). NEVER on a filtered
@@ -104,13 +135,14 @@ object Bench {
     // compact twin — same schema, 2-decimal values — sized to fit the
     // window with the trailing "[success] ..." sbt line accounted for.
     // Slowest queries are kept first if the full map still doesn't fit.
-    println(compactLine(results, total, sfDir))
+    println(compactLine(results, total, sfDir, env = env))
     spark.stop()
   }
 
   /** Render the results as a JSON line guaranteed ≤ `budget` chars. */
   private[graft] def compactLine(results: Seq[(String, Double)], total: Double,
-                                 sfDir: String, budget: Int = 1800): String = {
+                                 sfDir: String, budget: Int = 1800,
+                                 env: String = ""): String = {
     def r2(v: Double) = math.round(v * 100) / 100.0
     val sf = raw".*sf([0-9.]+)/?$$".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse(
@@ -122,7 +154,8 @@ object Bench {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + r2(v) }
         .mkString("{", ",", "}")
       val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs$omit,"sf":$sf}"""
+      val envPart = if (env.nonEmpty) env + "," else ""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec",$envPart"queries":$qs$omit,"sf":$sf}"""
     }
     val all = render(results, 0)
     if (all.length <= budget) all

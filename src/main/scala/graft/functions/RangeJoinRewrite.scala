@@ -58,16 +58,22 @@ object RangeJoinBandRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** One inequality conjunct, normalized to point-vs-bound:
-    * (point, bound, isLower). `a >= b` and `b <= a` both normalize to
-    * "b is a lower bound on a".
+    * (point, bound, isLower). Every comparison is read BOTH ways —
+    * `a >= b` is simultaneously "b lower-bounds a" and "a upper-bounds b"
+    * — so mirrored spellings (`lo <= p AND hi >= p`) produce the same
+    * candidate tuples as the canonical `p >= lo AND p <= hi` and the
+    * containment pair is found regardless of operand order. The pair
+    * search downstream still requires a lower AND an upper bound on the
+    * same point expression with both bounds cross-side, so the extra
+    * orientation can't fabricate a false pair.
     */
-  private def asBound(e: Expression): Option[(Expression, Expression, Boolean)] =
+  private def asBound(e: Expression): Seq[(Expression, Expression, Boolean)] =
     e match {
-      case GreaterThanOrEqual(p, b) => Some((p, b, true))
-      case GreaterThan(p, b)        => Some((p, b, true))
-      case LessThanOrEqual(p, b)    => Some((p, b, false))
-      case LessThan(p, b)           => Some((p, b, false))
-      case _                        => None
+      case GreaterThanOrEqual(a, b) => Seq((a, b, true), (b, a, false))
+      case GreaterThan(a, b)        => Seq((a, b, true), (b, a, false))
+      case LessThanOrEqual(a, b)    => Seq((a, b, false), (b, a, true))
+      case LessThan(a, b)           => Seq((a, b, false), (b, a, true))
+      case _                        => Seq.empty
     }
 
   private def numeric(e: Expression): Boolean =
@@ -118,10 +124,20 @@ object RangeJoinBandRewrite extends Rule[LogicalPlan] with PredicateHelper {
       // Sequence is TimeZoneAware: the analyzer's ResolveTimeZone pass is
       // behind us, so the zone must be set here or the plan re-enters the
       // unresolved state (PLAN_VALIDATION_FAILED_RULE_IN_BATCH)
-      val seq = new Sequence(bandOf(lo), bandOf(hi), Some(Literal(1L)),
+      val rawSeq = new Sequence(bandOf(lo), bandOf(hi), Some(Literal(1L)),
         Some(SQLConf.get.sessionLocalTimeZone))
+      // Inverted/dirty intervals (lo > hi) must emit ZERO bands, not
+      // throw: Sequence raises "Illegal sequence boundaries" on descending
+      // bounds with a +1 step, which would turn a row the original
+      // nested-loop join simply didn't match into a runtime failure — an
+      // optimizer rule must preserve failure behavior. A NULL bound lands
+      // in the else branch too (If's null predicate → else), matching the
+      // zero rows Explode-of-NULL would have emitted.
+      val seq = If(LessThanOrEqual(bandOf(lo), bandOf(hi)), rawSeq,
+        Literal.create(Array.empty[Long],
+          ArrayType(LongType, containsNull = false)))
       val bandB = AttributeReference("graft_band_b", LongType,
-        nullable = seq.dataType.asInstanceOf[ArrayType].containsNull)()
+        nullable = rawSeq.dataType.asInstanceOf[ArrayType].containsNull)()
       val newBoundSide = Generate(Explode(seq), unrequiredChildIndex = Nil,
         outer = false, qualifier = None, generatorOutput = Seq(bandB),
         child = boundSide)

@@ -86,11 +86,16 @@ object Joins extends QueryPack {
       .orderBy($"c_custkey")
   }
 
-  /** C7 left anti: customers with no orders at all. */
+  /** C7 left anti: customers with no high-value order. The price band is
+    * part of the fixture, not the operator: on this data EVERY customer
+    * has at least one order, so an unfiltered anti-join returns 0 rows
+    * and its hash-match proves nothing (VERDICT r4 #3) — the band leaves
+    * ~2% survivors at both test SFs, so the gate exercises real content.
+    */
   def leftAnti(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val c = Tables.customer(spark, dir)
-    val o = Tables.orders(spark, dir)
+    val o = Tables.orders(spark, dir).filter($"o_totalprice" > 300000.0)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select($"c_custkey", $"c_mktsegment")
       .orderBy($"c_custkey")
@@ -453,7 +458,9 @@ object Joins extends QueryPack {
         |ORDER BY c_custkey""".stripMargin,
     "join_left_anti" ->
       """SELECT c_custkey, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice > 300000.0)
         |ORDER BY c_custkey""".stripMargin,
     "join_broadcast_dim" ->
       s"""SELECT p_brand, COUNT(*) AS n_items, ${Det.sqlSum("l_quantity")} AS sum_qty

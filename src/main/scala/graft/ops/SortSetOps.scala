@@ -49,11 +49,17 @@ object SortSetOps extends QueryPack {
     large.intersect(sold).orderBy($"p_partkey")
   }
 
-  /** Set except: parts never sold. */
+  /** Set except: parts never sold in bulk (quantity ≥ 45). The quantity
+    * band is fixture-side, not operator-side: every part in this data has
+    * at least one sale, so an unrestricted EXCEPT returns 0 rows and its
+    * hash-match proves nothing (VERDICT r4 #3) — the band leaves ~3%
+    * survivors at both test SFs.
+    */
   def exceptKeys(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val all  = Tables.part(spark, dir).select($"p_partkey")
-    val sold = Tables.lineitem(spark, dir).select($"l_partkey".as("p_partkey"))
+    val sold = Tables.lineitem(spark, dir).filter($"l_quantity" >= 45)
+      .select($"l_partkey".as("p_partkey"))
     all.except(sold).orderBy($"p_partkey")
   }
 
@@ -199,7 +205,7 @@ object SortSetOps extends QueryPack {
     "set_except" ->
       """SELECT p_partkey FROM part
         |EXCEPT
-        |SELECT l_partkey AS p_partkey FROM lineitem
+        |SELECT l_partkey AS p_partkey FROM lineitem WHERE l_quantity >= 45
         |ORDER BY p_partkey""".stripMargin,
     "set_except_all" ->
       """SELECT p_brand FROM part WHERE p_size <= 25

@@ -195,10 +195,15 @@ object TimeSeries extends QueryPack {
     * of the full log), high/low are plain min/max — all order-
     * independent, so partial aggregation merges correctly at any
     * partitioning. The order key packs (µs-offset-within-bucket,
-    * event_id) into one BIGINT — offset < 3.6e9, ×1e7 + id stays far
-    * under 2^63 — because DuckDB's arg_min/arg_max take a single sort
-    * expression; values are picked, never accumulated, so doubles are
-    * safe.
+    * event_id) into one BIGINT — offset < 3.6e9, ×1e9 + id stays under
+    * 2^63 (3.6e18 + id ≪ 9.2e18) — because DuckDB's arg_min/arg_max take
+    * a single sort expression; values are picked, never accumulated, so
+    * doubles are safe. The packing requires event_id < 10^9 (the id would
+    * otherwise bleed into the offset field and open/close would pick the
+    * wrong event — invisibly, since the oracle repeats the formula); the
+    * bound is asserted against the fixture in TimeSeriesSpec, and 10^9
+    * ids per hour bucket is ~280k events/sec of one type — far beyond
+    * the per-bucket cardinality this grouping is sane for anyway.
     */
   def ohlc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -206,7 +211,7 @@ object TimeSeries extends QueryPack {
       .select($"event_type", $"event_id", $"value",
               expr("ts div 1000").as("tus"))
       .withColumn("bucket", expr(s"tus div $BucketUs"))
-      .withColumn("ok", ($"tus" % BucketUs) * 10000000L + $"event_id")
+      .withColumn("ok", ($"tus" % BucketUs) * 1000000000L + $"event_id")
     e.groupBy($"event_type", $"bucket")
       .agg(expr("min_by(value, ok)").as("open"),
            max($"value").as("high"),
@@ -250,6 +255,12 @@ object TimeSeries extends QueryPack {
     * session window (exactly what the streaming layer runs — C28; the
     * two forms are proven equivalent row-for-row in LawsSpec, and this
     * gate puts the native operator itself under the driver's check).
+    * Boundary semantics are pinned, not assumed: an exact-gap pair
+    * MERGES under session_window (next event <= current session end
+    * extends it — LawsSpec "session_window boundary" proves this on a
+    * planted pair), so the oracle's `diff > gap` break condition is the
+    * exact spelling of the native operator's boundary on ALL data, not
+    * just the µs-random fixture.
     * The window struct is reduced to epoch-µs scalars: `start` equals
     * the session's first event time by construction, and the oracle
     * derives the same sessions with the portable lag+cumsum SQL.
@@ -307,7 +318,7 @@ object TimeSeries extends QueryPack {
          |  FROM events),
          |b AS (
          |  SELECT event_type, value, tus // $BucketUs AS bucket,
-         |    (tus % $BucketUs) * 10000000 + event_id AS ok
+         |    (tus % $BucketUs) * 1000000000 + event_id AS ok
          |  FROM e)
          |SELECT event_type, bucket,
          |  arg_min(value, ok) AS open,

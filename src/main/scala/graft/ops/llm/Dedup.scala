@@ -374,11 +374,29 @@ object Dedup extends QueryPack {
       .orderBy($"i", $"j")
   }
 
+  /** The production APPROXIMATE mode of [[dedupEmbedding]]: candidates
+    * are same-cell pairs only — each vector is emitted once under its
+    * own cell's diagonal key instead of replicated to all K cell pairs,
+    * cutting both the shuffle volume and the verify work by ~K× (the
+    * standard IVF recall trade: a near-dup pair straddling a cell
+    * boundary is missed). Same quantizer, same shuffle plumbing, same
+    * tight verify loop as the exact mode; the oracle replays the cell
+    * assignment in SQL and pairs within cells, and DedupSpec measures
+    * recall vs the exact pair set (reported in COVERAGE.md).
+    */
+  def dedupEmbeddingApprox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    embeddingPairs(Similarity.corpus(spark, dir), thr = 0.45,
+      sameCellOnly = true)
+      .orderBy($"i", $"j")
+  }
+
   /** The cell-shuffle pair engine behind [[dedupEmbedding]], over any
     * `(vec_id, v, nrm)` corpus — factored out so the scale probe
     * ([[ScaleProbe]]) can drive it with multiplied corpora.
     */
-  private[ops] def embeddingPairs(corpus: DataFrame, thr: Double): DataFrame = {
+  private[ops] def embeddingPairs(corpus: DataFrame, thr: Double,
+                                  sameCellOnly: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = spark.sparkContext.broadcast(ivfCentroids)
@@ -386,7 +404,10 @@ object Dedup extends QueryPack {
       .toDF("_1", "_2", "_3").as[(Long, Array[Double], Double)]
     // Cell assignment + replication to each cell pair (lo ≤ hi) that
     // contains the vector's cell: pair (a, b) with cells (ca, cb) meets
-    // exactly once, in group key (min(ca,cb), max(ca,cb)).
+    // exactly once, in group key (min(ca,cb), max(ca,cb)). Approximate
+    // mode emits each vector ONCE, under its own diagonal key — the
+    // downstream group logic is unchanged (a diagonal group verifies
+    // same-cell pairs), only cross-cell candidates disappear.
     val keyed = n.mapPartitions { it =>
       val cs = cents.value
       val k = cs.length
@@ -402,7 +423,9 @@ object Dedup extends QueryPack {
           if (acc > bestDot) { bestDot = acc; best = c }
           c += 1
         }
-        (0 until k).iterator.map { other =>
+        if (sameCellOnly)
+          Iterator.single((best * k + best, (id, best, v, nrm)))
+        else (0 until k).iterator.map { other =>
           val lo = math.min(best, other)
           val hi = math.max(best, other)
           (lo * k + hi, (id, best, v, nrm))
@@ -589,6 +612,7 @@ object Dedup extends QueryPack {
     "llm_jaccard_ngram"   -> (jaccardNgram _),
     "llm_dedup_simhash"   -> (dedupSimhash _),
     "llm_dedup_embedding" -> (dedupEmbedding _),
+    "llm_dedup_embedding_approx" -> (dedupEmbeddingApprox _),
     "llm_ivf_cells"       -> (ivfCellHistogram _)
   )
 
@@ -756,6 +780,35 @@ object Dedup extends QueryPack {
         |  list_reduce(list_transform(range(1, 65), k -> a.v[k] * b.v[k]),
         |              (x, y) -> x + y) / (a.nrm * b.nrm) AS cos_sim
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_reduce(list_transform(range(1, 65), k -> a.v[k] * b.v[k]),
+        |                  (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.45
+        |ORDER BY i, j""".stripMargin,
+    // the approximate mode's oracle REBUILDS the quantizer (same md5
+    // centroid formula and lowest-cell-on-ties argmax as llm_ivf_cells)
+    // and pairs strictly within cells — an independent SQL replay of
+    // exactly the candidate pruning the Spark side performs
+    "llm_dedup_embedding_approx" ->
+      """WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |cent AS (SELECT c, list_transform(range(0, 64), d ->
+        |    ('0x' || substr(md5('ivf_' || c::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT::DOUBLE
+        |    / 576460752303423488.0 - 1.0) AS w
+        |  FROM range(0, 4) t(c)),
+        |dots AS (SELECT vec_id, c,
+        |    list_reduce(list_transform(range(1, 65), k -> v[k] * w[k]),
+        |                (a, b) -> a + b) AS dot
+        |  FROM v0, cent),
+        |cell1 AS (SELECT vec_id, c AS cell FROM (
+        |    SELECT vec_id, c,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
+        |    FROM dots) WHERE rn = 1),
+        |n AS (SELECT v0.vec_id, v, cell,
+        |        sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+        |      FROM v0 JOIN cell1 USING (vec_id))
+        |SELECT a.vec_id AS i, b.vec_id AS j,
+        |  list_reduce(list_transform(range(1, 65), k -> a.v[k] * b.v[k]),
+        |              (x, y) -> x + y) / (a.nrm * b.nrm) AS cos_sim
+        |FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
         |WHERE list_reduce(list_transform(range(1, 65), k -> a.v[k] * b.v[k]),
         |                  (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.45
         |ORDER BY i, j""".stripMargin

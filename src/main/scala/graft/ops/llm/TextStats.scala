@@ -312,14 +312,29 @@ object TextStats extends QueryPack {
     */
   def winnowPairsFrom(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
+    // The fingerprint derivation (one md5 per char position + window-min)
+    // is the hottest subtree of the whole engine and is consumed FOUR
+    // times below (sizes, df cap, both sides of the self-join).
+    // Materialize it exactly once: without this, Catalyst re-derives the
+    // subtree per consumer (~5x the work), and under a long-lived JVM the
+    // plan degrades far worse than its steady-state cost. localCheckpoint
+    // also truncates lineage so AQE re-plans the fan-out from observed
+    // sizes rather than the explode's inflated estimates.
     val sel = winnowMins(docs)
       .select($"doc_id", $"wmin").distinct()
+      .localCheckpoint()
     val sz = sel.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val keep = sel.groupBy($"wmin").agg(count(lit(1)).as("df"))
       .where($"df" <= 50)
     val idx = sel.join(keep.select($"wmin"), Seq("wmin"))
-    val pairs = idx.select($"wmin", $"doc_id".as("d1"))
-      .join(idx.select($"wmin", $"doc_id".as("d2")), Seq("wmin"))
+    // SHUFFLE_HASH on both sides: the inverted index is corpus-sized, so
+    // a broadcast build side here is a driver/executor memory bomb at
+    // scale (and the observed failure mode of the official r4 bench).
+    // A shuffled hash join on wmin keys both sides to the same partitions
+    // with per-partition build tables bounded by the df cap.
+    val pairs = idx.select($"wmin", $"doc_id".as("d1")).hint("SHUFFLE_HASH")
+      .join(idx.select($"wmin", $"doc_id".as("d2")).hint("SHUFFLE_HASH"),
+        Seq("wmin"))
       .where($"d1" < $"d2")
       .groupBy($"d1", $"d2")
       .agg(count(lit(1)).as("n_shared"))

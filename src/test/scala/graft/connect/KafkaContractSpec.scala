@@ -1,0 +1,163 @@
+package graft.connect
+
+import graft.SparkSpec
+import graft.config.{ComponentConfig, Conf}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Kafka envelope CONTRACT suite (VERDICT r4 #5): the real
+  * [[Sources]]/[[Sinks]] kafka branches run end-to-end against the
+  * in-process DataSource-v2 double [[TestKafkaSource]], with only the
+  * wire format swapped at the factory seam (`spark.graft.kafka.format`).
+  * Every production line — [[KafkaOptions]] construction, `.load()`, the
+  * value-column contract, the mandatory streaming checkpoint — executes
+  * for real; what the broker would provide (the 7-column envelope) is
+  * the only simulated part.
+  */
+class KafkaContractSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val Fmt = "graft.connect.TestKafkaSource"
+
+  private def withTestKafka[T](body: => T): T = {
+    TestKafkaSource.reset()
+    spark.conf.set("spark.graft.kafka.format", Fmt)
+    try body
+    finally spark.conf.unset("spark.graft.kafka.format")
+  }
+
+  private def sourceConf = ComponentConfig("kafka", Conf(Map(
+    "bootstrap_servers" -> "broker-1:9092,broker-2:9092",
+    "input_topic" -> TestKafkaSource.Topic)))
+
+  test("batch kafka read through the factory yields the exact 7-column " +
+       "envelope (names, types, order) with all fixture rows") {
+    withTestKafka {
+      val df = Sources.create(spark, sourceConf, streaming = false)
+      // the connector's read schema, field for field, in order — compare
+      // names+types (nullability is V2-read-adjusted by Spark)
+      assert(df.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+        TestKafkaSource.Envelope.fields.map(f => (f.name, f.dataType)).toSeq)
+      val rows = df.select($"topic", $"partition", $"offset",
+          $"timestampType", cast_key, cast_value)
+        .as[(String, Int, Long, Int, String, String)].collect().toSet
+      val expected = (for {
+        p <- 0 until TestKafkaSource.NumPartitions
+        o <- 0 until TestKafkaSource.OffsetsPerPartition
+      } yield (TestKafkaSource.Topic, p, o.toLong, 0,
+               TestKafkaSource.keyAt(p, o),
+               TestKafkaSource.valueAt(p, o).orNull)).toSet
+      assert(rows === expected)
+      assert(rows.size === 10)
+    }
+  }
+
+  private def cast_key = $"key".cast("string").as("k")
+  private def cast_value = $"value".cast("string").as("v")
+
+  test("reader option passthrough: bootstrap servers, security protocol, " +
+       "subscribe, and batch-default startingOffsets reach the DataSource") {
+    withTestKafka {
+      Sources.create(spark, sourceConf, streaming = false).collect()
+      val opts = TestKafkaSource.lastReadOptions
+      assert(opts("kafka.bootstrap.servers") === "broker-1:9092,broker-2:9092")
+      assert(opts("kafka.security.protocol") === "PLAINTEXT")
+      assert(opts("subscribe") === TestKafkaSource.Topic)
+      // batch default is earliest (latest would be an empty read)
+      assert(opts("startingoffsets").toLowerCase === "earliest")
+    }
+  }
+
+  test("B1/B2 on the envelope: latest-per-key compaction honors offset " +
+       "order and a tombstone (null value) deletes its key") {
+    withTestKafka {
+      val df = Sources.create(spark, sourceConf, streaming = false)
+      // log-compaction view: latest record per key by timestamp (the
+      // cross-partition order the fixture makes total), tombstones drop
+      val latest = df
+        .select(cast_key, cast_value, $"timestamp")
+        .groupBy($"k")
+        .agg(max_by(struct($"v", $"timestamp"), $"timestamp").as("last"))
+        .select($"k", $"last.v".as("v"))
+        .where($"v".isNotNull)
+        .as[(String, String)].collect().toSet
+      // u1's latest record is the (p1, o4) tombstone → key disappears;
+      // u0/u2's latest live records are in partition 1 (higher ts base)
+      assert(latest === Set(("u0", "p1-o3-u0"), ("u2", "p1-o2-u2")))
+    }
+  }
+
+  test("B4 on the envelope: offset-range scan (offset >= N) prunes " +
+       "exactly the earlier records of every partition") {
+    withTestKafka {
+      val df = Sources.create(spark, sourceConf, streaming = false)
+      val got = df.where($"offset" >= 3)
+        .select($"partition", $"offset").as[(Int, Long)].collect().toSet
+      assert(got === Set((0, 3L), (0, 4L), (1, 3L), (1, 4L)))
+    }
+  }
+
+  test("streaming kafka read → REAL processor chain → streaming kafka " +
+       "sink: values transform and land, checkpoint + topic options flow") {
+    withTestKafka {
+      val checkpoint = tmpDir("kafka-contract-ckpt")
+      val pipeline = graft.pipeline.Pipeline.fromYamlString(spark,
+        s"""app_name: contract
+           |source:
+           |  type: kafka
+           |  config:
+           |    bootstrap_servers: broker-1:9092
+           |    input_topic: ${TestKafkaSource.Topic}
+           |    starting_offsets: earliest
+           |processors:
+           |  - name: guard
+           |    class: require_column
+           |    params: {column: value}
+           |  - name: upper
+           |    class: uppercase
+           |sink:
+           |  type: kafka
+           |  config:
+           |    bootstrap_servers: broker-1:9092
+           |    output_topic: out-topic
+           |    checkpoint_location_output: $checkpoint
+           |""".stripMargin)
+      val q = pipeline.build().run(awaitTermination = false).get
+      try { q.processAllAvailable() } finally q.stop()
+      import scala.jdk.CollectionConverters._
+      val written = TestKafkaSource.written.asScala.toSet
+      val expected = (for {
+        p <- 0 until TestKafkaSource.NumPartitions
+        o <- 0 until TestKafkaSource.OffsetsPerPartition
+        v <- TestKafkaSource.valueAt(p, o)
+      } yield v.toUpperCase).toSet
+      assert(written === expected) // 9 live records; the tombstone is null → skipped
+      val wopts = TestKafkaSource.lastWriteOptions
+      assert(wopts("topic") === "out-topic")
+      assert(wopts("kafka.bootstrap.servers") === "broker-1:9092")
+      // the mandatory checkpoint reached the stream writer
+      assert(java.nio.file.Files.list(java.nio.file.Paths.get(checkpoint))
+        .iterator().asScala.nonEmpty)
+    }
+  }
+
+  test("batch kafka sink enforces the value contract and writes through " +
+       "the same factory seam") {
+    withTestKafka {
+      val sink = ComponentConfig("kafka", Conf(Map(
+        "bootstrap_servers" -> "broker-1:9092",
+        "output_topic" -> "out-batch")))
+      // no value column → the contract throws before any write
+      val bad = Seq(("a", 1)).toDF("k", "n")
+      val e = intercept[IllegalArgumentException] {
+        Sinks.writeBatch(bad, sink)
+      }
+      assert(e.getMessage.contains("'value' column"))
+      Sinks.writeBatch(Seq("m1", "m2").toDF("value"), sink)
+      import scala.jdk.CollectionConverters._
+      assert(TestKafkaSource.written.asScala.toSet === Set("m1", "m2"))
+      assert(TestKafkaSource.lastWriteOptions("topic") === "out-batch")
+    }
+  }
+}

@@ -124,6 +124,39 @@ class RulesSpec extends SparkSpec {
     }
   }
 
+  test("range-join: inverted intervals (lo > hi) emit zero bands instead " +
+       "of crashing, preserving the nested-loop join's no-match behavior") {
+    // every 7th interval is inverted: hi well below lo — the unoptimized
+    // nested-loop join simply never matches those rows. `def`, not `val`:
+    // a DataFrame caches its queryExecution at first action, so a val
+    // collected before the conf flips would pin the unrewritten plan.
+    def q = points
+      .join(intervals.withColumn("hi",
+              when($"iid" % 7 === 0, $"lo" - 100).otherwise($"hi")),
+            $"x" >= $"lo" && $"x" <= $"hi")
+    val expected = q.collect().map(_.toSeq).toSet
+    withConf(RangeJoinBandRewrite.WidthKey -> "64") {
+      val p = rangeOptimized(q)
+      assert(p.contains("Generate"), p) // rewrite fired despite dirty rows
+      val got = q.collect().map(_.toSeq).toSet // would throw pre-guard
+      assert(got === expected)
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("range-join: mirrored spelling (lo <= x AND hi >= x) fires the " +
+       "rewrite with identical results") {
+    def mirrored = points.join(intervals, $"lo" <= $"x" && $"hi" >= $"x")
+    val expected = mirrored.collect().map(_.toSeq).toSet
+    withConf(RangeJoinBandRewrite.WidthKey -> "64") {
+      val p = rangeOptimized(mirrored)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+             !p.contains("CartesianProduct"), p)
+      assert(p.contains("Generate"), p)
+      assert(mirrored.collect().map(_.toSeq).toSet === expected)
+    }
+  }
+
   test("range-join: band width respects the conf (narrower bands → wider " +
        "Generate fanout, same results)") {
     val expected = containment.count()

@@ -120,4 +120,26 @@ class LawsSpec extends SparkSpec {
       assert(viaWindow === viaLag)
     }
   }
+
+  test("session_window boundary: a pair exactly gap apart MERGES — the " +
+       "lag+cumsum `diff > gap` break condition is exactly equivalent") {
+    // Pins the exact-gap semantics the ts_session_native oracle mirrors.
+    // ADVICE r4 flagged that IF Spark used half-open [t, t+gap) windows,
+    // an exact-gap pair would split while the `diff > gap` oracle merges
+    // it — a divergence the µs-random fixture could never expose. This
+    // test settles it empirically: events at t and exactly t+gap land in
+    // ONE session (Spark merges when next <= current end), and a pair
+    // one second past the gap splits. So `diff > gap` IS the exact
+    // spelling of session_window's boundary, on all data, not just the
+    // fixture — no oracle change needed, the equivalence claim holds.
+    val df = Seq((1, 0L), (1, 1800L), (1, 1800L + 1801L))
+      .toDF("user_id", "t")
+      .withColumn("ts", timestamp_seconds($"t"))
+    val sessions = df
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp($"session_window.start").as("start_s"), $"n")
+      .as[(Long, Long)].collect().toSet
+    assert(sessions === Set((0L, 2L), (3601L, 1L)))
+  }
 }

@@ -14,6 +14,18 @@ class TimeSeriesLawsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("ohlc: fixture respects the order-key packing bound " +
+       "(event_id < 10^9, so the packed BIGINT sort key is injective)") {
+    // The OHLC order key packs (µs-offset-in-bucket × 10^9 + event_id);
+    // an id at or above 10^9 would bleed into the offset field and
+    // open/close would silently pick the wrong event (the oracle repeats
+    // the formula, so the gate could not see it — ADVICE r4). This pins
+    // the precondition on the fixture the gates actually run against.
+    val maxId = graft.Tables.events(spark, dir)
+      .agg(max($"event_id")).as[Long].collect().head
+    assert(maxId < 1000000000L, s"event_id $maxId breaks the OHLC packing")
+  }
+
   test("retention: offset-0 row counts the whole cohort, and no offset " +
        "exceeds it (users can only be retained, not invented)") {
     val r = TimeSeries.retention(spark, dir)
