@@ -213,36 +213,51 @@ object Curation extends QueryPack {
       .orderBy($"bucket")
   }
 
-  /** Dataset card — the datasheet a corpus release ships with, computed
-    * as ONE composed plan: per-language doc/token volumes plus
-    * corpus-health counters (exact-duplicate docs, repetitive docs,
-    * too-short docs). Every metric is an integer count (nothing to
-    * diverge cross-engine) and every branch is a scan + hash aggregate;
-    * the union is lazy assembly of aggregate ROWS, so adding a metric
-    * never reshapes the output schema — the same discipline as
-    * `audit_integrity`.
+  /** Dataset card — the datasheet a corpus release ships with: per-
+    * language doc/token volumes plus corpus-health counters (exact-
+    * duplicate docs, repetitive docs, too-short docs). Every metric is
+    * an integer count (nothing to diverge cross-engine).
+    *
+    * Physical shape (VERDICT r4 #8 — the previous form unioned five
+    * independently-scanning aggregate branches, four of them over the
+    * same corpus): ALL document-grain metrics now ride ONE `rollup(lang)`
+    * aggregate — Spark plans a single scan + Expand into the (lang)/()
+    * grouping sets — and the tiny aggregated frame (n_langs + 1 rows) is
+    * exploded into (metric, dim, value) rows through one generator, so
+    * no consumer re-triggers the scan. Only the repetition counter reads
+    * the corpus again: it needs the 3-gram explode, a different grain by
+    * definition. Corpus reads: 2, at any number of card metrics.
     */
   def datasetCard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
-    def row(metric: String, dim: Column, v: Column, src: DataFrame): DataFrame =
-      src.groupBy(dim.as("dim")).agg(v.as("value"))
-        .select(lit(metric).as("metric"), $"dim", $"value")
-    val perLangDocs   = row("docs_per_lang", $"lang", count(lit(1)), docs)
-    val perLangTokens = row("tokens_per_lang", $"lang", sum($"n_tokens"), docs)
-    val dupDocs = row("exact_dup_docs", lit("all"),
-      (count(lit(1)) - countDistinct(md5($"text"))), docs)
-    val shortDocs = row("short_docs", lit("all"),
-      sum(when($"n_tokens" < 20L, 1L).otherwise(0L)), docs)
+    val oneScan = docs.rollup($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"n_tokens").as("n_toks"),
+           countDistinct(md5($"text")).as("n_distinct_text"),
+           sum(when($"n_tokens" < 20L, 1L).otherwise(0L)).as("n_short"),
+           grouping_id().as("gid"))
+    val docMetrics = oneScan.select(explode(
+        when($"gid" === 0, array( // per-language grouping-set row
+          struct(lit("docs_per_lang").as("metric"), $"lang".as("dim"),
+                 $"n_docs".as("value")),
+          struct(lit("tokens_per_lang").as("metric"), $"lang".as("dim"),
+                 $"n_toks".as("value"))))
+        .otherwise(array(          // grand-total row → the global counters
+          struct(lit("exact_dup_docs").as("metric"), lit("all").as("dim"),
+                 ($"n_docs" - $"n_distinct_text").as("value")),
+          struct(lit("short_docs").as("metric"), lit("all").as("dim"),
+                 $"n_short".as("value"))))).as("r"))
+      .select($"r.metric", $"r.dim", $"r.value")
     val repetitive = Dedup.shingles(spark, dir, 3, distinct = false)
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_grams"), countDistinct($"s").as("n_distinct"))
       .withColumn("rep", ($"n_grams" - $"n_distinct") * 5 >= $"n_grams")
-    val repDocs = row("repetitive_docs", lit("all"),
-      sum(when($"rep", 1L).otherwise(0L)), repetitive)
-    Seq(perLangDocs, perLangTokens, dupDocs, shortDocs, repDocs)
-      .reduce(_ union _)
+    val repDocs = repetitive
+      .agg(sum(when($"rep", 1L).otherwise(0L)).as("value"))
+      .select(lit("repetitive_docs").as("metric"), lit("all").as("dim"), $"value")
+    docMetrics.union(repDocs)
       .orderBy($"metric", $"dim")
   }
 

@@ -1,5 +1,6 @@
 package graft.ops.llm
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -156,16 +157,32 @@ object ScaleProbe {
     // construction. Pair counts legitimately differ across multipliers
     // (the cap is part of the operator's definition); the quantity of
     // interest is that TIME stays near-linear in corpus bytes.
-    def timedWinnowPairs(m: Int): (Long, Double) = {
+    // peak per-task execution memory (shuffle/agg/join buffers) — the
+    // executor-memory axis of the probe: bounded per-task peaks are what
+    // let the same plan run on real executors at 100 TB
+    val peakTaskMem = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          val p = m.peakExecutionMemory
+          var cur = peakTaskMem.get()
+          while (p > cur && !peakTaskMem.compareAndSet(cur, p))
+            cur = peakTaskMem.get()
+        }
+      }
+    })
+    def timedWinnowPairs(m: Int): (Long, Double, Long) = {
       val c = corpusL(m).select($"doc_id", $"text")
+      peakTaskMem.set(0)
       val t0 = System.nanoTime()
       val n = TextStats.winnowPairsFrom(c).count()
-      (n, (System.nanoTime() - t0) / 1e9)
+      (n, (System.nanoTime() - t0) / 1e9, peakTaskMem.get())
     }
     timedWinnowPairs(1) // warmup
     Seq(1, mult).distinct.foreach { m =>
-      val (n, s) = timedWinnowPairs(m)
-      println(f"[scale-probe] winnow-pairs mult=$m%-3d pairs=$n%-8d time=$s%.2fs")
+      val (n, s, mem) = timedWinnowPairs(m)
+      println(f"[scale-probe] winnow-pairs mult=$m%-3d pairs=$n%-8d time=$s%.2fs peak_task_mem=${mem / (1 << 20)}%dMiB")
     }
 
     // End-to-end curation funnel at multiplied corpus: duplication makes
