@@ -1,112 +1,117 @@
 #!/usr/bin/env python3
 """Local dev twin of the driver's correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [name ...]
+Usage: python3 tools/check_oracle.py <sfDir> <outDir>
 
-Pipeline: run `sbt "runMain graft.Verify <sfDir> <outDir>"` first, then this
-script loads every <outDir>/<name> parquet result, runs the matching SQL from
-<outDir>/oracle_sql.json in DuckDB against views over the same fixture
-tables, and compares: row count, column names, and exact values after
-sorting columns by name and rows by all columns — the driver's hash-match,
-minus the hashing. Local green ⇒ driver green.
-
-Driver-side tooling only (duckdb/pandas are NOT available to the Scala
-library and are not used by it).
+Reads each <outDir>/<name> parquet dump written by graft.Verify, runs the
+matching SQL from <outDir>/oracle_sql.json in DuckDB against views over the
+same fixture tables, and compares: row count, column names, dtypes, and
+exact values. MIRRORS THE DRIVER'S GATE (VERDICT r2 #3): columns sorted by
+name, then rows sorted by ALL columns before the value compare — and any
+array/list-typed cell is an immediate FAIL, because the driver's pandas
+row-sorter crashes on unhashable numpy arrays (that crash shipped two red
+gate rows in round 2; this tool must catch it locally first).
 """
-import json
-import math
-import sys
-from pathlib import Path
-
+import sys, json, glob, os
 import duckdb
+import pandas as pd
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
+TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]
 
+def load_result(path):
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        return None
+    return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
 
-def norm_cell(v):
-    """Normalize a cell for exact-compare: floats rounded to 9 significant
-    ish digits (Spark/DuckDB agree to well past that on the decimal-exact
-    pipelines; genuine float pipelines are avoided by design), NaN/None
-    canonicalized, nested lists/dicts recursed."""
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return format(v, ".9g")
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{norm_cell(v[k])}" for k in sorted(v)) + "}"
-    if isinstance(v, bytes):
-        return v.hex()
-    return str(v)
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.reset_index(drop=True)
 
+def array_cols(df):
+    """Columns holding list/ndarray cells — these crash the driver's
+    row-sorter (`TypeError: unhashable type: 'numpy.ndarray'`)."""
+    if not len(df):
+        return []
+    bad = []
+    for c in df.columns:
+        # scan for the first non-null cell: a nullable array column whose
+        # row 0 is None would otherwise slip through to the row sort
+        for v in df[c]:
+            if v is None:
+                continue
+            if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                bad.append(c)
+            break
+    return bad
 
-def frame(con, sql):
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
-    # The driver's pandas row-sorter crashes on array-typed cells — an
-    # array output column must be a hard local FAIL, not a silent
-    # normalize (serialize arrays to strings in the QUERY instead).
-    for r in rows[:50]:
-        for c, v in zip(cols, r):
-            if isinstance(v, (list, tuple)):
-                raise RuntimeError(
-                    f"array-typed cell in column '{c}' — driver-fatal; "
-                    "serialize it (concat_ws/to_json) in the query")
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    cols_sorted = [cols[i] for i in order]
-    data = sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
-    return cols_sorted, data
-
+def row_sorted(df):
+    """The driver sorts rows by every column before hashing; mirror it."""
+    if not len(df.columns):
+        return df
+    return df.sort_values(by=list(df.columns), kind="mergesort") \
+             .reset_index(drop=True)
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
-    oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     con = duckdb.connect()
     for t in TABLES:
-        p = Path(sf_dir, f"{t}.parquet")
-        if p.exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-    n_pass = n_fail = n_skip = 0
-    for name in sorted(oracle):
-        if only and name not in only:
-            continue
-        res_dir = Path(out_dir, name)
-        if not res_dir.exists():
-            print(f"MISS  {name}: no spark result dir")
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    sqls = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name, sql in sorted(sqls.items()):
+        rpath = os.path.join(out_dir, name)
+        got = load_result(rpath)
+        if got is None:
+            print(f"FAIL {name}: no spark result at {rpath}")
             n_fail += 1
             continue
         try:
-            s_cols, s_rows = frame(con, f"SELECT * FROM '{res_dir}/*.parquet'")
-            o_cols, o_rows = frame(con, oracle[name])
+            exp = con.execute(sql).fetchdf()
         except Exception as e:
-            print(f"ERR   {name}: {e}")
+            print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        if s_cols != o_cols:
-            print(f"FAIL  {name}: columns {s_cols} vs oracle {o_cols}")
-            n_fail += 1
-        elif len(s_rows) != len(o_rows):
-            print(f"FAIL  {name}: rows {len(s_rows)} vs oracle {len(o_rows)}")
-            n_fail += 1
-        elif s_rows != o_rows:
-            diff = next(i for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b)
-            print(f"FAIL  {name}: first differing row #{diff}:")
-            print(f"      spark : {s_rows[diff]}")
-            print(f"      oracle: {o_rows[diff]}")
-            n_fail += 1
+        got, exp = norm(got), norm(exp)
+        problems = []
+        bad = sorted(set(array_cols(got)) | set(array_cols(exp)))
+        if bad:
+            problems.append(
+                f"array-typed column(s) {bad} crash the driver's row-sorter "
+                "(unhashable ndarray) — serialize them (concat_ws / "
+                "array_to_string) in BOTH engines")
+        elif list(got.columns) != list(exp.columns):
+            problems.append(f"columns spark={list(got.columns)} oracle={list(exp.columns)}")
+        elif len(got) != len(exp):
+            problems.append(f"rows spark={len(got)} oracle={len(exp)}")
         else:
-            flag = " (0 rows!)" if not s_rows else ""
-            print(f"pass  {name}: {len(s_rows)} rows{flag}")
+            for c in got.columns:
+                if str(got[c].dtype) != str(exp[c].dtype):
+                    problems.append(f"dtype[{c}] spark={got[c].dtype} oracle={exp[c].dtype}")
+            if not problems:
+                # exact value compare after the driver's row sort; catch
+                # EVERYTHING — an unsortable cell raising TypeError must
+                # fail THIS query, not abort the remaining gate run
+                try:
+                    pd.testing.assert_frame_equal(
+                        row_sorted(got), row_sorted(exp), check_exact=True)
+                except AssertionError as e:
+                    msg = str(e).split("\n")
+                    problems.append("values differ: " + " | ".join(msg[:6]))
+                except Exception as e:
+                    problems.append(f"compare crashed ({type(e).__name__}: {e})"
+                                    " — mirrors a driver row-sorter crash")
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name}: " + "; ".join(problems))
+        else:
             n_pass += 1
+            print(f"PASS {name} ({len(got)} rows)")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
-
 
 if __name__ == "__main__":
     main()
