@@ -921,7 +921,7 @@ object Dedup extends QueryPack {
         |spans AS (SELECT doc_id, len, span_id, min(i) AS s, max(i) + 24 AS e
         |          FROM sp GROUP BY 1, 2, 3)
         |SELECT doc_id, count(*)::BIGINT AS n_spans, sum(e - s)::BIGINT AS chars_dup,
-        |  (1000000 * sum(e - s)) // max(len) AS dup_ppm,
+        |  ((1000000 * sum(e - s)) // max(len))::BIGINT AS dup_ppm,
         |  min(s)::BIGINT AS first_s, max(e)::BIGINT AS last_e
         |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
