@@ -620,10 +620,12 @@ object Dedup extends QueryPack {
     substringSpansFrom(Tables.documents(spark, dir).select(
       col("doc_id"), col("text")))
 
-  /** [[substringSpans]] over any (doc_id, text) corpus — also the
-    * [[ScaleProbe]] entry.
+  /** The shared span core: per-doc maximal duplicated spans
+    * `(doc_id, len, span_id, s, e)` — feeds the per-doc report
+    * ([[substringSpansFrom]]) and the excision step
+    * ([[substringExciseFrom]]).
     */
-  def substringSpansFrom(docs: DataFrame): DataFrame = {
+  private def dupSpans(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val k = SpanGram
     val pos = docs.filter(length($"text") >= k)
@@ -645,7 +647,7 @@ object Dedup extends QueryPack {
       .select($"doc_id", $"len", $"i")
     val byPos = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"i")
-    val spans = hit
+    hit
       // new span iff the gap to the previous hit exceeds the gram width
       // (equal-length grams ⇒ running-max-end is just lag(i) + k)
       .withColumn("brk",
@@ -655,7 +657,14 @@ object Dedup extends QueryPack {
         byPos.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .groupBy($"doc_id", $"len", $"span_id")
       .agg(min($"i").as("s"), (max($"i") + k).as("e"))
-    spans.groupBy($"doc_id")
+  }
+
+  /** [[substringSpans]] over any (doc_id, text) corpus — also the
+    * [[ScaleProbe]] entry.
+    */
+  def substringSpansFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    dupSpans(docs).groupBy($"doc_id")
       .agg(count(lit(1)).as("n_spans"),
            sum($"e" - $"s").as("chars_dup"),
            max($"len").as("len"),
@@ -664,6 +673,70 @@ object Dedup extends QueryPack {
       .select($"doc_id", $"n_spans", $"chars_dup",
         expr("(1000000 * chars_dup) div len").as("dup_ppm"),
         $"first_s", $"last_e")
+      .orderBy($"doc_id")
+  }
+
+  /** Span EXCISION — the actionable half of [[substringSpans]]: cut
+    * every duplicated span out of every document and reassemble the
+    * survivors (the C4/Lee-et-al. cleanup step; the aggressive
+    * remove-everywhere policy is deterministic and
+    * partitioning-independent, unlike keep-first-occurrence which
+    * depends on a global document order). Kept intervals derive from
+    * the span list alone: `[prev_span_end, span_start)` per span via
+    * one lag window, plus the `[last_span_end, len)` tail per doc —
+    * then one join back to the corpus slices the text and one ordered
+    * aggregate reassembles it. Reported as md5 + lengths (the gate
+    * needs equality evidence, not a second copy of the corpus — same
+    * discipline as [[paraDedup]]).
+    *
+    * Scale notes: inherits [[dupSpans]]'s two shuffles; the excision
+    * itself adds one small join (spans ⋈ docs — span-bearing docs
+    * only, broadcast-able in practice) and one per-doc aggregate. The
+    * reassembly buffers only a doc's own kept segments.
+    */
+  def substringExcise(spark: SparkSession, dir: String): DataFrame =
+    substringExciseFrom(Tables.documents(spark, dir).select(
+      col("doc_id"), col("text")))
+
+  /** [[substringExcise]] over any (doc_id, text) corpus. */
+  def substringExciseFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    // the span frame is consumed THREE times below (kept-interval lag,
+    // per-doc tail, cut-count aggregate); materialize it once or each
+    // consumer re-derives the position explode + both window shuffles
+    // (the winnowPairs lesson, measured 4.1s → ~3s at sf0.1) — the
+    // frame is tiny (span rows only), so the checkpoint is cheap
+    val sp = dupSpans(docs).localCheckpoint()
+    val bySpan = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"s")
+    // kept interval BEFORE each span (empty when spans are back-to-back
+    // with the doc edge: ks == ke filtered below) …
+    val mid = sp
+      .withColumn("ks", coalesce(lag($"e", 1).over(bySpan), lit(0L)))
+      .select($"doc_id", $"ks", $"s".as("ke"))
+    // … plus the tail interval after the last span
+    val tail = sp.groupBy($"doc_id")
+      .agg(max($"e").as("ks"), max($"len").as("ke"))
+      .select($"doc_id", $"ks", $"ke")
+    val kept = mid.unionByName(tail).where($"ks" < $"ke")
+    val segs = kept.join(docs, Seq("doc_id"))
+      .select($"doc_id", $"ks", ($"ke" - $"ks").as("n"),
+        expr("substring(text, cast(ks + 1 as int), cast(ke - ks as int))")
+          .as("seg"))
+    val recon = segs.groupBy($"doc_id")
+      .agg(sum($"n").as("clean_len"),
+           md5(array_join(
+             transform(array_sort(collect_list(struct($"ks", $"seg"))),
+               x => x.getField("seg")),
+             "")).as("clean_md5"))
+    // left join: a doc whose spans cover ALL of it has no kept segments
+    // — it must still be reported, as fully excised (md5 of "")
+    sp.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_cut"), sum($"e" - $"s").as("chars_cut"))
+      .join(recon, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_cut", $"chars_cut",
+        coalesce($"clean_len", lit(0L)).as("clean_len"),
+        coalesce($"clean_md5", md5(lit(""))).as("clean_md5"))
       .orderBy($"doc_id")
   }
 
@@ -701,6 +774,7 @@ object Dedup extends QueryPack {
     "llm_dedup_embedding" -> (dedupEmbedding _),
     "llm_dedup_embedding_approx" -> (dedupEmbeddingApprox _),
     "llm_substring_spans" -> (substringSpans _),
+    "llm_substring_excise" -> (substringExcise _),
     "llm_ivf_cells"       -> (ivfCellHistogram _)
   )
 
@@ -923,6 +997,44 @@ object Dedup extends QueryPack {
         |SELECT doc_id, count(*)::BIGINT AS n_spans, sum(e - s)::BIGINT AS chars_dup,
         |  ((1000000 * sum(e - s)) // max(len))::BIGINT AS dup_ppm,
         |  min(s)::BIGINT AS first_s, max(e)::BIGINT AS last_e
-        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // excision replay: same span CTE, kept intervals via lag + per-doc
+    // tail, ordered string_agg reassembly, md5 equality evidence
+    "llm_substring_excise" ->
+      """WITH pos AS (
+        |  SELECT doc_id, length(text)::BIGINT AS len, i,
+        |         substr(text, i::INTEGER + 1, 24) AS g
+        |  FROM documents, LATERAL unnest(range(0, length(text) - 24 + 1)) AS t(i)
+        |  WHERE length(text) >= 24),
+        |dup AS (SELECT g FROM pos GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |hit AS (SELECT doc_id, len, i FROM pos JOIN dup USING (g)),
+        |mk AS (SELECT doc_id, len, i,
+        |        CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+        |             OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 24
+        |        THEN 1 ELSE 0 END AS brk FROM hit),
+        |sp AS (SELECT doc_id, len, i,
+        |         sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS span_id
+        |       FROM mk),
+        |spans AS (SELECT doc_id, len, span_id, min(i) AS s, max(i) + 24 AS e
+        |          FROM sp GROUP BY 1, 2, 3),
+        |kept AS (
+        |  SELECT doc_id, coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS ks,
+        |         s AS ke
+        |  FROM spans
+        |  UNION ALL
+        |  SELECT doc_id, max(e), max(len) FROM spans GROUP BY doc_id),
+        |recon AS (
+        |  SELECT k.doc_id,
+        |         sum(ke - ks) AS clean_len,
+        |         md5(string_agg(substr(d.text, ks::INTEGER + 1, (ke - ks)::INTEGER),
+        |                        '' ORDER BY ks)) AS clean_md5
+        |  FROM kept k JOIN documents d USING (doc_id)
+        |  WHERE ks < ke GROUP BY k.doc_id)
+        |SELECT spans.doc_id, count(*)::BIGINT AS n_cut,
+        |  sum(e - s)::BIGINT AS chars_cut,
+        |  coalesce(max(recon.clean_len), 0)::BIGINT AS clean_len,
+        |  coalesce(max(recon.clean_md5), md5('')) AS clean_md5
+        |FROM spans LEFT JOIN recon ON spans.doc_id = recon.doc_id
+        |GROUP BY spans.doc_id ORDER BY spans.doc_id""".stripMargin
   )
 }

@@ -70,6 +70,48 @@ class SubstringSpanSpec extends SparkSpec {
     assert(out.count() === 0)
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("excision removes exactly the spans: cleaned text = unique " +
+       "context stitched back together; a fully-duplicated doc reports " +
+       "an empty reconstruction") {
+    val d1 = filler(1, 60) + sharedB + filler(5, 60)   // middle span
+    val d2 = filler(2, 30) + sharedB + filler(6, 90)   // middle span
+    val d3 = sharedA                                    // fully duplicated…
+    val d4 = sharedA                                    // …with its twin
+    val out = Dedup.substringExciseFrom(
+        frame(1L -> d1, 2L -> d2, 3L -> d3, 4L -> d4))
+      .select($"doc_id", $"n_cut", $"chars_cut", $"clean_len", $"clean_md5")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val clean1 = filler(1, 60) + filler(5, 60)
+    val clean2 = filler(2, 30) + filler(6, 90)
+    assert(out(1L) === ((1L, 50L, 120L, md5hex(clean1))))
+    assert(out(2L) === ((1L, 50L, 120L, md5hex(clean2))))
+    assert(out(3L) === ((1L, 49L, 0L, md5hex(""))))
+    assert(out(4L) === ((1L, 49L, 0L, md5hex(""))))
+  }
+
+  test("excision with spans touching BOTH doc edges keeps only the " +
+       "middle unique segment") {
+    // doc 1/2: [sharedA][unique middle][sharedB] — spans at both edges.
+    // Middle lengths cut mid-token (51/81, not 50/80): a filler ending
+    // at a token boundary ends in ' ' in BOTH docs, which duplicates
+    // the gram straddling the middle→sharedB edge and widens the span
+    // by that one shared char (caught live, same class as the 'u1'
+    // prefix note above).
+    val d1 = sharedA + filler(1, 51) + sharedB
+    val d2 = sharedA + filler(2, 81) + sharedB
+    val out = Dedup.substringExciseFrom(frame(1L -> d1, 2L -> d2))
+      .select($"doc_id", $"n_cut", $"clean_len", $"clean_md5")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((2L, 51L, md5hex(filler(1, 51)))))
+    assert(out(2L) === ((2L, 81L, md5hex(filler(2, 81)))))
+  }
+
   test("span extents cover exactly the shared passage when embedded in " +
        "unique context on both sides") {
     // tags must differ in their FIRST char (filler(11)/filler(12) share
