@@ -172,6 +172,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), p) // the segment explode
   }
 
+  test("llm_substring_spans: the cross-doc duplication test is a gram " +
+       "WINDOW, never an aggregate-plus-join-back (which would re-derive " +
+       "the position explode) — exactly zero join operators") {
+    val p = plan("llm_substring_spans")
+    val joinOps = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct")
+    assert(!joinOps.exists(p.contains), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("Generate"), p) // the position explode
+  }
+
+  test("llm_substring_excise: exactly ONE equi-join (kept intervals back " +
+       "to the corpus) and no nested loop — the span frame feeds three " +
+       "consumers from a materialized checkpoint, not three re-derivations") {
+    val p = plan("llm_substring_excise")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    val equiJoins = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .map(op => p.sliding(op.length).count(_ == op)).sum
+    // one slice join + one left join of recon onto the cut counts
+    assert(equiJoins <= 2, s"expected <= 2 equi-joins, plan:\n$p")
+    // the checkpoint truncates lineage: the gram-position Generate must
+    // appear NOWHERE in the excise plan (it ran once, upstream)
+    assert(!p.contains("Generate explode(sequence"), p)
+  }
+
   test("layout_dpp_prune: the dim filter prunes fact PARTITIONS at runtime " +
        "(dynamic partition pruning subquery in the scan's PartitionFilters)") {
     val p = plan("layout_dpp_prune")
