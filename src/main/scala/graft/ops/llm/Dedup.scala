@@ -285,7 +285,18 @@ object Dedup extends QueryPack {
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = nearDupPairs(spark, dir).select($"d1", $"d2")
+    minLabelPropagate(nearDupPairs(spark, dir).select($"d1", $"d2"))
+      .select($"doc".as("doc_id"), $"lab".as("cluster_rep"))
+      .orderBy($"doc_id")
+  }
+
+  /** Min-label propagation (connected components) over an undirected
+    * pair list `(d1, d2)` → `(doc, lab)` with `lab` = the component's
+    * minimum id. Shared by the MinHash cluster resolution
+    * ([[dedupClusters]]) and the semantic-dedup grouping ([[semDedup]]).
+    */
+  private def minLabelPropagate(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
     val edges = pairs.union(pairs.select($"d2".as("d1"), $"d1".as("d2")))
       .localCheckpoint()
     var labels = edges.select($"d1".as("doc")).distinct()
@@ -320,8 +331,7 @@ object Dedup extends QueryPack {
       iter += 1
     }
     require(converged, s"label propagation did not converge in $iter iterations")
-    labels.select($"doc".as("doc_id"), $"lab".as("cluster_rep"))
-      .orderBy($"doc_id")
+    labels.select($"doc", $"lab")
   }
 
   /** Number of IVF coarse-quantizer cells for [[dedupEmbedding]]. At the
@@ -389,6 +399,58 @@ object Dedup extends QueryPack {
     embeddingPairs(Similarity.corpus(spark, dir), thr = 0.45,
       sameCellOnly = true)
       .orderBy($"i", $"j")
+  }
+
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023): group
+    * embeddings into semantic-duplicate clusters — connected components
+    * of the same-cell cosine graph at the near-dup threshold — and per
+    * cluster KEEP the member least similar to its quantizer centroid
+    * (the paper's policy: the least-redundant representative survives;
+    * ties to the lowest vec_id). Composition of existing machinery:
+    * the [[dedupEmbeddingApprox]] candidate graph, the shared
+    * [[minLabelPropagate]] component resolution, and one rank window
+    * for the keep policy — no new shuffle shapes.
+    *
+    * Cross-engine determinism: cos-to-centroid divides the same
+    * left-to-right `graft_dot` fold by `nrm * |centroid|`, with the
+    * centroid norm folded in the identical order on both engines, so
+    * the rank window's float ordering cannot diverge.
+    *
+    * Scale notes: inherits the cell-shuffle pair engine's bounds
+    * (executor memory O(corpus/K) per group, no driver
+    * materialization); the propagation loop runs log-diameter rounds
+    * over the (tiny) pair-connected subset only; the keep window
+    * shuffles that subset once more.
+    */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = Similarity.corpus(spark, dir)
+    val pairs = embeddingPairs(corpus, thr = 0.45, sameCellOnly = true)
+      .select($"i".as("d1"), $"j".as("d2"))
+    val labels = minLabelPropagate(pairs)
+      .select($"doc".as("vec_id"), $"lab")
+    val cnorm = ivfCentroids.map(w => math.sqrt(w.map(x => x * x).sum))
+    // cos to the vector's OWN cell centroid, as one CASE over the K
+    // centroid literals — same fold order as the oracle's list_reduce
+    val cosC = (0 until IvfCells).foldLeft(when(lit(false), lit(0.0))) {
+      (w, c) =>
+        w.when($"cell" === c,
+          call_function("graft_dot", $"v", typedlit(ivfCentroids(c).toSeq)) /
+            ($"nrm" * lit(cnorm(c))))
+    }.otherwise(lit(Double.NaN))
+    val members = withIvfCell(corpus)
+      .join(labels, Seq("vec_id"))
+      .withColumn("cos_c", cosC)
+    val byLab = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lab").orderBy($"cos_c", $"vec_id")
+    members
+      .withColumn("rn", row_number().over(byLab))
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"lab")))
+      .where($"rn" === 1)
+      .select($"lab".as("cluster_rep"), $"n_members".cast("long").as("n_members"),
+        $"vec_id".as("keep_vec_id"))
+      .orderBy($"cluster_rep")
   }
 
   /** The cell-shuffle pair engine behind [[dedupEmbedding]], over any
@@ -775,6 +837,7 @@ object Dedup extends QueryPack {
     "llm_dedup_embedding_approx" -> (dedupEmbeddingApprox _),
     "llm_substring_spans" -> (substringSpans _),
     "llm_substring_excise" -> (substringExcise _),
+    "llm_semdedup"        -> (semDedup _),
     "llm_ivf_cells"       -> (ivfCellHistogram _)
   )
 
@@ -998,6 +1061,53 @@ object Dedup extends QueryPack {
         |  ((1000000 * sum(e - s)) // max(len))::BIGINT AS dup_ppm,
         |  min(s)::BIGINT AS first_s, max(e)::BIGINT AS last_e
         |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // SemDeDup replay: the approx-mode quantizer + same-cell pair CTEs,
+    // components via the same recursive-CTE reachability as
+    // llm_dedup_clusters, keep policy as a row_number over the
+    // identically-folded cos-to-centroid
+    "llm_semdedup" ->
+      """WITH RECURSIVE v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |cent AS (SELECT c, list_transform(range(0, 64), d ->
+        |    ('0x' || substr(md5('ivf_' || c::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT::DOUBLE
+        |    / 576460752303423488.0 - 1.0) AS w
+        |  FROM range(0, 4) t(c)),
+        |dots AS (SELECT vec_id, c,
+        |    list_reduce(list_transform(range(1, 65), k -> v[k] * w[k]),
+        |                (a, b) -> a + b) AS dot
+        |  FROM v0, cent),
+        |cell1 AS (SELECT vec_id, c AS cell FROM (
+        |    SELECT vec_id, c,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
+        |    FROM dots) WHERE rn = 1),
+        |n AS (SELECT v0.vec_id, v, cell,
+        |        sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+        |      FROM v0 JOIN cell1 USING (vec_id)),
+        |pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+        |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_reduce(list_transform(range(1, 65), k -> a.v[k] * b.v[k]),
+        |                    (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.45),
+        |edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |nodes AS (SELECT DISTINCT d1 AS doc FROM edges),
+        |reach(doc, lab) AS (
+        |  SELECT doc, doc FROM nodes
+        |  UNION
+        |  SELECT e.d2, r.lab FROM reach r JOIN edges e ON e.d1 = r.doc
+        |),
+        |lbl AS (SELECT doc, MIN(lab) AS lab FROM reach GROUP BY doc),
+        |cw AS (SELECT c, w,
+        |         sqrt(list_reduce(list_transform(w, x -> x * x), (a, b) -> a + b)) AS wn
+        |       FROM cent),
+        |cosc AS (SELECT n.vec_id, lbl.lab,
+        |    list_reduce(list_transform(range(1, 65), k -> n.v[k] * cw.w[k]),
+        |                (a, b) -> a + b) / (n.nrm * cw.wn) AS cos_c
+        |  FROM n JOIN lbl ON n.vec_id = lbl.doc JOIN cw ON cw.c = n.cell),
+        |rk AS (SELECT lab, vec_id, cos_c,
+        |         row_number() OVER (PARTITION BY lab ORDER BY cos_c, vec_id) AS rn,
+        |         count(*) OVER (PARTITION BY lab) AS nm
+        |       FROM cosc)
+        |SELECT lab AS cluster_rep, nm::BIGINT AS n_members, vec_id AS keep_vec_id
+        |FROM rk WHERE rn = 1 ORDER BY cluster_rep""".stripMargin,
     // excision replay: same span CTE, kept intervals via lag + per-doc
     // tail, ordered string_agg reassembly, md5 equality evidence
     "llm_substring_excise" ->

@@ -36,4 +36,29 @@ class EmbeddingDedupSpec extends SparkSpec {
     info(f"same-cell recall vs exact at cos>=0.45: ${approx.size}/${exact.size} = $recall%.2f")
     assert(recall >= 0.5, s"recall $recall collapsed — quantizer drift?")
   }
+
+  test("semDedup clusters are exactly the connected components of the " +
+       "approx pair graph: rep = component min, n_members = component " +
+       "size, survivor a member — one survivor per component") {
+    val pairs = Dedup.dedupEmbeddingApprox(spark, dir)
+      .select($"i", $"j").as[(Long, Long)].collect()
+    // reference components via in-test union-find over the tiny pair set
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val comps = parent.keys.toSeq.groupBy(find).map { case (_, ms) =>
+      ms.min -> ms.toSet
+    }
+    val out = Dedup.semDedup(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(_._1).toSet === comps.keySet) // one row per component, rep = min
+    out.foreach { case (rep, n, keep) =>
+      assert(n === comps(rep).size.toLong, s"cluster $rep size")
+      assert(comps(rep).contains(keep), s"survivor $keep not in cluster $rep")
+    }
+    assert(out.forall(_._2 >= 2)) // pair-connected components only
+  }
 }
