@@ -22,7 +22,9 @@ class DeterminismSpec extends SparkSpec {
   for (q <- Seq("q1_pricing_summary",   // decimal-exact float sums
                 "llm_centroids",        // double means over embeddings
                 "llm_tfidf",            // rational idf doubles
-                "q14_promo_effect"))    // derived double ratio
+                "q14_promo_effect",     // derived double ratio
+                "llm_substring_excise", // md5 reassembly from span windows
+                "llm_semdedup"))        // float-ordered keep policy
     test(s"$q is bit-identical under 3 vs 7 shuffle partitions") {
       val a = runAt("3", q)
       val b = runAt("7", q)
