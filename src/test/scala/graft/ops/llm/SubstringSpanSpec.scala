@@ -63,6 +63,18 @@ class SubstringSpanSpec extends SparkSpec {
     assert(out.count() === 0)
   }
 
+  test("null and too-short texts are filtered, never NPE: a null-text " +
+       "doc can neither carry nor induce spans") {
+    val rows = Seq[(Long, String)](
+      1L -> null, 2L -> sharedA, 3L -> sharedA, 4L -> "tiny")
+    val det = Dedup.substringSpansFrom(rows.toDF("doc_id", "text"))
+      .select($"doc_id").as[Long].collect().sorted
+    assert(det === Array(2L, 3L)) // only the real twins
+    val exc = Dedup.substringExciseFrom(rows.toDF("doc_id", "text"))
+      .select($"doc_id").as[Long].collect().sorted
+    assert(exc === Array(2L, 3L))
+  }
+
   test("a shared passage shorter than k chars is invisible") {
     val tiny = "identical-short-bit " // 20 chars < k
     val out = Dedup.substringSpansFrom(
