@@ -438,8 +438,13 @@ object Dedup extends QueryPack {
           call_function("graft_dot", $"v", typedlit(ivfCentroids(c).toSeq)) /
             ($"nrm" * lit(cnorm(c))))
     }.otherwise(lit(Double.NaN))
+    // broadcast the LABEL side explicitly: it is the pair-connected
+    // subset (tiny by construction) but arrives as a checkpointed RDD
+    // with no stats, so at test SF Catalyst instead broadcasts the
+    // corpus side (parquet stats look small) — a corpus-sized build at
+    // 100 TB. The hint pins the only join shape that scales.
     val members = withIvfCell(corpus)
-      .join(labels, Seq("vec_id"))
+      .join(broadcast(labels), Seq("vec_id"))
       .withColumn("cos_c", cosC)
     val byLab = org.apache.spark.sql.expressions.Window
       .partitionBy($"lab").orderBy($"cos_c", $"vec_id")

@@ -197,6 +197,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Generate explode(sequence"), p)
   }
 
+  test("llm_semdedup broadcasts the LABEL side (BuildRight), never the " +
+       "corpus: without the hint, Catalyst broadcasts the parquet side " +
+       "because the checkpointed label RDD has no stats — a corpus-sized " +
+       "build at 100 TB") {
+    val p = plan("llm_semdedup")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BuildRight"), p)
+    assert(!p.contains("BuildLeft"), p)
+  }
+
   test("layout_dpp_prune: the dim filter prunes fact PARTITIONS at runtime " +
        "(dynamic partition pruning subquery in the scan's PartitionFilters)") {
     val p = plan("layout_dpp_prune")
