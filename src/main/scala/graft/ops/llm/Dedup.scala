@@ -786,7 +786,13 @@ object Dedup extends QueryPack {
       .agg(max($"e").as("ks"), max($"len").as("ke"))
       .select($"doc_id", $"ks", $"ke")
     val kept = mid.unionByName(tail).where($"ks" < $"ke")
-    val segs = kept.join(docs, Seq("doc_id"))
+    // the text-slice join must NOT broadcast either side: the corpus is
+    // the corpus, and the kept intervals are corpus-proportional in the
+    // worst case — without the hint Catalyst broadcasts the documents
+    // FileScan (small at test SF, the whole corpus at 100 TB). A
+    // shuffled hash join on doc_id builds per-partition tables from the
+    // kept side only.
+    val segs = kept.hint("SHUFFLE_HASH").join(docs, Seq("doc_id"))
       .select($"doc_id", $"ks", ($"ke" - $"ks").as("n"),
         expr("substring(text, cast(ks + 1 as int), cast(ke - ks as int))")
           .as("seg"))

@@ -192,6 +192,9 @@ class PlanSpec extends SparkSpec {
       .map(op => p.sliding(op.length).count(_ == op)).sum
     // one slice join + one left join of recon onto the cut counts
     assert(equiJoins <= 2, s"expected <= 2 equi-joins, plan:\n$p")
+    // the corpus FileScan must never be a broadcast build side (it is
+    // the whole corpus at scale) — the slice join is pinned shuffled-hash
+    assert(!p.contains("BroadcastHashJoin"), p)
     // the checkpoint truncates lineage: the gram-position Generate must
     // appear NOWHERE in the excise plan (it ran once, upstream)
     assert(!p.contains("Generate explode(sequence"), p)
