@@ -25,7 +25,15 @@ object Plans {
     val sb = new StringBuilder
     sb ++= "# PLANS — physical operator trees for every gated query\n\n"
     sb ++= "Generated at sf0.001 (plan shape, not size, is the audit target).\n"
-    sb ++= "Field-level detail elided; `*(n)` marks whole-stage-codegen spans.\n"
+    sb ++= "Field-level detail elided; `*(n)` marks whole-stage-codegen spans.\n\n"
+    sb ++= "Reading broadcast choices in this dump: a BroadcastExchange over a\n"
+    sb ++= "FileScan of an SF-growing table is usually a STATS-DRIVEN pick that\n"
+    sb ++= "self-corrects at scale (past the autoBroadcastJoinThreshold the same\n"
+    sb ++= "plan degrades gracefully to a shuffled join). The shape that does NOT\n"
+    sb ++= "self-correct — and is therefore hinted explicitly and pinned by\n"
+    sb ++= "PlanSpec — is a join where one side is a checkpointed RDD with no\n"
+    sb ++= "stats (Catalyst then broadcasts the OTHER side however big it gets:\n"
+    sb ++= "see llm_semdedup's label join and llm_substring_excise's slice join).\n"
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val tree =
         try fn(spark, sfDir).queryExecution.executedPlan.toString
