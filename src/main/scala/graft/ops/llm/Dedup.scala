@@ -637,8 +637,13 @@ object Dedup extends QueryPack {
   def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val clusters = dedupClusters(spark, dir)
-    clusters.join(Tables.documents(spark, dir).select($"doc_id", $"n_chars"),
-                  Seq("doc_id"))
+    // broadcast the CLUSTER side explicitly: it is tiny (near-dup docs
+    // only) but arrives as a checkpointed RDD with no stats, so Catalyst
+    // otherwise broadcasts the documents scan — the whole corpus at
+    // scale (same class as the semDedup label join, pinned by PlanSpec)
+    broadcast(clusters)
+      .join(Tables.documents(spark, dir).select($"doc_id", $"n_chars"),
+            Seq("doc_id"))
       .groupBy($"cluster_rep")
       .agg(count(lit(1)).as("n_members"),
            expr("max_by(doc_id, struct(n_chars, -doc_id))").as("survivor_doc_id"),

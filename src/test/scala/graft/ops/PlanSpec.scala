@@ -200,6 +200,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Generate explode(sequence"), p)
   }
 
+  test("llm_dedup_survivors broadcasts the CLUSTER side (BuildLeft), " +
+       "never the documents scan (stat-less checkpointed RDD would " +
+       "otherwise flip the build side onto the corpus)") {
+    val p = plan("llm_dedup_survivors")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BuildLeft"), p)
+    assert(!p.contains("BuildRight"), p)
+  }
+
   test("llm_semdedup broadcasts the LABEL side (BuildRight), never the " +
        "corpus: without the hint, Catalyst broadcasts the parquet side " +
        "because the checkpointed label RDD has no stats — a corpus-sized " +
