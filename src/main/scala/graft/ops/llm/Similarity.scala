@@ -259,13 +259,201 @@ object Similarity extends QueryPack {
     kmeansCensus(lloydStep(step1, "c1"))
   }
 
+  // ---- Product quantization (PQ) — the ANN memory-scale path ----------
+  //
+  // LSH shrinks the CANDIDATE SET; IVF shrinks the SEARCH REGION; PQ
+  // shrinks the VECTORS: each 64-dim float vector is stored as PqM=8
+  // one-byte-ish codes (one per 8-dim subspace), and queries score
+  // against codes via a per-query lookup table (asymmetric distance
+  // computation, ADC) without ever touching raw corpus vectors — the
+  // FAISS-style IVF+PQ posture for 100 TB embedding search, where raw
+  // vectors (512 B/row) cannot live in executor memory but codes
+  // (8 B/row) can. Jégou et al., "Product Quantization for Nearest
+  // Neighbor Search", TPAMI 2011.
+  //
+  // Determinism (the gates hash-match DuckDB): seed codebooks are
+  // md5-derived ([[CrossHash.hex60]], the llm_ann_lsh hyperplane
+  // pattern); the one Lloyd refinement uses decimal-exact per-dimension
+  // means ([[graft.Det]], the llm_kmeans-proven path); every squared-L2
+  // distance is `graft_dot(diff, diff)` over a `zip_with` difference —
+  // the same strict left fold as DuckDB's no-init `list_reduce` (0.0+x₀
+  // = x₀ exactly); argmins are row_number over (d2 ASC, code ASC); the
+  // per-query ADC sum folds sub-distances in subspace order via
+  // collect_list + array_sort, never a float hash-aggregate.
+
+  private val PqM  = 8 // subspaces
+  private val PqSd = Dim / PqM // dims per subspace
+  private val PqKs = 4 // codes per subspace codebook
+
+  /** Subvector view: one row per (vec_id, sub) with the 8-dim slice.
+    * The subspace split is free column arithmetic — no shuffle.
+    */
+  private def pqParts(n: DataFrame): DataFrame = {
+    import n.sparkSession.implicits._
+    n.select($"vec_id", explode(expr(s"sequence(0, ${PqM - 1})")).as("sub"), $"v")
+      .select($"vec_id", $"sub",
+        expr(s"slice(v, sub * $PqSd + 1, $PqSd)").as("sv"))
+  }
+
+  /** Deterministic seed codebooks: PqM × PqKs entries, component
+    * (sub, code, d) md5-derived into [−1, 1) exactly like the LSH
+    * hyperplanes — both engines build the SAME seeds.
+    */
+  private def pqSeeds(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.range(PqM.toLong * PqKs).select(
+      expr(s"cast(id div $PqKs as int)").as("sub"),
+      expr(s"cast(id % $PqKs as int)").as("code"),
+      expr(s"""transform(sequence(0, ${PqSd - 1}), d ->
+           cast(${CrossHash.hex60(
+             s"""concat('pq_', cast(id div $PqKs as string), '_',
+                        cast(id % $PqKs as string), '_', cast(d as string))""")}
+             as double)
+           / 576460752303423488.0 - 1.0)""").as("w"))
+  }
+
+  /** Squared L2 between two same-length arrays as the bit-identical
+    * cross-engine fold: difference via zip_with, then the native
+    * [[graft.functions.DotProduct]] left fold of its squares.
+    */
+  private def pqD2(df: DataFrame, a: String, b: String, out: String): DataFrame =
+    df.withColumn("_dd", expr(s"zip_with($a, $b, (x, y) -> x - y)"))
+      .withColumn(out, call_function("graft_dot", col("_dd"), col("_dd")))
+      .drop("_dd")
+
+  /** Train (one Lloyd refinement over md5 seeds) + encode: returns
+    * (book, enc) where book = (sub, code, carr) refined codebooks and
+    * enc = (vec_id, sub, c0, code, m0) — c0 the seed assignment, code
+    * the refined one (c0 ≠ code rows prove a real training step ran).
+    *
+    * Scale shape: codebooks are K×M×Sd values (a few KB) — broadcast
+    * both ways; assignment is a per-partition scan with a (vec, sub)-
+    * local argmin window; the codebook update is ONE (sub, code, d)-
+    * keyed hash aggregate with map-side decimal partials (key space
+    * M·Ks·Sd, independent of corpus size). Nothing driver-side, no
+    * corpus shuffle except the posexplode aggregate — the same shapes
+    * as [[lloydStep]], ×M independent subproblems.
+    */
+  private[llm] def pqModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val parts = pqParts(corpus(spark, dir))
+    val byPos = Window.partitionBy($"vec_id", $"sub").orderBy($"d2".asc, $"code")
+    val assign0 = pqD2(parts.join(broadcast(pqSeeds(spark)), Seq("sub")), "sv", "w", "d2")
+      .withColumn("rn", row_number().over(byPos)).where($"rn" === 1)
+      .select($"vec_id", $"sub", $"sv", $"code".as("c0"))
+    val book = assign0
+      .select($"sub", $"c0", posexplode($"sv").as(Seq("d", "x")))
+      .groupBy($"sub", $"c0", $"d")
+      .agg(graft.Det.davg($"x").as("m"))
+      .groupBy($"sub", $"c0")
+      .agg(collect_list(struct($"d", $"m")).as("dm"))
+      .select($"sub", $"c0".as("code"),
+        expr("transform(array_sort(dm), s -> s.m)").as("carr"))
+    val enc = pqD2(assign0.join(broadcast(book), Seq("sub")), "sv", "carr", "d2")
+      .withColumn("rn", row_number().over(byPos)).where($"rn" === 1)
+      .select($"vec_id", $"sub", $"c0", $"code",
+        element_at($"carr", 1).as("m0"))
+    (book, enc)
+  }
+
+  /** PQ training census gate: per (sub, code) — members, how many
+    * vectors the refinement moved off their seed code (the proof a real
+    * Lloyd step ran), id range, first refined-centroid coordinate.
+    */
+  def pqTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, enc) = pqModel(spark, dir)
+    enc.groupBy($"sub", $"code")
+      .agg(count(lit(1)).as("n_vecs"),
+           sum(when($"c0" =!= $"code", 1L).otherwise(0L)).as("n_moved"),
+           min($"vec_id").as("first_vec"), max($"vec_id").as("last_vec"),
+           min($"m0").as("m_dim0"))
+      .orderBy($"sub", $"code")
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k gate: each query (vec_id < 10)
+    * precomputes its M×Ks table of exact subspace distances to every
+    * codebook entry, then every corpus vector's approximate distance is
+    * the table-lookup sum over its M codes — top-3 by (distance, id).
+    *
+    * Scale shape — the reason PQ exists: query time touches ONLY the
+    * code frame (M small ints per corpus row; the raw vectors appear
+    * nowhere in the scoring plan) plus a broadcast |Q|·M·Ks lookup
+    * table; scoring is one scan + one (q, vec)-keyed aggregate of
+    * exactly M rows per pair. Composes with [[annIvf]]: restrict the
+    * scan to the query's IVF cell and the same plan runs on 1/cells of
+    * the codes.
+    */
+  def pqAdc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (book, enc) = pqModel(spark, dir)
+    val qd = pqD2(
+        pqParts(corpus(spark, dir).filter($"vec_id" < 10))
+          .withColumnRenamed("vec_id", "q_id")
+          .join(broadcast(book), Seq("sub")),
+        "sv", "carr", "dsub")
+      .select($"q_id", $"sub", $"code", $"dsub")
+    val byAdc = Window.partitionBy($"q_id").orderBy($"adc".asc, $"n_id")
+    enc.select($"vec_id".as("n_id"), $"sub", $"code")
+      .join(broadcast(qd), Seq("sub", "code"))
+      .where($"n_id" =!= $"q_id")
+      .groupBy($"q_id", $"n_id")
+      .agg(collect_list(struct($"sub", $"dsub")).as("sd"))
+      .select($"q_id", $"n_id",
+        expr("""aggregate(transform(array_sort(sd), s -> s.dsub),
+                cast(0 as double), (acc, x) -> acc + x)""").as("adc"))
+      .withColumn("rk", row_number().over(byAdc).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"q_id", $"rk", $"n_id", $"adc")
+      .orderBy($"q_id", $"rk")
+  }
+
+  /** IVF + PQ composed — the full FAISS index architecture in one plan:
+    * the coarse quantizer ([[Dedup.withIvfCell]]) restricts each query's
+    * scan to its cell's inverted list, and PQ codes + the broadcast ADC
+    * table score the survivors. Per query the work is
+    * (cell-size) · M table lookups over 8-byte codes — at 100 TB this is
+    * the difference between scanning 100 TB of floats and ~1/cells of a
+    * few-hundred-GB code table. The candidate restriction is the join key
+    * itself ((sub, code, cell) against the query's cell) — no post-filter.
+    */
+  def pqIvfAdc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (book, enc) = pqModel(spark, dir)
+    val cells = Dedup.withIvfCell(corpus(spark, dir)).select($"vec_id", $"cell")
+    val qd = pqD2(
+        pqParts(corpus(spark, dir).filter($"vec_id" < 10))
+          .withColumnRenamed("vec_id", "q_id")
+          .join(broadcast(book), Seq("sub")),
+        "sv", "carr", "dsub")
+      .join(cells.withColumnRenamed("vec_id", "q_id"), Seq("q_id"))
+      .select($"q_id", $"sub", $"code", $"cell", $"dsub")
+    val byAdc = Window.partitionBy($"q_id").orderBy($"adc".asc, $"n_id")
+    enc.select($"vec_id".as("n_id"), $"sub", $"code")
+      .join(cells.withColumnRenamed("vec_id", "n_id"), Seq("n_id"))
+      .join(broadcast(qd), Seq("sub", "code", "cell"))
+      .where($"n_id" =!= $"q_id")
+      .groupBy($"q_id", $"n_id")
+      .agg(collect_list(struct($"sub", $"dsub")).as("sd"))
+      .select($"q_id", $"n_id",
+        expr("""aggregate(transform(array_sort(sd), s -> s.dsub),
+                cast(0 as double), (acc, x) -> acc + x)""").as("adc"))
+      .withColumn("rk", row_number().over(byAdc).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"q_id", $"rk", $"n_id", $"adc")
+      .orderBy($"q_id", $"rk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ann_cosine_topk" -> (annCosineTopK _),
     "llm_ann_lsh"         -> (annLshBuckets _),
     "llm_ann_ivf"         -> (annIvf _),
     "llm_centroids"       -> (centroids _),
     "llm_kmeans"          -> (kmeansRefine _),
-    "llm_kmeans2"         -> (kmeansTwoStep _)
+    "llm_kmeans2"         -> (kmeansTwoStep _),
+    "llm_pq_train"        -> (pqTrain _),
+    "llm_pq_adc"          -> (pqAdc _),
+    "llm_pq_ivf_adc"      -> (pqIvfAdc _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -442,6 +630,110 @@ object Similarity extends QueryPack {
         |  COALESCE(best.best_cand_sim, -2.0) AS best_cand_sim,
         |  COALESCE(best.best_cand_sim, -2.0) = nn.nn_sim AS found_nn
         |FROM nn LEFT JOIN best ON nn.q_id = best.q_id
-        |ORDER BY nn.q_id""".stripMargin
+        |ORDER BY nn.q_id""".stripMargin,
+    "llm_pq_train" ->
+      s"""$pqModelSql
+        |SELECT sub, code, COUNT(*) AS n_vecs,
+        |  SUM(CASE WHEN c0 <> code THEN 1 ELSE 0 END)::BIGINT AS n_moved,
+        |  MIN(vec_id) AS first_vec, MAX(vec_id) AS last_vec,
+        |  MIN(m0) AS m_dim0
+        |FROM enc GROUP BY sub, code ORDER BY sub, code""".stripMargin,
+    "llm_pq_adc" ->
+      s"""$pqModelSql,
+        |qd AS (SELECT p.vec_id AS q_id, p.sub, b.code,
+        |    list_reduce(list_transform(range(1, 9),
+        |                  k -> (p.sv[k] - b.carr[k]) * (p.sv[k] - b.carr[k])),
+        |                (acc, x) -> acc + x) AS dsub
+        |  FROM parts p JOIN book b USING (sub) WHERE p.vec_id < 10),
+        |pr AS (SELECT qd.q_id, e.vec_id AS n_id, qd.sub, qd.dsub
+        |       FROM enc e JOIN qd ON e.sub = qd.sub AND e.code = qd.code
+        |       WHERE e.vec_id <> qd.q_id),
+        |ad AS (SELECT q_id, n_id,
+        |         list_reduce(list(dsub ORDER BY sub), (acc, x) -> acc + x) AS adc
+        |       FROM pr GROUP BY q_id, n_id),
+        |rr AS (SELECT q_id, n_id, adc,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rk
+        |       FROM ad)
+        |SELECT q_id, rk, n_id, adc FROM rr WHERE rk <= 3
+        |ORDER BY q_id, rk""".stripMargin,
+    "llm_pq_ivf_adc" ->
+      s"""$pqModelSql,
+        |icent AS (SELECT c, list_transform(range(0, 64), d ->
+        |    ('0x' || substr(md5('ivf_' || c::VARCHAR || '_' || d::VARCHAR),
+        |                    1, 15))::BIGINT::DOUBLE
+        |    / 576460752303423488.0 - 1.0) AS w
+        |  FROM range(0, 4) t(c)),
+        |idots AS (SELECT vec_id, c,
+        |    list_reduce(list_transform(range(1, 65), k -> v[k] * w[k]),
+        |                (a, b) -> a + b) AS dot
+        |  FROM v0, icent),
+        |cl AS (SELECT vec_id, CAST(c AS INT) AS cell FROM (
+        |    SELECT vec_id, c,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
+        |    FROM idots) WHERE rn = 1),
+        |qd AS (SELECT p.vec_id AS q_id, p.sub, b.code, qc.cell,
+        |    list_reduce(list_transform(range(1, 9),
+        |                  k -> (p.sv[k] - b.carr[k]) * (p.sv[k] - b.carr[k])),
+        |                (acc, x) -> acc + x) AS dsub
+        |  FROM parts p JOIN book b USING (sub)
+        |       JOIN cl qc ON qc.vec_id = p.vec_id
+        |  WHERE p.vec_id < 10),
+        |pr AS (SELECT qd.q_id, e.vec_id AS n_id, qd.sub, qd.dsub
+        |       FROM enc e JOIN cl ec ON ec.vec_id = e.vec_id
+        |       JOIN qd ON e.sub = qd.sub AND e.code = qd.code
+        |              AND ec.cell = qd.cell
+        |       WHERE e.vec_id <> qd.q_id),
+        |ad AS (SELECT q_id, n_id,
+        |         list_reduce(list(dsub ORDER BY sub), (acc, x) -> acc + x) AS adc
+        |       FROM pr GROUP BY q_id, n_id),
+        |rr AS (SELECT q_id, n_id, adc,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rk
+        |       FROM ad)
+        |SELECT q_id, rk, n_id, adc FROM rr WHERE rk <= 3
+        |ORDER BY q_id, rk""".stripMargin
   )
+
+  /** Shared oracle CTE chain replaying [[pqModel]] in DuckDB: subvector
+    * split, md5 seed codebooks, seed assignment, decimal-mean refinement,
+    * re-encode. Ends with the `enc` CTE (vec_id, sub, c0, code, m0); the
+    * `book` CTE (sub, code, carr) stays visible for ADC's lookup table.
+    */
+  private val pqModelSql: String =
+    s"""WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      |            FROM embeddings),
+      |parts AS (SELECT vec_id, CAST(s.sub AS INT) AS sub,
+      |    list_slice(v, s.sub * 8 + 1, s.sub * 8 + 8) AS sv
+      |  FROM v0, range(0, 8) s(sub)),
+      |seeds AS (SELECT CAST(m.sub AS INT) AS sub, CAST(c.code AS INT) AS code,
+      |    list_transform(range(0, 8), d ->
+      |      ('0x' || substr(md5('pq_' || m.sub::VARCHAR || '_' ||
+      |                          c.code::VARCHAR || '_' || d::VARCHAR),
+      |                      1, 15))::BIGINT::DOUBLE
+      |      / 576460752303423488.0 - 1.0) AS w
+      |  FROM range(0, 8) m(sub), range(0, 4) c(code)),
+      |a0d AS (SELECT vec_id, sub, sv, code,
+      |    list_reduce(list_transform(range(1, 9),
+      |                  k -> (sv[k] - w[k]) * (sv[k] - w[k])),
+      |                (acc, x) -> acc + x) AS d2
+      |  FROM parts JOIN seeds USING (sub)),
+      |a0 AS (SELECT vec_id, sub, sv, code AS c0 FROM (
+      |    SELECT vec_id, sub, sv, code,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+      |    FROM a0d) WHERE rn = 1),
+      |ex AS (SELECT sub, c0,
+      |         CAST(generate_subscripts(sv, 1) - 1 AS INT) AS d, unnest(sv) AS x
+      |       FROM a0),
+      |bm AS (SELECT sub, c0 AS code, d, ${graft.Det.sqlAvg("x")} AS m
+      |       FROM ex GROUP BY 1, 2, 3),
+      |book AS (SELECT sub, code, list(m ORDER BY d) AS carr
+      |         FROM bm GROUP BY sub, code),
+      |red AS (SELECT vec_id, sub, c0, code, carr,
+      |    list_reduce(list_transform(range(1, 9),
+      |                  k -> (sv[k] - carr[k]) * (sv[k] - carr[k])),
+      |                (acc, x) -> acc + x) AS d2
+      |  FROM a0 JOIN book USING (sub)),
+      |enc AS (SELECT vec_id, sub, c0, code, carr[1] AS m0 FROM (
+      |    SELECT vec_id, sub, c0, code, carr,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+      |    FROM red) WHERE rn = 1)""".stripMargin
 }
