@@ -76,6 +76,18 @@ object Ranking extends QueryPack {
     */
   def bm25(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    bm25Agg(spark, dir)
+      .orderBy($"score".desc, $"doc_id")
+      .limit(20)
+      .select($"doc_id", $"score")
+  }
+
+  /** The full BM25-scored frame (doc_id, score) over every document
+    * containing ≥ 1 query term — shared by [[bm25]] (top-20 gate) and
+    * [[rrfFusion]] (lexical leg).
+    */
+  private def bm25Agg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", size(split($"text", " ")).cast("long").as("dl"))
     val t  = toks(spark, dir).where($"w".isin(bm25Terms: _*))
@@ -91,9 +103,55 @@ object Ranking extends QueryPack {
       coalesce(max(when($"w" === w, $"s")), lit(0.0)))
     scored.groupBy($"doc_id")
       .agg(terms.reduceLeft(_ + _).as("score"))
-      .orderBy($"score".desc, $"doc_id")
-      .limit(20)
-      .select($"doc_id", $"score")
+  }
+
+  /** llm_rrf_fusion — reciprocal rank fusion (Cormack et al. 2009) of
+    * two retrieval legs over the same corpus: the lexical BM25 ranking
+    * and the additive quality-score ranking ([[TextStats.qualityScore]]),
+    * fused as Σ 1/(60 + rank) over the lists that contain the document —
+    * the standard hybrid-retrieval combiner (lexical ⊕ dense, relevance
+    * ⊕ quality) in RAG and curation pipelines, which needs no score
+    * calibration because only RANKS cross system boundaries.
+    *
+    * Scale shape: RRF is defined over each system's top-K OUTPUT, so
+    * both legs end in orderBy+limit (TakeOrderedAndProject — per-
+    * partition top-K then a K-row driver merge, never a global sort),
+    * the rank windows run on K-row frames, and the fusion join is K×K
+    * tiny regardless of corpus size. The expensive part stays inside
+    * each retriever, where it already scales (BM25: two token-keyed
+    * aggregates; quality: a pure map).
+    *
+    * Determinism: ranks are integers (row_number over (score DESC,
+    * doc_id)); each 1/(60+r) is a single IEEE division and the two legs
+    * are added in fixed lexical-then-quality order — bit-identical in
+    * any engine.
+    */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 60
+    val wLex = Window.orderBy($"score".desc, $"doc_id")
+    val lex = bm25Agg(spark, dir)
+      .orderBy($"score".desc, $"doc_id").limit(k)
+      .withColumn("r_lex", row_number().over(wLex).cast("long"))
+      .select($"doc_id", $"r_lex")
+    val wQ = Window.orderBy($"qs".desc, $"doc_id")
+    val qual = TextStats.qualityScore(spark, dir)
+      .select($"doc_id", $"score".as("qs"))
+      .orderBy($"qs".desc, $"doc_id").limit(k)
+      .withColumn("r_q", row_number().over(wQ).cast("long"))
+      .select($"doc_id", $"r_q")
+    lex.join(qual, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        when($"r_lex".isNull, 0.0)
+          .otherwise(lit(1.0) / (lit(60.0) + $"r_lex")) +
+        when($"r_q".isNull, 0.0)
+          .otherwise(lit(1.0) / (lit(60.0) + $"r_q")))
+      .select($"doc_id",
+        coalesce($"r_lex", lit(0L)).as("r_lex"),
+        coalesce($"r_q", lit(0L)).as("r_q"),
+        $"rrf")
+      .orderBy($"rrf".desc, $"doc_id")
+      .limit(10)
   }
 
   /** llm_bigram_lm — bigram counts and conditional next-token probability
@@ -223,7 +281,8 @@ object Ranking extends QueryPack {
     "llm_tfidf"     -> (tfidf _),
     "llm_bm25"      -> (bm25 _),
     "llm_bigram_lm" -> (bigramLm _),
-    "llm_textrank"  -> (textrank _)
+    "llm_textrank"  -> (textrank _),
+    "llm_rrf_fusion" -> (rrfFusion _)
   )
 
   private val termList = bm25Terms.map(w => s"'$w'").mkString(", ")
@@ -292,6 +351,54 @@ object Ranking extends QueryPack {
          |  FROM scored GROUP BY doc_id)
          |SELECT doc_id, score FROM agg
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "llm_rrf_fusion" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl FROM documents),
+         |t AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |q AS (SELECT doc_id, w FROM t WHERE w IN ($termList)),
+         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM q GROUP BY doc_id, w),
+         |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM q GROUP BY w),
+         |n AS (
+         |  SELECT COUNT(*) AS n_docs,
+         |    SUM(len(string_split(text, ' ')))::BIGINT AS sum_dl FROM documents),
+         |n2 AS (SELECT n_docs, CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl FROM n),
+         |scored AS (
+         |  SELECT d.doc_id, tf.w, ${bm25Score("d.dl")} AS s
+         |  FROM docs d JOIN tf ON d.doc_id = tf.doc_id
+         |  JOIN df ON tf.w = df.w CROSS JOIN n2),
+         |agg AS (
+         |  SELECT doc_id,
+         |    ${bm25Terms.map(w => s"COALESCE(MAX(CASE WHEN w = '$w' THEN s END), 0.0)")
+                        .mkString(" + ")} AS score
+         |  FROM scored GROUP BY doc_id),
+         |lexk AS (SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id LIMIT 60),
+         |lex AS (SELECT doc_id,
+         |          row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex
+         |        FROM lexk),
+         |qsc AS (SELECT doc_id,
+         |  (CASE WHEN n_chars BETWEEN 100 AND 400 THEN 1 ELSE 0 END
+         |   + CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1 ELSE 0 END
+         |   + CASE WHEN len(list_distinct(string_split(text, ' '))) * 2
+         |              >= len(string_split(text, ' ')) THEN 1 ELSE 0 END
+         |   + CASE WHEN len(list_filter(string_split(text, ' '),
+         |                               w -> w = 'the' OR w = 'a')) * 5
+         |              <= len(string_split(text, ' ')) THEN 1 ELSE 0 END)::INT AS qs
+         |  FROM documents),
+         |qk AS (SELECT doc_id, qs FROM qsc ORDER BY qs DESC, doc_id LIMIT 60),
+         |qr AS (SELECT doc_id,
+         |         row_number() OVER (ORDER BY qs DESC, doc_id) AS r_q
+         |       FROM qk),
+         |f AS (SELECT COALESCE(lex.doc_id, qr.doc_id) AS doc_id,
+         |        COALESCE(lex.r_lex, 0)::BIGINT AS r_lex,
+         |        COALESCE(qr.r_q, 0)::BIGINT AS r_q,
+         |        (CASE WHEN lex.r_lex IS NULL THEN 0.0
+         |              ELSE 1.0 / (60.0 + lex.r_lex) END
+         |         + CASE WHEN qr.r_q IS NULL THEN 0.0
+         |                ELSE 1.0 / (60.0 + qr.r_q) END) AS rrf
+         |      FROM lex FULL JOIN qr ON lex.doc_id = qr.doc_id)
+         |SELECT doc_id, r_lex, r_q, rrf FROM f
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "llm_bigram_lm" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
         |idx AS (SELECT t, generate_subscripts(t, 1) AS i FROM toks),

@@ -226,6 +226,25 @@ object ScaleProbe {
       val (n, s) = timedFunnel(m)
       println(f"[scale-probe] funnel mult=$m%-3d sampled=$n%-8d time=$s%.2fs")
     }
+
+    // PQ train + ADC at multiplied corpus: the codebook aggregate's key
+    // space (M·Ks·Sd) is corpus-independent and scoring is one scan of
+    // the code frame against a constant broadcast lookup table — time
+    // should grow ≈linearly with the multiplier.
+    def timedPq(m: Int): (Long, Double) = {
+      val c = (0 until m)
+        .map(i => base.select(($"vec_id" + lit(i * 1000000L)).as("vec_id"),
+                              $"v", $"nrm"))
+        .reduce(_ union _)
+      val t0 = System.nanoTime()
+      val rows = Similarity.pqAdcFrom(c).count()
+      (rows, (System.nanoTime() - t0) / 1e9)
+    }
+    timedPq(1) // warmup
+    Seq(1, mult).distinct.foreach { m =>
+      val (rows, s) = timedPq(m)
+      println(f"[scale-probe] pq_adc mult=$m%-3d corpus=${2000L * m}%-7d topk_rows=$rows%-5d time=$s%.2fs")
+    }
     spark.stop()
   }
 }

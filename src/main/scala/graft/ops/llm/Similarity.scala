@@ -334,13 +334,28 @@ object Similarity extends QueryPack {
     * corpus shuffle except the posexplode aggregate — the same shapes
     * as [[lloydStep]], ×M independent subproblems.
     */
-  private[llm] def pqModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[llm] def pqModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    pqModelFrom(corpus(spark, dir))
+
+  /** [[pqModel]] over any (vec_id, v) corpus — also the [[ScaleProbe]]
+    * entry.
+    */
+  private[llm] def pqModelFrom(n: DataFrame): (DataFrame, DataFrame) = {
+    val spark = n.sparkSession
     import spark.implicits._
-    val parts = pqParts(corpus(spark, dir))
+    graft.functions.GraftFunctions.register(spark)
+    val parts = pqParts(n)
     val byPos = Window.partitionBy($"vec_id", $"sub").orderBy($"d2".asc, $"code")
+    // The seed assignment fans out into BOTH the codebook update and the
+    // re-encode (and, in the ADC gates, the plans above it run twice more
+    // for the query table) — materialize it once, the winnowPairs lesson:
+    // without this Catalyst re-derives the explode + argmin-window subtree
+    // per consumer, and lineage truncation lets AQE plan the downstream
+    // joins from observed sizes.
     val assign0 = pqD2(parts.join(broadcast(pqSeeds(spark)), Seq("sub")), "sv", "w", "d2")
       .withColumn("rn", row_number().over(byPos)).where($"rn" === 1)
       .select($"vec_id", $"sub", $"sv", $"code".as("c0"))
+      .localCheckpoint()
     val book = assign0
       .select($"sub", $"c0", posexplode($"sv").as(Seq("d", "x")))
       .groupBy($"sub", $"c0", $"d")
@@ -384,11 +399,18 @@ object Similarity extends QueryPack {
     * scan to the query's IVF cell and the same plan runs on 1/cells of
     * the codes.
     */
-  def pqAdc(spark: SparkSession, dir: String): DataFrame = {
+  def pqAdc(spark: SparkSession, dir: String): DataFrame =
+    pqAdcFrom(corpus(spark, dir))
+
+  /** [[pqAdc]] over any (vec_id, v) corpus — also the [[ScaleProbe]]
+    * entry.
+    */
+  private[llm] def pqAdcFrom(n: DataFrame): DataFrame = {
+    val spark = n.sparkSession
     import spark.implicits._
-    val (book, enc) = pqModel(spark, dir)
+    val (book, enc) = pqModelFrom(n)
     val qd = pqD2(
-        pqParts(corpus(spark, dir).filter($"vec_id" < 10))
+        pqParts(n.filter($"vec_id" < 10))
           .withColumnRenamed("vec_id", "q_id")
           .join(broadcast(book), Seq("sub")),
         "sv", "carr", "dsub")
