@@ -286,13 +286,17 @@ object Similarity extends QueryPack {
   private val PqKs = 4 // codes per subspace codebook
 
   /** Subvector view: one row per (vec_id, sub) with the 8-dim slice.
-    * The subspace split is free column arithmetic — no shuffle.
+    * The subspace split is free column arithmetic — no shuffle. `keep`
+    * names row-level columns to carry through (e.g. the IVF `cell`) so
+    * downstream composition never needs a join back to the corpus.
     */
-  private def pqParts(n: DataFrame): DataFrame = {
+  private def pqParts(n: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     import n.sparkSession.implicits._
-    n.select($"vec_id", explode(expr(s"sequence(0, ${PqM - 1})")).as("sub"), $"v")
-      .select($"vec_id", $"sub",
-        expr(s"slice(v, sub * $PqSd + 1, $PqSd)").as("sv"))
+    val kept = keep.map(col)
+    n.select($"vec_id" +: kept :+
+        explode(expr(s"sequence(0, ${PqM - 1})")).as("sub") :+ $"v": _*)
+      .select($"vec_id" +: kept :+ $"sub" :+
+        expr(s"slice(v, sub * $PqSd + 1, $PqSd)").as("sv"): _*)
   }
 
   /** Deterministic seed codebooks: PqM × PqKs entries, component
@@ -340,11 +344,12 @@ object Similarity extends QueryPack {
   /** [[pqModel]] over any (vec_id, v) corpus — also the [[ScaleProbe]]
     * entry.
     */
-  private[llm] def pqModelFrom(n: DataFrame): (DataFrame, DataFrame) = {
+  private[llm] def pqModelFrom(n: DataFrame, keep: Seq[String] = Nil): (DataFrame, DataFrame) = {
     val spark = n.sparkSession
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
-    val parts = pqParts(n)
+    val kept = keep.map(col)
+    val parts = pqParts(n, keep)
     val byPos = Window.partitionBy($"vec_id", $"sub").orderBy($"d2".asc, $"code")
     // The seed assignment fans out into BOTH the codebook update and the
     // re-encode (and, in the ADC gates, the plans above it run twice more
@@ -354,7 +359,7 @@ object Similarity extends QueryPack {
     // joins from observed sizes.
     val assign0 = pqD2(parts.join(broadcast(pqSeeds(spark)), Seq("sub")), "sv", "w", "d2")
       .withColumn("rn", row_number().over(byPos)).where($"rn" === 1)
-      .select($"vec_id", $"sub", $"sv", $"code".as("c0"))
+      .select($"vec_id" +: kept :+ $"sub" :+ $"sv" :+ $"code".as("c0"): _*)
       .localCheckpoint()
     val book = assign0
       .select($"sub", $"c0", posexplode($"sv").as(Seq("d", "x")))
@@ -366,8 +371,8 @@ object Similarity extends QueryPack {
         expr("transform(array_sort(dm), s -> s.m)").as("carr"))
     val enc = pqD2(assign0.join(broadcast(book), Seq("sub")), "sv", "carr", "d2")
       .withColumn("rn", row_number().over(byPos)).where($"rn" === 1)
-      .select($"vec_id", $"sub", $"c0", $"code",
-        element_at($"carr", 1).as("m0"))
+      .select($"vec_id" +: kept :+ $"sub" :+ $"c0" :+ $"code" :+
+        element_at($"carr", 1).as("m0"): _*)
     (book, enc)
   }
 
@@ -441,18 +446,22 @@ object Similarity extends QueryPack {
     */
   def pqIvfAdc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (book, enc) = pqModel(spark, dir)
-    val cells = Dedup.withIvfCell(corpus(spark, dir)).select($"vec_id", $"cell")
+    // The IVF cell is column arithmetic over the vector ([[Dedup
+    // .withIvfCell]] — argmax against literal centroids), so it rides
+    // the PQ pipeline as a carried column: NO join back to the corpus
+    // anywhere (an id-keyed cells join here would tempt the optimizer
+    // into broadcasting a corpus-derived frame — the exact anti-pattern
+    // this operator exists to avoid at 100 TB).
+    val n = Dedup.withIvfCell(corpus(spark, dir))
+    val (book, enc) = pqModelFrom(n, keep = Seq("cell"))
     val qd = pqD2(
-        pqParts(corpus(spark, dir).filter($"vec_id" < 10))
+        pqParts(n.filter($"vec_id" < 10), keep = Seq("cell"))
           .withColumnRenamed("vec_id", "q_id")
           .join(broadcast(book), Seq("sub")),
         "sv", "carr", "dsub")
-      .join(cells.withColumnRenamed("vec_id", "q_id"), Seq("q_id"))
       .select($"q_id", $"sub", $"code", $"cell", $"dsub")
     val byAdc = Window.partitionBy($"q_id").orderBy($"adc".asc, $"n_id")
-    enc.select($"vec_id".as("n_id"), $"sub", $"code")
-      .join(cells.withColumnRenamed("vec_id", "n_id"), Seq("n_id"))
+    enc.select($"vec_id".as("n_id"), $"sub", $"code", $"cell")
       .join(broadcast(qd), Seq("sub", "code", "cell"))
       .where($"n_id" =!= $"q_id")
       .groupBy($"q_id", $"n_id")

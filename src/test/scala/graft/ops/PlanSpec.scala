@@ -435,6 +435,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("join"), p)
   }
 
+  test("llm_pq_adc: ADC scoring is broadcast hash joins ONLY — codebooks " +
+       "and the per-query lookup table broadcast, the code frame streams") {
+    val p = plan("llm_pq_adc")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+           !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("llm_pq_ivf_adc: the IVF cell rides the pipeline as a COLUMN — no " +
+       "join back to the corpus (the pre-pin shape broadcast a " +
+       "corpus-derived cells frame on vec_id)") {
+    val p = plan("llm_pq_ivf_adc")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+           !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // exactly: enc←book, qd←book, scoring←qd — all broadcast-build
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p)
+  }
+
+  test("llm_rrf_fusion: both retrieval legs end in TakeOrderedAndProject " +
+       "(per-partition top-K + K-row merge, never a global sort); fusion " +
+       "joins two K-row frames") {
+    val p = plan("llm_rrf_fusion")
+    assert("TakeOrderedAndProject\\(limit=60".r.findAllIn(p).size == 2, p)
+    assert(p.contains("TakeOrderedAndProject(limit=10"), p)
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("SWEEP: no gated query plans CartesianProduct (the one deliberate " +
        "cross join is bounded and explicit)") {
     // A cartesian anywhere else means a join lost its equi-condition — the
