@@ -375,6 +375,43 @@ object TextStats extends QueryPack {
       .orderBy($"lang", $"part")
   }
 
+  /** Stratified train/val/test split — EXACT 80/10/10 quotas per stratum
+    * (source), unlike [[sampleHash]]'s independent hash-mod buckets whose
+    * proportions only hold in expectation (and drift badly on SMALL
+    * strata — the reason stratified splitting exists: a 30-doc source
+    * must still contribute ~3 eval docs, not 0 or 7). Each stratum's
+    * documents are ranked by a salted deterministic hash (shuffle-proof,
+    * reproducible) and cut at rank·10 ≤ n·8 / n·9 — integer
+    * cross-multiplication, so the boundaries cannot diverge
+    * cross-engine.
+    *
+    * Scale shape: one per-stratum count aggregate (broadcast back — the
+    * stratum key space is small), then ONE window shuffle keyed by
+    * stratum. The rank window is a streaming row_number (no buffering
+    * beyond the sort); a viral stratum means one big sort partition —
+    * the standard remedy (split the hash range and re-rank hierarchically)
+    * keeps the same plan shape and is not needed at fixture scale.
+    */
+  def splitStratified(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source")
+      .withColumn("h", expr(
+        CrossHash.hex60("concat(source, '|', cast(doc_id as string))")))
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+    docs.join(broadcast(counts), Seq("source"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("split",
+        when($"r" * 10 <= $"n" * 8, "train")
+          .when($"r" * 10 <= $"n" * 9, "val")
+          .otherwise("test"))
+      .groupBy($"source", $"split")
+      .agg(count(lit(1)).as("n_docs"),
+           min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"source", $"split")
+  }
+
   /** Repetition detection — the repetitious-text quality filter real
     * curation pipelines run (boilerplate, generated spam, and template
     * text show high duplicated-n-gram ratios): per document, total vs
@@ -574,6 +611,7 @@ object TextStats extends QueryPack {
     "llm_winnow"        -> (winnowFingerprint _),
     "llm_winnow_pairs"  -> (winnowPairs _),
     "llm_sample_hash"   -> (sampleHash _),
+    "llm_split_stratified" -> (splitStratified _),
     "llm_repetition"    -> (repetition _),
     "llm_pii_scrub"     -> (piiScrub _)
   )
@@ -755,6 +793,22 @@ object TextStats extends QueryPack {
         |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM sampled WHERE bucket < 20
         |GROUP BY 1, 2 ORDER BY lang, part""".stripMargin,
+    "llm_split_stratified" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(source || '|' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |c AS (SELECT source, COUNT(*) AS n FROM d GROUP BY source),
+        |r AS (SELECT d.doc_id, d.source, c.n,
+        |        row_number() OVER (PARTITION BY d.source ORDER BY d.h, d.doc_id) AS r
+        |      FROM d JOIN c USING (source)),
+        |s AS (SELECT doc_id, source,
+        |        CASE WHEN r * 10 <= n * 8 THEN 'train'
+        |             WHEN r * 10 <= n * 9 THEN 'val' ELSE 'test' END AS split
+        |      FROM r)
+        |SELECT source, split, COUNT(*) AS n_docs,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin,
     "llm_mix_weights" ->
       """WITH a AS (
         |  SELECT lang, COUNT(*) AS n_docs,

@@ -142,4 +142,26 @@ class LawsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(sessions === Set((0L, 2L), (3601L, 1L)))
   }
+
+  test("stratified split holds EXACT per-stratum quotas: train = ⌊0.8n⌋, " +
+       "train+val = ⌊0.9n⌋, partitions cover every document exactly once") {
+    val out = graft.ops.llm.TextStats
+      .splitStratified(spark, "/root/testdata/sf0.001")
+      .select($"source", $"split", $"n_docs")
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (src, rows) =>
+        src -> rows.map(r => r._2 -> r._3).toMap
+      }
+    val totals = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(out.keySet === totals.keySet)
+    out.foreach { case (src, bySplit) =>
+      val n = totals(src)
+      assert(bySplit.getOrElse("train", 0L) === n * 8 / 10, s"$src train")
+      assert(bySplit.getOrElse("train", 0L) + bySplit.getOrElse("val", 0L)
+               === n * 9 / 10, s"$src train+val")
+      assert(bySplit.values.sum === n, s"$src partition")
+    }
+  }
 }
