@@ -412,6 +412,78 @@ object TextStats extends QueryPack {
       .orderBy($"source", $"split")
   }
 
+  /** Per-domain document cap — the "no domain may dominate the corpus"
+    * curation stage (C4/RefinedWeb cap the documents any one host can
+    * contribute, because crawl frequency correlates with SEO spam, not
+    * quality): within every source, documents are ranked by desirability
+    * (longest first — the stand-in for a quality score; ties by doc_id)
+    * and only the top [[DomainCap]] survive. Output is the per-source
+    * census a curation report shows — totals, survivors, kept-character
+    * mass, and the top-ranked document.
+    *
+    * Scale shape: ONE window shuffle keyed by source, and the census
+    * aggregate reuses that partitioning (same key — no second exchange).
+    * No joins, no driver state. A viral domain means one big sort
+    * partition; the remedy that keeps this exact plan is a per-partition
+    * pre-cap (keep ≤ cap rows per source per input partition — correct
+    * because the global top-cap survives any per-partition top-cap)
+    * before the global rank, bounding sort input at cap·partitions.
+    */
+  private val DomainCap = 15
+
+  def domainCap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("r", row_number().over(w).cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_total"),
+           sum(when($"r" <= DomainCap, 1L).otherwise(0L)).as("n_kept"),
+           sum(when($"r" <= DomainCap, $"n_chars").otherwise(0L)).as("chars_kept"),
+           max(when($"r" === 1L, $"doc_id")).as("top_doc"))
+      .orderBy($"source")
+  }
+
+  /** Deterministic training-shard assignment — the corpus→reader layout
+    * step that ends every data pipeline: each document's shard is a pure
+    * hash-mod of its stable id (re-runs, engines, and re-partitionings
+    * all agree — [[sampleHash]]'s principle applied to OUTPUT layout),
+    * and its position within the shard is a rank over a second,
+    * independent salted hash — a deterministic intra-shard shuffle, so
+    * readers see sources interleaved without an RNG. Census per shard:
+    * doc count (hash-mod keeps shards balanced at any corpus size),
+    * character mass, the head document, and a Σ pos·doc_id order
+    * checksum that only matches if both engines produce the IDENTICAL
+    * reading order.
+    *
+    * Scale shape: shard assignment is per-row column arithmetic (no
+    * shuffle); the position rank is ONE window shuffle keyed by shard,
+    * reused by the same-keyed census aggregate — exactly the
+    * `repartition(shard) + sortWithinPartitions` a shard writer
+    * executes, so the gate times the real write-path shuffle.
+    */
+  private val NShards = 8
+
+  def shardAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"shard").orderBy($"oh", $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars")
+      .withColumn("shard", expr(
+        CrossHash.hex60("concat(cast(doc_id as string), '#shard')") +
+          s" % $NShards").cast("int"))
+      .withColumn("oh", expr(
+        CrossHash.hex60("concat(cast(doc_id as string), '#order')")))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"n_chars").as("sum_chars"),
+           max(when($"pos" === 1L, $"doc_id")).as("head_doc"),
+           sum($"pos" * $"doc_id").as("order_checksum"))
+      .orderBy($"shard")
+  }
+
   /** Repetition detection — the repetitious-text quality filter real
     * curation pipelines run (boilerplate, generated spam, and template
     * text show high duplicated-n-gram ratios): per document, total vs
@@ -612,6 +684,8 @@ object TextStats extends QueryPack {
     "llm_winnow_pairs"  -> (winnowPairs _),
     "llm_sample_hash"   -> (sampleHash _),
     "llm_split_stratified" -> (splitStratified _),
+    "llm_domain_cap"    -> (domainCap _),
+    "llm_shard_assign"  -> (shardAssign _),
     "llm_repetition"    -> (repetition _),
     "llm_pii_scrub"     -> (piiScrub _)
   )
@@ -809,6 +883,33 @@ object TextStats extends QueryPack {
         |SELECT source, split, COUNT(*) AS n_docs,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin,
+    "llm_domain_cap" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS r
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_total,
+        |  SUM(CASE WHEN r <= 15 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  SUM(CASE WHEN r <= 15 THEN n_chars ELSE 0 END)::BIGINT AS chars_kept,
+        |  MAX(CASE WHEN r = 1 THEN doc_id END) AS top_doc
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "llm_shard_assign" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    (('0x' || substr(md5(doc_id::VARCHAR || '#shard'), 1, 15))::BIGINT
+        |      % 8)::INT AS shard,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || '#order'), 1, 15))::BIGINT
+        |      AS oh
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_chars, shard,
+        |        row_number() OVER (PARTITION BY shard ORDER BY oh, doc_id) AS pos
+        |      FROM d)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  SUM(n_chars)::BIGINT AS sum_chars,
+        |  MAX(CASE WHEN pos = 1 THEN doc_id END) AS head_doc,
+        |  SUM(pos * doc_id)::BIGINT AS order_checksum
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
     "llm_mix_weights" ->
       """WITH a AS (
         |  SELECT lang, COUNT(*) AS n_docs,

@@ -164,4 +164,50 @@ class LawsSpec extends SparkSpec {
       assert(bySplit.values.sum === n, s"$src partition")
     }
   }
+
+  test("domain cap census equals a naive per-source top-cap replay: " +
+       "kept = min(cap, total), kept chars and top doc match the " +
+       "(n_chars desc, doc_id) ranking") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+      .select($"source", $"doc_id", $"n_chars")
+      .as[(String, Long, Long)].collect()
+    val expected = docs.groupBy(_._1).map { case (src, rows) =>
+      val ranked = rows.sortBy(r => (-r._3, r._2)) // n_chars desc, doc_id asc
+      val kept = ranked.take(15)
+      src -> ((rows.length.toLong, kept.length.toLong,
+               kept.map(_._3).sum, ranked.head._2))
+    }
+    val out = graft.ops.llm.TextStats.domainCap(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out === expected)
+  }
+
+  test("shard assignment matches an independent JVM md5 replay: shards " +
+       "partition the corpus and the order checksum pins the exact " +
+       "intra-shard reading order") {
+    val dir = "/root/testdata/sf0.001"
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val docs = graft.Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect()
+    val expected = docs
+      .map { case (id, ch) => (h60(s"$id#shard") % 8, h60(s"$id#order"), id, ch) }
+      .groupBy(_._1).map { case (shard, rows) =>
+        val ordered = rows.sortBy(r => (r._2, r._3)).zipWithIndex
+        shard.toInt -> ((rows.length.toLong, rows.map(_._4).sum,
+          ordered.head._1._3,
+          ordered.map { case (r, i) => (i + 1L) * r._3 }.sum))
+      }
+    assert(expected.map(_._2._1).sum === docs.length.toLong) // partition law
+    val out = graft.ops.llm.TextStats.shardAssign(spark, dir)
+      .as[(Int, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out === expected)
+  }
 }
