@@ -475,8 +475,71 @@ object Similarity extends QueryPack {
       .orderBy($"q_id", $"rk")
   }
 
+  // ---- Random projection (Johnson–Lindenstrauss) -----------------------
+  //
+  // The dimensionality-reduction step big embedding pipelines run BEFORE
+  // clustering/indexing: k = O(log n / ε²) projected dimensions preserve
+  // all pairwise distances within (1 ± ε), so k-means / IVF / candidate
+  // re-ranking run on k/Dim of the bytes (64 → 16 here = 4× less vector
+  // I/O and memory at 100 TB) and only the final re-rank touches full
+  // vectors. Entries are ±1 (Achlioptas 2003's database-friendly JL —
+  // no Gaussians), md5-derived so both engines build the SAME matrix.
+
+  private val RpK = 16 // projected dimensions
+
+  /** Deterministic ±1 projection matrix: RpK rows (j, w[Dim]). */
+  private def rpPlanes(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.range(RpK.toLong).select(
+      $"id".cast("int").as("j"),
+      expr(s"""transform(sequence(0, ${Dim - 1}), d ->
+           CASE WHEN ${CrossHash.hex60(
+             "concat('rp_', cast(id as string), '_', cast(d as string))")} % 2 = 0
+             THEN cast(1 as double) ELSE cast(-1 as double) END)""").as("w"))
+  }
+
+  /** vec_id, p: every corpus vector's RpK-dim projection y_j = ⟨v, w_j⟩.
+    * One pass against the broadcast K×Dim matrix + one vec_id-keyed
+    * collect — the projection is computed ONCE and every downstream
+    * consumer reads the small frame.
+    */
+  private[llm] def rpProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    corpus(spark, dir)
+      .crossJoin(broadcast(rpPlanes(spark)))
+      .withColumn("y", expr(dotFold("v", "w")))
+      .groupBy($"vec_id")
+      .agg(collect_list(struct($"j", $"y")).as("jy"))
+      .select($"vec_id", expr("transform(array_sort(jy), s -> s.y)").as("p"))
+  }
+
+  /** JL top-k gate: per query (vec_id < 10), the 3 nearest corpus
+    * vectors by squared L2 in the 16-dim PROJECTED space (exact fold,
+    * ties by id — deterministic, so the oracle replays it bit-identically).
+    * RpSpec pins the JL guarantee itself — E[‖p(a)−p(b)‖²] = k·‖a−b‖²,
+    * measured across all query pairs — plus an independent JVM replay of
+    * the projection. (Top-1 recall is the wrong spec for the SYNTHETIC
+    * fixture: iid vectors are near-equidistant in 64-dim, so k = 16
+    * cannot resolve top-1 margins there — production picks k from the
+    * log(n)/ε² trade-off and re-ranks survivors at full dimension.)
+    */
+  def rpTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val proj = rpProject(spark, dir)
+    val q = proj.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"p".as("pq"))
+    val w = Window.partitionBy($"q_id").orderBy($"d2p".asc, $"n_id")
+    pqD2(proj.select($"vec_id".as("n_id"), $"p".as("pc"))
+        .join(broadcast(q), $"n_id" =!= $"q_id"), "pq", "pc", "d2p")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"q_id", $"rk", $"n_id", $"d2p")
+      .orderBy($"q_id", $"rk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ann_cosine_topk" -> (annCosineTopK _),
+    "llm_rp_topk"         -> (rpTopK _),
     "llm_ann_lsh"         -> (annLshBuckets _),
     "llm_ann_ivf"         -> (annIvf _),
     "llm_centroids"       -> (centroids _),
@@ -488,6 +551,29 @@ object Similarity extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_rp_topk" ->
+      """WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |            FROM embeddings),
+        |pl AS (SELECT CAST(j AS INT) AS j, list_transform(range(0, 64), d ->
+        |    CASE WHEN ('0x' || substr(md5('rp_' || j::VARCHAR || '_'
+        |                                  || d::VARCHAR), 1, 15))::BIGINT % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END) AS w
+        |  FROM range(0, 16) t(j)),
+        |py AS (SELECT vec_id, j,
+        |    list_reduce(list_transform(range(1, 65), k -> v[k] * w[k]),
+        |                (a, b) -> a + b) AS y
+        |  FROM v0, pl),
+        |p AS (SELECT vec_id, list(y ORDER BY j) AS p FROM py GROUP BY vec_id),
+        |d AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    list_reduce(list_transform(range(1, 17),
+        |                  k -> (q.p[k] - c.p[k]) * (q.p[k] - c.p[k])),
+        |                (a, b) -> a + b) AS d2p
+        |  FROM p q JOIN p c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10),
+        |r AS (SELECT q_id, n_id, d2p,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY d2p, n_id) AS rk
+        |      FROM d)
+        |SELECT q_id, rk, n_id, d2p FROM r WHERE rk <= 3
+        |ORDER BY q_id, rk""".stripMargin,
     // generate_subscripts is 1-based and unnests in lockstep with
     // unnest() in the same SELECT; Spark's posexplode is 0-based
     "llm_centroids" ->
