@@ -484,6 +484,40 @@ object TextStats extends QueryPack {
       .orderBy($"shard")
   }
 
+  /** Blocklist (badwords) content filter — the C4-style term-list stage,
+    * distinct in intent from QUALITY filtering (policy, not fluency): a
+    * document is flagged when blocked terms exceed 2% of its tokens
+    * (integer cross-multiplied, so the flag cannot diverge cross-engine).
+    * The fixture vocabulary is synthetic, so in-vocabulary stand-ins play
+    * the badwords role. Census per lang: docs, flagged docs, total hits,
+    * worst single-document hit count.
+    *
+    * Scale shape: ONE corpus pass — token explode → broadcast LEFT join
+    * against the tiny term list (for real lists of hundreds of terms the
+    * broadcast hash join beats a regex-alternation scan and stays
+    * codegen'd) → per-doc aggregate → per-lang aggregate. No corpus
+    * shuffle except the two keyed aggregates.
+    */
+  private val Blocklist = Seq("slow", "broken", "spam")
+
+  def blocklistFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bl = Blocklist.toDF("term")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("tok"))
+      .join(broadcast(bl), $"tok" === $"term", "left")
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_toks"),
+           sum(when($"term".isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("flagged", $"n_hits" * 50 >= $"n_toks")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when($"flagged", 1L).otherwise(0L)).as("n_flagged"),
+           sum($"n_hits").as("total_hits"),
+           max($"n_hits").as("worst_doc_hits"))
+      .orderBy($"lang")
+  }
+
   /** Repetition detection — the repetitious-text quality filter real
     * curation pipelines run (boilerplate, generated spam, and template
     * text show high duplicated-n-gram ratios): per document, total vs
@@ -686,6 +720,7 @@ object TextStats extends QueryPack {
     "llm_split_stratified" -> (splitStratified _),
     "llm_domain_cap"    -> (domainCap _),
     "llm_shard_assign"  -> (shardAssign _),
+    "llm_blocklist"     -> (blocklistFilter _),
     "llm_repetition"    -> (repetition _),
     "llm_pii_scrub"     -> (piiScrub _)
   )
@@ -910,6 +945,22 @@ object TextStats extends QueryPack {
         |  MAX(CASE WHEN pos = 1 THEN doc_id END) AS head_doc,
         |  SUM(pos * doc_id)::BIGINT AS order_checksum
         |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
+    "llm_blocklist" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |bl(term) AS (VALUES ('slow'), ('broken'), ('spam')),
+        |perdoc AS (
+        |  SELECT t.doc_id, t.lang, COUNT(*) AS n_toks,
+        |    SUM(CASE WHEN b.term IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits
+        |  FROM toks t LEFT JOIN bl b ON t.tok = b.term
+        |  GROUP BY t.doc_id, t.lang)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  SUM(CASE WHEN n_hits * 50 >= n_toks THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_flagged,
+        |  SUM(n_hits)::BIGINT AS total_hits,
+        |  MAX(n_hits) AS worst_doc_hits
+        |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin,
     "llm_mix_weights" ->
       """WITH a AS (
         |  SELECT lang, COUNT(*) AS n_docs,
