@@ -485,4 +485,29 @@ class PlanSpec extends SparkSpec {
     assert((q -- o).isEmpty, s"queries missing oracles: ${(q -- o).mkString(", ")}")
     assert((o -- q).isEmpty, s"orphan oracles: ${(o -- q).mkString(", ")}")
   }
+
+  test("llm_domain_cap / llm_shard_assign: one data shuffle each — the " +
+       "census aggregate reuses the rank window's partitioning, no joins") {
+    for (q <- Seq("llm_domain_cap", "llm_shard_assign")) {
+      val p = plan(q)
+      assert(!p.toLowerCase.contains("join"), s"$q grew a join:\n$p")
+      // hash exchange for the window + the 20/8-row final orderBy range
+      // exchange; a third would mean the aggregate re-shuffled the corpus
+      assert("Exchange".r.findAllIn(p).size <= 2, s"$q extra shuffle:\n$p")
+    }
+  }
+
+  test("llm_rp_topk: partial top-k (WindowGroupLimit) runs before the " +
+       "q_id shuffle; the query side is the broadcast build") {
+    val p = plan("llm_rp_topk")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p) // partial+final
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("llm_blocklist: the term list is the broadcast build side (the " +
+       "corpus token explode never shuffles for the join)") {
+    val p = plan("llm_blocklist")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
