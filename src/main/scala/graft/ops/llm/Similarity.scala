@@ -537,9 +537,29 @@ object Similarity extends QueryPack {
       .orderBy($"q_id", $"rk")
   }
 
+  /** k-means over the JL-PROJECTED corpus — the composition that
+    * justifies [[rpProject]] at scale: every Lloyd iteration (the
+    * dominant cost of IVF/quantizer training — T passes over ALL
+    * vectors) moves 16-dim arrays instead of 64-dim, 4× less scan and
+    * shuffle I/O, and only the final index build touches full vectors.
+    * Init is random-partition seeding (hash-mod of the stable id —
+    * classical, and replayable in any engine); then ONE declarative
+    * [[lloydStep]] runs entirely in projected space, reusing the exact
+    * machinery of [[kmeansRefine]] — same plan shape, 1/4 the bytes.
+    */
+  def rpKmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells0 = rpProject(spark, dir).select(
+      $"vec_id", $"p".as("v"),
+      expr(s"cast(${CrossHash.hex60(
+        "concat('rpkm_', cast(vec_id as string))")} % 4 as int)").as("c0"))
+    kmeansCensus(lloydStep(cells0, "c0"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ann_cosine_topk" -> (annCosineTopK _),
     "llm_rp_topk"         -> (rpTopK _),
+    "llm_rp_kmeans"       -> (rpKmeans _),
     "llm_ann_lsh"         -> (annLshBuckets _),
     "llm_ann_ivf"         -> (annIvf _),
     "llm_centroids"       -> (centroids _),
@@ -552,18 +572,7 @@ object Similarity extends QueryPack {
 
   def oracle: Map[String, String] = Map(
     "llm_rp_topk" ->
-      """WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-        |            FROM embeddings),
-        |pl AS (SELECT CAST(j AS INT) AS j, list_transform(range(0, 64), d ->
-        |    CASE WHEN ('0x' || substr(md5('rp_' || j::VARCHAR || '_'
-        |                                  || d::VARCHAR), 1, 15))::BIGINT % 2 = 0
-        |      THEN 1.0 ELSE -1.0 END) AS w
-        |  FROM range(0, 16) t(j)),
-        |py AS (SELECT vec_id, j,
-        |    list_reduce(list_transform(range(1, 65), k -> v[k] * w[k]),
-        |                (a, b) -> a + b) AS y
-        |  FROM v0, pl),
-        |p AS (SELECT vec_id, list(y ORDER BY j) AS p FROM py GROUP BY vec_id),
+      s"""$rpProjSql,
         |d AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
         |    list_reduce(list_transform(range(1, 17),
         |                  k -> (q.p[k] - c.p[k]) * (q.p[k] - c.p[k])),
@@ -574,6 +583,29 @@ object Similarity extends QueryPack {
         |      FROM d)
         |SELECT q_id, rk, n_id, d2p FROM r WHERE rk <= 3
         |ORDER BY q_id, rk""".stripMargin,
+    "llm_rp_kmeans" ->
+      s"""$rpProjSql,
+        |cl0 AS (SELECT vec_id,
+        |    (('0x' || substr(md5('rpkm_' || vec_id::VARCHAR), 1, 15))::BIGINT
+        |      % 4)::INT AS c0
+        |  FROM p),
+        |ex AS (SELECT c.c0, CAST(generate_subscripts(q.p, 1) - 1 AS INT) AS d,
+        |         unnest(q.p) AS x
+        |       FROM p q JOIN cl0 c USING (vec_id)),
+        |bm AS (SELECT c0 AS cell, d, ${graft.Det.sqlAvg("x")} AS m
+        |       FROM ex GROUP BY 1, 2),
+        |book AS (SELECT cell, list(m ORDER BY d) AS carr FROM bm GROUP BY cell),
+        |asg AS (SELECT q.vec_id, c.c0, b.cell, b.carr[1] AS m0,
+        |          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |            list_reduce(list_transform(range(1, 17),
+        |                          k -> q.p[k] * b.carr[k]),
+        |                        (a, x) -> a + x) DESC, b.cell) AS rn
+        |        FROM p q JOIN cl0 c USING (vec_id), book b)
+        |SELECT cell, COUNT(*) AS n_vecs,
+        |  SUM(CASE WHEN c0 <> cell THEN 1 ELSE 0 END)::BIGINT AS n_moved,
+        |  MIN(vec_id) AS first_vec, MAX(vec_id) AS last_vec,
+        |  MIN(m0) AS m_dim0
+        |FROM asg WHERE rn = 1 GROUP BY cell ORDER BY cell""".stripMargin,
     // generate_subscripts is 1-based and unnests in lockstep with
     // unnest() in the same SELECT; Spark's posexplode is 0-based
     "llm_centroids" ->
@@ -809,6 +841,24 @@ object Similarity extends QueryPack {
         |SELECT q_id, rk, n_id, adc FROM rr WHERE rk <= 3
         |ORDER BY q_id, rk""".stripMargin
   )
+
+  /** Shared oracle CTE chain replaying [[rpProject]] in DuckDB: the ±1
+    * md5 matrix, the per-(vector, j) left-fold dot, and the ordered
+    * 16-dim projection array. Ends with the `p` CTE (vec_id, p).
+    */
+  private val rpProjSql: String =
+    """WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      |            FROM embeddings),
+      |pl AS (SELECT CAST(j AS INT) AS j, list_transform(range(0, 64), d ->
+      |    CASE WHEN ('0x' || substr(md5('rp_' || j::VARCHAR || '_' ||
+      |                                  d::VARCHAR), 1, 15))::BIGINT % 2 = 0
+      |      THEN 1.0 ELSE -1.0 END) AS w
+      |  FROM range(0, 16) t(j)),
+      |py AS (SELECT vec_id, j,
+      |    list_reduce(list_transform(range(1, 65), k -> v[k] * w[k]),
+      |                (a, b) -> a + b) AS y
+      |  FROM v0, pl),
+      |p AS (SELECT vec_id, list(y ORDER BY j) AS p FROM py GROUP BY vec_id)""".stripMargin
 
   /** Shared oracle CTE chain replaying [[pqModel]] in DuckDB: subvector
     * split, md5 seed codebooks, seed assignment, decimal-mean refinement,
