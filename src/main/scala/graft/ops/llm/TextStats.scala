@@ -571,6 +571,52 @@ object TextStats extends QueryPack {
       .orderBy($"lang")
   }
 
+  /** Markup stripping + whitespace normalization — the extraction-cleanup
+    * stage between raw crawl text and every downstream filter (tags and
+    * entities left in training text poison tokenizers and n-gram stats).
+    * Like [[piiScrub]], the synthetic fixture is clean, so the query
+    * PLANTS deterministic markup (tags on doc_id % 5, entities on % 9 —
+    * identically in both engines) and proves the cleanup: strip tags,
+    * decode the common entities, collapse runs of spaces, trim; the
+    * per-lang census carries an md5 checksum that only matches if both
+    * engines produced byte-identical cleaned text. Patterns are RE2-safe.
+    *
+    * One corpus pass, no joins, no shuffle except the per-lang census
+    * aggregate — string work stays codegen'd in the scan projection.
+    */
+  def htmlStrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tag = "<[^>]+>"
+    val ent = "&(amp|lt|gt);"
+    Tables.documents(spark, dir)
+      .withColumn("t2",
+        when($"doc_id" % 5 === 0,
+          concat(lit("<div class=\"x\"><p>"), $"text", lit("</p> <br/> </div>")))
+          .otherwise($"text"))
+      .withColumn("t2",
+        when($"doc_id" % 9 === 0, concat($"t2", lit(" a &amp; b &lt;i&gt;")))
+          .otherwise($"t2"))
+      .withColumn("n_tags",
+        size(regexp_extract_all($"t2", lit(tag), lit(0))).cast("long"))
+      .withColumn("n_ents",
+        size(regexp_extract_all($"t2", lit(ent), lit(0))).cast("long"))
+      .withColumn("clean", trim(regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(regexp_replace($"t2", tag, " "), "&lt;", "<"),
+            "&gt;", ">"),
+          "&amp;", "&"),
+        " +", " ")))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(($"n_tags" > 0).cast("long")).as("n_docs_markup"),
+           sum($"n_tags").as("n_tags"),
+           sum($"n_ents").as("n_entities"),
+           sum(length($"clean")).cast("bigint").as("sum_len_clean"),
+           min(md5(encode($"clean", "UTF-8"))).as("clean_checksum"))
+      .orderBy($"lang")
+  }
+
   /** Benchmark decontamination — flag corpus documents that share enough
     * word 4-grams with a benchmark/eval set (here: the first 20 docs as
     * the stand-in benchmark) that they'd leak test data into training.
@@ -721,6 +767,7 @@ object TextStats extends QueryPack {
     "llm_domain_cap"    -> (domainCap _),
     "llm_shard_assign"  -> (shardAssign _),
     "llm_blocklist"     -> (blocklistFilter _),
+    "llm_html_strip"    -> (htmlStrip _),
     "llm_repetition"    -> (repetition _),
     "llm_pii_scrub"     -> (piiScrub _)
   )
@@ -1027,6 +1074,33 @@ object TextStats extends QueryPack {
         |  SUM(len(scrubbed))::BIGINT AS sum_len_scrubbed,
         |  MIN(md5(scrubbed)) AS scrub_checksum
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    "llm_html_strip" ->
+      """WITH t1 AS (
+        |  SELECT lang, doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN '<div class="x"><p>' || text || '</p> <br/> </div>'
+        |      ELSE text END AS t1
+        |  FROM documents),
+        |t2 AS (SELECT lang,
+        |    CASE WHEN doc_id % 9 = 0 THEN t1 || ' a &amp; b &lt;i&gt;'
+        |         ELSE t1 END AS t2
+        |  FROM t1),
+        |c AS (SELECT lang,
+        |    len(regexp_extract_all(t2, '<[^>]+>'))::BIGINT AS n_tags,
+        |    len(regexp_extract_all(t2, '&(amp|lt|gt);'))::BIGINT AS n_ents,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(
+        |        regexp_replace(t2, '<[^>]+>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+        |      ' +', ' ', 'g')) AS clean
+        |  FROM t2)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  SUM(CASE WHEN n_tags > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs_markup,
+        |  SUM(n_tags)::BIGINT AS n_tags,
+        |  SUM(n_ents)::BIGINT AS n_entities,
+        |  SUM(len(clean))::BIGINT AS sum_len_clean,
+        |  MIN(md5(clean)) AS clean_checksum
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
     "llm_fingerprint" ->
       s"""WITH ${Dedup.shingleCte(3)}
         |SELECT doc_id, MIN(md5(s)) AS fp_min,
