@@ -245,6 +245,27 @@ object ScaleProbe {
       val (rows, s) = timedPq(m)
       println(f"[scale-probe] pq_adc mult=$m%-3d corpus=${2000L * m}%-7d topk_rows=$rows%-5d time=$s%.2fs")
     }
+
+    // JL projection + projected-space k-means at multiplied corpus: the
+    // projection is one broadcast pass (K×Dim constant matrix) + one
+    // vec-keyed collect, and the Lloyd step's aggregate key space
+    // (cells × 16 dims) is corpus-independent — both should scale
+    // ≈linearly with the multiplier.
+    def timedRp(m: Int): (Long, Double) = {
+      val c = (0 until m)
+        .map(i => base.select(($"vec_id" + lit(i * 1000000L)).as("vec_id"),
+                              $"v", $"nrm"))
+        .reduce(_ union _)
+      val t0 = System.nanoTime()
+      val rows = Similarity.rpKmeansFrom(c)
+        .agg(sum($"n_vecs")).as[Long].collect().head
+      (rows, (System.nanoTime() - t0) / 1e9)
+    }
+    timedRp(1) // warmup
+    Seq(1, mult).distinct.foreach { m =>
+      val (vecs, s) = timedRp(m)
+      println(f"[scale-probe] rp_kmeans mult=$m%-3d corpus=${2000L * m}%-7d clustered=$vecs%-7d time=$s%.2fs")
+    }
     spark.stop()
   }
 }

@@ -503,10 +503,13 @@ object Similarity extends QueryPack {
     * collect — the projection is computed ONCE and every downstream
     * consumer reads the small frame.
     */
-  private[llm] def rpProject(spark: SparkSession, dir: String): DataFrame = {
+  private[llm] def rpProject(spark: SparkSession, dir: String): DataFrame =
+    rpProjectFrom(corpus(spark, dir))
+
+  private[llm] def rpProjectFrom(c: DataFrame): DataFrame = {
+    val spark = c.sparkSession
     import spark.implicits._
-    corpus(spark, dir)
-      .crossJoin(broadcast(rpPlanes(spark)))
+    c.crossJoin(broadcast(rpPlanes(spark)))
       .withColumn("y", expr(dotFold("v", "w")))
       .groupBy($"vec_id")
       .agg(collect_list(struct($"j", $"y")).as("jy"))
@@ -547,9 +550,12 @@ object Similarity extends QueryPack {
     * [[lloydStep]] runs entirely in projected space, reusing the exact
     * machinery of [[kmeansRefine]] — same plan shape, 1/4 the bytes.
     */
-  def rpKmeans(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val cells0 = rpProject(spark, dir).select(
+  def rpKmeans(spark: SparkSession, dir: String): DataFrame =
+    rpKmeansFrom(corpus(spark, dir))
+
+  private[llm] def rpKmeansFrom(c: DataFrame): DataFrame = {
+    import c.sparkSession.implicits._
+    val cells0 = rpProjectFrom(c).select(
       $"vec_id", $"p".as("v"),
       expr(s"cast(${CrossHash.hex60(
         "concat('rpkm_', cast(vec_id as string))")} % 4 as int)").as("c0"))
