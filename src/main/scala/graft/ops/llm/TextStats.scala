@@ -682,6 +682,57 @@ object TextStats extends QueryPack {
       .orderBy($"lang")
   }
 
+  /** UniMax budget allocation (Chung et al. 2023) — the water-filling
+    * language-sampling policy: given a total training-token budget B
+    * (here 1.5× the corpus) and a per-language epoch cap C (here 2),
+    * every language gets min(C·nₗ, τ) tokens where the water level τ
+    * spends exactly the rest of the budget on the uncapped languages.
+    * Small languages hit the epoch cap (upsampled but never repeated
+    * past C); the head language absorbs the remainder — the fairness
+    * fix over temperature sampling.
+    *
+    * Declarative water-filling, no iteration: languages sorted
+    * ascending by size; row r is capped iff C·nᵣ·(L−r+1) ≤ B−C·cumₗ₋₁
+    * (INTEGER cross-multiplication — no division, so the cap decision
+    * cannot diverge cross-engine), and capping is prefix-monotone, so
+    * the per-row test composed with a prefix-AND (min over the sorted
+    * window) IS the global solution; τ then falls out of one
+    * whole-frame window. The only corpus-sized work is the per-language
+    * token count (one aggregate); the allocation runs on the L-row
+    * frame.
+    */
+  def unimaxAlloc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val C = 2 // epoch cap
+    val wAll = Window.partitionBy()
+    val byN = Window.orderBy($"n_tokens", $"lang")
+    val pre = Window.orderBy($"n_tokens", $"lang")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select($"lang", size(split($"text", " ")).cast("long").as("t"))
+      .groupBy($"lang").agg(sum($"t").as("n_tokens"))
+      .withColumn("budget", expr("(3 * sum(n_tokens) over ()) div 2"))
+      .withColumn("lcount", count(lit(1)).over(wAll))
+      .withColumn("r", row_number().over(byN).cast("long"))
+      .withColumn("cum_prev",
+        coalesce(sum($"n_tokens").over(pre) - $"n_tokens", lit(0L)))
+      .withColumn("fits",
+        when($"n_tokens" * C * ($"lcount" - $"r" + 1L) <=
+               $"budget" - $"cum_prev" * C, 1L).otherwise(0L))
+      .withColumn("capped", min($"fits").over(pre) === 1L)
+      .withColumn("n_capped", sum($"capped".cast("long")).over(wAll))
+      .withColumn("cap_tokens",
+        sum(when($"capped", $"n_tokens").otherwise(0L)).over(wAll))
+      .withColumn("tau",
+        ($"budget" - $"cap_tokens" * C).cast("double") /
+          ($"lcount" - $"n_capped").cast("double"))
+      .withColumn("allocation",
+        when($"capped", ($"n_tokens" * C).cast("double")).otherwise($"tau"))
+      .select($"lang", $"n_tokens", $"capped", $"allocation",
+              ($"allocation" / $"n_tokens".cast("double")).as("epochs"))
+      .orderBy($"lang")
+  }
+
   /** Cross-source n-gram novelty — per source, the share of its 3-gram
     * occurrences whose 3-gram appears in NO other source. The estimator
     * behind train/test-leakage and source-diversity audits: a source
@@ -750,6 +801,7 @@ object TextStats extends QueryPack {
     "llm_ngram_novelty" -> (ngramNovelty _),
     "llm_char_diversity" -> (charDiversity _),
     "llm_mix_weights"   -> (mixWeights _),
+    "llm_unimax_alloc"  -> (unimaxAlloc _),
     "llm_pack_sequences" -> (packSequences _),
     "llm_contamination" -> (contamination _),
     "llm_text_stats"    -> (textStats _),
@@ -1016,6 +1068,38 @@ object TextStats extends QueryPack {
         |  FROM documents GROUP BY lang
         |)
         |SELECT lang, n_docs, total / (k * n_docs) AS sample_weight
+        |FROM a ORDER BY lang""".stripMargin,
+    "llm_unimax_alloc" ->
+      """WITH t AS (
+        |  SELECT lang, SUM(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n_tokens,
+        |    (3 * SUM(n_tokens) OVER ()) // 2 AS budget,
+        |    COUNT(*) OVER ()::BIGINT AS lcount,
+        |    row_number() OVER (ORDER BY n_tokens, lang) AS r,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY n_tokens, lang
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens, 0) AS cum_prev
+        |  FROM t),
+        |f AS (SELECT *,
+        |    CASE WHEN n_tokens * 2 * (lcount - r + 1) <= budget - cum_prev * 2
+        |         THEN 1 ELSE 0 END AS fits
+        |  FROM w),
+        |g AS (SELECT *,
+        |    MIN(fits) OVER (ORDER BY n_tokens, lang
+        |      ROWS UNBOUNDED PRECEDING) = 1 AS capped
+        |  FROM f),
+        |h AS (SELECT *,
+        |    SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()::BIGINT AS n_capped,
+        |    SUM(CASE WHEN capped THEN n_tokens ELSE 0 END) OVER ()::BIGINT
+        |      AS cap_tokens
+        |  FROM g),
+        |a AS (SELECT lang, n_tokens, capped,
+        |    CASE WHEN capped THEN (n_tokens * 2)::DOUBLE
+        |         ELSE (budget - cap_tokens * 2)::DOUBLE
+        |              / (lcount - n_capped)::DOUBLE END AS allocation
+        |  FROM h)
+        |SELECT lang, n_tokens, capped, allocation,
+        |  allocation / n_tokens::DOUBLE AS epochs
         |FROM a ORDER BY lang""".stripMargin,
     "llm_pack_sequences" ->
       """WITH t AS (

@@ -184,6 +184,24 @@ class LawsSpec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("unimax allocation is a valid water-filling: budget conserved, " +
+       "every language within the epoch cap, capped = exactly 2 epochs, " +
+       "uncapped languages share one water level") {
+    val out = graft.ops.llm.TextStats
+      .unimaxAlloc(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Boolean, Double, Double)].collect()
+    val budget = 3L * out.map(_._2).sum / 2
+    val total = out.map(_._4).sum
+    assert(math.abs(total - budget) <= 1e-9 * budget,
+      s"budget $budget vs allocated $total")
+    out.foreach { case (lang, nt, capped, alloc, epochs) =>
+      assert(epochs <= 2.0 + 1e-12, s"$lang over the epoch cap")
+      if (capped) assert(alloc === 2.0 * nt, s"$lang capped allocation")
+    }
+    val levels = out.filter(!_._3).map(_._4).distinct
+    assert(levels.size <= 1, s"uncapped languages at different levels: $levels")
+  }
+
   test("shard assignment matches an independent JVM md5 replay: shards " +
        "partition the corpus and the order checksum pins the exact " +
        "intra-shard reading order") {
