@@ -14,7 +14,8 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     Aggregates, Joins, Windows, SortSetOps, Scalars, Keyed, ScansUdx, Reshape,
     TimeSeries, Fuzzy, Skew, Scd, Merge, Layout, Tpch, Graph, llm.Dedup,
-    llm.Similarity, llm.TextStats, llm.Multimodal, llm.Ranking, llm.Curation
+    llm.Similarity, llm.TextStats, llm.Multimodal, llm.Ranking, llm.Curation,
+    llm.Classify
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -102,6 +102,44 @@ object Dedup extends QueryPack {
       .orderBy($"keep_id")
   }
 
+  /** C36 INCREMENTAL dedup — the batch-over-index form every production
+    * crawl pipeline actually runs: each new crawl batch is deduplicated
+    * (a) within itself and (b) against the accumulated content-hash index
+    * of everything already ingested, and only the survivors append to the
+    * corpus. Simulated here from the fixture: the index is docs < 400;
+    * the incoming batch is the genuinely-new docs ≥ 400, plus a re-crawl
+    * of docs < 50 (same bytes, new ids — dropped against the index), plus
+    * a second copy of docs 400–419 (in-batch duplicates — collapsed with
+    * keep-lowest-id before the index is ever consulted). All three paths
+    * leave evidence in the output: 100 survivors, 20 of them with
+    * n_in_batch = 2, and the 50 re-crawls absent.
+    *
+    * Scale shape: in-batch dedup is one hash aggregate on the (small)
+    * batch; the index probe is an anti join where the INDEX is the huge
+    * side at 100 TB — the SHUFFLE_HASH hint pins the plan away from ever
+    * broadcasting it (the batch-sized build side is what you want; a
+    * bloom filter of the batch's hashes pushed to the index scan is the
+    * further refinement, and the runtime-filter rule the repo pins
+    * separately does exactly that). Nothing here re-reads the corpus.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val index = docs.filter($"doc_id" < 400)
+      .select(md5(encode($"text", "UTF-8")).as("content_hash")).distinct()
+    val batch = docs.filter($"doc_id" >= 400)
+      .unionAll(docs.filter($"doc_id" < 50)
+        .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
+      .unionAll(docs.filter($"doc_id" >= 400 && $"doc_id" < 420)
+        .select(($"doc_id" + 3000000L).as("doc_id"), $"text"))
+      .withColumn("content_hash", md5(encode($"text", "UTF-8")))
+    batch.groupBy($"content_hash")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_in_batch"))
+      .join(index.hint("SHUFFLE_HASH"), Seq("content_hash"), "left_anti")
+      .select($"keep_id", $"n_in_batch", $"content_hash")
+      .orderBy($"keep_id")
+  }
+
   /** C37 near-dup via MinHash + LSH banding, exact-Jaccard verified.
     *
     * Pipeline: 3-gram shingles → 128 MinHash values per doc (xxhash64
@@ -845,6 +883,7 @@ object Dedup extends QueryPack {
     "llm_dedup_survivors" -> (dedupSurvivors _),
     "llm_para_dedup"      -> (paraDedup _),
     "llm_dedup_exact"     -> (dedupExact _),
+    "llm_dedup_incremental" -> (dedupIncremental _),
     "llm_dedup_minhash"   -> (dedupNearMinhash _),
     "llm_dedup_clusters"  -> (dedupClusters _),
     "llm_jaccard_ngram"   -> (jaccardNgram _),
@@ -910,6 +949,24 @@ object Dedup extends QueryPack {
         |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
         |  md5(text) AS content_hash
         |FROM corpus GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "llm_dedup_incremental" ->
+      """WITH idx AS (
+        |  SELECT DISTINCT md5(text) AS content_hash
+        |  FROM documents WHERE doc_id < 400),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 400
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text FROM documents
+        |  WHERE doc_id >= 400 AND doc_id < 420),
+        |ib AS (SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+        |         COUNT(*) AS n_in_batch
+        |       FROM batch GROUP BY 1)
+        |SELECT keep_id, n_in_batch, content_hash
+        |FROM ib
+        |WHERE content_hash NOT IN (SELECT content_hash FROM idx)
+        |ORDER BY keep_id""".stripMargin,
     "llm_dedup_minhash" ->
       s"""WITH ${shingleCte(3)},
         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
