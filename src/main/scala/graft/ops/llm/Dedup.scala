@@ -140,6 +140,63 @@ object Dedup extends QueryPack {
       .orderBy($"keep_id")
   }
 
+  /** C36 URL-level dedup — the canonicalization stage a crawl pipeline
+    * runs BEFORE any content is fetched or hashed: the same page is
+    * reached under many URL spellings (mixed-case scheme/host, explicit
+    * default port, tracking parameters, fragments, trailing slashes,
+    * reordered query strings), and collapsing those to one canonical URL
+    * is what keeps the fetch frontier and the content-dedup index from
+    * inflating. Crawl variants are synthesized from the fixture — every
+    * doc gets a messy primary spelling, even-id docs a trailing-slash
+    * recrawl, mod-3 docs an rss-referral recrawl — so canonical groups of
+    * size 1, 2 and 3 all occur. Canonicalization: lowercase scheme+host,
+    * strip :443/:80 default ports, drop the fragment, remove
+    * utm_* / ref / fbclid tracking params, sort surviving query params,
+    * trim the trailing slash. Keep-lowest-crawl-id per canonical URL.
+    *
+    * Scale shape: canonicalization is per-row string work that whole-stage
+    * codegen fuses into the scan (no UDF — `filter`/`array_sort`/
+    * `array_join` are native higher-order functions); the only shuffle is
+    * ONE hash aggregate on the canonical URL. At 100 TB frontier scale
+    * this is the cheapest dedup tier — no joins, no index.
+    */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir).select($"doc_id", $"source", $"lang")
+    val v0 = d.select(($"doc_id" * 10).as("crawl_id"),
+      concat(lit("https://"), $"source", lit(".Example.COM:443/docs/"),
+             $"doc_id", lit("?utm_source=feed&lang="), $"lang",
+             lit("#sec1")).as("url"))
+    val v1 = d.filter($"doc_id" % 2 === 0)
+      .select(($"doc_id" * 10 + 1).as("crawl_id"),
+        concat(lit("HTTPS://"), $"source", lit(".example.com/docs/"),
+               $"doc_id", lit("/?lang="), $"lang",
+               lit("&utm_campaign=x")).as("url"))
+    val v2 = d.filter($"doc_id" % 3 === 0)
+      .select(($"doc_id" * 10 + 2).as("crawl_id"),
+        concat(lit("https://"), $"source", lit(".example.com/docs/"),
+               $"doc_id", lit("?lang="), $"lang", lit("&ref=rss")).as("url"))
+    val canon = v0.unionAll(v1).unionAll(v2)
+      .withColumn("scheme", lower(regexp_extract($"url", "^([A-Za-z]+)://", 1)))
+      .withColumn("host", regexp_replace(
+        lower(regexp_extract($"url", "^[A-Za-z]+://([^/?#]+)", 1)),
+        ":(443|80)$", ""))
+      .withColumn("path", regexp_replace(
+        regexp_extract($"url", "^[A-Za-z]+://[^/?#]+(/[^?#]*)", 1), "/$", ""))
+      .withColumn("qs", filter(
+        split(regexp_extract($"url", "\\?([^#]*)", 1), "&"),
+        p => !p.rlike("^(utm_[a-z]+|ref|fbclid)=") && p =!= ""))
+      .withColumn("canonical_url", concat(
+        $"scheme", lit("://"), $"host", $"path",
+        when(size($"qs") > 0,
+             concat(lit("?"), array_join(array_sort($"qs"), "&")))
+          .otherwise(lit(""))))
+    canon.groupBy($"canonical_url")
+      .agg(min($"crawl_id").as("keep_crawl"),
+           count(lit(1)).as("n_variants"))
+      .orderBy($"keep_crawl")
+  }
+
   /** C37 near-dup via MinHash + LSH banding, exact-Jaccard verified.
     *
     * Pipeline: 3-gram shingles → 128 MinHash values per doc (xxhash64
@@ -884,6 +941,7 @@ object Dedup extends QueryPack {
     "llm_para_dedup"      -> (paraDedup _),
     "llm_dedup_exact"     -> (dedupExact _),
     "llm_dedup_incremental" -> (dedupIncremental _),
+    "llm_url_dedup"       -> (urlDedup _),
     "llm_dedup_minhash"   -> (dedupNearMinhash _),
     "llm_dedup_clusters"  -> (dedupClusters _),
     "llm_jaccard_ngram"   -> (jaccardNgram _),
@@ -967,6 +1025,43 @@ object Dedup extends QueryPack {
         |FROM ib
         |WHERE content_hash NOT IN (SELECT content_hash FROM idx)
         |ORDER BY keep_id""".stripMargin,
+    "llm_url_dedup" ->
+      """WITH d AS (SELECT doc_id, source, lang FROM documents),
+        |crawl AS (
+        |  SELECT doc_id*10 AS crawl_id,
+        |    'https://' || source || '.Example.COM:443/docs/' || doc_id ||
+        |      '?utm_source=feed&lang=' || lang || '#sec1' AS url FROM d
+        |  UNION ALL
+        |  SELECT doc_id*10+1,
+        |    'HTTPS://' || source || '.example.com/docs/' || doc_id ||
+        |      '/?lang=' || lang || '&utm_campaign=x'
+        |  FROM d WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id*10+2,
+        |    'https://' || source || '.example.com/docs/' || doc_id ||
+        |      '?lang=' || lang || '&ref=rss'
+        |  FROM d WHERE doc_id % 3 = 0),
+        |c AS (
+        |  SELECT crawl_id,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    regexp_replace(lower(regexp_extract(url,
+        |      '^[A-Za-z]+://([^/?#]+)', 1)), ':(443|80)$', '') AS host,
+        |    regexp_replace(regexp_extract(url,
+        |      '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1), '/$', '') AS path,
+        |    list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |      p -> NOT regexp_matches(p, '^(utm_[a-z]+|ref|fbclid)=')
+        |           AND p <> '') AS qs
+        |  FROM crawl),
+        |u AS (
+        |  SELECT crawl_id,
+        |    scheme || '://' || host || path ||
+        |      CASE WHEN len(qs) > 0
+        |           THEN '?' || array_to_string(list_sort(qs), '&')
+        |           ELSE '' END AS canonical_url
+        |  FROM c)
+        |SELECT canonical_url, MIN(crawl_id) AS keep_crawl,
+        |  COUNT(*) AS n_variants
+        |FROM u GROUP BY 1 ORDER BY keep_crawl""".stripMargin,
     "llm_dedup_minhash" ->
       s"""WITH ${shingleCte(3)},
         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),

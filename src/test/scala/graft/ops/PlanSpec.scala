@@ -510,4 +510,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("llm_dedup_incremental: the index probe is a shuffled-hash ANTI " +
+       "join — the corpus-sized index is never the broadcast side") {
+    val p = plan("llm_dedup_incremental")
+    assert(p.contains("ShuffledHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("llm_nbc_confusion: the fitted model (profiles + class totals) is " +
+       "broadcast — the held-out corpus never shuffles for the scoring " +
+       "joins") {
+    val p = plan("llm_nbc_confusion")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("llm_url_dedup: canonicalization is map-only (no join, no " +
+       "generate) — ONE hash aggregate on the canonical URL") {
+    val p = plan("llm_url_dedup")
+    // NB: can't grep lowercase "join" — the canonicalizer's array_join
+    // expression would trip it; check the join OPERATORS by name
+    for (j <- Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                  "BroadcastNestedLoopJoin", "CartesianProduct"))
+      assert(!p.contains(j), p)
+    assert(p.contains("HashAggregate"), p)
+  }
 }
