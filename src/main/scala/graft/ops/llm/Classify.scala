@@ -75,9 +75,14 @@ object Classify extends QueryPack {
     * (impossible on this fixture, latent on real data) predict 'und' via
     * the left join, mirroring [[TextStats.langId]]'s convention.
     */
-  def nbcConfusion(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val docs = Tables.documents(spark, dir)
+  def nbcConfusion(spark: SparkSession, dir: String): DataFrame =
+    nbcConfusionFrom(Tables.documents(spark, dir))
+
+  /** Composable form over any (doc_id, text, lang) frame — the seam the
+    * 10× scale probe drives (ScaleProbe convention).
+    */
+  def nbcConfusionFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val prof = trainCounts(docs).select($"lang".as("plang"), $"w", $"cnt")
     val tot  = prof.groupBy($"plang").agg(sum($"cnt").as("tot"))
     val test = docs.filter($"doc_id" % HoldoutMod === HoldoutRem)

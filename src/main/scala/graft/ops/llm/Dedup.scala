@@ -162,7 +162,15 @@ object Dedup extends QueryPack {
     */
   def urlDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val d = Tables.documents(spark, dir).select($"doc_id", $"source", $"lang")
+    urlDedupFrom(Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"lang"))
+  }
+
+  /** Composable form over any (doc_id, source, lang) frame — the seam
+    * the 10× scale probe drives (ScaleProbe convention).
+    */
+  def urlDedupFrom(d: DataFrame): DataFrame = {
+    import d.sparkSession.implicits._
     val v0 = d.select(($"doc_id" * 10).as("crawl_id"),
       concat(lit("https://"), $"source", lit(".Example.COM:443/docs/"),
              $"doc_id", lit("?utm_source=feed&lang="), $"lang",

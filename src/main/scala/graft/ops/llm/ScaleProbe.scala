@@ -266,6 +266,45 @@ object ScaleProbe {
       val (vecs, s) = timedRp(m)
       println(f"[scale-probe] rp_kmeans mult=$m%-3d corpus=${2000L * m}%-7d clustered=$vecs%-7d time=$s%.2fs")
     }
+
+    // Trained classifier (train + held-out scoring) at multiplied
+    // corpus: the fitted profile's key space is |classes|·|vocab| —
+    // corpus-independent — so the model stays broadcast-sized at any
+    // multiplier and total time tracks corpus bytes (train aggregate +
+    // scoring scan), never model size.
+    def timedNbc(m: Int): (Long, Double) = {
+      val c = corpusL(m)
+      val t0 = System.nanoTime()
+      val n = Classify.nbcConfusionFrom(c)
+        .agg(sum($"n_docs")).as[Long].collect().head
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    timedNbc(1) // warmup
+    Seq(1, mult).distinct.foreach { m =>
+      val (n, s) = timedNbc(m)
+      println(f"[scale-probe] nbc mult=$m%-3d held_out=$n%-7d time=$s%.2fs")
+    }
+
+    // URL canonicalization dedup at multiplied corpus: map-only string
+    // work + one hash aggregate — the multiplier grows rows AND distinct
+    // canonical URLs linearly (shifted doc_ids → distinct pages), the
+    // frontier-dedup steady state.
+    val docsU = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"lang")
+    def timedUrl(m: Int): (Long, Double) = {
+      val c = (0 until m)
+        .map(i => docsU.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"),
+                               $"source", $"lang"))
+        .reduce(_ union _)
+      val t0 = System.nanoTime()
+      val n = Dedup.urlDedupFrom(c).count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    timedUrl(1) // warmup
+    Seq(1, mult).distinct.foreach { m =>
+      val (n, s) = timedUrl(m)
+      println(f"[scale-probe] url-dedup mult=$m%-3d canonical=$n%-7d time=$s%.2fs")
+    }
     spark.stop()
   }
 }

@@ -475,6 +475,106 @@ object Similarity extends QueryPack {
       .orderBy($"q_id", $"rk")
   }
 
+  // ---- Scalar quantization (SQ8) ---------------------------------------
+  //
+  // The other half of the production quantization toolbox next to PQ:
+  // keep every dimension but store it as ONE byte — train = per-dim
+  // min/max over the corpus, encode = linear bucketing into 0..255,
+  // search = asymmetric distance (exact query floats against the
+  // dequantized corpus). No codebook training at all, 4× fewer corpus
+  // bytes than float32 — and at 100 TB the corpus-side scan I/O is what
+  // dominates ANN cost, so the cut is linear in exactly the term that
+  // matters. Codes stay DOUBLE-typed 0..255 integers throughout: the
+  // byte cast is storage representation; the arithmetic (sub → ×255 →
+  // ÷range → floor, dequant at bucket midpoints) is what the oracle
+  // replays operation-for-operation, so results are bit-identical
+  // cross-engine like the rest of the pack.
+
+  /** Per-dim range model: (d, vmin, vmax) — ONE posexplode aggregate
+    * with map-side partials, key space = Dim, corpus-independent (the
+    * same broadcast-sized-by-construction argument as the classifier's
+    * profile).
+    */
+  private[llm] def sq8Model(c: DataFrame): DataFrame = {
+    import c.sparkSession.implicits._
+    c.select(posexplode($"v").as(Seq("d", "x")))
+      .groupBy($"d").agg(min($"x").as("vmin"), max($"x").as("vmax"))
+  }
+
+  /** The model as one broadcastable row of dim-ordered arrays: mn[Dim]
+    * (per-dim minimum) and rg[Dim] (range). */
+  private[llm] def sq8Params(c: DataFrame): DataFrame = {
+    import c.sparkSession.implicits._
+    sq8Model(c)
+      .agg(collect_list(struct($"d", $"vmin", $"vmax")).as("dm"))
+      .select(
+        expr("transform(array_sort(dm), s -> s.vmin)").as("mn"),
+        expr("transform(array_sort(dm), s -> s.vmax - s.vmin)").as("rg"))
+  }
+
+  /** vec_id, code[Dim] (plus the mn/rg model columns riding along):
+    * linear-bucket every corpus vector against the broadcast range
+    * model. Map-only against a one-row broadcast — the corpus never
+    * shuffles to encode. A constant dimension (rg = 0) encodes to 0 by
+    * the guard, identically in both engines, instead of the NaN a raw
+    * division would produce.
+    */
+  private[llm] def sq8Encode(c: DataFrame): DataFrame = {
+    import c.sparkSession.implicits._
+    c.crossJoin(broadcast(sq8Params(c)))
+      .withColumn("t", expr("zip_with(v, mn, (x, m) -> x - m)"))
+      .withColumn("code", expr(
+        """zip_with(t, rg, (u, r) -> CASE WHEN r = 0 THEN cast(0 as double)
+           ELSE least(cast(255 as double), floor(u * 255.0D / r)) END)"""))
+  }
+
+  /** SQ8 training census gate: per dimension, the fitted range and how
+    * many corpus values land on the extreme codes 0 and 255 (the
+    * saturation profile a production pipeline monitors to decide when
+    * outlier-trimmed ranges are needed). Two corpus passes by
+    * construction — fit ranges, then encode — the same train-then-apply
+    * shape as [[Classify]].
+    */
+  def sq8Train(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = corpus(spark, dir)
+    val census = sq8Encode(c)
+      .select(posexplode($"code").as(Seq("d", "cd")))
+      .groupBy($"d")
+      .agg(count(when($"cd" === 0.0, 1)).as("n_lo"),
+           count(when($"cd" === 255.0, 1)).as("n_hi"))
+    sq8Model(c).join(census, Seq("d"))
+      .select($"d", $"vmin", $"vmax", $"n_lo", $"n_hi")
+      .orderBy($"d")
+  }
+
+  /** SQ8 asymmetric top-k gate: queries (vec_id < 10) keep their exact
+    * doubles, the corpus is dequantized at bucket midpoints
+    * (mn + (code + ½)·rg/255), squared L2 via the bit-identical
+    * [[graft.functions.DotProduct]] fold, top-3 per query by (d2, id).
+    *
+    * Scale shape: one corpus scan against two broadcasts (the one-row
+    * range model and the 10-row query table), a per-query top-k window —
+    * no corpus shuffle anywhere before the K-row heads.
+    */
+  def sq8TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = corpus(spark, dir)
+    val dec = sq8Encode(c)
+      .withColumn("u", expr(
+        "zip_with(code, rg, (cd, r) -> (cd + 0.5D) * (r / 255.0D))"))
+      .withColumn("xhat", expr("zip_with(u, mn, (w, m) -> m + w)"))
+      .select($"vec_id".as("n_id"), $"xhat")
+    val q = c.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("vq"))
+    val w = Window.partitionBy($"q_id").orderBy($"d2".asc, $"n_id")
+    pqD2(dec.join(broadcast(q), $"n_id" =!= $"q_id"), "vq", "xhat", "d2")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"q_id", $"rk", $"n_id", $"d2")
+      .orderBy($"q_id", $"rk")
+  }
+
   // ---- Random projection (Johnson–Lindenstrauss) -----------------------
   //
   // The dimensionality-reduction step big embedding pipelines run BEFORE
@@ -573,7 +673,9 @@ object Similarity extends QueryPack {
     "llm_kmeans2"         -> (kmeansTwoStep _),
     "llm_pq_train"        -> (pqTrain _),
     "llm_pq_adc"          -> (pqAdc _),
-    "llm_pq_ivf_adc"      -> (pqIvfAdc _)
+    "llm_pq_ivf_adc"      -> (pqIvfAdc _),
+    "llm_sq8_train"       -> (sq8Train _),
+    "llm_sq8_topk"        -> (sq8TopK _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -845,6 +947,31 @@ object Similarity extends QueryPack {
         |         row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rk
         |       FROM ad)
         |SELECT q_id, rk, n_id, adc FROM rr WHERE rk <= 3
+        |ORDER BY q_id, rk""".stripMargin,
+    "llm_sq8_train" ->
+      s"""$sq8Sql,
+        |cd AS (SELECT CAST(generate_subscripts(code, 1) - 1 AS INT) AS d,
+        |         unnest(code) AS cd FROM enc),
+        |cs AS (SELECT d, COUNT(CASE WHEN cd = 0.0 THEN 1 END) AS n_lo,
+        |         COUNT(CASE WHEN cd = 255.0 THEN 1 END) AS n_hi
+        |       FROM cd GROUP BY d)
+        |SELECT mm.d, vmin, vmax, n_lo, n_hi FROM mm JOIN cs USING (d)
+        |ORDER BY d""".stripMargin,
+    "llm_sq8_topk" ->
+      s"""$sq8Sql,
+        |dec AS (SELECT vec_id AS n_id,
+        |    list_transform(range(1, 65),
+        |      k -> mn[k] + (code[k] + 0.5) * (rg[k] / 255.0)) AS xhat
+        |  FROM enc, pr),
+        |dd AS (SELECT q.vec_id AS q_id, c.n_id,
+        |    list_reduce(list_transform(range(1, 65),
+        |      k -> (q.v[k] - c.xhat[k]) * (q.v[k] - c.xhat[k])),
+        |      (a, b) -> a + b) AS d2
+        |  FROM e q JOIN dec c ON c.n_id <> q.vec_id WHERE q.vec_id < 10),
+        |r AS (SELECT q_id, n_id, d2,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS rk
+        |      FROM dd)
+        |SELECT q_id, rk, n_id, d2 FROM r WHERE rk <= 3
         |ORDER BY q_id, rk""".stripMargin
   )
 
@@ -852,6 +979,24 @@ object Similarity extends QueryPack {
     * md5 matrix, the per-(vector, j) left-fold dot, and the ordered
     * 16-dim projection array. Ends with the `p` CTE (vec_id, p).
     */
+  /** Shared SQ8 oracle prelude: fit per-dim ranges, encode every
+    * vector — operation-for-operation the [[sq8Encode]] arithmetic
+    * (sub → ×255 → ÷range → floor, clamp, rg = 0 guard), so codes are
+    * bit-identical doubles in both engines.
+    */
+  private val sq8Sql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      |           FROM embeddings),
+      |ex AS (SELECT vec_id, CAST(generate_subscripts(v, 1) - 1 AS INT) AS d,
+      |         unnest(v) AS x FROM e),
+      |mm AS (SELECT d, MIN(x) AS vmin, MAX(x) AS vmax FROM ex GROUP BY d),
+      |pr AS (SELECT list(vmin ORDER BY d) AS mn,
+      |         list(vmax - vmin ORDER BY d) AS rg FROM mm),
+      |enc AS (SELECT vec_id,
+      |    list_transform(range(1, 65), k -> CASE WHEN rg[k] = 0 THEN 0.0
+      |      ELSE least(255.0, floor((v[k] - mn[k]) * 255.0 / rg[k])) END) AS code
+      |  FROM e, pr)""".stripMargin
+
   private val rpProjSql: String =
     """WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
       |            FROM embeddings),

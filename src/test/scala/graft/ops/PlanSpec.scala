@@ -525,6 +525,14 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
   }
 
+  test("llm_sq8_topk: the range model (one row) and the query table " +
+       "(10 rows) broadcast — the corpus never shuffles before the " +
+       "per-query top-k heads") {
+    val p = plan("llm_sq8_topk")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("llm_url_dedup: canonicalization is map-only (no join, no " +
        "generate) — ONE hash aggregate on the canonical URL") {
     val p = plan("llm_url_dedup")
