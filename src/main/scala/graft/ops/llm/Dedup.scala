@@ -205,6 +205,43 @@ object Dedup extends QueryPack {
       .orderBy($"keep_crawl")
   }
 
+  /** C36d corpus snapshot diff — the dataset-versioning audit between
+    * two releases of a corpus: which documents were added, removed,
+    * changed (same id, different bytes), or carried unchanged — the
+    * artifact a training-data release process publishes with every
+    * refresh. Simulated from the fixture: snapshot A is docs < 450 with
+    * docs 100–119 in an "old" revision (marker suffix); snapshot B is
+    * docs ≥ 50 as-is — so all four statuses occur with known counts.
+    *
+    * Scale shape: ONE full-outer equi-join on doc_id between the two
+    * snapshot scans comparing md5 content hashes — both sides shuffle
+    * once on the id (or zero times when snapshots are stored bucketed by
+    * doc_id, the layout the bucketed-join gate pins); the census is a
+    * 4-row aggregate above it. Nothing compares text bytes across the
+    * wire — only 16-byte hashes move.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val a = docs.filter($"doc_id" < 450)
+      .withColumn("text",
+        when($"doc_id" >= 100 && $"doc_id" < 120,
+             concat($"text", lit(" [rev1]"))).otherwise($"text"))
+      .select($"doc_id", md5(encode($"text", "UTF-8")).as("ha"))
+    val b = docs.filter($"doc_id" >= 50)
+      .select($"doc_id", md5(encode($"text", "UTF-8")).as("hb"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when($"ha".isNull, "added")
+          .when($"hb".isNull, "removed")
+          .when($"ha" === $"hb", "unchanged")
+          .otherwise("changed"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_id"),
+           max($"doc_id").as("last_id"))
+      .orderBy($"status")
+  }
+
   /** C37 near-dup via MinHash + LSH banding, exact-Jaccard verified.
     *
     * Pipeline: 3-gram shingles → 128 MinHash values per doc (xxhash64
@@ -950,6 +987,7 @@ object Dedup extends QueryPack {
     "llm_dedup_exact"     -> (dedupExact _),
     "llm_dedup_incremental" -> (dedupIncremental _),
     "llm_url_dedup"       -> (urlDedup _),
+    "llm_snapshot_diff"   -> (snapshotDiff _),
     "llm_dedup_minhash"   -> (dedupNearMinhash _),
     "llm_dedup_clusters"  -> (dedupClusters _),
     "llm_jaccard_ngram"   -> (jaccardNgram _),
@@ -1033,6 +1071,21 @@ object Dedup extends QueryPack {
         |FROM ib
         |WHERE content_hash NOT IN (SELECT content_hash FROM idx)
         |ORDER BY keep_id""".stripMargin,
+    "llm_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT doc_id, md5(CASE WHEN doc_id >= 100 AND doc_id < 120
+        |                          THEN text || ' [rev1]' ELSE text END) AS ha
+        |  FROM documents WHERE doc_id < 450),
+        |b AS (SELECT doc_id, md5(text) AS hb
+        |      FROM documents WHERE doc_id >= 50),
+        |j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, ha, hb
+        |      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT CASE WHEN ha IS NULL THEN 'added'
+        |            WHEN hb IS NULL THEN 'removed'
+        |            WHEN ha = hb THEN 'unchanged'
+        |            ELSE 'changed' END AS status,
+        |  COUNT(*) AS n_docs, MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+        |FROM j GROUP BY 1 ORDER BY status""".stripMargin,
     "llm_url_dedup" ->
       """WITH d AS (SELECT doc_id, source, lang FROM documents),
         |crawl AS (
