@@ -166,6 +166,26 @@ object Dedup extends QueryPack {
       .select($"doc_id", $"source", $"lang"))
   }
 
+  /** The canonicalization expression itself, over any URL column —
+    * exposed separately so laws can pin its idempotence (canonicalizing
+    * a canonical URL is the identity — the property that makes the
+    * frontier dedup safe to re-run over already-clean URLs).
+    */
+  private[llm] def canonicalUrl(url: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val host = regexp_replace(
+      lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1)),
+      ":(443|80)$", "")
+    val path = regexp_replace(
+      regexp_extract(url, "^[A-Za-z]+://[^/?#]+(/[^?#]*)", 1), "/$", "")
+    val qs = filter(split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
+      p => !p.rlike("^(utm_[a-z]+|ref|fbclid)=") && p =!= "")
+    concat(scheme, lit("://"), host, path,
+      when(size(qs) > 0, concat(lit("?"), array_join(array_sort(qs), "&")))
+        .otherwise(lit("")))
+  }
+
   /** Composable form over any (doc_id, source, lang) frame — the seam
     * the 10× scale probe drives (ScaleProbe convention).
     */
@@ -185,20 +205,7 @@ object Dedup extends QueryPack {
         concat(lit("https://"), $"source", lit(".example.com/docs/"),
                $"doc_id", lit("?lang="), $"lang", lit("&ref=rss")).as("url"))
     val canon = v0.unionAll(v1).unionAll(v2)
-      .withColumn("scheme", lower(regexp_extract($"url", "^([A-Za-z]+)://", 1)))
-      .withColumn("host", regexp_replace(
-        lower(regexp_extract($"url", "^[A-Za-z]+://([^/?#]+)", 1)),
-        ":(443|80)$", ""))
-      .withColumn("path", regexp_replace(
-        regexp_extract($"url", "^[A-Za-z]+://[^/?#]+(/[^?#]*)", 1), "/$", ""))
-      .withColumn("qs", filter(
-        split(regexp_extract($"url", "\\?([^#]*)", 1), "&"),
-        p => !p.rlike("^(utm_[a-z]+|ref|fbclid)=") && p =!= ""))
-      .withColumn("canonical_url", concat(
-        $"scheme", lit("://"), $"host", $"path",
-        when(size($"qs") > 0,
-             concat(lit("?"), array_join(array_sort($"qs"), "&")))
-          .otherwise(lit(""))))
+      .withColumn("canonical_url", canonicalUrl($"url"))
     canon.groupBy($"canonical_url")
       .agg(min($"crawl_id").as("keep_crawl"),
            count(lit(1)).as("n_variants"))

@@ -38,4 +38,17 @@ class UrlDedupSpec extends SparkSpec {
       assert(url.matches(".*\\?lang=[a-z]{2}$"), url)
     }
   }
+
+  test("canonicalization is idempotent: canonicalizing a canonical URL " +
+       "is the identity (safe to re-run the frontier dedup over " +
+       "already-clean URLs)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val n = Dedup.urlDedup(spark, dir)
+      .select($"canonical_url",
+              Dedup.canonicalUrl($"canonical_url").as("again"))
+      .filter($"canonical_url" =!= $"again")
+      .count()
+    assert(n === 0L)
+  }
 }
