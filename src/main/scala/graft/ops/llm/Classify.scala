@@ -103,9 +103,61 @@ object Classify extends QueryPack {
       .orderBy($"lang", $"predicted")
   }
 
+  /** Calibration gate: the reliability diagram for the trained
+    * classifier on the held-out split — fixed-width confidence bins
+    * (floor(conf·500), capped at 499 — width 1/500 rather than the
+    * textbook 1/10 because the synthetic fixture's shared vocabulary
+    * compresses confidences into a ~0.01-wide band; the mechanics are
+    * identical at any width) with per-bin document and correct counts
+    * plus the confidence range. Confidence is the winner's share
+    * of the total normalized evidence, folded over classes in plang
+    * order (collect + sorted-array fold — the deterministic-sum
+    * discipline; a float hash-aggregate would be partitioning-dependent).
+    * This is the artifact that decides what confidence threshold a
+    * curation filter can act on.
+    *
+    * Scale shape: everything is keyed by doc_id (scoring aggregate,
+    * winner window, class fold) against the broadcast model; bins are
+    * FIXED-WIDTH, not quantiles, precisely so no global-order window
+    * appears — the bin id is per-row arithmetic and the final aggregate
+    * has ≤500 keys.
+    */
+  def nbcCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val prof = trainCounts(docs).select($"lang".as("plang"), $"w", $"cnt")
+    val tot  = prof.groupBy($"plang").agg(sum($"cnt").as("tot"))
+    val test = docs.filter($"doc_id" % HoldoutMod === HoldoutRem)
+    val sc = test
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .join(broadcast(prof), Seq("w"))
+      .groupBy($"doc_id", $"plang").agg(sum($"cnt").as("evidence"))
+      .join(broadcast(tot), Seq("plang"))
+      .withColumn("s", $"evidence".cast("double") / $"tot")
+    val win = sc.withColumn("rn", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"s".desc, $"plang")))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"plang".as("win"), $"s".as("smax"))
+    val ssum = sc.groupBy($"doc_id")
+      .agg(collect_list(struct($"plang", $"s")).as("ps"))
+      .select($"doc_id", expr(
+        """aggregate(transform(array_sort(ps), p -> p.s),
+           cast(0 as double), (acc, x) -> acc + x)""").as("ssum"))
+    win.join(ssum, Seq("doc_id"))
+      .withColumn("conf", $"smax" / $"ssum")
+      .join(test.select($"doc_id", $"lang"), Seq("doc_id"))
+      .withColumn("bin", least(floor($"conf" * 500.0), lit(499L)))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when($"win" === $"lang", 1L).otherwise(0L)).as("n_correct"),
+           min($"conf").as("conf_lo"), max($"conf").as("conf_hi"))
+      .orderBy($"bin")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "llm_nbc_profile"   -> (nbcProfile _),
-    "llm_nbc_confusion" -> (nbcConfusion _)
+    "llm_nbc_profile"     -> (nbcProfile _),
+    "llm_nbc_confusion"   -> (nbcConfusion _),
+    "llm_nbc_calibration" -> (nbcCalibration _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -117,6 +169,35 @@ object Classify extends QueryPack {
         |SELECT lang, w, cnt,
         |  (SUM(cnt) OVER (PARTITION BY lang))::BIGINT AS lang_tot
         |FROM cnt ORDER BY lang, w""".stripMargin,
+    "llm_nbc_calibration" ->
+      """WITH train AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE doc_id % 5 <> 4),
+        |cnt AS (SELECT lang AS plang, w, COUNT(*) AS cnt
+        |        FROM train GROUP BY 1, 2),
+        |tot AS (SELECT plang, SUM(cnt)::BIGINT AS tot FROM cnt GROUP BY 1),
+        |test AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 4),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM test),
+        |ev AS (SELECT t.doc_id, c.plang, SUM(c.cnt)::BIGINT AS evidence
+        |       FROM toks t JOIN cnt c USING (w) GROUP BY 1, 2),
+        |sc AS (SELECT ev.doc_id, ev.plang,
+        |         ev.evidence::DOUBLE / tt.tot::DOUBLE AS s
+        |       FROM ev JOIN tot tt USING (plang)),
+        |win AS (SELECT doc_id, plang AS win, s AS smax FROM (
+        |          SELECT doc_id, plang, s, row_number() OVER (
+        |            PARTITION BY doc_id ORDER BY s DESC, plang) AS rn
+        |          FROM sc) WHERE rn = 1),
+        |sm AS (SELECT doc_id,
+        |         list_reduce(list(s ORDER BY plang), (a, b) -> a + b) AS ssum
+        |       FROM sc GROUP BY doc_id),
+        |bn AS (SELECT t.lang, w.win, w.smax / s.ssum AS conf
+        |       FROM win w JOIN sm s USING (doc_id)
+        |       JOIN test t USING (doc_id))
+        |SELECT LEAST(floor(conf * 500.0), 499.0)::BIGINT AS bin,
+        |  COUNT(*) AS n_docs,
+        |  COUNT(CASE WHEN win = lang THEN 1 END) AS n_correct,
+        |  MIN(conf) AS conf_lo, MAX(conf) AS conf_hi
+        |FROM bn GROUP BY 1 ORDER BY bin""".stripMargin,
     "llm_nbc_confusion" ->
       """WITH train AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS w

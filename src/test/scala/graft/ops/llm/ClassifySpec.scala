@@ -52,6 +52,28 @@ class ClassifySpec extends SparkSpec {
     }
   }
 
+  test("nbc calibration: bins partition the held-out split, correctness " +
+       "mass equals the confusion diagonal, and confidence ranges nest " +
+       "inside their bins") {
+    import spark.implicits._
+    val nTest = graft.Tables.documents(spark, dir)
+      .filter($"doc_id" % 5 === 4).count()
+    val cal = Classify.nbcCalibration(spark, dir).collect()
+    assert(cal.map(_.getLong(1)).sum === nTest)
+    val diag = Classify.nbcConfusion(spark, dir).collect()
+      .filter(r => r.getString(0) == r.getString(1)).map(_.getLong(2)).sum
+    assert(cal.map(_.getLong(2)).sum === diag)
+    cal.foreach { r =>
+      val (bin, lo, hi) = (r.getLong(0), r.getDouble(3), r.getDouble(4))
+      assert(lo <= hi)
+      // fixed-width bins: conf range lies inside [bin/500, (bin+1)/500]
+      // (the top bin also holds conf = 1.0 by the cap)
+      assert(lo >= bin / 500.0 - 1e-12, s"bin $bin lo $lo")
+      assert(hi <= (bin + 1) / 500.0 + 1e-12 ||
+             (bin == 499 && hi <= 1.0 + 1e-12), s"bin $bin hi $hi")
+    }
+  }
+
   test("incremental dedup: new docs survive, re-crawls drop against the " +
        "index, in-batch copies collapse to keep-lowest-id") {
     val out = Dedup.dedupIncremental(spark, dir).collect()
