@@ -1,6 +1,6 @@
 package graft.ops.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -797,6 +797,104 @@ object TextStats extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** Encoding repair (ftfy-style) — the normalization tier that runs
+    * BEFORE any hashing/dedup stage of a crawl pipeline, because mojibake
+    * ("â€™" where "’" was meant: UTF-8 bytes decoded as Latin-1 once and
+    * re-encoded) and invisible codepoints (zero-width space, soft hyphen,
+    * BOM) otherwise make byte-identical content hash differently. The
+    * defects are planted deterministically by doc_id (the fixture corpus
+    * is clean ASCII), counted, then repaired by a fixed chain: mojibake
+    * replace-backs, invisible-codepoint strip, C0-control → space,
+    * whitespace squeeze. Per-lang census carries an md5 checksum of the
+    * repaired text so the oracle replay proves the REPAIR, not just the
+    * counts. Map-side only — one corpus pass, no shuffle before the tiny
+    * per-lang aggregate; at 100 TB this is a scan-bound stage that
+    * pipelines into whatever hashes next.
+    */
+  private[llm] val mojiPat = "â€™|Ã©|â€”"
+  private[llm] val invPat  = "[\\x{200b}\\x{ad}\\x{feff}]"
+  private[llm] val ctlPat  = "[\\x{01}-\\x{08}\\x{0b}-\\x{1f}]"
+
+  /** The fixed repair chain of [[mojibakeFix]], factored so idempotence
+    * (repair ∘ repair = repair — the property that makes the stage safe
+    * to re-run over a partially-cleaned corpus) is pinned by spec.
+    */
+  private[llm] def repairEncoding(c: Column): Column =
+    trim(regexp_replace(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(regexp_replace(c, "â€™", "’"), "Ã©", "é"),
+          "â€”", "—"),
+        invPat, ""),
+      ctlPat, " "), " +", " "))
+
+  def mojibakeFix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // all planted via code units, never literal invisibles in source
+    val zw = "\u200b"; val shy = "\u00ad"; val bom = "\ufeff"
+    val vt = "\u000b"
+    Tables.documents(spark, dir)
+      .withColumn("t2",
+        when($"doc_id" % 7 === 0,
+          concat($"text", lit(" itâ€™s a cafÃ© â€” ok"))).otherwise($"text"))
+      .withColumn("t2",
+        when($"doc_id" % 11 === 0,
+          concat(lit(bom), $"t2", lit(s" zero${zw}width soft${shy}hyphen")))
+          .otherwise($"t2"))
+      .withColumn("t2",
+        when($"doc_id" % 13 === 0, concat($"t2", lit(s"${vt}tail")))
+          .otherwise($"t2"))
+      .withColumn("n_moji",
+        size(regexp_extract_all($"t2", lit(mojiPat), lit(0))).cast("long"))
+      .withColumn("n_inv",
+        size(regexp_extract_all($"t2", lit(invPat), lit(0))).cast("long"))
+      .withColumn("n_ctl",
+        size(regexp_extract_all($"t2", lit(ctlPat), lit(0))).cast("long"))
+      .withColumn("clean", repairEncoding($"t2"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(($"n_moji" > 0).cast("long")).as("n_docs_mojibake"),
+           sum($"n_moji").as("n_mojibake"),
+           sum($"n_inv").as("n_invisible"),
+           sum($"n_ctl").as("n_control"),
+           sum(length($"clean")).cast("bigint").as("sum_len_clean"),
+           min(md5(encode($"clean", "UTF-8"))).as("clean_checksum"))
+      .orderBy($"lang")
+  }
+
+  /** Sentence segmentation census — the C4-recipe quality signals that
+    * need SENTENCE boundaries rather than tokens (C4 drops pages with
+    * fewer than 3 sentences; mean sentence length separates prose from
+    * keyword-stuffed spam). The fixture corpus is unpunctuated
+    * space-separated words, so terminators are first planted
+    * deterministically (a period after every 8th word — one regex over
+    * the original string, identical non-overlapping match semantics in
+    * both engines), then segmented on `[.!?]+ ` and censused per lang
+    * with integer-exact averages. Map-side segmentation + tiny per-lang
+    * aggregate: scan-bound at 100 TB like every other single-pass text
+    * op here.
+    */
+  def sentenceStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("t2",
+        regexp_replace($"text", "((?:[^ ]+ ){7}[^ ]+) ", "$1. "))
+      .withColumn("sents",
+        expr("filter(split(t2, '[.!?]+ '), x -> x <> '')"))
+      .withColumn("n_sent", size($"sents").cast("long"))
+      .withColumn("sent_chars",
+        expr("aggregate(sents, 0L, (acc, x) -> acc + length(x))"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"n_sent").as("n_sentences"),
+           max($"n_sent").as("max_sent_per_doc"),
+           sum(($"n_sent" >= 3).cast("long")).as("n_docs_multi"),
+           sum($"sent_chars").as("sum_sent_chars"),
+           expr("(1000000 * sum(sent_chars)) div sum(n_sent)")
+             .as("avg_sent_chars_ppm"))
+      .orderBy($"lang")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ngram_novelty" -> (ngramNovelty _),
     "llm_char_diversity" -> (charDiversity _),
@@ -820,6 +918,8 @@ object TextStats extends QueryPack {
     "llm_shard_assign"  -> (shardAssign _),
     "llm_blocklist"     -> (blocklistFilter _),
     "llm_html_strip"    -> (htmlStrip _),
+    "llm_mojibake_fix"  -> (mojibakeFix _),
+    "llm_sentence_stats" -> (sentenceStats _),
     "llm_repetition"    -> (repetition _),
     "llm_pii_scrub"     -> (piiScrub _)
   )
@@ -828,6 +928,66 @@ object TextStats extends QueryPack {
     profiles.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
 
   def oracle: Map[String, String] = Map(
+    // replays the deterministic defect planting (invisibles via chr() so
+    // no literal invisible codepoints live in the SQL either), then the
+    // identical repair chain; the checksum column proves the repaired
+    // TEXT matches, not just the defect counts
+    "llm_mojibake_fix" ->
+      """WITH b1 AS (
+        |  SELECT lang, doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' itâ€™s a cafÃ© â€” ok'
+        |         ELSE text END AS t1
+        |  FROM documents),
+        |b2 AS (
+        |  SELECT lang, doc_id,
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN chr(65279) || t1 || ' zero' || chr(8203) || 'width soft'
+        |           || chr(173) || 'hyphen'
+        |      ELSE t1 END AS t2a
+        |  FROM b1),
+        |b3 AS (
+        |  SELECT lang,
+        |    CASE WHEN doc_id % 13 = 0 THEN t2a || chr(11) || 'tail'
+        |         ELSE t2a END AS t2
+        |  FROM b2),
+        |m AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(t2, 'â€™|Ã©|â€”')) AS n_moji,
+        |    len(regexp_extract_all(t2, '[\x{200b}\x{ad}\x{feff}]')) AS n_inv,
+        |    len(regexp_extract_all(t2, '[\x{01}-\x{08}\x{0b}-\x{1f}]')) AS n_ctl,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      replace(replace(replace(t2, 'â€™', '’'), 'Ã©', 'é'), 'â€”', '—'),
+        |      '[\x{200b}\x{ad}\x{feff}]', '', 'g'),
+        |      '[\x{01}-\x{08}\x{0b}-\x{1f}]', ' ', 'g'),
+        |      ' +', ' ', 'g')) AS clean
+        |  FROM b3)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  SUM((n_moji > 0)::INT)::BIGINT AS n_docs_mojibake,
+        |  SUM(n_moji)::BIGINT AS n_mojibake,
+        |  SUM(n_inv)::BIGINT AS n_invisible,
+        |  SUM(n_ctl)::BIGINT AS n_control,
+        |  SUM(len(clean))::BIGINT AS sum_len_clean,
+        |  MIN(md5(clean)) AS clean_checksum
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    // plants '.' after every 8th word with ONE non-overlapping regex pass
+    // (identical leftmost match semantics in RE2 and java.util.regex for
+    // this pattern), segments on terminator+space, per-lang census
+    "llm_sentence_stats" ->
+      """WITH seg AS (
+        |  SELECT lang,
+        |    list_filter(regexp_split_to_array(
+        |      regexp_replace(text, '((?:[^ ]+ ){7}[^ ]+) ', '\1. ', 'g'),
+        |      '[.!?]+ '), x -> x <> '') AS sents
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  SUM(len(sents))::BIGINT AS n_sentences,
+        |  MAX(len(sents))::BIGINT AS max_sent_per_doc,
+        |  SUM((len(sents) >= 3)::INT)::BIGINT AS n_docs_multi,
+        |  SUM(list_sum(list_transform(sents, x -> len(x))))::BIGINT
+        |    AS sum_sent_chars,
+        |  ((1000000 * SUM(list_sum(list_transform(sents, x -> len(x)))))
+        |     // SUM(len(sents)))::BIGINT AS avg_sent_chars_ppm
+        |FROM seg GROUP BY lang ORDER BY lang""".stripMargin,
     // replays the llm_winnow selection CTE, then the df-capped inverted-
     // index pair join — the two gates share the fingerprint definition
     "llm_winnow_pairs" ->

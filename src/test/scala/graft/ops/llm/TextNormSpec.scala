@@ -1,0 +1,84 @@
+package graft.ops.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Laws for the text-normalization tier. The gates hash-match a DuckDB
+  * replay of the same planting + repair, which proves cross-engine
+  * agreement but not the semantic properties a pipeline relies on; those
+  * are pinned here: the repair chain is idempotent (safe to re-run over a
+  * partially-cleaned corpus), repaired text is actually free of the
+  * defect classes, the planted-defect census follows the doc_id
+  * arithmetic exactly, and sentence counts follow the every-8th-word
+  * planting law against an independent word-count derivation.
+  */
+class TextNormSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("mojibake repair is idempotent and leaves no residual defects") {
+    import spark.implicits._
+    // re-plant the same defect corpus the op uses, then compare one
+    // repair pass against two
+    val planted = TextStats.mojibakeFix(spark, dir) // forces compile path
+    assert(planted.count() > 0)
+    val zw = "\u200b"; val shy = "\u00ad"; val bom = "\ufeff"
+    val vt = "\u000b"
+    val docs = graft.Tables.documents(spark, dir)
+      .withColumn("t2",
+        when($"doc_id" % 7 === 0,
+          concat($"text", lit(" itâ€™s a cafÃ© â€” ok"))).otherwise($"text"))
+      .withColumn("t2",
+        when($"doc_id" % 11 === 0,
+          concat(lit(bom), $"t2", lit(s" zero${zw}width soft${shy}hyphen")))
+          .otherwise($"t2"))
+      .withColumn("t2",
+        when($"doc_id" % 13 === 0, concat($"t2", lit(s"${vt}tail")))
+          .otherwise($"t2"))
+      .withColumn("once", TextStats.repairEncoding($"t2"))
+      .withColumn("twice", TextStats.repairEncoding($"once"))
+    assert(docs.filter($"once" =!= $"twice").count() === 0L)
+    // no mojibake sequences, invisibles, or C0 controls survive repair
+    val residual = docs.filter(
+      size(regexp_extract_all($"once", lit(TextStats.mojiPat), lit(0))) > 0 ||
+      size(regexp_extract_all($"once", lit(TextStats.invPat), lit(0))) > 0 ||
+      size(regexp_extract_all($"once", lit(TextStats.ctlPat), lit(0))) > 0)
+    assert(residual.count() === 0L)
+  }
+
+  test("mojibake census follows the doc_id planting arithmetic") {
+    import spark.implicits._
+    val out = TextStats.mojibakeFix(spark, dir)
+      .agg(sum($"n_docs").as("d"), sum($"n_docs_mojibake").as("dm"),
+           sum($"n_mojibake").as("m"), sum($"n_invisible").as("i"),
+           sum($"n_control").as("c"))
+      .head()
+    val n = graft.Tables.documents(spark, dir).count()
+    val m7  = (0L until n).count(_ % 7 == 0)
+    val m11 = (0L until n).count(_ % 11 == 0)
+    val m13 = (0L until n).count(_ % 13 == 0)
+    assert(out.getLong(0) === n)
+    assert(out.getLong(1) === m7)      // only %7 docs carry mojibake
+    assert(out.getLong(2) === 3L * m7) // â€™ + Ã© + â€” per planted doc
+    assert(out.getLong(3) === 3L * m11) // BOM + zwsp + soft hyphen
+    assert(out.getLong(4) === m13)      // one VT per planted doc
+  }
+
+  test("sentence counts follow the every-8th-word planting law") {
+    import spark.implicits._
+    // independent derivation: a doc with nw words gets one planted '.'
+    // per full 8-word block that still has a following word, so
+    // n_sent = (nw - 1) div 8 + 1
+    val expected = graft.Tables.documents(spark, dir)
+      .select($"lang", size(split($"text", " ")).cast("long").as("nw"))
+      .groupBy($"lang")
+      .agg(sum(expr("(nw - 1) div 8 + 1")).as("exp_sentences"),
+           max(expr("(nw - 1) div 8 + 1")).as("exp_max"))
+    val got = TextStats.sentenceStats(spark, dir)
+      .select($"lang", $"n_sentences", $"max_sent_per_doc")
+    val joined = got.join(expected, Seq("lang"))
+    assert(joined.filter($"n_sentences" =!= $"exp_sentences" ||
+                         $"max_sent_per_doc" =!= $"exp_max").count() === 0L)
+    assert(joined.count() === 5L)
+  }
+}
