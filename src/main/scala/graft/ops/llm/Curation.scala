@@ -513,9 +513,14 @@ object Curation extends QueryPack {
   /** [[curationFunnel]] over any (doc_id, lang, text, n_chars) corpus —
     * also the [[ScaleProbe]] entry.
     */
-  private[graft] def curationFunnelFrom(docs: DataFrame): DataFrame = {
+  /** The funnel's quality-scoring stage alone (adds ws/n_tokens/score/
+    * qual): map-side only, so the STREAMING ingest path
+    * ([[graft.streaming.CurationStream]]) can run the identical features
+    * per micro-batch without duplicating the definition.
+    */
+  private[graft] def scoreDocs(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val scored = docs
+    docs
       .withColumn("ws", split($"text", " "))
       .withColumn("n_tokens", size($"ws").cast("long"))
       .withColumn("score",
@@ -526,6 +531,11 @@ object Curation extends QueryPack {
           + (expr("cast(size(filter(ws, w -> w = 'the' or w = 'a')) as bigint)")
                * 5 <= $"n_tokens").cast("int"))
       .withColumn("qual", $"score" >= 3)
+  }
+
+  private[graft] def curationFunnelFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val scored = scoreDocs(docs)
     // one window keyed on the content hash: the group's first QUALITY
     // doc (qual sorts first, then lowest id) is the canonical survivor
     val wDup = Window.partitionBy(md5($"text"))
