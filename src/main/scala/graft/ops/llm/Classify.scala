@@ -154,13 +154,106 @@ object Classify extends QueryPack {
       .orderBy($"bin")
   }
 
+  /** Threshold-sweep gate: the ROC/PR operating table for the binary
+    * curation decision the classifier actually serves ("keep if
+    * P(en) ≥ t") — for every occupied score bin, the confusion counts
+    * and integer-ppm precision/recall of the filter "accept when the
+    * en-confidence lands in this bin or higher". This is the artifact
+    * that picks the production threshold: FineWeb-style pipelines sweep
+    * exactly this table and choose the knee.
+    *
+    * Scale shape: per-doc scoring is the calibration plan (broadcast
+    * model, doc_id-keyed aggregates); the sweep NEVER sorts the corpus —
+    * scores collapse into ≤500 fixed-width bins first (one small
+    * aggregate), and the cumulative confusion counts are windows over
+    * that ≤500-row bin frame (the unpartitioned window is bounded by
+    * construction, not by data). en-evidence needs no fold: `sc` has one
+    * row per (doc, class), so MAX(CASE) picks the single value
+    * deterministically.
+    */
+  def nbcRoc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val prof = trainCounts(docs).select($"lang".as("plang"), $"w", $"cnt")
+    val tot  = prof.groupBy($"plang").agg(sum($"cnt").as("tot"))
+    val test = docs.filter($"doc_id" % HoldoutMod === HoldoutRem)
+    val sc = test
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .join(broadcast(prof), Seq("w"))
+      .groupBy($"doc_id", $"plang").agg(sum($"cnt").as("evidence"))
+      .join(broadcast(tot), Seq("plang"))
+      .withColumn("s", $"evidence".cast("double") / $"tot")
+    val agg = sc.groupBy($"doc_id")
+      .agg(collect_list(struct($"plang", $"s")).as("ps"),
+           max(when($"plang" === "en", $"s")).as("sen"))
+      .select($"doc_id", $"sen", expr(
+        """aggregate(transform(array_sort(ps), p -> p.s),
+           cast(0 as double), (acc, x) -> acc + x)""").as("ssum"))
+    val binned = test.select($"doc_id", $"lang")
+      .join(agg, Seq("doc_id"), "left_outer")
+      .withColumn("score", coalesce($"sen" / $"ssum", lit(0.0)))
+      .withColumn("bin", least(floor($"score" * 500.0), lit(499L)))
+      .groupBy($"bin")
+      .agg(sum(($"lang" === "en").cast("long")).as("pos"),
+           sum(($"lang" =!= "en").cast("long")).as("neg"))
+    val desc = Window.orderBy($"bin".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy($"bin".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    binned
+      .withColumn("tp", sum($"pos").over(desc))
+      .withColumn("fp", sum($"neg").over(desc))
+      .withColumn("fn", sum($"pos").over(all) - $"tp")
+      .withColumn("tn", sum($"neg").over(all) - $"fp")
+      .select($"bin", $"tp", $"fp", $"fn", $"tn",
+        expr("(1000000 * tp) div (tp + fp)").as("precision_ppm"),
+        expr("(1000000 * tp) div (tp + fn)").as("recall_ppm"))
+      .orderBy($"bin")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_nbc_profile"     -> (nbcProfile _),
     "llm_nbc_confusion"   -> (nbcConfusion _),
-    "llm_nbc_calibration" -> (nbcCalibration _)
+    "llm_nbc_calibration" -> (nbcCalibration _),
+    "llm_nbc_roc"         -> (nbcRoc _)
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_nbc_roc" ->
+      """WITH train AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE doc_id % 5 <> 4),
+        |cnt AS (SELECT lang AS plang, w, COUNT(*) AS cnt
+        |        FROM train GROUP BY 1, 2),
+        |tot AS (SELECT plang, SUM(cnt)::BIGINT AS tot FROM cnt GROUP BY 1),
+        |test AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 4),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM test),
+        |ev AS (SELECT t.doc_id, c.plang, SUM(c.cnt)::BIGINT AS evidence
+        |       FROM toks t JOIN cnt c USING (w) GROUP BY 1, 2),
+        |sc AS (SELECT ev.doc_id, ev.plang,
+        |         ev.evidence::DOUBLE / tt.tot::DOUBLE AS s
+        |       FROM ev JOIN tot tt USING (plang)),
+        |sm AS (SELECT doc_id,
+        |         list_reduce(list(s ORDER BY plang), (a, b) -> a + b) AS ssum,
+        |         MAX(CASE WHEN plang = 'en' THEN s END) AS sen
+        |       FROM sc GROUP BY doc_id),
+        |bs AS (SELECT t.lang, COALESCE(s.sen / s.ssum, 0.0) AS score
+        |       FROM test t LEFT JOIN sm s USING (doc_id)),
+        |bn AS (SELECT LEAST(floor(score * 500.0), 499.0)::BIGINT AS bin,
+        |         COUNT(CASE WHEN lang = 'en' THEN 1 END)::BIGINT AS pos,
+        |         COUNT(CASE WHEN lang <> 'en' THEN 1 END)::BIGINT AS neg
+        |       FROM bs GROUP BY 1),
+        |cum AS (SELECT bin,
+        |  SUM(pos) OVER (ORDER BY bin DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS tp,
+        |  SUM(neg) OVER (ORDER BY bin DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS fp,
+        |  (SUM(pos) OVER ())::BIGINT AS ap, (SUM(neg) OVER ())::BIGINT AS an
+        |  FROM bn)
+        |SELECT bin, tp, fp, (ap - tp) AS fn, (an - fp) AS tn,
+        |  ((1000000 * tp) // (tp + fp))::BIGINT AS precision_ppm,
+        |  ((1000000 * tp) // (tp + ap - tp))::BIGINT AS recall_ppm
+        |FROM cum ORDER BY bin""".stripMargin,
     "llm_nbc_profile" ->
       """WITH train AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS w

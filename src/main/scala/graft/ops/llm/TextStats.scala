@@ -571,6 +571,48 @@ object TextStats extends QueryPack {
       .orderBy($"lang")
   }
 
+  /** Checksum-validated PII detection — the tier above [[piiScrub]]'s
+    * pattern matching: a 16-digit run is only a payment-card number if it
+    * passes the Luhn check, and a scrubber that redacts every digit run
+    * destroys order ids, ISBNs, and log lines (the false-positive cost
+    * real PII pipelines tune against). Candidates are regex-extracted,
+    * then VALIDATED by computing the Luhn sum declaratively — a
+    * higher-order fold over char positions (double every second digit
+    * from the right, subtract 9 when >9, sum ≡ 0 mod 10) — entirely in
+    * codegen-able built-ins, identically replayable in the oracle. The
+    * fixture corpus is digit-free, so a valid test PAN is planted on
+    * doc_id % 7 and a Luhn-FAILING lookalike (last digit bumped) on
+    * doc_id % 11: the census proves the validator separates them.
+    * Map-side pass + per-lang aggregate; scan-bound at 100 TB.
+    */
+  def piiLuhn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val luhnOk =
+      """aggregate(sequence(0, length(c) - 1), 0, (acc, i) ->
+        |  acc + (CASE WHEN (length(c) - 1 - i) % 2 = 1
+        |    THEN (CASE WHEN 2 * cast(substring(c, i + 1, 1) as int) > 9
+        |          THEN 2 * cast(substring(c, i + 1, 1) as int) - 9
+        |          ELSE 2 * cast(substring(c, i + 1, 1) as int) END)
+        |    ELSE cast(substring(c, i + 1, 1) as int) END)) % 10 = 0
+        |""".stripMargin
+    Tables.documents(spark, dir)
+      .withColumn("text2", concat($"text",
+        when($"doc_id" % 7 === 0, lit(" card 4111111111111111 ok"))
+          .otherwise(lit("")),
+        when($"doc_id" % 11 === 0, lit(" ref 4111111111111112 no"))
+          .otherwise(lit(""))))
+      .select($"lang", $"doc_id",
+        expr(s"""transform(regexp_extract_all(text2, '[0-9]{16}', 0),
+                 c -> $luhnOk)""").as("oks"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(expr("size(oks)").cast("long")).as("n_candidates"),
+           sum(expr("size(filter(oks, x -> x))").cast("long")).as("n_valid"),
+           sum(expr("size(filter(oks, x -> not x))").cast("long"))
+             .as("n_luhn_rejects"))
+      .orderBy($"lang")
+  }
+
   /** Markup stripping + whitespace normalization — the extraction-cleanup
     * stage between raw crawl text and every downstream filter (tags and
     * entities left in training text poison tokenizers and n-gram stats).
@@ -920,6 +962,7 @@ object TextStats extends QueryPack {
     "llm_html_strip"    -> (htmlStrip _),
     "llm_mojibake_fix"  -> (mojibakeFix _),
     "llm_sentence_stats" -> (sentenceStats _),
+    "llm_pii_luhn"      -> (piiLuhn _),
     "llm_repetition"    -> (repetition _),
     "llm_pii_scrub"     -> (piiScrub _)
   )
@@ -969,6 +1012,31 @@ object TextStats extends QueryPack {
         |  SUM(len(clean))::BIGINT AS sum_len_clean,
         |  MIN(md5(clean)) AS clean_checksum
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    // same planting arithmetic, same declarative Luhn fold (nested
+    // lambdas close over the candidate string in both engines)
+    "llm_pii_luhn" ->
+      """WITH base AS (
+        |  SELECT lang, text
+        |    || CASE WHEN doc_id % 7 = 0
+        |            THEN ' card 4111111111111111 ok' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |            THEN ' ref 4111111111111112 no' ELSE '' END AS text2
+        |  FROM documents),
+        |v AS (
+        |  SELECT lang,
+        |    list_transform(regexp_extract_all(text2, '[0-9]{16}'), s ->
+        |      list_sum(list_transform(range(0, len(s)), i ->
+        |        CASE WHEN (len(s) - 1 - i) % 2 = 1
+        |          THEN CASE WHEN 2 * (substring(s, i + 1, 1)::INT) > 9
+        |               THEN 2 * (substring(s, i + 1, 1)::INT) - 9
+        |               ELSE 2 * (substring(s, i + 1, 1)::INT) END
+        |          ELSE substring(s, i + 1, 1)::INT END)) % 10 = 0) AS oks
+        |  FROM base)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  SUM(len(oks))::BIGINT AS n_candidates,
+        |  SUM(len(list_filter(oks, x -> x)))::BIGINT AS n_valid,
+        |  SUM(len(list_filter(oks, x -> NOT x)))::BIGINT AS n_luhn_rejects
+        |FROM v GROUP BY lang ORDER BY lang""".stripMargin,
     // plants '.' after every 8th word with ONE non-overlapping regex pass
     // (identical leftmost match semantics in RE2 and java.util.regex for
     // this pattern), segments on terminator+space, per-lang census

@@ -74,6 +74,31 @@ class ClassifySpec extends SparkSpec {
     }
   }
 
+  test("roc sweep: confusion rows are conservative and monotone in the " +
+       "threshold") {
+    val rows = Classify.nbcRoc(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val p = rows.head.getLong(1) + rows.head.getLong(3) // tp + fn
+    val n = rows.head.getLong(2) + rows.head.getLong(4) // fp + tn
+    assert(p > 0 && n > 0)
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(3) === p) // every threshold sees all positives
+      assert(r.getLong(2) + r.getLong(4) === n)
+    }
+    // ascending bins = stricter thresholds: tp, fp, recall never increase
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(1) <= a.getLong(1), s"tp rose at bin ${b.getLong(0)}")
+      assert(b.getLong(2) <= a.getLong(2), s"fp rose at bin ${b.getLong(0)}")
+      assert(b.getLong(6) <= a.getLong(6), s"recall rose at bin ${b.getLong(0)}")
+    }
+    // the loosest threshold accepts everything: recall 100%, precision =
+    // the base rate
+    val loosest = rows.minBy(_.getLong(0))
+    assert(loosest.getLong(1) === p && loosest.getLong(2) === n)
+    assert(loosest.getLong(6) === 1000000L)
+    assert(loosest.getLong(5) === 1000000L * p / (p + n))
+  }
+
   test("incremental dedup: new docs survive, re-crawls drop against the " +
        "index, in-batch copies collapse to keep-lowest-id") {
     val out = Dedup.dedupIncremental(spark, dir).collect()

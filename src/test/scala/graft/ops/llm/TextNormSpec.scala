@@ -64,6 +64,22 @@ class TextNormSpec extends SparkSpec {
     assert(out.getLong(4) === m13)      // one VT per planted doc
   }
 
+  test("luhn validator separates the planted valid PAN from its bumped " +
+       "lookalike exactly") {
+    import spark.implicits._
+    val out = TextStats.piiLuhn(spark, dir)
+      .agg(sum($"n_docs").as("d"), sum($"n_candidates").as("c"),
+           sum($"n_valid").as("v"), sum($"n_luhn_rejects").as("r"))
+      .head()
+    val n = graft.Tables.documents(spark, dir).count()
+    val m7  = (0L until n).count(_ % 7 == 0)  // planted valid cards
+    val m11 = (0L until n).count(_ % 11 == 0) // planted luhn-failing runs
+    assert(out.getLong(0) === n)
+    assert(out.getLong(1) === m7 + m11) // corpus itself is digit-free
+    assert(out.getLong(2) === m7)
+    assert(out.getLong(3) === m11)
+  }
+
   test("sentence counts follow the every-8th-word planting law") {
     import spark.implicits._
     // independent derivation: a doc with nw words gets one planted '.'
