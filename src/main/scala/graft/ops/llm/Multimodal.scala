@@ -62,6 +62,41 @@ object Multimodal extends QueryPack {
       .orderBy($"mime")
   }
 
+  /** C40 magic-byte MIME sniffing — the declared-vs-actual payload audit
+    * every media ingest runs before spending decode cycles: a mislabeled
+    * or truncated asset is caught by checking the container's magic
+    * prefix (PNG's 8-byte signature, RIFF's 4 bytes) against the
+    * metadata's claim. Payloads get the magic CONSISTENT with their
+    * declared mime planted in front — except doc_id % 7 = 3, which
+    * keeps a bare payload and so sniffs as text/plain: the
+    * (declared × sniffed) census isolates exactly those planted
+    * mismatches. Only the first 8 bytes of each payload are ever
+    * examined (`hex(substring(bytes, 1, 8))` — hex-of-prefix equals
+    * prefix-of-hex, so the oracle may hex first and slice after); bytes
+    * stay opaque otherwise. Map-side pass + tiny census aggregate.
+    */
+  def multimodalSniff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val png  = "89504E470D0A1A0A" // \x89PNG\r\n\x1a\n
+    val riff = "52494646"         // RIFF
+    assets(spark, dir)
+      .select($"doc_id", $"m.mime".as("declared"), $"m.bytes".as("raw"))
+      .withColumn("bytes2",
+        when($"declared" === "image/png" && $"doc_id" % 7 =!= 3,
+          concat(unhex(lit(png)), $"raw"))
+        .when($"declared" === "audio/wav" && $"doc_id" % 7 =!= 3,
+          concat(unhex(lit(riff)), $"raw"))
+        .otherwise($"raw"))
+      .withColumn("sniffed",
+        when(upper(hex(expr("substring(bytes2, 1, 8)"))) === png, "image/png")
+        .when(upper(hex(expr("substring(bytes2, 1, 4)"))) === riff, "audio/wav")
+        .otherwise("text/plain"))
+      .groupBy($"declared", $"sniffed")
+      .agg(count(lit(1)).as("n_assets"),
+           sum(octet_length($"bytes2")).cast("bigint").as("total_bytes"))
+      .orderBy($"declared", $"sniffed")
+  }
+
   /** Decode / feature-extract plumbing: typed Dataset in, mapPartitions
     * over batches, fixed-width feature vector out. The decoder itself is a
     * STUB (deterministic byte statistics in place of pixel/sample
@@ -160,10 +195,39 @@ object Multimodal extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_multimodal_stats"  -> (multimodalStats _),
-    "llm_multimodal_frames" -> (frameSample _)
+    "llm_multimodal_frames" -> (frameSample _),
+    "llm_multimodal_sniff"  -> (multimodalSniff _)
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_multimodal_sniff" ->
+      """WITH a AS (
+        |  SELECT doc_id, encode(text) AS raw,
+        |    CASE WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+        |           THEN 'image/png'
+        |         WHEN source IN ('src5', 'src6', 'src7', 'src8', 'src9')
+        |           THEN 'audio/wav'
+        |         ELSE 'text/plain' END AS declared
+        |  FROM documents),
+        |b AS (
+        |  SELECT declared,
+        |    CASE WHEN declared = 'image/png' AND doc_id % 7 <> 3
+        |           THEN unhex('89504E470D0A1A0A') || raw
+        |         WHEN declared = 'audio/wav' AND doc_id % 7 <> 3
+        |           THEN unhex('52494646') || raw
+        |         ELSE raw END AS bytes2
+        |  FROM a),
+        |s AS (
+        |  SELECT declared, bytes2,
+        |    CASE WHEN upper(substr(hex(bytes2), 1, 16)) = '89504E470D0A1A0A'
+        |           THEN 'image/png'
+        |         WHEN upper(substr(hex(bytes2), 1, 8)) = '52494646'
+        |           THEN 'audio/wav'
+        |         ELSE 'text/plain' END AS sniffed
+        |  FROM b)
+        |SELECT declared, sniffed, COUNT(*) AS n_assets,
+        |  SUM(octet_length(bytes2))::BIGINT AS total_bytes
+        |FROM s GROUP BY 1, 2 ORDER BY declared, sniffed""".stripMargin,
     "llm_multimodal_frames" ->
       """WITH a AS (
         |  SELECT 'doc://' || doc_id AS uri,

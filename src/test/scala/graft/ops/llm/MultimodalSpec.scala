@@ -65,4 +65,26 @@ class MultimodalSpec extends SparkSpec {
     val row = df.as[AssetFeatures].head()
     assert(row.nBytes === 3L)
   }
+
+  test("magic-byte sniff flags exactly the planted bare-payload assets") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val out = Multimodal.multimodalSniff(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // mismatches are (declared media, sniffed text/plain) and only those
+    assert(out.keySet.filter { case (d, s) => d != s } ===
+      Set(("image/png", "text/plain"), ("audio/wav", "text/plain")))
+    // planted arithmetic: a media-declared asset mismatches iff
+    // doc_id % 7 == 3; count independently from the assets view
+    val expected = Multimodal.assets(spark, dir)
+      .select(col("doc_id"), col("m.mime").as("declared"))
+      .where(col("declared") =!= "text/plain" && col("doc_id") % 7 === 3)
+      .groupBy(col("declared")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out(("image/png", "text/plain")) === expected("image/png"))
+    assert(out(("audio/wav", "text/plain")) === expected("audio/wav"))
+    // conservation: census covers every asset exactly once
+    assert(out.values.sum ===
+      graft.Tables.documents(spark, dir).count())
+  }
 }
