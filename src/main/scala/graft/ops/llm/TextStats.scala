@@ -351,6 +351,60 @@ object TextStats extends QueryPack {
       .orderBy($"d1", $"d2")
   }
 
+  /** Distributed suffix array by prefix doubling — the index structure
+    * under exact-substring dedup (Lee et al. 2022 build suffix arrays of
+    * the whole corpus to find every duplicated substring; the k-gram
+    * [[winnowMins]]/span machinery approximates what this computes
+    * exactly). A naive suffix sort compares O(len)-char strings
+    * O(n log n) times; prefix doubling never compares strings at all
+    * after round 0 — round j orders suffixes by their first 2^j chars
+    * using only the PAIR of integer ranks (rank_i, rank_{i+2^(j-1)})
+    * from the previous round, so each round is two windows on the same
+    * doc_id partitioning (a `lead` to fetch the offset rank — positions
+    * are contiguous, making the self-join a window — and a `dense_rank`
+    * over the pair), and ceil(log2 maxlen) rounds finish the array.
+    *
+    * The gate's oracle is the NAIVE suffix sort (DuckDB orders actual
+    * suffix strings); hash-equality proves the doubling algorithm, not a
+    * shared spelling. maxlen is one scalar aggregate (bounded driver
+    * probe, TextRank precedent); each round localCheckpoints to truncate
+    * the O(log n)-deep lineage. Work distributes per document; the
+    * corpus-scale generalized form keys the same two windows globally
+    * instead of per doc — identical round structure, one global sort
+    * partitioning instead.
+    */
+  def suffixArray(spark: SparkSession, dir: String): DataFrame =
+    suffixRanks(Tables.documents(spark, dir).where(col("doc_id") < 100))
+
+  private[llm] def suffixRanks(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val base = docs.select($"doc_id", $"text", length($"text").as("len"))
+      .where($"len" > 0)
+    val maxLen = base.agg(max($"len")).head().getInt(0)
+    // round 0: rank = the character code at i (any order-preserving
+    // initial rank works; ASCII fixture ⇒ ascii() IS the code point)
+    var cur = base
+      .select($"doc_id", explode(expr("sequence(0, len - 1)")).as("i"), $"text")
+      .select($"doc_id", $"i",
+              expr("cast(ascii(substring(text, i + 1, 1)) as bigint)").as("r"))
+      .localCheckpoint()
+    var d = 1
+    while (d < maxLen) {
+      val byPos  = Window.partitionBy($"doc_id").orderBy($"i")
+      val byPair = Window.partitionBy($"doc_id").orderBy($"r", $"r2")
+      cur = cur
+        // suffix i+d ends the doc ⇒ sentinel below every real rank: the
+        // shorter suffix is a proper prefix of the longer and sorts first
+        .withColumn("r2", coalesce(lead($"r", d).over(byPos), lit(-1L)))
+        .withColumn("r", dense_rank().over(byPair).cast("long"))
+        .drop("r2")
+        .localCheckpoint()
+      d *= 2
+    }
+    cur.select($"doc_id", $"r", $"i".cast("long").as("sa_pos"))
+      .orderBy($"doc_id", $"r")
+  }
+
   /** Deterministic hash-based stratified sampling + train/eval split —
     * how reproducible corpus sampling actually works at scale: membership
     * is a pure function of the stable document id (hash-mod buckets),
@@ -963,6 +1017,7 @@ object TextStats extends QueryPack {
     "llm_mojibake_fix"  -> (mojibakeFix _),
     "llm_sentence_stats" -> (sentenceStats _),
     "llm_pii_luhn"      -> (piiLuhn _),
+    "llm_suffix_array"  -> (suffixArray _),
     "llm_repetition"    -> (repetition _),
     "llm_pii_scrub"     -> (piiScrub _)
   )
@@ -1012,6 +1067,18 @@ object TextStats extends QueryPack {
         |  SUM(len(clean))::BIGINT AS sum_len_clean,
         |  MIN(md5(clean)) AS clean_checksum
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    // the NAIVE suffix sort — the oracle deliberately does what the
+    // engine avoids (ordering actual suffix strings) so hash-equality
+    // proves the prefix-doubling algorithm rather than a shared spelling
+    "llm_suffix_array" ->
+      """WITH s AS (
+        |  SELECT doc_id, i, substring(text, i + 1) AS suf
+        |  FROM documents, unnest(range(0, len(text))) AS t(i)
+        |  WHERE doc_id < 100 AND len(text) > 0)
+        |SELECT doc_id,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY suf) AS r,
+        |  i AS sa_pos
+        |FROM s ORDER BY doc_id, r""".stripMargin,
     // same planting arithmetic, same declarative Luhn fold (nested
     // lambdas close over the candidate string in both engines)
     "llm_pii_luhn" ->

@@ -80,6 +80,26 @@ class TextNormSpec extends SparkSpec {
     assert(out.getLong(3) === m11)
   }
 
+  test("prefix-doubling suffix array matches the textbook example and " +
+       "the naive sort on fixture docs") {
+    import spark.implicits._
+    // banana: suffixes sorted are a(5) ana(3) anana(1) banana(0) na(4)
+    // nana(2)
+    val tiny = Seq((0L, "banana")).toDF("doc_id", "text")
+    val sa = TextStats.suffixRanks(tiny).collect()
+      .sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+    assert(sa === Seq(5L, 3L, 1L, 0L, 4L, 2L))
+    // independent naive check on a fixture doc: ranks must order the
+    // actual suffix strings
+    val doc = graft.Tables.documents(spark, dir)
+      .where($"doc_id" === 7L).select($"text").head().getString(0)
+    val got = TextStats.suffixRanks(
+        Seq((7L, doc)).toDF("doc_id", "text")).collect()
+      .sortBy(_.getLong(1)).map(_.getLong(2).toInt).toSeq
+    val naive = doc.indices.sortBy(doc.substring(_)).toSeq
+    assert(got === naive)
+  }
+
   test("sentence counts follow the every-8th-word planting law") {
     import spark.implicits._
     // independent derivation: a doc with nw words gets one planted '.'
