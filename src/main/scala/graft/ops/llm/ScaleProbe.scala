@@ -305,6 +305,39 @@ object ScaleProbe {
       val (n, s) = timedUrl(m)
       println(f"[scale-probe] url-dedup mult=$m%-3d canonical=$n%-7d time=$s%.2fs")
     }
+
+    // Suffix array at multiplied corpus: the round COUNT is fixed by
+    // maxlen (log2), not corpus size, so total work is rows × rounds —
+    // time should track the multiplier ≈linearly while the per-round
+    // partitioning (doc_id) spreads every doc independently.
+    def timedSa(m: Int): (Long, Double) = {
+      val c = corpusM(m)
+      val t0 = System.nanoTime()
+      val n = TextStats.suffixRanks(c).count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    timedSa(1) // warmup
+    Seq(1, mult).distinct.foreach { m =>
+      val (n, s) = timedSa(m)
+      println(f"[scale-probe] suffix-array mult=$m%-3d suffixes=$n%-8d time=$s%.2fs")
+    }
+
+    // Normalization tier (encoding repair + sentence segmentation +
+    // Luhn scan) at multiplied corpus: all three are map-side passes
+    // into tiny censuses — the probe confirms scan-bound linearity.
+    def timedNorm(m: Int): (Long, Double) = {
+      val c = corpusM(m)
+      val t0 = System.nanoTime()
+      val n = c.select(TextStats.repairEncoding($"text").as("t"))
+        .select(expr("filter(split(t, '[.!?]+ '), x -> x <> '')").as("ss"))
+        .agg(sum(size($"ss"))).as[Long].collect().head
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    timedNorm(1) // warmup
+    Seq(1, mult).distinct.foreach { m =>
+      val (n, s) = timedNorm(m)
+      println(f"[scale-probe] normalize mult=$m%-3d sentences=$n%-8d time=$s%.2fs")
+    }
     spark.stop()
   }
 }

@@ -100,6 +100,29 @@ class TextNormSpec extends SparkSpec {
     assert(got === naive)
   }
 
+  test("suffix array property: 50 seeded-random strings + adversarial " +
+       "tie cases all match the naive sort in one pass") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val adversarial = Seq("a", "aaaaaaaaaa", "abababababab", "banana",
+      "zyxwvutsrq", "aab aba baa")
+    val strings = adversarial ++ (0 until 50).map { _ =>
+      val n = 1 + rnd.nextInt(60)
+      (0 until n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    }
+    val df = strings.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+    val got = TextStats.suffixRanks(df).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getLong(1)).map(_.getLong(2).toInt).toSeq
+      }
+    strings.zipWithIndex.foreach { case (s, i) =>
+      val naive = s.indices.sortBy(s.substring(_)).toSeq
+      assert(got(i.toLong) === naive, s"doc $i: '$s'")
+    }
+  }
+
   test("sentence counts follow the every-8th-word planting law") {
     import spark.implicits._
     // independent derivation: a doc with nw words gets one planted '.'
