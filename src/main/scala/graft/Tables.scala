@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** Accessors for the driver-generated fixture tables (see TESTDATA.md /
   * FIXTURES.md). Every query in [[SparkEntry.queries]] reads its inputs
@@ -20,27 +20,67 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** events.ts is parquet timestamp[ns]; with the nanosAsLong session flag
-    * it arrives as a raw ns long, from which `ts_utc` re-derives a standard
-    * µs timestamp. The ns→µs conversion MUST be integral division (`div`):
-    * `/` casts both sides to double, and 2024-era ns values (~1.7e18)
-    * exceed double's 2^53 exact range, silently corrupting the microsecond.
+  /** events.ts has shipped under two physical parquet encodings across
+    * fixture generations — `timestamp[ns]` (arrives as a raw ns long under
+    * the `spark.sql.legacy.parquet.nanosAsLong` session flag) and
+    * `timestamp[us]` (arrives as TIMESTAMP / TIMESTAMP_NTZ). This accessor
+    * branches on the *scanned* dtype and normalizes one OUTPUT contract so
+    * no downstream code cares which encoding the fixture carries:
+    *   - `ts`     : epoch-NANOSECOND long (every `ts div 1000` site and the
+    *                DuckDB oracle's `epoch_ns(ts)` twin work unchanged)
+    *   - `ts_utc` : µs timestamp (UTC instant; session tz is UTC in every
+    *                entry point — Bench/Verify/specs)
+    * ns→µs conversion MUST be integral division (`div`): `/` casts both
+    * sides to double, and 2024-era ns values (~1.7e18) exceed double's 2^53
+    * exact range, silently corrupting the microsecond. The µs→ns long
+    * product cannot overflow: |epoch µs| < 2^53 ≪ 2^63/1000.
+    * Any third encoding fails fast with the found dtype named (the
+    * reference's schema-validation posture: …/models/schema_manager.py:44-68)
+    * instead of a raw Catalyst DATATYPE_MISMATCH five frames deep.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events").withColumn(
-      "ts_utc", timestamp_micros(expr("ts div 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      case TimestampType | TimestampNTZType =>
+        // NTZ→LTZ cast interprets the wall-clock in the session tz (UTC
+        // everywhere in this engine), i.e. the same instant; LTZ is a no-op.
+        val utc = col("ts").cast(TimestampType)
+        raw.withColumn("ts_utc", utc)
+           .withColumn("ts", unix_micros(utc) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: found ${other.simpleString} in $d/events.parquet; " +
+          "supported encodings: {bigint (parquet timestamp[ns] under " +
+          "spark.sql.legacy.parquet.nanosAsLong=true), timestamp, " +
+          "timestamp_ntz}. The fixture schema drifted — extend " +
+          "graft.Tables.events to normalize the new encoding.")
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
   /** Register every fixture table as a temp view so plain `spark.sql`
     * works over the catalog — the `spark.sql(...)` entry surface. Views
     * are lazy; registration costs nothing until a query scans one.
+    *
+    * Per-table failure isolation: one unreadable/drifted fixture must not
+    * kill the whole catalog (round 6: a broken `events` took down all ten
+    * `sql_*` gates though nine never scan events). A failing table is
+    * skipped with its error on stderr; only queries that actually reference
+    * it then fail, with "table not found: <n>" plus the logged cause.
     */
   def registerViews(s: SparkSession, d: String): Unit = {
+    def reg(n: String)(df: => DataFrame): Unit =
+      try df.createOrReplaceTempView(n)
+      catch { case e: Throwable =>
+        System.err.println(s"[graft] registerViews: skipping view '$n': ${e.getMessage}")
+      }
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "documents", "embeddings")
-      .foreach(n => table(s, d, n).createOrReplaceTempView(n))
-    events(s, d).createOrReplaceTempView("events")
+      .foreach(n => reg(n)(table(s, d, n)))
+    reg("events")(events(s, d))
   }
 }
 

@@ -75,7 +75,11 @@ object SchemaRegistry {
 
   val Events: StructType = StructType(Seq(
     StructField("event_id", LongType, nullable = true),
-    StructField("ts", LongType, nullable = true), // ns long under nanosAsLong
+    // Normalized `Tables.events` contract: epoch-ns long. Physical fixture
+    // encodings vary by generation — parquet timestamp[ns] (read as ns long
+    // under spark.sql.legacy.parquet.nanosAsLong) or timestamp[us] (read as
+    // TIMESTAMP/TIMESTAMP_NTZ); Tables.events re-derives this long either way.
+    StructField("ts", LongType, nullable = true),
     StructField("user_id", LongType, nullable = true),
     StructField("event_type", StringType, nullable = true),
     StructField("value", DoubleType, nullable = true),
