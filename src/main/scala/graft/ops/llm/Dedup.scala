@@ -277,33 +277,7 @@ object Dedup extends QueryPack {
     // Raw (non-distinct) shingles: min() and collect_set() dedup
     // inherently, so the pre-aggregation distinct shuffle is pure waste.
     val sh = shingles(spark, dir, 3, distinct = false)
-    val numPerm = 128
-    val numBands = 32 // × 4 rows
-    // The 128-wide MinHash signature as 128 min() aggregates in ONE
-    // codegen'd hash aggregate — map-side partial minima, so the shuffle
-    // carries one 128-long buffer per doc, not |shingles|×128 exploded
-    // rows. The permutation family is double-hashed: the variable-length
-    // shingle STRING is hashed once, and the 128 per-permutation hashes
-    // run over that fixed 8-byte long — far cheaper than 128 UTF-8
-    // traversals per shingle. Kept SEPARATE from the collect_set
-    // aggregate below on purpose: collect_set is a
-    // TypedImperativeAggregate, and mixing it in forces the whole
-    // aggregate into non-codegen ObjectHashAggregate (measured ~2×
-    // slower). NOTE: >100 output fields — needs
-    // spark.sql.codegen.maxFields raised (Verify/Bench set 220) or this
-    // drops out of whole-stage codegen anyway.
-    val hashed = sh.select($"doc_id", xxhash64($"s").as("h"))
-    val sig = hashed.groupBy($"doc_id")
-      .agg(min(xxhash64($"h", lit(0))).as("mh0"),
-           (1 until numPerm).map(i => min(xxhash64($"h", lit(i))).as(s"mh$i")): _*)
-    // 32 bands of 4 rows; band signature hashes the 4 minima in position
-    // order so equal signatures ⇔ equal band slices. stack() unpivots to
-    // (doc, band, bucket) — 32 rows per doc.
-    val bandCols = (0 until numBands).map { b =>
-      s"$b, xxhash64(mh${4 * b}, mh${4 * b + 1}, mh${4 * b + 2}, mh${4 * b + 3})"
-    }.mkString(", ")
-    val buckets = sig.select($"doc_id",
-      expr(s"stack($numBands, $bandCols)").as(Seq("band", "bucket")))
+    val buckets = minhashBuckets(sh)
     val cand = buckets.select($"doc_id".as("d1"), $"band", $"bucket")
       .join(buckets.select($"doc_id".as("d2"), $"band", $"bucket"), Seq("band", "bucket"))
       .filter($"d1" < $"d2")
@@ -319,6 +293,42 @@ object Dedup extends QueryPack {
       .withColumn("uni", $"n1" + $"n2" - $"inter")
       .filter($"inter" * 5 >= $"uni" * 3)
       .select($"d1", $"d2", $"inter", $"uni")
+  }
+
+  /** The LSH banding subtree of [[nearDupPairs]] — (doc_id, band, bucket),
+    * 32 rows per doc — factored out so [[PairCountProbe]] can measure
+    * bucket-size distribution (candidate fanout = Σ C(size,2) per group)
+    * without re-deriving the pipeline.
+    *
+    * The 128-wide MinHash signature as 128 min() aggregates in ONE
+    * codegen'd hash aggregate — map-side partial minima, so the shuffle
+    * carries one 128-long buffer per doc, not |shingles|×128 exploded
+    * rows. The permutation family is double-hashed: the variable-length
+    * shingle STRING is hashed once, and the 128 per-permutation hashes
+    * run over that fixed 8-byte long — far cheaper than 128 UTF-8
+    * traversals per shingle. Kept SEPARATE from nearDupPairs' collect_set
+    * aggregate on purpose: collect_set is a TypedImperativeAggregate, and
+    * mixing it in forces the whole aggregate into non-codegen
+    * ObjectHashAggregate (measured ~2× slower). NOTE: >100 output fields —
+    * needs spark.sql.codegen.maxFields raised (Verify/Bench set 220) or
+    * this drops out of whole-stage codegen anyway. 32 bands of 4 rows;
+    * the band signature hashes the 4 minima in position order so equal
+    * signatures ⇔ equal band slices; stack() unpivots to (doc, band,
+    * bucket).
+    */
+  private[graft] def minhashBuckets(sh: DataFrame): DataFrame = {
+    import sh.sparkSession.implicits._
+    val numPerm = 128
+    val numBands = 32 // × 4 rows
+    val hashed = sh.select($"doc_id", xxhash64($"s").as("h"))
+    val sig = hashed.groupBy($"doc_id")
+      .agg(min(xxhash64($"h", lit(0))).as("mh0"),
+           (1 until numPerm).map(i => min(xxhash64($"h", lit(i))).as(s"mh$i")): _*)
+    val bandCols = (0 until numBands).map { b =>
+      s"$b, xxhash64(mh${4 * b}, mh${4 * b + 1}, mh${4 * b + 2}, mh${4 * b + 3})"
+    }.mkString(", ")
+    sig.select($"doc_id",
+      expr(s"stack($numBands, $bandCols)").as(Seq("band", "bucket")))
   }
 
   /** Document-frequency cap for [[jaccardNgram]]'s inverted index: a

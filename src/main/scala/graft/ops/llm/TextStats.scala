@@ -290,6 +290,15 @@ object TextStats extends QueryPack {
       .filter($"i" <= $"len" - k - (w - 1)) // only fully-populated windows
   }
 
+  /** The selected (doc_id, wmin) fingerprint set — the inverted-index
+    * universe of [[winnowPairsFrom]] — exposed for [[PairCountProbe]]'s
+    * df-distribution telemetry.
+    */
+  private[llm] def winnowSelected(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    winnowMins(docs).select($"doc_id", $"wmin").distinct()
+  }
+
   /** MOSS cross-document copy detection: documents sharing ≥ 3 selected
     * winnow fingerprints become candidate plagiarism/copy pairs, scored
     * by shared-fingerprint count and an integer-ppm overlap ratio vs the
