@@ -60,7 +60,7 @@ object Graph extends QueryPack {
     // rather than relying on AQE's runtime exchange reuse to find it
     // (measured neutral at sf0.1 — AQE was recovering it — but reuse
     // across an AQE re-plan boundary is not guaranteed at scale).
-    val e = eRaw.localCheckpoint()
+    val e = eRaw.transform(graft.state.Materialize.pin)
     val deg = e.select($"a".as("v")).union(e.select($"b".as("v")))
       .groupBy($"v").agg(count(lit(1)).as("deg"))
     // total order k(v) = (degree, id); both branches build the SAME field
@@ -74,7 +74,7 @@ object Graph extends QueryPack {
         when(ka < kb, $"a").otherwise($"b").as("src"),
         when(ka < kb, kb).otherwise(ka).as("kdst"))
       .withColumn("dst", $"kdst.i")
-      .localCheckpoint()
+      .transform(graft.state.Materialize.pin)
     val tri = oriented.as("e1")
       .join(oriented.as("e2"),
             $"e1.src" === $"e2.src" && $"e1.kdst" < $"e2.kdst")

@@ -365,7 +365,7 @@ object Curation extends QueryPack {
         concat(lit(" "),
                trim(regexp_replace($"word", "(.)", "$1  ")),
                lit(" ")).as("state"))
-      .localCheckpoint() // vocab-sized; pins the aggregate result
+      .transform(graft.state.Materialize.pin) // vocab-sized; pins the aggregate result
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var k = 1
     var exhausted = false
@@ -386,7 +386,7 @@ object Curation extends QueryPack {
           merges += ((k.toLong, a, b, cnt))
           states = states.select($"word", $"f",
             replace($"state", lit(s" $a  $b "), lit(s" $a$b ")).as("state"))
-            .localCheckpoint() // truncate the per-round projection lineage
+            .transform(graft.state.Materialize.pin) // truncate the per-round projection lineage
           k += 1
         case _ =>
           // no pairs left (every word fully merged) — the oracle's empty

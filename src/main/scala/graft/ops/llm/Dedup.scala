@@ -455,9 +455,9 @@ object Dedup extends QueryPack {
   private def minLabelPropagate(pairs: DataFrame): DataFrame = {
     import pairs.sparkSession.implicits._
     val edges = pairs.union(pairs.select($"d2".as("d1"), $"d1".as("d2")))
-      .localCheckpoint()
+      .transform(graft.state.Materialize.pin)
     var labels = edges.select($"d1".as("doc")).distinct()
-      .withColumn("lab", $"doc").localCheckpoint()
+      .withColumn("lab", $"doc").transform(graft.state.Materialize.pin)
     // Convergence witness: min-propagation labels are monotonically
     // NON-INCREASING per node, so "no node changed" ⟺ "sum of labels
     // unchanged" — one aggregate on the (checkpointed, tiny) label
@@ -480,7 +480,7 @@ object Dedup extends QueryPack {
         .join(viaNeighbors.select($"doc".as("lab"), $"lab".as("lab2")),
               Seq("lab"), "left_outer")
         .select($"doc", least($"lab", coalesce($"lab2", $"lab")).as("lab"))
-        .localCheckpoint()
+        .transform(graft.state.Materialize.pin)
       val s = labSum(next)
       converged = s == prevSum
       prevSum = s
@@ -935,7 +935,7 @@ object Dedup extends QueryPack {
     // consumer re-derives the position explode + both window shuffles
     // (the winnowPairs lesson, measured 4.1s → ~3s at sf0.1) — the
     // frame is tiny (span rows only), so the checkpoint is cheap
-    val sp = dupSpans(docs).localCheckpoint()
+    val sp = dupSpans(docs).transform(graft.state.Materialize.pin)
     val bySpan = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"s")
     // kept interval BEFORE each span (empty when spans are back-to-back

@@ -272,7 +272,7 @@ object Ranking extends QueryPack {
       r = nodes.join(contrib, Seq("node"), "left")
         .select($"node",
           (lit(150000L) + expr("(850 * coalesce(incoming, 0L)) div 1000")).as("r"))
-        .localCheckpoint()
+        .transform(graft.state.Materialize.pin)
     }
     r.orderBy($"r".desc, $"node")
   }

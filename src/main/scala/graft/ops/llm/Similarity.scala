@@ -360,7 +360,7 @@ object Similarity extends QueryPack {
     val assign0 = pqD2(parts.join(broadcast(pqSeeds(spark)), Seq("sub")), "sv", "w", "d2")
       .withColumn("rn", row_number().over(byPos)).where($"rn" === 1)
       .select($"vec_id" +: kept :+ $"sub" :+ $"sv" :+ $"code".as("c0"): _*)
-      .localCheckpoint()
+      .transform(graft.state.Materialize.pin)
     val book = assign0
       .select($"sub", $"c0", posexplode($"sv").as(Seq("d", "x")))
       .groupBy($"sub", $"c0", $"d")

@@ -331,7 +331,7 @@ object TextStats extends QueryPack {
     // sizes rather than the explode's inflated estimates.
     val sel = winnowMins(docs)
       .select($"doc_id", $"wmin").distinct()
-      .localCheckpoint()
+      .transform(graft.state.Materialize.pin)
     val sz = sel.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val keep = sel.groupBy($"wmin").agg(count(lit(1)).as("df"))
       .where($"df" <= 50)
@@ -396,7 +396,7 @@ object TextStats extends QueryPack {
       .select($"doc_id", explode(expr("sequence(0, len - 1)")).as("i"), $"text")
       .select($"doc_id", $"i",
               expr("cast(ascii(substring(text, i + 1, 1)) as bigint)").as("r"))
-      .localCheckpoint()
+      .transform(graft.state.Materialize.pin)
     var d = 1
     while (d < maxLen) {
       val byPos  = Window.partitionBy($"doc_id").orderBy($"i")
@@ -407,7 +407,7 @@ object TextStats extends QueryPack {
         .withColumn("r2", coalesce(lead($"r", d).over(byPos), lit(-1L)))
         .withColumn("r", dense_rank().over(byPair).cast("long"))
         .drop("r2")
-        .localCheckpoint()
+        .transform(graft.state.Materialize.pin)
       d *= 2
     }
     cur.select($"doc_id", $"r", $"i".cast("long").as("sa_pos"))

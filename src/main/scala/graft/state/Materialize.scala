@@ -1,0 +1,46 @@
+package graft.state
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage-truncating materialization for iterative / multi-consumer
+  * intermediates (winnow fingerprints, connected-components rounds,
+  * suffix-array rounds, TextRank iterations).
+  *
+  * `localCheckpoint()` is the right default on a single node: eager, no
+  * external storage, truncates lineage so AQE re-plans from observed
+  * sizes. Its cost at cluster scale is that it pins the data to EXECUTOR
+  * block storage — a corpus-sized intermediate occupies executor
+  * memory/disk for the query's lifetime and is lost (query fails) on
+  * executor decommission, which at 100 TB / 1000 executors is a
+  * when-not-if event. `spark.graft.materialize=reliable` switches every
+  * such site to `checkpoint()` against the configured
+  * `spark.checkpoint.dir` (HDFS/object store on a real cluster), which
+  * survives executor loss and frees block storage at the cost of one
+  * write+read round trip.
+  *
+  * Mode is read per-call from the session conf, so one session can flip
+  * it between queries:
+  *   - `local` (default) — `df.localCheckpoint()` (eager)
+  *   - `reliable`        — `df.checkpoint()` (eager); if no checkpoint
+  *     dir is set, a per-JVM temp dir is installed so local runs and
+  *     tests work out of the box — a real deployment sets
+  *     `spark.checkpoint.dir` to reliable storage explicitly.
+  */
+object Materialize {
+
+  val ModeKey = "spark.graft.materialize"
+
+  def pin(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.get(ModeKey, "local") match {
+      case "local" => df.localCheckpoint()
+      case "reliable" =>
+        val sc = spark.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(
+          java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+        df.checkpoint()
+      case other => throw new IllegalArgumentException(
+        s"$ModeKey: unknown mode '$other' (supported: local, reliable)")
+    }
+  }
+}
