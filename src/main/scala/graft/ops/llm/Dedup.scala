@@ -997,7 +997,69 @@ object Dedup extends QueryPack {
       .orderBy($"d1", $"d2")
   }
 
+  /** Content-defined chunking (CDC) dedup — the rolling-hash boundary
+    * technique storage systems and large-scale corpus pipelines use for
+    * shift-tolerant duplicate detection (reference intent: the dedup
+    * family of kafka_pipelines/processors; no reference analog — this is
+    * the beyond-spec scale path). Fixed-width chunking (llm_chunking,
+    * llm_para_dedup) breaks on a 1-char insertion — every later chunk
+    * boundary shifts and nothing matches; CDC instead cuts wherever the
+    * hash of the trailing `w`-char window ≡ 0 (mod `divisor`), so
+    * boundaries are a pure function of LOCAL content and re-synchronize
+    * immediately after any edit. Expected chunk length = `divisor` chars.
+    *
+    * Per doc: explode char positions (the [[TextStats.winnowMins]] cost
+    * shape: one hash per position, map-side), keep boundary positions,
+    * assemble cut points `[0] ++ cuts ++ [len]`, slice chunks, md5 each.
+    * A chunk is duplicated when its hash occurs in ≥ 2 distinct docs —
+    * one content-hash-keyed aggregate + join-back, both shuffles on the
+    * uniform md5 key, so no skew at any corpus size (the same economics
+    * as [[dedupExact]], at sub-document granularity). Shift-tolerance at
+    * sub-chunk scale is [[substringSpans]]' job; CDC is the cheap
+    * corpus-wide screen that feeds such detectors.
+    */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val w = 16       // boundary window (chars)
+    val divisor = 64 // boundary density ⇒ expected chunk length
+    val d = Tables.documents(spark, dir)
+      .select($"doc_id", $"text", length($"text").as("len"))
+    val bounds = d
+      .filter($"len" >= w)
+      .select($"doc_id", $"len", $"text",
+        explode(expr(s"sequence($w, len)")).as("i"))
+      .filter($"i" < $"len") // a cut at the end would emit an empty chunk
+      .select($"doc_id", $"i",
+        expr(CrossHash.hex60Native(s"substring(text, i - ${w - 1}, $w)")).as("hv"))
+      .filter($"hv" % divisor === 0)
+      .groupBy($"doc_id").agg(sort_array(collect_list($"i")).as("cuts"))
+    val chunks = d.join(bounds, Seq("doc_id"), "left")
+      .withColumn("cuts2", concat(
+        array(lit(0)),
+        coalesce($"cuts", expr("cast(array() as array<int>)")),
+        array($"len")))
+      .select($"doc_id", $"text", $"cuts2",
+        explode(expr("sequence(1, size(cuts2) - 1)")).as("j"))
+      .select($"doc_id", $"j",
+        expr("substring(text, element_at(cuts2, j) + 1, " +
+             "element_at(cuts2, j + 1) - element_at(cuts2, j))").as("chunk"))
+      .withColumn("h", md5($"chunk"))
+    val dup = chunks.groupBy($"h").agg(countDistinct($"doc_id").as("nd"))
+    chunks.join(dup, Seq("h"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"nd" >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when($"nd" >= 2, length($"chunk")).otherwise(0)).cast("long")
+          .as("dup_chars"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct($"j", $"h"))),
+            x => x.getField("h")), "")).as("chunks_md5"))
+      .orderBy($"doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_cdc_chunks"      -> (cdcChunks _),
     "llm_dedup_editdist"  -> (dedupEditDist _),
     "llm_dedup_survivors" -> (dedupSurvivors _),
     "llm_para_dedup"      -> (paraDedup _),
@@ -1018,6 +1080,35 @@ object Dedup extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // byte-for-byte the same boundary rule: hex60(16-char window) % 64 = 0,
+    // cut points [0]+cuts+[len], chunks as 1-based substr slices, chunk
+    // identity by md5, dup = hash in >= 2 distinct docs
+    "llm_cdc_chunks" ->
+      s"""WITH d AS (SELECT doc_id, text, len(text)::BIGINT AS len FROM documents),
+        |pos AS (SELECT doc_id, text, len, unnest(range(16, len + 1)) AS i
+        |        FROM d WHERE len >= 16),
+        |bnd AS (SELECT doc_id, i FROM pos
+        |        WHERE i < len
+        |          AND ${CrossHash.hex60Sql("substr(text, (i - 15)::INT, 16)")} % 64 = 0),
+        |cuts AS (SELECT doc_id, list_sort(list(i)) AS cl FROM bnd GROUP BY doc_id),
+        |cl2 AS (SELECT d.doc_id, d.text,
+        |          list_append(list_prepend(0::BIGINT, COALESCE(cl, []::BIGINT[])),
+        |                      d.len) AS cuts2
+        |        FROM d LEFT JOIN cuts USING (doc_id)),
+        |ch0 AS (SELECT doc_id, text, cuts2,
+        |          unnest(range(1, len(cuts2))) AS j FROM cl2),
+        |ch AS (SELECT doc_id, j,
+        |         substr(text, (cuts2[j] + 1)::INT,
+        |                (cuts2[j + 1] - cuts2[j])::INT) AS chunk
+        |       FROM ch0),
+        |hh AS (SELECT doc_id, j, chunk, md5(chunk) AS h FROM ch),
+        |dup AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM hh GROUP BY h)
+        |SELECT doc_id, COUNT(*)::BIGINT AS n_chunks,
+        |  SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+        |  SUM(CASE WHEN nd >= 2 THEN len(chunk) ELSE 0 END)::BIGINT AS dup_chars,
+        |  md5(string_agg(h, '' ORDER BY j)) AS chunks_md5
+        |FROM hh JOIN dup USING (h)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the pair set replays as exact Jaccard (the minhash verify is
     // exact, so LSH banding only ever prunes TRUE negatives on this
     // fixture — same argument as the llm_dedup_minhash oracle), then
