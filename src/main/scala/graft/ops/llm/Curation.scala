@@ -554,7 +554,57 @@ object Curation extends QueryPack {
       .orderBy($"lang")
   }
 
+  /** Pairwise total-variation distance between per-source unigram
+    * distributions — the mixing-diagnostic that says which domains are
+    * interchangeable and which bring genuinely different text (feeds
+    * weight design alongside [[dsirWeights]]/[[mixWeights]]; DoReMi-style
+    * pipelines start from exactly this kind of domain-divergence matrix).
+    *
+    * TV(a,b) = ½ Σ_w |c_a(w)/N_a − c_b(w)/N_b| is computed in EXACT
+    * integer arithmetic: with the per-source totals constant inside a
+    * pair, Σ|c_a·N_b − c_b·N_a| is a decimal(38,0) sum of exact products
+    * (no float until one final division) — the [[graft.Det]] playbook,
+    * taken to the point where NO term is ever a rounded double, so the
+    * engines cannot disagree at any corpus size. log-based divergences
+    * (KL/JS) are deliberately avoided: ln() is not bit-reproducible
+    * across engines; TV is, and it is a metric.
+    *
+    * Shape: token-count aggregate (map-side combine), vocab-keyed map
+    * assembly, tiny pair frame broadcast against the vocab spine
+    * (BroadcastNestedLoop over |sources|² rows — never a shuffle of the
+    * corpus), one final aggregate keyed by the pair. A token absent from
+    * both sources of a pair contributes zero, so the global spine serves
+    * every pair without per-pair vocabularies.
+    */
+  def domainDivergence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir)
+      .select($"source", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+    val counts = tok.groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy($"source").agg(sum($"c").as("n"))
+    val byW = counts.groupBy($"w")
+      .agg(map_from_entries(collect_list(struct($"source", $"c"))).as("m"))
+    val pairs = totals.select($"source".as("s1"), $"n".as("na"))
+      .crossJoin(totals.select($"source".as("s2"), $"n".as("nb")))
+      .filter($"s1" < $"s2")
+    broadcast(pairs).crossJoin(byW)
+      .select($"s1", $"s2", $"na", $"nb",
+        coalesce(expr("m[s1]"), lit(0L)).as("ca"),
+        coalesce(expr("m[s2]"), lit(0L)).as("cb"))
+      .filter($"ca" > 0 || $"cb" > 0)
+      .groupBy($"s1", $"s2", $"na", $"nb")
+      .agg(count(lit(1)).as("n_vocab_union"),
+        sum(when($"ca" > 0 && $"cb" > 0, 1L).otherwise(0L)).as("n_vocab_shared"),
+        sum(expr("abs(cast(ca as decimal(38,0)) * nb - cast(cb as decimal(38,0)) * na)"))
+          .as("s_abs"))
+      .select($"s1", $"s2", $"n_vocab_union", $"n_vocab_shared",
+        expr("cast(s_abs as double) / (2.0 * na * nb)").as("tv"))
+      .orderBy($"s1", $"s2")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_domain_divergence" -> (domainDivergence _),
     "llm_curation_funnel" -> (curationFunnel _),
     "llm_k_anonymity"  -> (kAnonymity _),
     "llm_dsir_weights" -> (dsirWeights _),
@@ -653,6 +703,31 @@ object Curation extends QueryPack {
       |ORDER BY lang""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // identical exact-integer TV: Σ|ca·Nb − cb·Na| in DECIMAL(38,0),
+    // one final double division per pair
+    "llm_domain_divergence" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tok2 AS (SELECT source, w FROM tok WHERE len(w) > 0),
+        |counts AS (SELECT source, w, COUNT(*)::BIGINT AS c
+        |           FROM tok2 GROUP BY 1, 2),
+        |totals AS (SELECT source, SUM(c)::BIGINT AS n FROM counts GROUP BY 1),
+        |pairs AS (SELECT a.source AS s1, a.n AS na, b.source AS s2, b.n AS nb
+        |          FROM totals a, totals b WHERE a.source < b.source),
+        |vocab AS (SELECT DISTINCT w FROM counts),
+        |terms AS (SELECT s1, s2, na, nb,
+        |            COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+        |          FROM pairs p CROSS JOIN vocab v
+        |          LEFT JOIN counts ca ON ca.source = p.s1 AND ca.w = v.w
+        |          LEFT JOIN counts cb ON cb.source = p.s2 AND cb.w = v.w
+        |          WHERE COALESCE(ca.c, 0) > 0 OR COALESCE(cb.c, 0) > 0)
+        |SELECT s1, s2,
+        |  COUNT(*)::BIGINT AS n_vocab_union,
+        |  SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_vocab_shared,
+        |  CAST(SUM(abs(ca::DECIMAL(38,0) * nb - cb::DECIMAL(38,0) * na))
+        |       AS DOUBLE) / (2.0 * na * nb) AS tv
+        |FROM terms GROUP BY s1, s2, na, nb ORDER BY s1, s2""".stripMargin,
     // the same three stages as portable CTEs; boolean DESC puts true
     // first in both engines, so the canonical pick cannot diverge
     "llm_curation_funnel" ->
