@@ -101,9 +101,37 @@ object Skew extends QueryPack {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Gate: key-distribution census — the diagnostic you run BEFORE
+    * choosing a mitigation (salt factor, broadcast, AQE trust). For a
+    * prospective join/groupBy key, the log₂-bucketed histogram of group
+    * sizes plus each bucket's share of total rows: a healthy key shows
+    * mass in small buckets; a key where one bucket's few keys own most
+    * rows is the salting candidate. All derivation is integer (the
+    * bucket is `length(bin(n))` = ⌊log₂ n⌋ + 1 — the [[graft.ops.llm]]
+    * len-histogram device — and shares are integer ppm), so the census
+    * is exact at any scale. One aggregate over the key + one tiny
+    * histogram aggregate; the scalar total broadcasts.
+    */
+  def keyStatsQ(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    val hist = sizes
+      .withColumn("bucket", length(bin(col("n"))).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+           max(col("n")).as("max_group"))
+    hist.crossJoin(broadcast(
+        sizes.agg(sum(col("n")).as("_total"), count(lit(1)).as("_keys"))))
+      .select(col("bucket"), col("n_keys"), col("n_rows"), col("max_group"),
+        expr("(1000000 * n_rows) div _total").as("rows_share_ppm"),
+        expr("(1000000 * n_keys) div _keys").as("keys_share_ppm"))
+      .orderBy(col("bucket"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skew_salted_agg"  -> (saltedAggQ _),
-    "skew_salted_join" -> (saltedJoinQ _)
+    "skew_salted_join" -> (saltedJoinQ _),
+    "skew_key_stats"   -> (keyStatsQ _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -114,6 +142,20 @@ object Skew extends QueryPack {
     "skew_salted_join" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n, ${Det.sqlSum("o_totalprice")} AS total
          |FROM orders JOIN customer ON o_custkey = c_custkey
-         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // same ⌊log₂ n⌋+1 bucket via the binary-string length, same integer
+    // ppm shares
+    "skew_key_stats" ->
+      """WITH sizes AS (
+        |  SELECT o_custkey, COUNT(*)::BIGINT AS n FROM orders GROUP BY 1),
+        |tot AS (SELECT SUM(n)::BIGINT AS t, COUNT(*)::BIGINT AS k FROM sizes),
+        |hist AS (SELECT len(bin(n))::BIGINT AS bucket,
+        |           COUNT(*)::BIGINT AS n_keys, SUM(n)::BIGINT AS n_rows,
+        |           MAX(n)::BIGINT AS max_group
+        |         FROM sizes GROUP BY 1)
+        |SELECT bucket, n_keys, n_rows, max_group,
+        |  ((1000000 * n_rows) // t)::BIGINT AS rows_share_ppm,
+        |  ((1000000 * n_keys) // k)::BIGINT AS keys_share_ppm
+        |FROM hist CROSS JOIN tot ORDER BY bucket""".stripMargin
   )
 }

@@ -662,7 +662,55 @@ object Similarity extends QueryPack {
     kmeansCensus(lloydStep(cells0, "c0"))
   }
 
+  /** Matryoshka-style truncation evaluation: recall@10 of prefix-dim
+    * cosine search (dims 8/16/32) against the full-64-dim ranking — the
+    * measurement behind serving embeddings at reduced dimension (MRL
+    * trains nested prefixes to make exactly this viable; the evaluation
+    * is the same whether or not the encoder was MRL-trained, and pairs
+    * with the [[rpTopK]] JL path as the two dimension-reduction options).
+    *
+    * One corpus pass: every (candidate, query) row explodes ×4 over the
+    * dim ladder, similarity over `slice(v, 1, dim)` with prefix norms,
+    * per-(query, dim) top-10 by rank window, overlap join against the
+    * dim-64 picks. Integer recall (ppm) — no float comparison anywhere
+    * the engines could disagree on (the dot chain is the bit-identical
+    * [[dotFold]]).
+    *
+    * Scale: |queries| is broadcast; the corpus is scanned once and
+    * nothing self-joins — identical posture to [[annCosineTopK]], ×4 for
+    * the ladder.
+    */
+  def mrlRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = corpus(spark, dir)
+    val q = n.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("vq"))
+    val c = n.select($"vec_id".as("n_id"), $"v".as("vc"))
+    val w = Window.partitionBy($"q_id", $"dim").orderBy($"sim".desc, $"n_id")
+    val picks = c.join(broadcast(q), $"n_id" =!= $"q_id")
+      .select($"q_id", $"n_id", $"vq", $"vc",
+        explode(expr("array(8, 16, 32, 64)")).as("dim"))
+      .select($"q_id", $"n_id", $"dim",
+        expr("""graft_dot(slice(vq, 1, dim), slice(vc, 1, dim))
+               / (sqrt(graft_dot(slice(vq, 1, dim), slice(vq, 1, dim)))
+                  * sqrt(graft_dot(slice(vc, 1, dim), slice(vc, 1, dim))))""")
+          .as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 10)
+      .select($"q_id", $"dim", $"n_id")
+    val full = picks.filter($"dim" === 64)
+      .select($"q_id", $"n_id", lit(1L).as("hit"))
+    picks.filter($"dim" =!= 64)
+      .join(full, Seq("q_id", "n_id"), "left")
+      .groupBy($"q_id", $"dim")
+      .agg(sum(coalesce($"hit", lit(0L))).as("n_overlap"))
+      .select($"q_id", $"dim".cast("long").as("dim"), $"n_overlap",
+        expr("(1000000 * n_overlap) div 10").as("recall_ppm"))
+      .orderBy($"q_id", $"dim")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_mrl_recall"      -> (mrlRecall _),
     "llm_ann_cosine_topk" -> (annCosineTopK _),
     "llm_rp_topk"         -> (rpTopK _),
     "llm_rp_kmeans"       -> (rpKmeans _),
@@ -679,6 +727,34 @@ object Similarity extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // same prefix-dim ladder, same bit-identical dot chain, same
+    // (sim DESC, n_id) total order, integer recall
+    "llm_mrl_recall" ->
+      """WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |            FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS vq FROM v0 WHERE vec_id < 10),
+        |e AS (SELECT q_id, c.vec_id AS n_id, dim, vq, c.v AS vc
+        |      FROM q JOIN v0 c ON c.vec_id <> q.q_id
+        |      CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS dim)),
+        |s AS (SELECT q_id, n_id, dim,
+        |        list_reduce(list_transform(range(1, dim + 1), k -> vq[k] * vc[k]),
+        |                    (x, y) -> x + y)
+        |        / (sqrt(list_reduce(list_transform(range(1, dim + 1), k -> vq[k] * vq[k]),
+        |                            (x, y) -> x + y))
+        |           * sqrt(list_reduce(list_transform(range(1, dim + 1), k -> vc[k] * vc[k]),
+        |                              (x, y) -> x + y))) AS sim
+        |      FROM e),
+        |picks AS (SELECT q_id, dim, n_id FROM (
+        |    SELECT q_id, dim, n_id,
+        |      row_number() OVER (PARTITION BY q_id, dim ORDER BY sim DESC, n_id) AS rk
+        |    FROM s) WHERE rk <= 10),
+        |fl AS (SELECT q_id, n_id, 1 AS hit FROM picks WHERE dim = 64)
+        |SELECT p.q_id, p.dim::BIGINT AS dim,
+        |  SUM(COALESCE(hit, 0))::BIGINT AS n_overlap,
+        |  ((1000000 * SUM(COALESCE(hit, 0))) // 10)::BIGINT AS recall_ppm
+        |FROM picks p LEFT JOIN fl ON p.q_id = fl.q_id AND p.n_id = fl.n_id
+        |WHERE p.dim <> 64
+        |GROUP BY p.q_id, p.dim ORDER BY p.q_id, p.dim""".stripMargin,
     "llm_rp_topk" ->
       s"""$rpProjSql,
         |d AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
