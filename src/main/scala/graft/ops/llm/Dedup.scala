@@ -1018,13 +1018,58 @@ object Dedup extends QueryPack {
     * sub-chunk scale is [[substringSpans]]' job; CDC is the cheap
     * corpus-wide screen that feeds such detectors.
     */
-  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    graft.functions.GraftFunctions.register(spark)
+  /** The CDC chunker as a PURE per-row projection: boundary positions via
+    * `filter` over the position sequence, cut points and chunk slices via
+    * `transform` — one codegen'd expression, NO shuffle and NO per-doc
+    * aggregation. That shape is what makes the chunker legal in a
+    * streaming select ([[graft.streaming.ChunkDedupStream]]): streaming
+    * forbids the window/groupBy the batch form uses. For BATCH the
+    * explode pipeline ([[cdcChunkRowsBatch]]) is ~25% faster (the
+    * higher-order form allocates a len-sized position array per row;
+    * explode streams positions through codegen) — CdcChunksSpec pins the
+    * two chunkers row-identical so the boundary rule cannot drift.
+    * Returns (doc_id, j, chunk, h).
+    */
+  private[graft] def cdcChunkRows(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val w = 16       // boundary window (chars)
     val divisor = 64 // boundary density ⇒ expected chunk length
-    val d = Tables.documents(spark, dir)
+    docs
       .select($"doc_id", $"text", length($"text").as("len"))
+      // boundary at i ⇔ hash(window ending at i) ≡ 0 (mod divisor);
+      // i ≤ len−1 — a cut at the end would emit an empty chunk. The CASE
+      // guards sequence()'s descending mode (len = 16 ⇒ sequence(16, 15)
+      // would count DOWN, not produce empty).
+      .withColumn("cuts2", expr(
+        s"""concat(array(0),
+           |  CASE WHEN len > $w THEN
+           |    filter(sequence($w, len - 1), i ->
+           |      ${CrossHash.hex60Native(s"substring(text, i - ${w - 1}, $w)")}
+           |        % $divisor = 0)
+           |  ELSE array() END,
+           |  array(len))""".stripMargin))
+      .select($"doc_id", explode(expr(
+        """transform(sequence(1, size(cuts2) - 1), j -> struct(
+          |  j AS j,
+          |  substring(text, element_at(cuts2, j) + 1,
+          |            element_at(cuts2, j + 1) - element_at(cuts2, j)) AS chunk))"""
+          .stripMargin)).as("c"))
+      .select($"doc_id", $"c.j".as("j"), $"c.chunk".as("chunk"),
+        md5($"c.chunk").as("h"))
+  }
+
+  /** [[cdcChunkRows]]'s batch twin: identical chunks via explode +
+    * boundary-only groupBy + join — the shuffle of boundary rows is tiny
+    * (one row per cut) and the position stream never materializes as a
+    * per-row array.
+    */
+  private[graft] def cdcChunkRowsBatch(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val w = 16
+    val divisor = 64
+    val d = docs.select($"doc_id", $"text", length($"text").as("len"))
     val bounds = d
       .filter($"len" >= w)
       .select($"doc_id", $"len", $"text",
@@ -1034,7 +1079,7 @@ object Dedup extends QueryPack {
         expr(CrossHash.hex60Native(s"substring(text, i - ${w - 1}, $w)")).as("hv"))
       .filter($"hv" % divisor === 0)
       .groupBy($"doc_id").agg(sort_array(collect_list($"i")).as("cuts"))
-    val chunks = d.join(bounds, Seq("doc_id"), "left")
+    d.join(bounds, Seq("doc_id"), "left")
       .withColumn("cuts2", concat(
         array(lit(0)),
         coalesce($"cuts", expr("cast(array() as array<int>)")),
@@ -1045,6 +1090,12 @@ object Dedup extends QueryPack {
         expr("substring(text, element_at(cuts2, j) + 1, " +
              "element_at(cuts2, j + 1) - element_at(cuts2, j))").as("chunk"))
       .withColumn("h", md5($"chunk"))
+  }
+
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val chunks = cdcChunkRowsBatch(
+      Tables.documents(spark, dir).select($"doc_id", $"text"))
     val dup = chunks.groupBy($"h").agg(countDistinct($"doc_id").as("nd"))
     chunks.join(dup, Seq("h"))
       .groupBy($"doc_id")

@@ -35,4 +35,16 @@ class CdcChunksSpec extends SparkSpec {
     assert(dupBase >= nBase - 3, s"base: only $dupBase of $nBase chunks re-aligned")
     assert(dupEdit >= nEdit - 3, s"edited: only $dupEdit of $nEdit chunks re-aligned")
   }
+
+  test("streaming and batch chunkers implement the same boundary rule") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val stream = canon(Dedup.cdcChunkRows(docs))
+    val batch  = canon(Dedup.cdcChunkRowsBatch(docs))
+    assert(stream.nonEmpty)
+    assert(stream == batch, "chunker twins drifted")
+  }
 }
