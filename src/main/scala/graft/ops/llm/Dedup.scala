@@ -496,7 +496,7 @@ object Dedup extends QueryPack {
     * production scale K grows so a cell (≈ corpus/K vectors) fits one
     * executor task.
     */
-  private val IvfCells = 4
+  private[llm] val IvfCells = 4
 
   /** The IVF coarse-quantizer centroids: K × 64 md5-derived components in
     * [−1, 1) — the same deterministic-plane trick as [[Similarity]]'s LSH
@@ -703,11 +703,18 @@ object Dedup extends QueryPack {
     * dots (and hence the argmax) are bit-identical cross-engine. Shared
     * by [[ivfCellHistogram]] and [[Similarity.annIvf]].
     */
-  private[llm] def withIvfCell(df: DataFrame): DataFrame = {
-    val withDots = (0 until IvfCells).foldLeft(df) { (d, c) =>
+  /** The raw centroid dots (`_ivf_d0.._ivf_dN`) behind [[withIvfCell]] —
+    * also the input to multi-probe search ([[Similarity.annIvfMultiProbe]]),
+    * which needs the top-P cells per query, not just the argmax.
+    */
+  private[llm] def withIvfDots(df: DataFrame): DataFrame =
+    (0 until IvfCells).foldLeft(df) { (d, c) =>
       d.withColumn(s"_ivf_d$c",
         call_function("graft_dot", col("v"), typedlit(ivfCentroids(c).toSeq)))
     }
+
+  private[llm] def withIvfCell(df: DataFrame): DataFrame = {
+    val withDots = withIvfDots(df)
     // argmax with >= chains = lowest cell index wins ties, same CASE
     // shape as the oracle
     val cell = (0 until IvfCells - 1).foldLeft(when(lit(false), -1)) { (w, c) =>

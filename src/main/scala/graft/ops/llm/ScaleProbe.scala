@@ -227,6 +227,25 @@ object ScaleProbe {
       println(f"[scale-probe] funnel mult=$m%-3d sampled=$n%-8d time=$s%.2fs")
     }
 
+    // CDC chunking at multiplied corpus: per-position hashing is linear
+    // in corpus BYTES and the dup census shuffles chunk rows on the
+    // uniform md5 key — duplicating the corpus makes EVERY chunk
+    // cross-doc duplicated (worst-case census), yet distinct-hash count
+    // stays constant, so state/aggregate size is content-bound, not
+    // corpus-bound.
+    def timedCdc(m: Int): (Long, Long, Double) = {
+      val c = corpusL(m).select($"doc_id", $"text")
+      val t0 = System.nanoTime()
+      val r = Dedup.cdcChunkRowsBatch(c)
+        .agg(count(lit(1)), countDistinct($"h")).collect()(0)
+      (r.getLong(0), r.getLong(1), (System.nanoTime() - t0) / 1e9)
+    }
+    timedCdc(1) // warmup
+    Seq(1, mult).distinct.foreach { m =>
+      val (n, d, s) = timedCdc(m)
+      println(f"[scale-probe] cdc mult=$m%-3d chunks=$n%-8d distinct=$d%-8d time=$s%.2fs")
+    }
+
     // PQ train + ADC at multiplied corpus: the codebook aggregate's key
     // space (M·Ks·Sd) is corpus-independent and scoring is one scan of
     // the code frame against a constant broadcast lookup table — time

@@ -709,7 +709,48 @@ object Similarity extends QueryPack {
       .orderBy($"q_id", $"dim")
   }
 
+  /** C38 IVF multi-probe: each query searches its TOP-2 cells by centroid
+    * dot instead of only the argmax cell — the standard recall fix for
+    * single-probe IVF ([[annIvf]]): a query near a cell boundary has its
+    * true neighbors split across both sides, and probing the runner-up
+    * cell recovers them for ~2× candidate cost. Same plumbing: corpus
+    * shuffles once on cell id, the (tiny) query set explodes ×2 over its
+    * probe cells and broadcasts, candidates = Σ probed-cell sizes — never
+    * |corpus|². Output adds `n_cand` so the probe-breadth cost is visible
+    * next to the ranks. The oracle replays the identical probe selection
+    * (dot DESC, cell ASC rank ≤ 2), so candidate sets — and therefore
+    * ranks — are bit-identical.
+    */
+  def annIvfMultiProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Dedup.withIvfCell(corpus(spark, dir))
+    val wProbe = Window.partitionBy($"q_id").orderBy($"dot".desc, $"probe_cell")
+    val probes = Dedup.withIvfDots(
+        corpus(spark, dir).filter($"vec_id" < 10))
+      .select($"vec_id".as("q_id"), $"v".as("vq"), $"nrm".as("nq"),
+        explode(expr(s"""transform(sequence(0, ${Dedup.IvfCells - 1}), c ->
+          struct(c AS probe_cell,
+                 element_at(array(${(0 until Dedup.IvfCells)
+                   .map(c => s"_ivf_d$c").mkString(", ")}), c + 1) AS dot))"""))
+          .as("p"))
+      .select($"q_id", $"vq", $"nq", $"p.probe_cell".as("probe_cell"), $"p.dot".as("dot"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter($"prn" <= 2)
+      .select($"q_id", $"vq", $"nq", $"probe_cell")
+    val c = cells.select($"vec_id".as("n_id"), $"v".as("vc"), $"nrm".as("nc"), $"cell")
+    val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"n_id")
+    val wCnt = Window.partitionBy($"q_id")
+    c.join(broadcast(probes), $"cell" === $"probe_cell" && $"n_id" =!= $"q_id")
+      .withColumn("sim", expr(dotExpr) / ($"nq" * $"nc"))
+      .withColumn("n_cand", count(lit(1)).over(wCnt))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"q_id", $"rk", $"n_id", $"sim", $"n_cand")
+      .orderBy($"q_id", $"rk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ann_ivf_mp"      -> (annIvfMultiProbe _),
     "llm_mrl_recall"      -> (mrlRecall _),
     "llm_ann_cosine_topk" -> (annCosineTopK _),
     "llm_rp_topk"         -> (rpTopK _),
@@ -727,6 +768,43 @@ object Similarity extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // identical quantizer replay + identical probe selection (centroid
+    // dot DESC, cell ASC, rank <= 2) => identical candidate sets & ranks
+    "llm_ann_ivf_mp" ->
+      """WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |            FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+        |      FROM v0),
+        |cent AS (SELECT c, list_transform(range(0, 64), d ->
+        |    ('0x' || substr(md5('ivf_' || c::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT::DOUBLE
+        |    / 576460752303423488.0 - 1.0) AS w
+        |  FROM range(0, 4) t(c)),
+        |dots AS (SELECT vec_id, c,
+        |    list_reduce(list_transform(range(1, 65), k -> v[k] * w[k]),
+        |                (a, b) -> a + b) AS dot
+        |  FROM n, cent),
+        |cl AS (SELECT vec_id, c AS cell FROM (
+        |    SELECT vec_id, c,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
+        |    FROM dots) WHERE rn = 1),
+        |nc AS (SELECT n.vec_id, n.v, n.nrm, cl.cell FROM n JOIN cl USING (vec_id)),
+        |qp AS (SELECT vec_id AS q_id, c AS probe_cell FROM (
+        |    SELECT vec_id, c,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
+        |    FROM dots WHERE vec_id < 10) WHERE rn <= 2),
+        |qv AS (SELECT vec_id AS q_id, v AS vq, nrm AS nq FROM n WHERE vec_id < 10),
+        |s AS (SELECT qp.q_id, c.vec_id AS n_id,
+        |        list_reduce(list_transform(range(1, 65), k -> q.vq[k] * c.v[k]),
+        |                    (x, y) -> x + y) / (q.nq * c.nrm) AS sim
+        |      FROM qp JOIN qv q USING (q_id)
+        |      JOIN nc c ON c.cell = qp.probe_cell AND c.vec_id <> qp.q_id),
+        |cnt AS (SELECT q_id, COUNT(*)::BIGINT AS n_cand FROM s GROUP BY 1),
+        |r AS (SELECT q_id, n_id, sim,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)::BIGINT AS rk
+        |      FROM s)
+        |SELECT q_id, rk, n_id, sim, n_cand
+        |FROM r JOIN cnt USING (q_id) WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
     // same prefix-dim ladder, same bit-identical dot chain, same
     // (sim DESC, n_id) total order, integer recall
     "llm_mrl_recall" ->
