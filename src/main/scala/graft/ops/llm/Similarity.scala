@@ -749,7 +749,54 @@ object Similarity extends QueryPack {
       .orderBy($"q_id", $"rk")
   }
 
+  /** Diversified top-k rerank — the single-pass (order-free) form of
+    * maximal marginal relevance: every candidate's score is penalized by
+    * λ × its max similarity to any HIGHER-base-ranked candidate, then the
+    * list re-ranks on the adjusted score. True greedy MMR re-computes the
+    * penalty against the evolving selected set (inherently sequential);
+    * penalizing against the fixed base ranking instead makes the whole
+    * rerank two window functions over a bounded candidate frame — fully
+    * parallel, deterministic, and the standard serving-side compromise.
+    * Near-duplicate results (sim→1 to a better-ranked hit) drop below
+    * distinct ones, which is the point of diversification.
+    *
+    * Scale: candidate generation is the [[annCosineTopK]] corpus pass;
+    * everything after operates on |queries| × 20 rows (pairwise ≤ 400 per
+    * query) — serving-side costs, never corpus-sized.
+    */
+  def diversifyTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = corpus(spark, dir)
+    val q = n.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("vq"), $"nrm".as("nq"))
+    val c = n.select($"vec_id".as("n_id"), $"v".as("vc"), $"nrm".as("nc"))
+    val wBase = Window.partitionBy($"q_id").orderBy($"sim".desc, $"n_id")
+    val cand = c.join(broadcast(q), $"n_id" =!= $"q_id")
+      .withColumn("sim", expr(dotExpr) / ($"nq" * $"nc"))
+      .withColumn("base_rk", row_number().over(wBase))
+      .filter($"base_rk" <= 20)
+      .select($"q_id", $"n_id", $"vc", $"nc", $"sim", $"base_rk")
+    // pairwise over the bounded candidate frame: penalty(j) =
+    // max sim(i, j) over candidates i ranked above j
+    val hi = cand.select($"q_id", $"n_id".as("h_id"), $"vc".as("vh"),
+      $"nc".as("nh"), $"base_rk".as("h_rk"))
+    val pen = cand.join(hi, Seq("q_id"))
+      .filter($"h_rk" < $"base_rk")
+      .withColumn("psim",
+        expr("graft_dot(vc, vh)") / ($"nc" * $"nh"))
+      .groupBy($"q_id", $"n_id").agg(max($"psim").as("penalty"))
+    val wAdj = Window.partitionBy($"q_id").orderBy($"adj".desc, $"n_id")
+    cand.join(pen, Seq("q_id", "n_id"), "left")
+      .withColumn("adj", $"sim" - lit(0.5) * coalesce($"penalty", lit(0.0)))
+      .withColumn("rk", row_number().over(wAdj).cast("long"))
+      .filter($"rk" <= 10)
+      .select($"q_id", $"rk", $"n_id", $"base_rk".cast("long").as("base_rk"),
+        $"adj")
+      .orderBy($"q_id", $"rk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_diversify_topk"  -> (diversifyTopK _),
     "llm_ann_ivf_mp"      -> (annIvfMultiProbe _),
     "llm_mrl_recall"      -> (mrlRecall _),
     "llm_ann_cosine_topk" -> (annCosineTopK _),
@@ -768,6 +815,34 @@ object Similarity extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // identical base ranking, identical pairwise penalties over the
+    // bounded candidate frame, identical (adj DESC, n_id) final order
+    "llm_diversify_topk" ->
+      """WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |            FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+        |      FROM v0),
+        |q AS (SELECT vec_id AS q_id, v AS vq, nrm AS nq FROM n WHERE vec_id < 5),
+        |s AS (SELECT q_id, c.vec_id AS n_id, c.v AS vc, c.nrm AS nc,
+        |        list_reduce(list_transform(range(1, 65), k -> vq[k] * c.v[k]),
+        |                    (x, y) -> x + y) / (nq * c.nrm) AS sim
+        |      FROM q JOIN n c ON c.vec_id <> q.q_id),
+        |cand AS (SELECT q_id, n_id, vc, nc, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS base_rk
+        |  FROM s QUALIFY base_rk <= 20),
+        |pen AS (SELECT a.q_id, a.n_id,
+        |    MAX(list_reduce(list_transform(range(1, 65), k -> a.vc[k] * b.vc[k]),
+        |                    (x, y) -> x + y) / (a.nc * b.nc)) AS penalty
+        |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND b.base_rk < a.base_rk
+        |  GROUP BY a.q_id, a.n_id),
+        |adj AS (SELECT c.q_id, c.n_id, c.base_rk,
+        |    c.sim - 0.5 * COALESCE(p.penalty, 0.0) AS adj
+        |  FROM cand c LEFT JOIN pen p ON c.q_id = p.q_id AND c.n_id = p.n_id)
+        |SELECT q_id,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY adj DESC, n_id)::BIGINT AS rk,
+        |  n_id, base_rk::BIGINT AS base_rk, adj
+        |FROM adj QUALIFY rk <= 10 ORDER BY q_id, rk""".stripMargin,
     // identical quantizer replay + identical probe selection (centroid
     // dot DESC, cell ASC, rank <= 2) => identical candidate sets & ranks
     "llm_ann_ivf_mp" ->
