@@ -99,12 +99,22 @@ object GraftFunctions {
     Md5Hex60(children.head)
   }
 
+  private val nfcInfo =
+    new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc")
+
+  private def nfcBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 1, "graft_nfc expects exactly 1 argument")
+    NfcNormalize(children.head)
+  }
+
   /** Register the native functions on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_dot"), info, builder _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_md5_60"), md5Info, md5Builder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_nfc"), nfcInfo, nfcBuilder _)
   }
 }
 
@@ -127,6 +137,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
        (children: Seq[Expression]) => {
          require(children.length == 1, "graft_md5_60 expects exactly 1 argument")
          Md5Hex60(children.head)
+       }))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_nfc"),
+       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+       (children: Seq[Expression]) => {
+         require(children.length == 1, "graft_nfc expects exactly 1 argument")
+         NfcNormalize(children.head)
        }))
     // conf-gated (default off) — injecting them costs nothing until a
     // session opts in; see ApproxDistinctRewrite / RangeJoinBandRewrite

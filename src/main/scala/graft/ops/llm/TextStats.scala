@@ -615,7 +615,7 @@ object TextStats extends QueryPack {
     val phone = "555-[0-9]{4}"
     Tables.documents(spark, dir)
       .withColumn("text2", concat($"text",
-        when($"doc_id" % 7 === 0,
+        when($"doc_id" % 7 === 0, // DECOMPOSED: e+U+0301, i+U+0308
           concat(lit(" contact user"), $"doc_id", lit("@example.com")))
           .otherwise(lit("")),
         when($"doc_id" % 11 === 0, lit(" call 555-0198")).otherwise(lit(""))))
@@ -940,7 +940,7 @@ object TextStats extends QueryPack {
     val vt = "\u000b"
     Tables.documents(spark, dir)
       .withColumn("t2",
-        when($"doc_id" % 7 === 0,
+        when($"doc_id" % 7 === 0, // DECOMPOSED: e+U+0301, i+U+0308
           concat($"text", lit(" itâ€™s a cafÃ© â€” ok"))).otherwise($"text"))
       .withColumn("t2",
         when($"doc_id" % 11 === 0,
@@ -1000,7 +1000,43 @@ object TextStats extends QueryPack {
       .orderBy($"lang")
   }
 
+  /** Unicode NFC normalization census — the ingest-tier transform that
+    * makes every hash-based operator downstream (exact dedup, CDC
+    * chunks, winnowing, shingles) see ONE byte spelling per grapheme:
+    * crawled text mixes precomposed ("é" U+00E9) and decomposed
+    * ("e"+U+0301) forms that compare unequal as bytes. Runs through the
+    * native codegen'd [[graft.functions.NfcNormalize]] expression
+    * (`graft_nfc`; Spark has no normalization builtin — the C33
+    * preference order in action) with an allocation-free ASCII fast
+    * path. The fixture corpus is ASCII, so the gate PLANTS decomposed
+    * sequences (doc_id % 7) and a precomposed idempotence case
+    * (doc_id % 11) exactly like the html-strip gate plants markup; the
+    * census counts changed docs and code-point shrinkage, and
+    * hash-matches the normalized text against DuckDB's `nfc_normalize`
+    * — two independent UAX #15 implementations agreeing byte-for-byte.
+    */
+  def nfcCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        when($"doc_id" % 7 === 0, // DECOMPOSED: e+U+0301, i+U+0308
+          concat($"text", lit(" café naïve")))
+        // %11 plant is precomposed U+00E9: the NFC-identity case
+        .when($"doc_id" % 11 === 0, concat($"text", lit(" café")))
+        .otherwise($"text").as("t"))
+      .withColumn("nt", expr("graft_nfc(t)"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"nt" =!= $"t", 1L).otherwise(0L)).as("n_changed"),
+        sum(length($"t")).cast("long").as("sum_len_raw"),
+        sum(length($"nt")).cast("long").as("sum_len_nfc"),
+        min(md5($"nt")).as("nfc_checksum"))
+      .orderBy($"lang")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_nfc_census"    -> (nfcCensus _),
     "llm_ngram_novelty" -> (ngramNovelty _),
     "llm_char_diversity" -> (charDiversity _),
     "llm_mix_weights"   -> (mixWeights _),
@@ -1035,6 +1071,22 @@ object TextStats extends QueryPack {
     profiles.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
 
   def oracle: Map[String, String] = Map(
+    // same plants (chr() = the exact codepoints the Spark literals carry),
+    // DuckDB's independent UAX #15 nfc_normalize, same census
+    "llm_nfc_census" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 7 = 0
+        |           THEN text || ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+        |         WHEN doc_id % 11 = 0 THEN text || ' caf' || chr(233)
+        |         ELSE text END AS t
+        |  FROM documents),
+        |n AS (SELECT lang, t, nfc_normalize(t) AS nt FROM t)
+        |SELECT lang, COUNT(*)::BIGINT AS n_docs,
+        |  SUM(CASE WHEN nt <> t THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+        |  SUM(length(t))::BIGINT AS sum_len_raw,
+        |  SUM(length(nt))::BIGINT AS sum_len_nfc,
+        |  MIN(md5(nt)) AS nfc_checksum
+        |FROM n GROUP BY lang ORDER BY lang""".stripMargin,
     // replays the deterministic defect planting (invisibles via chr() so
     // no literal invisible codepoints live in the SQL either), then the
     // identical repair chain; the checksum column proves the repaired
