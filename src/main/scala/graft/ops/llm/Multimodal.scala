@@ -146,6 +146,31 @@ object Multimodal extends QueryPack {
     }
   }
 
+  /** C40 feature-extraction GATE: the full typed pipeline — resize
+    * ([[resizeStub]], stride-sampled to ≤ 64 bytes) then decode
+    * ([[decodeStub]]) — run through real `mapPartitions` plumbing and
+    * then censused per mime on the INTEGER-exact feature components
+    * (resized byte count; max byte, an integral float ≤ 255 so the long
+    * cast is exact). The DuckDB oracle replays the stride formula
+    * `src_index = (i·n) div target` and the byte math from the hex
+    * encoding of the same payloads — so the oracle verifies the typed
+    * stub pipeline itself, not just its declarative surroundings (the
+    * one C40 leg that was previously ScalaTest-only).
+    */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = assets(spark, dir)
+      .select($"m.uri".as("uri"), $"m.bytes".as("bytes"), $"m.mime".as("mime"))
+      .as[Asset]
+    decodeStub(resizeStub(ds, 64)).toDF()
+      .groupBy($"mime")
+      .agg(count(lit(1)).as("n_assets"),
+           sum($"nBytes").as("sum_resized_bytes"),
+           sum(element_at($"features", 3).cast("long")).as("sum_max_byte"),
+           min($"uri").as("first_uri"))
+      .orderBy($"mime")
+  }
+
   /** C40 frame sampling: the video-ingest pattern where frame INDICES are
     * chosen from metadata (duration/fps) BEFORE any byte is decoded — the
     * explode produces (uri, frame_idx) work items and only those frames
@@ -194,12 +219,39 @@ object Multimodal extends QueryPack {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "llm_multimodal_stats"  -> (multimodalStats _),
-    "llm_multimodal_frames" -> (frameSample _),
-    "llm_multimodal_sniff"  -> (multimodalSniff _)
+    "llm_multimodal_stats"    -> (multimodalStats _),
+    "llm_multimodal_frames"   -> (frameSample _),
+    "llm_multimodal_sniff"    -> (multimodalSniff _),
+    "llm_multimodal_features" -> (multimodalFeatures _)
   )
 
   def oracle: Map[String, String] = Map(
+    // replays resize (src_index = (i*n) div 64) + max-byte decode from
+    // the hex encoding of the same payloads — verifies the typed
+    // mapPartitions stub pipeline byte-for-byte
+    "llm_multimodal_features" ->
+      """WITH a AS (
+        |  SELECT 'doc://' || doc_id AS uri, encode(text) AS bytes,
+        |    CASE WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+        |           THEN 'image/png'
+        |         WHEN source IN ('src5', 'src6', 'src7', 'src8', 'src9')
+        |           THEN 'audio/wav'
+        |         ELSE 'text/plain' END AS mime
+        |  FROM documents),
+        |r AS (SELECT uri, mime, octet_length(bytes)::BIGINT AS n,
+        |        hex(bytes) AS hx FROM a),
+        |m AS (SELECT uri, mime, LEAST(n, 64)::BIGINT AS rn,
+        |        CASE WHEN n = 0 THEN 0 ELSE
+        |          list_max(list_transform(range(0, LEAST(n, 64)::INT), i ->
+        |            ('0x' || substr(hx,
+        |               (2 * (CASE WHEN n <= 64 THEN i
+        |                          ELSE (i * n) // 64 END) + 1)::INT, 2))::INT))
+        |        END AS mx
+        |      FROM r)
+        |SELECT mime, COUNT(*)::BIGINT AS n_assets,
+        |  SUM(rn)::BIGINT AS sum_resized_bytes,
+        |  SUM(mx)::BIGINT AS sum_max_byte, MIN(uri) AS first_uri
+        |FROM m GROUP BY mime ORDER BY mime""".stripMargin,
     "llm_multimodal_sniff" ->
       """WITH a AS (
         |  SELECT doc_id, encode(text) AS raw,
