@@ -603,7 +603,51 @@ object Curation extends QueryPack {
       .orderBy($"s1", $"s2")
   }
 
+  /** The END-TO-END curation pipeline as ONE gated query — the
+    * composition a real ingest runs, not four separate operators:
+    * NFC-normalize ([[graft.functions.NfcNormalize]]) → quality filter
+    * ([[scoreDocs]], the funnel's exact features) → first-quality-wins
+    * exact dedup (content-hash window) → CDC-chunk the survivors
+    * ([[Dedup.cdcChunkRowsBatch]]) and census residual sub-document
+    * duplication per lang. Every stage is verified on its own gate; this
+    * gate verifies the COMPOSITION (stage boundaries, column contracts,
+    * the survivors actually feeding the chunker) against one DuckDB
+    * replay of the whole chain. Catalyst fuses the normalize + score +
+    * window into a single pass over the corpus; the chunk census adds
+    * the CDC shuffles on the uniform hash key.
+    */
+  def e2eCuration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+      .withColumn("text", expr("graft_nfc(text)"))
+    val scored = scoreDocs(docs)
+    val wDup = Window.partitionBy(md5($"text")).orderBy($"qual".desc, $"doc_id")
+    val canon = scored.withColumn("rn", row_number().over(wDup))
+      .where($"qual" && $"rn" === 1)
+      .select($"doc_id", $"lang", $"text")
+    val chunks = Dedup.cdcChunkRowsBatch(canon.select($"doc_id", $"text"))
+    val dup = chunks.groupBy($"h").agg(countDistinct($"doc_id").as("nd"))
+    val chunkCensus = chunks.join(dup, Seq("h"))
+      .join(canon.select($"doc_id", $"lang"), Seq("doc_id"))
+      .groupBy($"lang")
+      .agg(countDistinct($"doc_id").as("n_unique"),
+           count(lit(1)).as("n_chunks"),
+           sum(when($"nd" >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+           min($"h").as("chunk_checksum"))
+    scored.groupBy($"lang")
+      .agg(count(lit(1)).as("n_raw"), sum($"qual".cast("long")).as("n_quality"))
+      .join(chunkCensus, Seq("lang"), "left")
+      .select($"lang", $"n_raw", $"n_quality",
+        coalesce($"n_unique", lit(0L)).as("n_unique"),
+        coalesce($"n_chunks", lit(0L)).as("n_chunks"),
+        coalesce($"n_dup_chunks", lit(0L)).as("n_dup_chunks"),
+        coalesce($"chunk_checksum", lit("")).as("chunk_checksum"))
+      .orderBy($"lang")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_e2e_curation"      -> (e2eCuration _),
     "llm_domain_divergence" -> (domainDivergence _),
     "llm_curation_funnel" -> (curationFunnel _),
     "llm_k_anonymity"  -> (kAnonymity _),
@@ -703,6 +747,63 @@ object Curation extends QueryPack {
       |ORDER BY lang""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // one DuckDB replay of the whole chain: nfc_normalize → the funnel's
+    // quality features → first-quality-wins hash dedup → the CDC CTE over
+    // the survivors → per-lang census
+    "llm_e2e_curation" ->
+      """WITH d0 AS (SELECT doc_id, lang, nfc_normalize(text) AS text, n_chars
+        |            FROM documents),
+        |f AS (
+        |  SELECT doc_id, lang, text, n_chars,
+        |    (CASE WHEN n_chars BETWEEN 100 AND 400 THEN 1 ELSE 0 END
+        |     + CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1 ELSE 0 END
+        |     + CASE WHEN len(list_distinct(string_split(text, ' '))) * 2
+        |                >= len(string_split(text, ' ')) THEN 1 ELSE 0 END
+        |     + CASE WHEN len(list_filter(string_split(text, ' '),
+        |                                 w -> w = 'the' OR w = 'a')) * 5
+        |                <= len(string_split(text, ' ')) THEN 1 ELSE 0 END)
+        |      AS score
+        |  FROM d0),
+        |q AS (SELECT *, score >= 3 AS qual FROM f),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+        |                ORDER BY qual DESC, doc_id) AS rn FROM q),
+        |canon AS (SELECT doc_id, lang, text FROM r WHERE qual AND rn = 1),
+        |d AS (SELECT doc_id, text, len(text)::BIGINT AS len FROM canon),
+        |pos AS (SELECT doc_id, text, len, unnest(range(16, len + 1)) AS i
+        |        FROM d WHERE len >= 16),
+        |bnd AS (SELECT doc_id, i FROM pos
+        |        WHERE i < len
+        |          AND ('0x' || substr(md5(substr(text, (i - 15)::INT, 16)),
+        |                              1, 15))::BIGINT % 64 = 0),
+        |cuts AS (SELECT doc_id, list_sort(list(i)) AS cl FROM bnd GROUP BY doc_id),
+        |cl2 AS (SELECT d.doc_id, d.text,
+        |          list_append(list_prepend(0::BIGINT, COALESCE(cl, []::BIGINT[])),
+        |                      d.len) AS cuts2
+        |        FROM d LEFT JOIN cuts USING (doc_id)),
+        |ch0 AS (SELECT doc_id, text, cuts2,
+        |          unnest(range(1, len(cuts2))) AS j FROM cl2),
+        |hh AS (SELECT doc_id, j,
+        |         md5(substr(text, (cuts2[j] + 1)::INT,
+        |                    (cuts2[j + 1] - cuts2[j])::INT)) AS h
+        |       FROM ch0),
+        |dup AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM hh GROUP BY h),
+        |cc AS (SELECT c.lang, hh.doc_id, hh.h, dup.nd
+        |       FROM hh JOIN dup USING (h) JOIN canon c USING (doc_id)),
+        |chunkc AS (SELECT lang, COUNT(DISTINCT doc_id)::BIGINT AS n_unique,
+        |             COUNT(*)::BIGINT AS n_chunks,
+        |             SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT
+        |               AS n_dup_chunks,
+        |             MIN(h) AS chunk_checksum
+        |           FROM cc GROUP BY lang),
+        |rawc AS (SELECT lang, COUNT(*)::BIGINT AS n_raw,
+        |           (COUNT(*) FILTER (WHERE qual))::BIGINT AS n_quality
+        |         FROM q GROUP BY lang)
+        |SELECT r.lang, n_raw, n_quality,
+        |  COALESCE(n_unique, 0)::BIGINT AS n_unique,
+        |  COALESCE(n_chunks, 0)::BIGINT AS n_chunks,
+        |  COALESCE(n_dup_chunks, 0)::BIGINT AS n_dup_chunks,
+        |  COALESCE(chunk_checksum, '') AS chunk_checksum
+        |FROM rawc r LEFT JOIN chunkc USING (lang) ORDER BY lang""".stripMargin,
     // identical exact-integer TV: Σ|ca·Nb − cb·Na| in DECIMAL(38,0),
     // one final double division per pair
     "llm_domain_divergence" ->
