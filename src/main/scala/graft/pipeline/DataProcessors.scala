@@ -45,6 +45,33 @@ final class TokenStatsProcessor(params: Conf) extends Transform {
       .withColumn("n_chars_computed", length(col(textCol)).cast("long"))
 }
 
+/** Ingest-tier Unicode NFC normalization of a configurable text column —
+  * the canonical-spelling pass that must run BEFORE any hash-based
+  * processor ([[ExactDedupProcessor]], [[CdcChunkProcessor]]) so
+  * precomposed and decomposed spellings of the same grapheme land on the
+  * same bytes. Pure per-row projection (the native `graft_nfc`
+  * expression), so it is streaming-legal and Catalyst-fused.
+  */
+final class NfcNormalizeProcessor(spark: org.apache.spark.sql.SparkSession,
+                                  params: Conf) extends Transform {
+  graft.functions.GraftFunctions.register(spark)
+  private val textCol = params.str("text_column").getOrElse("text")
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn(textCol, expr(s"graft_nfc($textCol)"))
+}
+
+/** C36 content-defined chunking: explode each document into CDC chunk
+  * rows (doc_id, j, chunk, h) via the pure-projection chunker — the
+  * pipeline form of [[graft.ops.llm.Dedup.cdcChunkRows]]; follow with
+  * `dedup_exact(columns=[h])` for chunk-level dedup, in batch or
+  * streaming (the [[graft.streaming.ChunkDedupStream]] architecture,
+  * config-driven).
+  */
+final class CdcChunkProcessor(params: Conf) extends Transform {
+  def apply(df: DataFrame): DataFrame =
+    graft.ops.llm.Dedup.cdcChunkRows(df)
+}
+
 /** C39 quality filter: keep documents within configured token bounds. */
 final class QualityFilterProcessor(params: Conf) extends Transform {
   private val textCol = params.str("text_column").getOrElse("text")

@@ -91,6 +91,8 @@ object ProcessorRegistry {
     "dedup_exact"    -> ((_, p) => new ExactDedupProcessor(p)),
     "token_stats"    -> ((_, p) => new TokenStatsProcessor(p)),
     "quality_filter" -> ((_, p) => new QualityFilterProcessor(p)),
+    "nfc_normalize"  -> ((s, p) => new NfcNormalizeProcessor(s, p)),
+    "cdc_chunks"     -> ((_, p) => new CdcChunkProcessor(p)),
     // reference-style full class paths, translated
     "graft.pipeline.NoOpProcessor"           -> ((_, p) => new NoOpProcessor(p)),
     "graft.pipeline.UppercaseValueProcessor" -> ((_, p) => new UppercaseValueProcessor(p)),

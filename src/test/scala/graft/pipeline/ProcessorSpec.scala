@@ -89,6 +89,27 @@ class ProcessorSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("must be an instance of Processor"))
   }
+
+  test("nfc_normalize + cdc_chunks + dedup_exact compose config-driven chunk dedup") {
+    // decomposed é (e+U+0301) in doc 1; doc 2 precomposed twin — NFC
+    // makes them byte-identical, so chunk dedup collapses the pair
+    val in = Seq((1L, "café " + ("x" * 80)),
+                 (2L, "café " + ("x" * 80))).toDF("doc_id", "text")
+    val nfc = ProcessorRegistry.resolve(spark, "nfc_normalize", Conf.empty)
+    val chunk = ProcessorRegistry.resolve(spark, "cdc_chunks", Conf.empty)
+    val dedup = ProcessorRegistry.resolve(spark, "dedup_exact",
+      Conf(Map("columns" -> List("h"))))
+    val out = Seq(nfc, chunk, dedup).foldLeft(Option(in)) {
+      (acc, p) => acc.flatMap(p.process)
+    }.get
+    assert(out.columns.contains("h") && out.columns.contains("chunk"))
+    // identical post-NFC texts ⇒ every doc-2 chunk deduped away
+    val n = out.count()
+    val perDoc1 = graft.ops.llm.Dedup.cdcChunkRows(
+      in.where($"doc_id" === 1L).selectExpr("doc_id", "graft_nfc(text) AS text"))
+      .count()
+    assert(n === perDoc1)
+  }
 }
 
 /** Deliberately NOT registered — exercises the Class.forName path. */
