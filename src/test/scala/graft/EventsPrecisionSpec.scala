@@ -80,6 +80,19 @@ class EventsPrecisionSpec extends SparkSpec {
     }
   }
 
+  test("µs fixtures need no nanosAsLong legacy flag (VERDICT r6 item 6)") {
+    // the flag exists for ns-encoded fixtures only; the engine must not
+    // depend on it for µs data — the legacy conf may vanish in a future
+    // Spark, and the fixture generator currently emits timestamp[us]
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      assert(canon(Tables.events(spark, srcDir)).nonEmpty)
+      assert(SparkEntry.queries("ts_ohlc")(spark, srcDir).collect().nonEmpty)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("an unknown ts encoding fails fast naming the found dtype") {
     val dir = fixtureDir("drift")("cast(ts as string)")
     val e = intercept[IllegalStateException](Tables.events(spark, dir))
