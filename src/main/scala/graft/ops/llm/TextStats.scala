@@ -1000,6 +1000,38 @@ object TextStats extends QueryPack {
       .orderBy($"lang")
   }
 
+  /** Flesch-style readability scoring — the classic quality feature a
+    * curation classifier consumes alongside [[TextStats.gopher-rule]]
+    * signals. All three components are exact integers (words = nonempty
+    * space tokens; sentences = the [[sentenceStats]] plant-and-split
+    * rule, min 1; syllables = per-word vowel-group count, min 1 — the
+    * standard approximation), and the score is ONE fixed double
+    * expression over them (206.835 − 1.015·w/s − 84.6·syl/w, evaluated
+    * left-to-right identically in both engines), so the gate hash-matches
+    * despite being float-valued. Map-side pass, no shuffle until the
+    * tiny per-lang census.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("t2",
+        regexp_replace($"text", "((?:[^ ]+ ){7}[^ ]+) ", "$1. "))
+      .withColumn("ws", expr("filter(split(t2, ' '), w -> w <> '')"))
+      .withColumn("n_words", size($"ws").cast("long"))
+      .where($"n_words" > 0)
+      .withColumn("n_sent", greatest(lit(1L),
+        expr("cast(size(filter(split(t2, '[.!?]+ '), x -> x <> '')) as bigint)")))
+      .withColumn("n_syll", expr(
+        """aggregate(ws, 0L, (acc, w) ->
+          |  acc + greatest(1L, cast(regexp_count(lower(w), '[aeiouy]+') as bigint)))"""
+          .stripMargin))
+      .withColumn("flesch",
+        lit(206.835) - lit(1.015) * ($"n_words".cast("double") / $"n_sent")
+          - lit(84.6) * ($"n_syll".cast("double") / $"n_words"))
+      .select($"doc_id", $"n_words", $"n_sent", $"n_syll", $"flesch")
+      .orderBy($"doc_id")
+  }
+
   /** Unicode NFC normalization census — the ingest-tier transform that
     * makes every hash-based operator downstream (exact dedup, CDC
     * chunks, winnowing, shingles) see ONE byte spelling per grapheme:
@@ -1036,6 +1068,7 @@ object TextStats extends QueryPack {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_readability"   -> (readability _),
     "llm_nfc_census"    -> (nfcCensus _),
     "llm_ngram_novelty" -> (ngramNovelty _),
     "llm_char_diversity" -> (charDiversity _),
@@ -1071,6 +1104,28 @@ object TextStats extends QueryPack {
     profiles.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
 
   def oracle: Map[String, String] = Map(
+    // same integer components (plant-and-split sentences, min-1 vowel-
+    // group syllables), same left-to-right double expression
+    "llm_readability" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '((?:[^ ]+ ){7}[^ ]+) ', '\1. ', 'g') AS t2
+        |  FROM documents),
+        |w AS (SELECT doc_id, t2,
+        |        list_filter(string_split(t2, ' '), x -> x <> '') AS ws
+        |      FROM t),
+        |c AS (SELECT doc_id,
+        |        len(ws)::BIGINT AS n_words,
+        |        GREATEST(1, len(list_filter(regexp_split_to_array(t2, '[.!?]+ '),
+        |                                    x -> x <> '')))::BIGINT AS n_sent,
+        |        list_sum(list_transform(ws, x ->
+        |          GREATEST(1, len(regexp_extract_all(lower(x), '[aeiouy]+')))))
+        |          ::BIGINT AS n_syll
+        |      FROM w WHERE len(ws) > 0)
+        |SELECT doc_id, n_words, n_sent, n_syll,
+        |  206.835 - 1.015 * (n_words::DOUBLE / n_sent)
+        |          - 84.6 * (n_syll::DOUBLE / n_words) AS flesch
+        |FROM c ORDER BY doc_id""".stripMargin,
     // same plants (chr() = the exact codepoints the Spark literals carry),
     // DuckDB's independent UAX #15 nfc_normalize, same census
     "llm_nfc_census" ->
