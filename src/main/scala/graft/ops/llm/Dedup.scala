@@ -140,6 +140,52 @@ object Dedup extends QueryPack {
       .orderBy($"keep_id")
   }
 
+  /** The bloom-prescreened form of [[dedupIncremental]] — the shuffle
+    * economics that matter at 100 TB: in steady state almost every
+    * new-batch document is genuinely new, so the anti-join's index-side
+    * shuffle is mostly wasted work. A Bloom filter over the index
+    * (`DataFrameStatFunctions.bloomFilter`, ONE distributed aggregate;
+    * the sketch — not the index — ships with the closure) splits the
+    * batch map-side:
+    * definitely-new rows (bloom says absent — NO false negatives) skip
+    * the join entirely and only the "maybe" sliver anti-joins the exact
+    * index. The result is therefore IDENTICAL to the plain anti-join —
+    * the oracle IS the plain anti-join, so the gate proves the rewrite
+    * changes cost, never answers. False-positive rate only moves the
+    * maybe-sliver size, i.e. performance, not correctness. Same sketch
+    * economics as the CMS heavy-hitters gate: only the bit array ever
+    * reaches the driver.
+    */
+  def dedupBloomIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val index = docs.filter($"doc_id" < 400)
+      .select(md5(encode($"text", "UTF-8")).as("content_hash")).distinct()
+    val batch = docs.filter($"doc_id" >= 400)
+      .unionAll(docs.filter($"doc_id" < 50)
+        .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
+      .unionAll(docs.filter($"doc_id" >= 400 && $"doc_id" < 420)
+        .select(($"doc_id" + 3000000L).as("doc_id"), $"text"))
+      .withColumn("content_hash", md5(encode($"text", "UTF-8")))
+    // public distributed sketch API (one aggregate over the index); the
+    // membership probe is a closure-broadcast UDF — `might_contain` /
+    // `bloom_filter_agg` are not in Spark's public function registry,
+    // and the probe column is evaluated on the already-aggregated batch
+    // keys (batch-sized, never corpus-sized), so the UDF is off the hot
+    // path by construction
+    val bf = index.stat.bloomFilter("content_hash", 1000L, 0.03)
+    val maybe = udf((h: String) => bf.mightContainString(h))
+    val split = batch.groupBy($"content_hash")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_in_batch"))
+      .withColumn("maybe", maybe($"content_hash"))
+    val definite = split.where(!$"maybe").drop("maybe")
+    val verified = split.where($"maybe").drop("maybe")
+      .join(index.hint("SHUFFLE_HASH"), Seq("content_hash"), "left_anti")
+    definite.unionByName(verified)
+      .select($"keep_id", $"n_in_batch", $"content_hash")
+      .orderBy($"keep_id")
+  }
+
   /** C36 URL-level dedup — the canonicalization stage a crawl pipeline
     * runs BEFORE any content is fetched or hashed: the same page is
     * reached under many URL spellings (mixed-case scheme/host, explicit
@@ -1117,6 +1163,7 @@ object Dedup extends QueryPack {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_bloom_inc" -> (dedupBloomIncremental _),
     "llm_cdc_chunks"      -> (cdcChunks _),
     "llm_dedup_editdist"  -> (dedupEditDist _),
     "llm_dedup_survivors" -> (dedupSurvivors _),
@@ -1219,6 +1266,27 @@ object Dedup extends QueryPack {
         |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
         |  md5(text) AS content_hash
         |FROM corpus GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    // the bloom prescreen is a pure COST rewrite (no false negatives ⇒
+    // identical rows): the oracle is the plain anti-join, same as
+    // llm_dedup_incremental's
+    "llm_dedup_bloom_inc" ->
+      """WITH idx AS (
+        |  SELECT DISTINCT md5(text) AS content_hash
+        |  FROM documents WHERE doc_id < 400),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 400
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text FROM documents
+        |  WHERE doc_id >= 400 AND doc_id < 420),
+        |ib AS (SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+        |         COUNT(*) AS n_in_batch
+        |       FROM batch GROUP BY 1)
+        |SELECT keep_id, n_in_batch, content_hash
+        |FROM ib
+        |WHERE content_hash NOT IN (SELECT content_hash FROM idx)
+        |ORDER BY keep_id""".stripMargin,
     "llm_dedup_incremental" ->
       """WITH idx AS (
         |  SELECT DISTINCT md5(text) AS content_hash
