@@ -771,11 +771,16 @@ object Similarity extends QueryPack {
       .select($"vec_id".as("q_id"), $"v".as("vq"), $"nrm".as("nq"))
     val c = n.select($"vec_id".as("n_id"), $"v".as("vc"), $"nrm".as("nc"))
     val wBase = Window.partitionBy($"q_id").orderBy($"sim".desc, $"n_id")
-    val cand = c.join(broadcast(q), $"n_id" =!= $"q_id")
-      .withColumn("sim", expr(dotExpr) / ($"nq" * $"nc"))
-      .withColumn("base_rk", row_number().over(wBase))
-      .filter($"base_rk" <= 20)
-      .select($"q_id", $"n_id", $"vc", $"nc", $"sim", $"base_rk")
+    // the candidate frame is consumed three times below (both penalty
+    // sides + the final rerank) — pin it so the corpus pass (broadcast
+    // query set × corpus scan) runs ONCE, not per consumer; the pinned
+    // frame is |queries|×20 rows
+    val cand = graft.state.Materialize.pin(
+      c.join(broadcast(q), $"n_id" =!= $"q_id")
+        .withColumn("sim", expr(dotExpr) / ($"nq" * $"nc"))
+        .withColumn("base_rk", row_number().over(wBase))
+        .filter($"base_rk" <= 20)
+        .select($"q_id", $"n_id", $"vc", $"nc", $"sim", $"base_rk"))
     // pairwise over the bounded candidate frame: penalty(j) =
     // max sim(i, j) over candidates i ranked above j
     val hi = cand.select($"q_id", $"n_id".as("h_id"), $"vc".as("vh"),

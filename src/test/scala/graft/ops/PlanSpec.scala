@@ -543,4 +543,47 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains(j), p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("llm_cdc_chunks: chunking explodes positions (Generate) and every " +
+       "join is hash-keyed (doc_id / md5 h) — no nested-loop anywhere") {
+    val p = plan("llm_cdc_chunks")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("llm_ann_ivf_mp: the ×2-exploded query probes BROADCAST against " +
+       "the cell-keyed corpus — the corpus itself never re-shuffles per probe") {
+    val p = plan("llm_ann_ivf_mp")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("llm_diversify_topk: the corpus pass is pinned once — everything " +
+       "after reranks the materialized |queries|×20 candidate frame") {
+    val p = plan("llm_diversify_topk")
+    // the pinned candidate frame surfaces as an RDD scan; the only joins
+    // left are over that bounded frame
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("llm_dedup_bloom_inc: the exact index probe stays a shuffled-hash " +
+       "ANTI join on the maybe sliver — the index is never a broadcast side") {
+    val p = plan("llm_dedup_bloom_inc")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("llm_nfc_census and llm_readability are map-side passes: no join " +
+       "operator of any kind (census aggregates where present are tiny)") {
+    for (name <- Seq("llm_nfc_census", "llm_readability")) {
+      val p = plan(name)
+      for (j <- Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"))
+        assert(!p.contains(j), s"$name: $p")
+    }
+    // the census gate's per-lang aggregate is there; readability is a
+    // pure per-doc projection (no aggregate at all — that's the point)
+    assert(plan("llm_nfc_census").contains("Aggregate"))
+  }
 }
