@@ -1000,6 +1000,34 @@ object TextStats extends QueryPack {
       .orderBy($"lang")
   }
 
+  /** Vocabulary-coverage curve — the tokenizer-sizing diagnostic: for the
+    * top-k tokens by corpus frequency (ties by token), the cumulative
+    * share of all token occurrences they cover, in integer ppm. Reading
+    * the curve answers "how large must the vocab be to cover X% of the
+    * stream" before any BPE training runs ([[Curation.bpeMerges]] starts
+    * from exactly this census). One token-count aggregate; the ranking
+    * window is global but runs over the VOCABULARY (corpus-independent
+    * key space), not the corpus — at 100 TB the token stream shuffles
+    * once into vocab-keyed counts and the tiny count table sorts.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+    val counts = tok.groupBy($"w").agg(count(lit(1)).as("cnt"))
+    val wRank = Window.orderBy($"cnt".desc, $"w")
+    val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("cum_cnt", sum($"cnt").over(wCum))
+      .filter($"rank" <= 20)
+      .crossJoin(broadcast(tok.agg(count(lit(1)).as("_total"))))
+      .select($"rank", $"w", $"cnt", $"cum_cnt",
+        expr("(1000000 * cum_cnt) div _total").as("cum_ppm"))
+      .orderBy($"rank")
+  }
+
   /** Flesch-style readability scoring — the classic quality feature a
     * curation classifier consumes alongside [[TextStats.gopher-rule]]
     * signals. All three components are exact integers (words = nonempty
@@ -1068,6 +1096,7 @@ object TextStats extends QueryPack {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_vocab_coverage" -> (vocabCoverage _),
     "llm_readability"   -> (readability _),
     "llm_nfc_census"    -> (nfcCensus _),
     "llm_ngram_novelty" -> (ngramNovelty _),
@@ -1104,6 +1133,21 @@ object TextStats extends QueryPack {
     profiles.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
 
   def oracle: Map[String, String] = Map(
+    // same (cnt DESC, token) total order, same integer cumulative ppm
+    "llm_vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |t2 AS (SELECT w FROM tok WHERE len(w) > 0),
+        |counts AS (SELECT w, COUNT(*)::BIGINT AS cnt FROM t2 GROUP BY w),
+        |tot AS (SELECT COUNT(*)::BIGINT AS total FROM t2),
+        |r AS (SELECT w, cnt,
+        |        row_number() OVER (ORDER BY cnt DESC, w)::BIGINT AS rank,
+        |        SUM(cnt) OVER (ORDER BY cnt DESC, w
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |          AS cum_cnt
+        |      FROM counts)
+        |SELECT rank, w, cnt, cum_cnt,
+        |  ((1000000 * cum_cnt) // total)::BIGINT AS cum_ppm
+        |FROM r CROSS JOIN tot WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // same integer components (plant-and-split sentences, min-1 vowel-
     // group syllables), same left-to-right double expression
     "llm_readability" ->
