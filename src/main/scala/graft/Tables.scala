@@ -1,5 +1,9 @@
 package graft
 
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
@@ -70,17 +74,29 @@ object Tables {
     * `sql_*` gates though nine never scan events). A failing table is
     * skipped with its error on stderr; only queries that actually reference
     * it then fail, with "table not found: <n>" plus the logged cause.
+    *
+    * Memoized per (session, dir): every `sql_*` gate calls this before its
+    * `spark.sql`, and un-memoized each call re-reads ten parquet footers
+    * and re-analyzes the events normalization (round 7 measured the ten
+    * sql_* gates uniformly 2.1–3.0× for it). Temp views live in the
+    * session, so (session, dir) is exactly the cache key; a second dir on
+    * the same session re-registers (the views must point at the new
+    * fixtures) and takes over the key.
     */
+  private val registered = new ConcurrentHashMap[SparkSession, String]()
+
   def registerViews(s: SparkSession, d: String): Unit = {
+    if (d == registered.get(s)) return
     def reg(n: String)(df: => DataFrame): Unit =
       try df.createOrReplaceTempView(n)
-      catch { case e: Throwable =>
+      catch { case NonFatal(e) =>
         System.err.println(s"[graft] registerViews: skipping view '$n': ${e.getMessage}")
       }
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "documents", "embeddings")
       .foreach(n => reg(n)(table(s, d, n)))
     reg("events")(events(s, d))
+    registered.put(s, d)
   }
 }
 

@@ -107,6 +107,15 @@ object GraftFunctions {
     NfcNormalize(children.head)
   }
 
+  private val bloomInfo = new ExpressionInfo(
+    classOf[BloomMightContain].getName, "graft_bloom_might_contain")
+
+  private def bloomBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      "graft_bloom_might_contain expects exactly 2 arguments")
+    BloomMightContain(children.head, children(1))
+  }
+
   /** Register the native functions on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -115,6 +124,8 @@ object GraftFunctions {
       FunctionIdentifier("graft_md5_60"), md5Info, md5Builder _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_nfc"), nfcInfo, nfcBuilder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_bloom_might_contain"), bloomInfo, bloomBuilder _)
   }
 }
 
@@ -144,6 +155,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
        (children: Seq[Expression]) => {
          require(children.length == 1, "graft_nfc expects exactly 1 argument")
          NfcNormalize(children.head)
+       }))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_bloom_might_contain"),
+       new ExpressionInfo(
+         classOf[BloomMightContain].getName, "graft_bloom_might_contain"),
+       (children: Seq[Expression]) => {
+         require(children.length == 2,
+           "graft_bloom_might_contain expects exactly 2 arguments")
+         BloomMightContain(children.head, children(1))
        }))
     // conf-gated (default off) — injecting them costs nothing until a
     // session opts in; see ApproxDistinctRewrite / RangeJoinBandRewrite

@@ -167,17 +167,31 @@ object Dedup extends QueryPack {
       .unionAll(docs.filter($"doc_id" >= 400 && $"doc_id" < 420)
         .select(($"doc_id" + 3000000L).as("doc_id"), $"text"))
       .withColumn("content_hash", md5(encode($"text", "UTF-8")))
-    // public distributed sketch API (one aggregate over the index); the
-    // membership probe is a closure-broadcast UDF — `might_contain` /
-    // `bloom_filter_agg` are not in Spark's public function registry,
-    // and the probe column is evaluated on the already-aggregated batch
-    // keys (batch-sized, never corpus-sized), so the UDF is off the hot
-    // path by construction
-    val bf = index.stat.bloomFilter("content_hash", 1000L, 0.03)
-    val maybe = udf((h: String) => bf.mightContainString(h))
+    // public distributed sketch API (one aggregate over the index),
+    // sized from the actual index cardinality (an under-sized filter
+    // saturates toward fpp≈1 and the prescreen degrades to the plain
+    // anti-join PLUS a wasted index aggregate — correctness unaffected,
+    // economics gone). A deployment that tracks its index size sets
+    // `spark.graft.dedup.bloomExpectedItems` to skip the count pass.
+    // The membership probe is the native codegen'd
+    // `graft_bloom_might_contain` expression (functions/BloomMightContain
+    // .scala) over the filter's serialized bytes — no ScalaUDF, no
+    // closure serialization — and runs on the already-aggregated batch
+    // keys (batch-sized, never corpus-sized).
+    graft.functions.GraftFunctions.register(spark)
+    val expectedItems = spark.conf
+      .getOption("spark.graft.dedup.bloomExpectedItems").map(_.toLong)
+      .getOrElse(math.max(index.count(), 1L))
+    val bf = index.stat.bloomFilter("content_hash", expectedItems, 0.03)
+    val bfBytes = {
+      val baos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(baos)
+      baos.toByteArray
+    }
     val split = batch.groupBy($"content_hash")
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_in_batch"))
-      .withColumn("maybe", maybe($"content_hash"))
+      .withColumn("maybe",
+        call_function("graft_bloom_might_contain", lit(bfBytes), $"content_hash"))
     val definite = split.where(!$"maybe").drop("maybe")
     val verified = split.where($"maybe").drop("maybe")
       .join(index.hint("SHUFFLE_HASH"), Seq("content_hash"), "left_anti")

@@ -56,8 +56,10 @@ final class NfcNormalizeProcessor(spark: org.apache.spark.sql.SparkSession,
                                   params: Conf) extends Transform {
   graft.functions.GraftFunctions.register(spark)
   private val textCol = params.str("text_column").getOrElse("text")
+  // call_function, not expr-string interpolation: a column name needing
+  // quoting (spaces, dots, backticks) must resolve, not break the parser
   def apply(df: DataFrame): DataFrame =
-    df.withColumn(textCol, expr(s"graft_nfc($textCol)"))
+    df.withColumn(textCol, call_function("graft_nfc", col(textCol)))
 }
 
 /** C36 content-defined chunking: explode each document into CDC chunk
@@ -68,8 +70,17 @@ final class NfcNormalizeProcessor(spark: org.apache.spark.sql.SparkSession,
   * config-driven).
   */
 final class CdcChunkProcessor(params: Conf) extends Transform {
+  private val textCol = params.str("text_column").getOrElse("text")
+  private val idCol   = params.str("id_column").getOrElse("doc_id")
+  // a typo'd/unsupported param must fail loudly at build time, not be
+  // silently ignored (a configured knob with no effect is a config trap)
+  private val unknown = params.m.keySet -- Set("text_column", "id_column")
+  require(unknown.isEmpty,
+    s"cdc_chunk: unsupported params ${unknown.toSeq.sorted.mkString(", ")} " +
+    "(supported: text_column, id_column)")
   def apply(df: DataFrame): DataFrame =
-    graft.ops.llm.Dedup.cdcChunkRows(df)
+    graft.ops.llm.Dedup.cdcChunkRows(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
 }
 
 /** C39 quality filter: keep documents within configured token bounds. */

@@ -21,10 +21,14 @@ import org.apache.spark.sql.DataFrame
   * Mode is read per-call from the session conf, so one session can flip
   * it between queries:
   *   - `local` (default) — `df.localCheckpoint()` (eager)
-  *   - `reliable`        — `df.checkpoint()` (eager); if no checkpoint
-  *     dir is set, a per-JVM temp dir is installed so local runs and
-  *     tests work out of the box — a real deployment sets
-  *     `spark.checkpoint.dir` to reliable storage explicitly.
+  *   - `reliable`        — `df.checkpoint()` (eager). If no checkpoint
+  *     dir is set: on a `local`/`local[*]` master a per-JVM temp dir is
+  *     installed so tests work out of the box; on any OTHER master the
+  *     call fails fast — a driver-local temp dir would have every
+  *     executor write checkpoint blocks to its own non-shared disk,
+  *     silently defeating the executor-loss-survival purpose the mode
+  *     exists for. A real deployment sets `spark.checkpoint.dir` to
+  *     shared reliable storage (HDFS / object store) explicitly.
   */
 object Materialize {
 
@@ -36,8 +40,16 @@ object Materialize {
       case "local" => df.localCheckpoint()
       case "reliable" =>
         val sc = spark.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(
-          java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+        if (sc.getCheckpointDir.isEmpty) {
+          if (!sc.isLocal) throw new IllegalStateException(
+            s"$ModeKey=reliable on master '${sc.master}' requires " +
+            "spark.checkpoint.dir set to SHARED reliable storage " +
+            "(HDFS/object store): a driver-local temp dir would leave " +
+            "each executor's checkpoint blocks on its own non-shared " +
+            "disk, defeating executor-loss survival.")
+          sc.setCheckpointDir(
+            java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+        }
         df.checkpoint()
       case other => throw new IllegalArgumentException(
         s"$ModeKey: unknown mode '$other' (supported: local, reliable)")

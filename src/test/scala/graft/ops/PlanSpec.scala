@@ -146,6 +146,38 @@ class PlanSpec extends SparkSpec {
     assert(winAt >= 0 && winAt < takeAt, p)
   }
 
+  test("llm_vocab_coverage: top-20 selection is TakeOrderedAndProject " +
+       "(per-partition top-k); the rank/cumsum window runs over the " +
+       "20-row frame, never over the un-limited vocabulary count") {
+    val p = plan("llm_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the Window must sit ABOVE the take in the plan text (earlier line):
+    // a Window below the take would be the single-partition full-vocab sort
+    val takeAt = p.indexOf("TakeOrderedAndProject")
+    val winAt = p.indexOf("Window")
+    assert(winAt >= 0 && winAt < takeAt, p)
+  }
+
+  test("llm_split_stratified: stratum size comes from a window count over " +
+       "the rank window's own partitioning — one source exchange, NO join " +
+       "(the joined-counts form scanned documents twice; r7 weak flag)") {
+    val p = plan("llm_split_stratified")
+    val joinOps = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct")
+    assert(!joinOps.exists(p.contains), p)
+    val srcExchanges =
+      "Exchange hashpartitioning\\(source".r.findAllIn(p).length
+    assert(srcExchanges === 1, p)
+  }
+
+  test("llm_dedup_bloom_inc: the bloom probe is the native expression, " +
+       "not a closure UDF — no ScalaUDF anywhere in the plan (C33 " +
+       "preference order; r7 judge hardening item)") {
+    val p = plan("llm_dedup_bloom_inc")
+    assert(!p.contains("ScalaUDF"), p)
+    assert(p.contains("graft_bloom_might_contain"), p)
+  }
+
   test("merge_upsert is one equi-join (no nested loop) over the key") {
     val p = plan("merge_upsert")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")

@@ -110,6 +110,22 @@ class ProcessorSpec extends SparkSpec {
       .count()
     assert(n === perDoc1)
   }
+
+  test("cdc_chunks honors text_column/id_column and rejects unknown params " +
+       "(a configured knob with no effect is a config trap)") {
+    val in = Seq((7L, "y" * 100)).toDF("id", "body")
+    val p = ProcessorRegistry.resolve(spark, "cdc_chunks",
+      Conf(Map("text_column" -> "body", "id_column" -> "id")))
+    val out = p.process(in).get
+    assert(out.columns.contains("h") && out.columns.contains("chunk"))
+    assert(out.select("doc_id").distinct.as[Long].collect().toSeq == Seq(7L))
+    val e = intercept[IllegalArgumentException] {
+      ProcessorRegistry.resolve(spark, "cdc_chunks",
+        Conf(Map("txt_column" -> "body")))
+    }
+    assert(e.getMessage.contains("unsupported params"))
+    assert(e.getMessage.contains("txt_column"))
+  }
 }
 
 /** Deliberately NOT registered — exercises the Class.forName path. */
