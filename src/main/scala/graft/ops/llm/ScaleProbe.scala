@@ -341,6 +341,27 @@ object ScaleProbe {
       println(f"[scale-probe] suffix-array mult=$m%-3d suffixes=$n%-8d time=$s%.2fs")
     }
 
+    // Corpus-GLOBAL suffix array at multiplied corpus — the adversarial
+    // case by construction: every duplicated doc is an identical twin,
+    // so whole-document suffix groups tie across the multiplier and the
+    // per-bucket dense_rank windows see maximum duplication. Round count
+    // is still bounded by log4(maxlen) (ties never add rounds — the
+    // fixed-point exit fires when nothing refines), so time must track
+    // rows × rounds ≈ linearly in the multiplier; peak task memory must
+    // stay bucket-bound (rows/buckets), not corpus-bound.
+    def timedSaGlobal(m: Int): (Long, Double, Long) = {
+      val c = corpusM(m)
+      peakTaskMem.set(0)
+      val t0 = System.nanoTime()
+      val n = TextStats.suffixRanksGlobal(c).count()
+      (n, (System.nanoTime() - t0) / 1e9, peakTaskMem.get())
+    }
+    timedSaGlobal(1) // warmup
+    Seq(1, mult).distinct.foreach { m =>
+      val (n, s, mem) = timedSaGlobal(m)
+      println(f"[scale-probe] suffix-array-global mult=$m%-3d suffixes=$n%-8d time=$s%.2fs peak_task_mem=${mem / (1 << 20)}%dMiB")
+    }
+
     // Normalization tier (encoding repair + sentence segmentation +
     // Luhn scan) at multiplied corpus: all three are map-side passes
     // into tiny censuses — the probe confirms scan-bound linearity.

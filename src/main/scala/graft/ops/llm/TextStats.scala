@@ -378,12 +378,134 @@ object TextStats extends QueryPack {
     * shared spelling. maxlen is one scalar aggregate (bounded driver
     * probe, TextRank precedent); each round localCheckpoints to truncate
     * the O(log n)-deep lineage. Work distributes per document; the
-    * corpus-scale generalized form keys the same two windows globally
-    * instead of per doc — identical round structure, one global sort
-    * partitioning instead.
+    * corpus-GLOBAL generalized form is [[suffixArrayGlobal]].
     */
   def suffixArray(spark: SparkSession, dir: String): DataFrame =
     suffixRanks(Tables.documents(spark, dir).where(col("doc_id") < 100))
+
+  /** Corpus-GLOBAL generalized suffix array — what exact-substring dedup
+    * at scale actually indexes (Lee et al. 2022 build ONE suffix array
+    * over the whole concatenated corpus; [[suffixArray]]'s per-doc form
+    * ranks each document independently). Every (doc, position) suffix
+    * gets its dense rank in the global lexicographic order of all
+    * suffixes; identical suffixes across documents tie, which is exactly
+    * the duplicated-substring signal the dedup pass consumes.
+    *
+    * Same prefix-doubling idea as the per-doc form, with two round-count
+    * cuts (the naive doubling loop ran 10 rounds / 26s at sf0.1):
+    *   - the INITIAL rank orders suffixes by their first 16 characters,
+    *     packed order-preserving into TWO longs (7 bits per ASCII char,
+    *     8 chars per long; positions past the suffix end pack as 0,
+    *     below every real character, so a shorter suffix that prefixes
+    *     a longer one sorts first — plain string-comparison semantics,
+    *     matching the naive DuckDB oracle). Replaces rounds d=1..8.
+    *   - each later round QUADRUPLES instead of doubling: rank by the
+    *     4-tuple (r_i, r_{i+d}, r_{i+2d}, r_{i+3d}) — the three leads
+    *     share ONE window pass (same spec), and a round extends the
+    *     compared prefix 4×, so maxlen 577 needs 3 rounds after the
+    *     seed instead of 6.
+    * The re-rank each round must be a GLOBAL dense_rank — and a global
+    * Window is a single-partition sort, the scale-killer this engine
+    * bans. Instead [[rankByBucketed]] two-phases it with a
+    * DETERMINISTIC bucket column (a pure function of the sort key's
+    * leading component, so equal keys always share a bucket):
+    *   1. per-bucket `dense_rank` — ONE hash exchange on the bucket;
+    *   2. global rank = local rank + exclusive prefix sum of the
+    *      per-bucket distinct-key counts, a bounded tiny frame (≤ 128²
+    *      two-char buckets for the seed, ≤ shuffle-partitions rank
+    *      ranges for later rounds) broadcast back.
+    * (An earlier form used `repartitionByRange` + `spark_partition_id`;
+    * range partitioning SAMPLES its child — evaluating the heavy lead
+    * subtree twice — and needs a second pid exchange plus a pin for id
+    * stability. The deterministic bucket removes all three: measured
+    * 15.8s → see COVERAGE.md for the final number at sf0.1.)
+    * The offset fetch (rank at i+kd) stays a per-doc `lead` — suffixes
+    * never cross document boundaries in a generalized suffix array.
+    * Early exits: all-distinct (total order reached) or a round that
+    * splits no group (fixed point — next round's tuples are functions
+    * of the same unchanged rank partition); identical cross-doc
+    * suffixes tie forever, correctly — that tie IS the duplicated-
+    * substring signal.
+    */
+  def suffixArrayGlobal(spark: SparkSession, dir: String): DataFrame =
+    suffixRanksGlobal(Tables.documents(spark, dir))
+
+  /** Distributed two-phase global dense rank of `df` by `sortCols`;
+    * `bucket` MUST be a pure function of the sort key's leading
+    * component (equal keys share a bucket). Returns (doc_id/i/r frame,
+    * number of distinct keys). See [[suffixArrayGlobal]] step list.
+    */
+  private def rankByBucketed(df: DataFrame, bucket: Column,
+                             sortCols: Seq[Column]): (DataFrame, Long) = {
+    import df.sparkSession.implicits._
+    val local = df.withColumn("b", bucket)
+      .withColumn("dl", dense_rank().over(
+        Window.partitionBy($"b").orderBy(sortCols: _*)).cast("long"))
+      .transform(graft.state.Materialize.pin)
+    val cnts = local.groupBy($"b").agg(max($"dl").as("c"))
+    // bounded frame (bucket space, corpus-independent): the exclusive
+    // prefix sum may run single-partition
+    val offs = cnts
+      .withColumn("off", coalesce(sum($"c").over(
+        Window.orderBy($"b").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select($"b", $"off")
+    val out = local.join(broadcast(offs), Seq("b"))
+      .select($"doc_id", $"i", ($"dl" + $"off").as("r"))
+    val nDistinct = cnts.agg(sum($"c")).head().getLong(0)
+    (out, nDistinct)
+  }
+
+  private[llm] def suffixRanksGlobal(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val spark = docs.sparkSession
+    val base = docs.select($"doc_id", $"text", length($"text").as("len"))
+      .where($"len" > 0)
+    val agg0 = base.agg(max($"len"), sum($"len".cast("long"))).head()
+    val (maxLen, nSuffixes) = (agg0.getInt(0), agg0.getLong(1))
+    val byPos = Window.partitionBy($"doc_id").orderBy($"i")
+    // order-preserving pack of chars [lo, hi] of the suffix at i into a
+    // long: 7 bits per char (ASCII fixture — the per-doc form makes the
+    // same assumption); past-end positions pack as 0, below every real
+    // char. The codes ARRAY is built once per document so each packed
+    // char is an O(1) `get` — packing straight from the string would
+    // seek O(i) per substring call (UTF8String has no random access),
+    // an O(len²) seed measured at 3× the whole query
+    def pack(lo: Int, hi: Int) = expr(
+      s"""aggregate(sequence($lo, $hi), 0L, (acc, k) ->
+         |  acc * 128 + coalesce(get(codes, i + k), 0L))""".stripMargin)
+    val seed = base
+      .withColumn("codes", expr(
+        "transform(filter(split(text, ''), c -> c <> ''), " +
+        "c -> cast(ascii(c) as bigint))"))
+      .select($"doc_id", explode(expr("sequence(0, len - 1)")).as("i"), $"codes")
+      .select($"doc_id", $"i", pack(0, 7).as("p1"), pack(8, 15).as("p2"))
+    // seed bucket: the first two chars (p1's top 14 bits) — ≤ 128²
+    // buckets, balanced by the corpus's 2-gram distribution
+    var (cur, nDistinct) =
+      rankByBucketed(seed, expr(s"p1 div ${1L << 42}"), Seq($"p1", $"p2"))
+    // later rounds bucket by rank range: ranks are dense in
+    // [1, nSuffixes], so fixed-width ranges give ≈P even buckets and
+    // equal ranks trivially share one
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val bucketWidth = nSuffixes / math.max(p, 1) + 1
+    var d = 16
+    var prevDistinct = -1L
+    while (d < maxLen && nDistinct != nSuffixes && nDistinct != prevDistinct) {
+      prevDistinct = nDistinct
+      val quad = cur
+        .withColumn("r2", coalesce(lead($"r", d).over(byPos), lit(-1L)))
+        .withColumn("r3", coalesce(lead($"r", 2 * d).over(byPos), lit(-1L)))
+        .withColumn("r4", coalesce(lead($"r", 3 * d).over(byPos), lit(-1L)))
+      val (next, nd) = rankByBucketed(quad, expr(s"r div $bucketWidth"),
+        Seq($"r", $"r2", $"r3", $"r4"))
+      cur = next
+      nDistinct = nd
+      d *= 4
+    }
+    cur.select($"doc_id", $"r", $"i".cast("long").as("sa_pos"))
+      .orderBy($"r", $"doc_id", $"sa_pos")
+  }
 
   private[llm] def suffixRanks(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
@@ -1137,6 +1259,7 @@ object TextStats extends QueryPack {
     "llm_sentence_stats" -> (sentenceStats _),
     "llm_pii_luhn"      -> (piiLuhn _),
     "llm_suffix_array"  -> (suffixArray _),
+    "llm_suffix_array_global" -> (suffixArrayGlobal _),
     "llm_repetition"    -> (repetition _),
     "llm_pii_scrub"     -> (piiScrub _)
   )
@@ -1251,6 +1374,19 @@ object TextStats extends QueryPack {
         |  row_number() OVER (PARTITION BY doc_id ORDER BY suf) AS r,
         |  i AS sa_pos
         |FROM s ORDER BY doc_id, r""".stripMargin,
+    // the corpus-global twin: ONE naive sort of every suffix of every
+    // document; dense_rank (not row_number) because identical suffixes
+    // across documents legitimately tie — that tie IS the duplicated-
+    // substring signal the dedup consumer reads
+    "llm_suffix_array_global" ->
+      """WITH s AS (
+        |  SELECT doc_id, i, substring(text, i + 1) AS suf
+        |  FROM documents, unnest(range(0, len(text))) AS t(i)
+        |  WHERE len(text) > 0)
+        |SELECT doc_id,
+        |  dense_rank() OVER (ORDER BY suf) AS r,
+        |  i AS sa_pos
+        |FROM s ORDER BY r, doc_id, sa_pos""".stripMargin,
     // same planting arithmetic, same declarative Luhn fold (nested
     // lambdas close over the candidate string in both engines)
     "llm_pii_luhn" ->

@@ -123,6 +123,41 @@ class TextNormSpec extends SparkSpec {
     }
   }
 
+  test("corpus-global suffix array: dense global ranks match the naive " +
+       "sort, identical cross-doc suffixes tie, and the result is " +
+       "invariant to the shuffle-partition count (the bucket width " +
+       "derives from it)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val strings = Seq(
+      "banana", "banana",            // full-doc twins: every suffix ties
+      "the quick brown fox", "the quick brown fox jumps",
+      "aaaaaaaaaaaaaaaaaaaaaaaa",    // >16 chars of one symbol: seed ties
+      "a") ++ (0 until 40).map { _ =>
+      val n = 1 + rnd.nextInt(50)
+      (0 until n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    }
+    val df = strings.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+    // naive: every (doc, pos) suffix, globally sorted, dense-ranked
+    val sufs = strings.zipWithIndex.flatMap { case (s, i) =>
+      s.indices.map(j => (i.toLong, j.toLong, s.substring(j)))
+    }
+    val order = sufs.map(_._3).distinct.sorted.zipWithIndex
+      .map { case (s, k) => s -> (k + 1L) }.toMap
+    val expected = sufs.map { case (d, j, s) => (d, j, order(s)) }.toSet
+    def run(): Set[(Long, Long, Long)] =
+      TextStats.suffixRanksGlobal(df).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(1))).toSet
+    assert(run() === expected)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "3")
+      assert(run() === expected, "result depends on the partition count")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("sentence counts follow the every-8th-word planting law") {
     import spark.implicits._
     // independent derivation: a doc with nw words gets one planted '.'
