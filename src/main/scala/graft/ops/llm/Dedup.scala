@@ -1,6 +1,6 @@
 package graft.ops.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.QueryPack
@@ -395,8 +395,59 @@ object Dedup extends QueryPack {
     * shingle appearing in more than this many documents is a
     * stop-shingle and is dropped from the index — AND from the Jaccard
     * universe, identically in both engines, so the gate stays exact.
+    *
+    * The GATED queries pin this constant because the cap is part of the
+    * operator definition the DuckDB oracle mirrors. A deployment whose
+    * corpus drifts should not hand re-tune it: [[selectDfCap]] derives
+    * the cap from the key census instead, and [[jaccardPairsAuto]] /
+    * [[graft.ops.llm.TextStats.winnowPairsAutoFrom]] are the
+    * census-driven entry points.
     */
   private[llm] val JaccardDfCap = 64L
+
+  /** Census-driven document-frequency cap selection — the round-7 review
+    * item "wire the skew census into a cap rule so a df-distribution
+    * shift doesn't need a hand re-tune". The rule bounds the pair join's
+    * OUTPUT, which is what actually degenerates: a key of document
+    * frequency df emits df² ordered candidate pairs, so the join's total
+    * fanout over a capped index is Σ_{df ≤ cap} df². Selection walks the
+    * log₂-bucketed df census ([[graft.ops.Skew.keyStatsQ]]'s device —
+    * one aggregate over the key plus a ≤64-row histogram, collected:
+    * bounded driver probe) from small buckets up, and keeps raising the
+    * cap while that cumulative fanout stays within
+    * `pairBudgetPerRow × index-rows` — i.e. the join may amplify its
+    * input at most `pairBudgetPerRow`-fold NO MATTER how the df
+    * distribution shifts. More duplication ⇒ hot buckets exceed the
+    * budget sooner ⇒ the cap tightens automatically (the r6 2-gram
+    * incident, automated away); a clean corpus keeps effectively no cap.
+    * `floor` guards the degenerate all-duplicate corpus (cap never drops
+    * below pair-forming df = 2).
+    */
+  private[ops] def selectDfCap(index: DataFrame, key: Column,
+                               pairBudgetPerRow: Long = 32L,
+                               floor: Long = 2L): Long = {
+    val hist = index.groupBy(key.as("k")).agg(count(lit(1)).as("df"))
+      .groupBy(length(bin(col("df"))).cast("long").as("bucket"))
+      .agg(sum(col("df") * col("df")).as("pairs"), sum(col("df")).as("rows"))
+      .orderBy(col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val budget = pairBudgetPerRow * hist.map(_._3).sum
+    var cum = 0L
+    var cap = floor
+    hist.foreach { case (bucket, pairs, _) =>
+      cum += pairs
+      // bucket b holds df ∈ [2^(b−1), 2^b − 1]
+      if (cum <= budget) cap = math.max(cap, (1L << bucket) - 1)
+    }
+    cap
+  }
+
+  /** [[jaccardPairs]] with the cap chosen by [[selectDfCap]] from the
+    * shingle census — the corpus-parametric deployment form (the gate
+    * keeps the pinned [[JaccardDfCap]] for oracle parity).
+    */
+  private[ops] def jaccardPairsAuto(sh: DataFrame): DataFrame =
+    jaccardPairs(sh, selectDfCap(sh, col("s")))
 
   /** The inverted-index Jaccard pair join over an already-shingled
     * `(doc_id, s)` DataFrame — factored out so the skew test can drive

@@ -317,9 +317,24 @@ object TextStats extends QueryPack {
     winnowPairsFrom(Tables.documents(spark, dir))
 
   /** [[winnowPairs]] over any (doc_id, text) corpus — also the
-    * [[ScaleProbe]] entry.
+    * [[ScaleProbe]] entry. Cap pinned at 50 for oracle parity.
     */
-  def winnowPairsFrom(docs: DataFrame): DataFrame = {
+  def winnowPairsFrom(docs: DataFrame): DataFrame =
+    winnowPairsCore(docs, _ => 50L)
+
+  /** [[winnowPairsFrom]] with the df cap chosen by
+    * [[Dedup.selectDfCap]] from the fingerprint census — the deployment
+    * form: a corpus whose boilerplate fingerprint distribution shifts
+    * re-tunes its own cap instead of waiting for a hand edit (the
+    * round-6 degenerate-fanout incident, automated away). The census
+    * runs over the SAME pinned fingerprint frame the join consumes, so
+    * it adds one tiny aggregate, not a re-derivation.
+    */
+  def winnowPairsAutoFrom(docs: DataFrame): DataFrame =
+    winnowPairsCore(docs, sel => Dedup.selectDfCap(sel, col("wmin")))
+
+  private def winnowPairsCore(docs: DataFrame,
+                              capOf: DataFrame => Long): DataFrame = {
     import docs.sparkSession.implicits._
     // The fingerprint derivation (one md5 per char position + window-min)
     // is the hottest subtree of the whole engine and is consumed FOUR
@@ -332,9 +347,10 @@ object TextStats extends QueryPack {
     val sel = winnowMins(docs)
       .select($"doc_id", $"wmin").distinct()
       .transform(graft.state.Materialize.pin)
+    val cap = capOf(sel)
     val sz = sel.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val keep = sel.groupBy($"wmin").agg(count(lit(1)).as("df"))
-      .where($"df" <= 50)
+      .where($"df" <= cap)
     val idx = sel.join(keep.select($"wmin"), Seq("wmin"))
     // SHUFFLE_HASH on both sides: the inverted index is corpus-sized, so
     // a broadcast build side here is a driver/executor memory bomb at

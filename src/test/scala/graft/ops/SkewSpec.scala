@@ -91,6 +91,56 @@ class SkewSpec extends SparkSpec {
     // the cap they never meet in the join at all
   }
 
+  test("census-driven df cap (selectDfCap): perturbing the duplicate " +
+       "structure 10x keeps candidate-pair fanout within the documented " +
+       "budget with NO constant edits, and the cap tightens by itself") {
+    import graft.ops.llm.Dedup
+    def corpus(copies: Int) =
+      (0 until copies).flatMap { c =>
+        (0 until 40).flatMap { d =>
+          // 10 doc-specific shingles + 3 cross-doc boilerplate shingles
+          // per doc; copies REUSE the shingle values, so every document
+          // frequency multiplies by `copies` — the duplicate-structure
+          // perturbation a fixed cap can't follow
+          (0 until 10).map(i => ((c * 1000 + d).toLong, s"doc${d}_s$i")) ++
+            (0 until 3).map(i => ((c * 1000 + d).toLong, s"boiler_$i"))
+        }
+      }.toDF("doc_id", "s")
+    val caps = Seq(1, 10).map { m =>
+      val sh = corpus(m)
+      val cap = Dedup.selectDfCap(sh, col("s"))
+      val rows = sh.count()
+      val fanout = sh.groupBy($"s").agg(count(lit(1)).as("df"))
+        .where($"df" <= cap)
+        .agg(coalesce(sum($"df" * $"df"), lit(0L))).head().getLong(0)
+      // the budget IS the rule: join output ≤ 32× its input, any corpus
+      assert(fanout <= 32L * rows, s"m=$m cap=$cap fanout=$fanout rows=$rows")
+      cap
+    }
+    assert(caps(1) < caps(0),
+      s"10x duplication must TIGHTEN the cap (got ${caps(0)} -> ${caps(1)})")
+  }
+
+  test("jaccardPairsAuto: the census-chosen cap still finds the planted " +
+       "near-dup pair while excluding the corpus-wide hot shingles") {
+    import graft.ops.llm.Dedup
+    // 3 hot shingles × 200 docs: Σdf² = 120k against a 32×2600 = 83.2k
+    // budget, so the census rule must exclude the df=200 bucket — while
+    // keeping the df=2 bucket the planted pair lives in
+    val hot = (0 until 200).flatMap(d =>
+      (0 until 3).map(h => (d.toLong, s"hot stop shingle $h")))
+    val cold = (0 until 200).flatMap { d =>
+      (0 until 10).map { i =>
+        val shard = if (d <= 1 && i < 9) s"shared_$i" else s"doc${d}_s$i"
+        (d.toLong, shard)
+      }
+    }
+    val sh = (hot ++ cold).toDF("doc_id", "s")
+    val out = Dedup.jaccardPairsAuto(sh)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((0L, 1L, 9L, 11L)))
+  }
+
   test("bucketed tables join WITHOUT a shuffle (co-located join — the " +
        "pre-partitioning story for repeated 100TB joins)") {
     // Bucketing pays the shuffle ONCE at write time; every subsequent
