@@ -127,6 +127,36 @@ class KafkaOptionsSpec extends AnyFunSuite {
     }.getMessage.contains("checkpoint_location_output"))
   }
 
+  test("docs/kafka-live-smoke.md contract: the recipe's smoke.yaml and its " +
+       "quoted fail-fast message match the builders exactly (keep the " +
+       "recipe and this test in lockstep)") {
+    // step 4 of the recipe quotes this message verbatim
+    val e = intercept[IllegalArgumentException] {
+      KafkaOptions.writer(Conf(Map[String, Any](
+        "bootstrap_servers" -> "localhost:9094",
+        "output_topic" -> "smoke-out")), env = lookup)
+    }
+    assert(e.getMessage ===
+      "Kafka checkpoint_location_output is not defined for the writer.")
+    // the recipe's source block resolves to exactly the options
+    // spark-submit's .format("kafka") consumes
+    val opts = KafkaOptions.reader(Conf(Map[String, Any](
+      "bootstrap_servers" -> "localhost:9094",
+      "input_topic" -> "smoke-in",
+      "security" -> Map(
+        "protocol" -> "SASL_PLAINTEXT",
+        "sasl_mechanism" -> "SCRAM-SHA-512",
+        "username" -> "admin-user",
+        "password_env_var" -> "KAFKA_ADMIN_PASSWORD"))),
+      env = Map("KAFKA_ADMIN_PASSWORD" -> "pw").get)
+    assert(opts("kafka.bootstrap.servers") === "localhost:9094")
+    assert(opts("subscribe") === "smoke-in")
+    assert(opts("kafka.security.protocol") === "SASL_PLAINTEXT")
+    assert(opts("kafka.sasl.mechanism") === "SCRAM-SHA-512")
+    assert(opts("kafka.sasl.jaas.config").contains("ScramLoginModule"))
+    assert(opts("kafka.sasl.jaas.config").contains("admin-user"))
+  }
+
   test("batch writer: topic only, checkpoint neither required nor passed " +
        "(checkpointLocation is a streaming concept)") {
     val noCkpt = Conf(Map[String, Any](
