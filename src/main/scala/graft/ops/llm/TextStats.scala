@@ -500,15 +500,22 @@ object TextStats extends QueryPack {
     // buckets, balanced by the corpus's 2-gram distribution
     var (cur, nDistinct) =
       rankByBucketed(seed, expr(s"p1 div ${1L << 42}"), Seq($"p1", $"p2"))
-    // later rounds bucket by rank range: ranks are dense in
-    // [1, nSuffixes], so fixed-width ranges give ≈P even buckets and
-    // equal ranks trivially share one
-    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val bucketWidth = nSuffixes / math.max(p, 1) + 1
+    // later rounds bucket by rank range. Ranks are dense in
+    // [1, nDistinct-of-the-PREVIOUS-round] — width MUST divide that
+    // span, not nSuffixes: under heavy duplication nDistinct ≪
+    // nSuffixes, and an nSuffixes-derived width collapsed every row
+    // into one or two buckets (the 10× ScaleProbe caught it: 202s and
+    // 1.5 GiB task peaks vs ~linear after this fix). 4× more buckets
+    // than shuffle partitions keeps each window sort group at ~n/(4p)
+    // rows — reducers still balance, per-group buffering shrinks.
+    val p = math.max(spark.conf.get("spark.sql.shuffle.partitions").toInt, 1)
     var d = 16
     var prevDistinct = -1L
+    // quadrupling measured best here: doubling = more rounds (17s),
+    // octupling = wider sort keys + 7 leads per round (18s), quad = 13s
     while (d < maxLen && nDistinct != nSuffixes && nDistinct != prevDistinct) {
       prevDistinct = nDistinct
+      val bucketWidth = nDistinct / (4L * p) + 1
       val quad = cur
         .withColumn("r2", coalesce(lead($"r", d).over(byPos), lit(-1L)))
         .withColumn("r3", coalesce(lead($"r", 2 * d).over(byPos), lit(-1L)))
