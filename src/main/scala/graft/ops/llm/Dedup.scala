@@ -1,6 +1,7 @@
 package graft.ops.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.QueryPack
@@ -198,6 +199,191 @@ object Dedup extends QueryPack {
     definite.unionByName(verified)
       .select($"keep_id", $"n_in_batch", $"content_hash")
       .orderBy($"keep_id")
+  }
+
+  /** Exact LONGEST duplicated substring in the corpus — the
+    * unbounded-length memorization diagnostic ([[substringSpansFrom]]'s
+    * fixed 50-gram machinery finds "positions lying in SOME ≥50-char
+    * duplicate"; a merged span over-approximates contiguous repeats
+    * because adjacent grams may duplicate against different partners —
+    * this operator answers "what is the single longest verbatim string
+    * that occurs twice anywhere", exactly).
+    *
+    * Method: binary search on the length L (dup-existence is monotone in
+    * L), with an O(corpus) map-side probe per step:
+    *   - ONE-TIME prep: per document, inclusive prefix sums of the
+    *     polynomial rolling hash Σ c_j·B^{−j} under TWO 31-bit prime
+    *     moduli, plus the B^i power table — built from exploded char
+    *     rows with per-doc running-sum windows (O(len log len) per doc,
+    *     never an O(len²) array fold), collected into per-doc arrays and
+    *     pinned (~corpus chars × 4 longs once);
+    *   - probe(L): explode positions from the 1-row-per-doc prep frame
+    *     (map-side), reconstruct every L-gram's hash with four O(1)
+    *     array reads + three mulmods (all < 2^62, ANSI-safe), and ask
+    *     "any (h1, h2) with count ≥ 2" — one hash-aggregate shuffle of
+    *     position rows, nothing corpus-quadratic anywhere;
+    *   - ⌈log₂ maxlen⌉ probes total, then an EXACT verification at the
+    *     found L*: the duplicated-hash positions (a small slice) join
+    *     back to their texts and group by the actual substring, so a
+    *     dual-modulus collision (P ≈ n²/2^62 per probe, deterministic —
+    *     never flaky) can only cause a detected-and-retried empty
+    *     verify, not a wrong answer.
+    *
+    * The oracle finds the same maximum by the INDEPENDENT classical
+    * method — max LCP over adjacent suffixes of the full suffix sort —
+    * so the hash match proves the algorithm, not a shared spelling.
+    */
+  def longestDupSubstring(spark: SparkSession, dir: String): DataFrame =
+    longestDupSubstringFrom(Tables.documents(spark, dir).select(
+      col("doc_id"), col("text")))
+
+  private[llm] def longestDupSubstringFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val B = 131L
+    val M1 = 2147483647L // 2^31 − 1, prime
+    val M2 = 2147483629L // prime
+    val ib1 = BigInt(B).modInverse(BigInt(M1)).toLong
+    val ib2 = BigInt(B).modInverse(BigInt(M2)).toLong
+
+    val base = docs.select($"doc_id", $"text", length($"text").as("len"))
+      .where($"len" > 0)
+    val maxLen = base.agg(max($"len")).head().getInt(0)
+    // b^e mod m for a column exponent, with the squared bases
+    // b^(2^k) PRECOMPUTED as literals and the fold sized to the actual
+    // exponent width (positions < maxLen — ~10 bits at fixture scale,
+    // not a fixed 25): a plain-long fold of conditional mulmods — no
+    // per-iteration struct, no runtime squaring; products < 2^62 so
+    // ANSI-safe. This fold runs 4× per corpus CHARACTER in prep — its
+    // iteration count is the prep hot loop.
+    val expBits = math.max(64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(maxLen - 1, 1).toLong), 1)
+    def binexp(b: Long, m: Long, eCol: String) = {
+      val sq = Iterator.iterate(BigInt(b) mod m)(p => p * p mod m)
+        .take(expBits.toInt).map(_.toLong).mkString(",")
+      s"""aggregate(sequence(0, ${expBits - 1}), 1L, (acc, k) ->
+         |  IF((shiftright($eCol, k) & 1) = 1,
+         |     pmod(acc * element_at(array($sq), k + 1), $m), acc))"""
+        .stripMargin
+    }
+    val wInc = Window.partitionBy($"doc_id").orderBy($"i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chars = base
+      .withColumn("codes", expr(
+        "transform(filter(split(text, ''), c -> c <> ''), " +
+        "c -> cast(ascii(c) as bigint))"))
+      .select($"doc_id", $"len", posexplode($"codes").as(Seq("i", "c")))
+      .withColumn("pw1", expr(binexp(B, M1, "i")))
+      .withColumn("pw2", expr(binexp(B, M2, "i")))
+      // inclusive prefix sums T[i] = Σ_{j ≤ i} c_j·B^(−j) mod M: terms
+      // < 2^38, ≤ 2^25 of them — the raw window sum stays < 2^63
+      .withColumn("t1", pmod(sum(pmod($"c" * expr(binexp(ib1, M1, "i")), lit(M1)))
+        .over(wInc), lit(M1)))
+      .withColumn("t2", pmod(sum(pmod($"c" * expr(binexp(ib2, M2, "i")), lit(M2)))
+        .over(wInc), lit(M2)))
+    val prep0 = chars
+      .groupBy($"doc_id", $"len")
+      .agg(expr("array_sort(collect_list(struct(i, t1, t2, pw1, pw2)))").as("a"))
+      .select($"doc_id", $"len",
+        expr("transform(a, x -> x.t1)").as("T1"),
+        expr("transform(a, x -> x.t2)").as("T2"),
+        expr("transform(a, x -> x.pw1)").as("P1"),
+        expr("transform(a, x -> x.pw2)").as("P2"))
+      .transform(graft.state.Materialize.pin)
+
+    // hash of the L-gram at i: (T[i+L−1] − T[i−1])·B^i·B^(L−1), all mod M
+    def hCols(l: Int): Seq[Column] = Seq((M1, "T1", "P1"), (M2, "T2", "P2"))
+      .zipWithIndex.map { case ((m, t, p), ix) =>
+        val blConst = BigInt(B).modPow(BigInt(l - 1), BigInt(m)).toLong
+        expr(s"""pmod(pmod(
+          |  pmod(get($t, i + ${l - 1}) - IF(i = 0, 0L, get($t, i - 1)) + $m, $m)
+          |  * get($p, i), $m) * ${blConst}L, $m)""".stripMargin)
+          .as(s"h${ix + 1}")
+      }
+    def grams(prep: DataFrame, l: Int): DataFrame =
+      prep.where($"len" >= l)
+        .select($"doc_id", explode(expr(s"sequence(0, len - $l)")).as("i"),
+          $"T1", $"T2", $"P1", $"P2")
+        .select(($"doc_id" +: $"i" +: hCols(l)): _*)
+    def hasDup(prep: DataFrame, l: Int): Boolean =
+      grams(prep, l).groupBy($"h1", $"h2").agg(count(lit(1)).as("n"))
+        .where($"n" >= 2).limit(1).count() > 0
+
+    // ONE multi-length pass over the power-of-2 grid brackets L* into an
+    // octave (replaces ~6 sequential probes with a single shuffle): for
+    // every position, the hashes of all grid grams that fit — one
+    // explode, count≥2 per (L, h1, h2), then the per-L dup flags are a
+    // ≤25-row collect
+    val grid = Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxLen).toSeq
+    // B^(l−1) for the ~10 grid lengths: a literal array indexed by the
+    // grid position (_gx from posexplode) — NOT a per-row binexp fold,
+    // which at grid-pass volume (positions × grid) was the hot loop
+    def hGridCols: Seq[Column] = Seq((M1, "T1", "P1"), (M2, "T2", "P2"))
+      .zipWithIndex.map { case ((m, t, p), ix) =>
+        val bl = grid.map(l => BigInt(B).modPow(BigInt(l - 1), BigInt(m)).toLong)
+          .mkString(",")
+        expr(s"""pmod(pmod(
+          |  pmod(get($t, i + l - 1) - IF(i = 0, 0L, get($t, i - 1)) + $m, $m)
+          |  * get($p, i), $m) * element_at(array($bl), _gx + 1), $m)"""
+          .stripMargin)
+          .as(s"h${ix + 1}")
+      }
+    val dupLs: Set[Int] = prep0
+      .select($"doc_id", $"len", posexplode(expr(
+        s"filter(transform(array(${grid.mkString(",")}), x -> x), " +
+        "x -> x <= len)")).as(Seq("_gx", "l")),
+        $"T1", $"T2", $"P1", $"P2")
+      .select($"doc_id", $"len", $"_gx", $"l",
+        explode(expr("sequence(0, len - l)")).as("i"),
+        $"T1", $"T2", $"P1", $"P2")
+      .select(($"l" +: $"i" +: hGridCols): _*)
+      .groupBy($"l", $"h1", $"h2").agg(count(lit(1)).as("n"))
+      .where($"n" >= 2)
+      .select($"l").distinct().collect().map(_.getInt(0)).toSet
+
+    var result: Option[DataFrame] = None
+    if (dupLs.nonEmpty) {
+      val bracketLo = dupLs.max
+      // prune to documents carrying a duplicated bracketLo-gram: a dup
+      // pair of any longer length implies dup grams at bracketLo in both
+      // docs, so refinement probes only need the surviving documents
+      val wH = Window.partitionBy($"h1", $"h2")
+      val dupDocs = grams(prep0, bracketLo)
+        .withColumn("grp", count(lit(1)).over(wH))
+        .where($"grp" >= 2)
+        .select($"doc_id").distinct()
+      val prep = prep0.join(dupDocs, Seq("doc_id"), "left_semi")
+        .transform(graft.state.Materialize.pin)
+      var hi = maxLen
+      while (result.isEmpty && hi >= 1) {
+        var lo = bracketLo.min(hi)
+        var h2 = math.min(2 * bracketLo - 1, hi)
+        while (lo < h2) {
+          val mid = (lo + h2 + 1) / 2
+          if (hasDup(prep, mid)) lo = mid else h2 = mid - 1
+        }
+        val lStar = lo
+        val pos = grams(prep, lStar)
+          .withColumn("grp", count(lit(1)).over(wH))
+          .where($"grp" >= 2)
+          .select($"doc_id", $"i")
+        val exact = pos.hint("SHUFFLE_HASH").join(base, Seq("doc_id"))
+          .select($"doc_id",
+            expr(s"substring(text, cast(i + 1 as int), $lStar)").as("g"))
+          .groupBy($"g")
+          .agg(count(lit(1)).as("n_occ"),
+               countDistinct($"doc_id").as("n_docs"))
+          .where($"n_occ" >= 2)
+          .select(lit(lStar.toLong).as("lmax"), $"g", $"n_occ", $"n_docs")
+          .orderBy($"g")
+        if (exact.limit(1).count() > 0) result = Some(exact)
+        else hi = lStar - 1 // dual-modulus collision: retry below it
+      }
+    }
+    result.getOrElse(
+      base.sparkSession.emptyDataFrame
+        .select(lit(0L).as("lmax"), lit("").as("g"),
+          lit(0L).as("n_occ"), lit(0L).as("n_docs"))
+        .where(lit(false)))
   }
 
   /** C36 URL-level dedup — the canonicalization stage a crawl pipeline
@@ -1228,6 +1414,7 @@ object Dedup extends QueryPack {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_longest_dup_substring" -> (longestDupSubstring _),
     "llm_dedup_bloom_inc" -> (dedupBloomIncremental _),
     "llm_cdc_chunks"      -> (cdcChunks _),
     "llm_dedup_editdist"  -> (dedupEditDist _),
@@ -1250,6 +1437,34 @@ object Dedup extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // INDEPENDENT method: the classical suffix-sort theorem — the longest
+    // repeated substring's length is the max LCP over ADJACENT suffixes
+    // of the full corpus suffix sort (the engine binary-searches lengths
+    // with rolling-hash dup probes instead; agreeing answers prove both)
+    "llm_longest_dup_substring" ->
+      """WITH s AS (
+        |  SELECT doc_id, i, substring(text, i + 1) AS suf
+        |  FROM documents, unnest(range(0, len(text))) AS t(i)
+        |  WHERE len(text) > 0),
+        |o AS (SELECT suf, lag(suf) OVER (ORDER BY suf) AS prev FROM s),
+        |l AS (
+        |  -- list_position yields 0 (not NULL) when no mismatch exists —
+        |  -- nullif routes the is-a-prefix/identical case to least(len)
+        |  SELECT CASE WHEN prev IS NULL THEN 0 ELSE coalesce(
+        |    nullif(list_position(list_transform(
+        |      range(1, least(len(suf), len(prev)) + 1),
+        |      k -> substr(suf, k, 1) = substr(prev, k, 1)), false), 0) - 1,
+        |    least(len(suf), len(prev))) END AS lcp
+        |  FROM o),
+        |m AS (SELECT max(lcp)::BIGINT AS lmax FROM l),
+        |g AS (
+        |  SELECT doc_id, substr(text, i + 1, (SELECT lmax FROM m)) AS g
+        |  FROM documents, unnest(range(0, len(text))) AS t(i)
+        |  WHERE len(text) - i >= (SELECT lmax FROM m))
+        |SELECT (SELECT lmax FROM m) AS lmax, g,
+        |  COUNT(*)::BIGINT AS n_occ,
+        |  COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+        |FROM g GROUP BY g HAVING COUNT(*) >= 2 ORDER BY g""".stripMargin,
     // byte-for-byte the same boundary rule: hex60(16-char window) % 64 = 0,
     // cut points [0]+cuts+[len], chunks as 1-based substr slices, chunk
     // identity by md5, dup = hash in >= 2 distinct docs

@@ -138,4 +138,52 @@ class SubstringSpanSpec extends SparkSpec {
     assert(out(1L) === ((60L, 60L + sharedB.length)))
     assert(out(2L) === ((30L, 30L + sharedB.length)))
   }
+
+  /** Brute-force twin for [[Dedup.longestDupSubstringFrom]]: every
+    * substring of every doc, hashed into a multiset — the naive O(n²·L)
+    * answer the rolling-hash binary search must reproduce exactly.
+    */
+  private def bruteLongestDup(texts: Seq[(Long, String)])
+      : (Int, Map[String, (Long, Long)]) = {
+    val all = texts.flatMap { case (d, s) =>
+      s.indices.flatMap(i => (i + 1 to s.length).map(j => (s.substring(i, j), d)))
+    }
+    val groups = all.groupBy(_._1).filter(_._2.size >= 2)
+    if (groups.isEmpty) (0, Map.empty)
+    else {
+      val lmax = groups.keys.map(_.length).max
+      val top = groups.filter(_._1.length == lmax)
+      (lmax, top.map { case (g, occ) =>
+        g -> ((occ.size.toLong, occ.map(_._2).distinct.size.toLong))
+      })
+    }
+  }
+
+  test("longest duplicated substring: exact answer on planted corpora — " +
+       "cross-doc repeat, within-doc repeat, ties at the max length, " +
+       "and the shorter-runner-up is NOT reported") {
+    val corpora = Seq(
+      // cross-doc 31-char repeat (the max), within-doc shorter repeat
+      Seq(1L -> s"${filler(0, 40)}common passage shared by both x${filler(1, 40)}",
+          2L -> s"${filler(2, 40)}common passage shared by both x${filler(3, 40)}",
+          3L -> s"${filler(4, 30)}echo echo${filler(5, 30)}"),
+      // tie: two DIFFERENT substrings of the same max length duplicated
+      Seq(10L -> s"${filler(0, 30)}alpha beta gamma del${filler(1, 30)}",
+          11L -> s"${filler(2, 30)}alpha beta gamma del${filler(3, 30)}",
+          12L -> s"${filler(4, 30)}omega sigma kappa ta${filler(5, 30)}",
+          13L -> s"${filler(6, 30)}omega sigma kappa ta${filler(7, 30)}"),
+      // within-ONE-doc repeat only (both occurrences in the same doc)
+      Seq(20L -> s"zqjxkv repeated block here! ${filler(0, 25)} repeated block here! wvm")
+    )
+    corpora.foreach { texts =>
+      val (lmaxExp, topExp) = bruteLongestDup(texts)
+      val got = Dedup.longestDupSubstringFrom(texts.toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      assert(got.forall(_._1 == lmaxExp.toLong),
+        s"lmax: got ${got.map(_._1).toSeq} expected $lmaxExp")
+      val gotMap = got.map(r => r._2 -> ((r._3, r._4))).toMap
+      assert(gotMap === topExp, s"groups at lmax=$lmaxExp")
+    }
+  }
 }
