@@ -70,6 +70,23 @@ object PairCountProbe {
         .select($"wmin"), Seq("wmin"))
     val (wk, wkMax, wkFan) = fanout(keptW, Seq("wmin"))
     println(f"[pair-probe] winnow   fp_keys=$wKeys%-8d max_df=$wMax%-6d fanout_uncapped=$wFan%-10d kept_keys=$wk%-8d max_df_capped=$wkMax%-4d fanout_capped=$wkFan%-9d final=${TextStats.winnowPairs(spark, sfDir).count()}")
+
+    // Census-driven cap selection (Dedup.selectDfCap): what the auto rule
+    // would choose for this corpus, and the fanout it admits — the
+    // telemetry a deployment reads to sanity-check the pinned gate caps
+    // (50/64) against the self-tuned ones after a fixture/corpus shift.
+    def autoLine(tag: String, idx: org.apache.spark.sql.DataFrame,
+                 key: String, pinned: Long): Unit = {
+      val cap = Dedup.selectDfCap(idx, col(key))
+      val sizes = idx.groupBy(col(key)).agg(count(lit(1)).as("df"))
+      val admitted = sizes.where($"df" <= cap)
+        .agg(coalesce(sum(expr("df * (df - 1) div 2")), lit(0L)))
+        .head().getLong(0)
+      val rows = idx.count()
+      println(f"[pair-probe] autocap  $tag%-8s pinned=$pinned%-4d auto=$cap%-6d fanout_admitted=$admitted%-10d budget=${32L * rows}")
+    }
+    autoLine("jaccard4", sh4, "s", Dedup.JaccardDfCap)
+    autoLine("winnow", sel, "wmin", 50L)
     spark.stop()
   }
 }
