@@ -800,7 +800,62 @@ object Similarity extends QueryPack {
       .orderBy($"q_id", $"rk")
   }
 
+  /** INCREMENTAL index add — extend a trained IVF index with a new batch
+    * of vectors WITHOUT retraining or touching the indexed corpus: the
+    * production "daily embedding delta" path, where re-clustering 100 TB
+    * for a 0.1% arrival batch would be absurd. The index side (vec_id %
+    * 10 ≠ 0 as the stand-in for "already indexed") trains centroids with
+    * one decimal-exact Lloyd update from the coarse-quantizer seeds; the
+    * arrival batch (vec_id % 10 = 0) is then assigned against those
+    * FROZEN centroids by broadcast argmax. Output: per-cell census of
+    * old size, added count, added id range, and centroid dim-0 (the
+    * proof the assignment ran against the trained — not seed —
+    * centroids).
+    *
+    * Scale shape: the only corpus-sized work is the one (cell, dim)-keyed
+    * training aggregate (in production the centroid frame already exists
+    * — here it's replayed for determinism); the batch path is a K×dim
+    * broadcast against a linear scan of the ARRIVALS only. Cell drift
+    * under distribution shift is the operational caveat — the
+    * [[kmeansRefine]] movement census is the signal that schedules a
+    * retrain.
+    */
+  def ivfAdd(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = Dedup.withIvfCell(corpus(spark, dir))
+      .select($"vec_id", $"v", $"cell".as("c0"))
+    val old = all.filter($"vec_id" % 10 =!= 0)
+    val batch = all.filter($"vec_id" % 10 === 0)
+    val cent = old
+      .select($"c0".as("cell"), posexplode($"v").as(Seq("d", "x")))
+      .groupBy($"cell", $"d")
+      .agg(graft.Det.davg($"x").as("m"))
+      .groupBy($"cell")
+      .agg(collect_list(struct($"d", $"m")).as("dm"))
+      .select($"cell", expr("transform(array_sort(dm), s -> s.m)").as("carr"))
+    val w = Window.partitionBy($"vec_id").orderBy($"dot".desc, $"cell")
+    val assigned = batch.select($"vec_id", $"v")
+      .crossJoin(broadcast(cent))
+      .withColumn("dot", call_function("graft_dot", $"v", $"carr"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"vec_id", $"cell")
+    val oldCensus = old.groupBy($"c0".as("cell"))
+      .agg(count(lit(1)).as("n_old"))
+    val addCensus = assigned.groupBy($"cell")
+      .agg(count(lit(1)).as("n_added"),
+           min($"vec_id").as("first_added"), max($"vec_id").as("last_added"))
+    cent.select($"cell", element_at($"carr", 1).as("m_dim0"))
+      .join(oldCensus, Seq("cell"))
+      .join(addCensus, Seq("cell"), "left_outer")
+      .select($"cell", $"n_old",
+              coalesce($"n_added", lit(0L)).as("n_added"),
+              $"first_added", $"last_added", $"m_dim0")
+      .orderBy($"cell")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ivf_add"         -> (ivfAdd _),
     "llm_diversify_topk"  -> (diversifyTopK _),
     "llm_ann_ivf_mp"      -> (annIvfMultiProbe _),
     "llm_mrl_recall"      -> (mrlRecall _),
@@ -959,6 +1014,47 @@ object Similarity extends QueryPack {
         |SELECT label, pos, COUNT(*) AS n, ${graft.Det.sqlAvg("x")} AS c
         |FROM e WHERE pos < 8
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    // identical seed-cell assignment and decimal-exact centroid training
+    // restricted to the index side, identical frozen-centroid argmax
+    // (dot DESC, cell) over the arrival batch only
+    "llm_ivf_add" ->
+      s"""WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |            FROM embeddings),
+        |cent0 AS (SELECT c, list_transform(range(0, 64), d ->
+        |    ('0x' || substr(md5('ivf_' || c::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT::DOUBLE
+        |    / 576460752303423488.0 - 1.0) AS w
+        |  FROM range(0, 4) t(c)),
+        |d0 AS (SELECT vec_id, c,
+        |    list_reduce(list_transform(range(1, 65), k -> v[k] * w[k]),
+        |                (a, b) -> a + b) AS dot
+        |  FROM v0, cent0),
+        |cells0 AS (SELECT vec_id, c::INT AS c0 FROM (
+        |    SELECT vec_id, c,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
+        |    FROM d0) WHERE rn = 1),
+        |old AS (SELECT vec_id, c0 FROM cells0 WHERE vec_id % 10 <> 0),
+        |ex AS (SELECT c0, generate_subscripts(v, 1) - 1 AS d, unnest(v) AS x
+        |       FROM v0 JOIN old USING (vec_id)),
+        |m1 AS (SELECT c0 AS cell, d, ${graft.Det.sqlAvg("x")} AS m
+        |       FROM ex GROUP BY 1, 2),
+        |cent1 AS (SELECT cell, list(m ORDER BY d) AS carr FROM m1 GROUP BY cell),
+        |d1 AS (SELECT vec_id, cell,
+        |    list_reduce(list_transform(range(1, 65), k -> v[k] * carr[k]),
+        |                (a, b) -> a + b) AS dot
+        |  FROM v0, cent1 WHERE vec_id % 10 = 0),
+        |added AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |oc AS (SELECT c0 AS cell, COUNT(*)::BIGINT AS n_old FROM old GROUP BY 1),
+        |ac AS (SELECT cell, COUNT(*)::BIGINT AS n_added,
+        |         MIN(vec_id) AS first_added, MAX(vec_id) AS last_added
+        |       FROM added GROUP BY cell)
+        |SELECT cent1.cell, n_old,
+        |  COALESCE(n_added, 0)::BIGINT AS n_added, first_added, last_added,
+        |  carr[1] AS m_dim0
+        |FROM cent1 JOIN oc USING (cell) LEFT JOIN ac USING (cell)
+        |ORDER BY cent1.cell""".stripMargin,
     "llm_kmeans" ->
       s"""WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
         |            FROM embeddings),

@@ -895,6 +895,143 @@ object TextStats extends QueryPack {
       .orderBy($"doc_id", $"bench_id")
   }
 
+  /** CONTAINMENT-RATIO decontamination — the fuzzy twin of
+    * [[contamination]]: instead of an absolute shared-shingle count, a
+    * document is flagged when the FRACTION of its distinct word 4-grams
+    * that appear anywhere in the benchmark set crosses a threshold
+    * (100000 ppm = 10% here). This is the form the published
+    * decontamination recipes converge on (GPT-3 ran 13-gram collision;
+    * later pipelines filter on n-gram containment share), because it
+    * also catches paraphrased/partial overlap that never produces one
+    * long verbatim run. Ratio arithmetic is exact-integer ppm
+    * (`1000000·shared div total`), so the gate hash-matches.
+    *
+    * Scale shape: the benchmark side collapses to a DISTINCT gram SET
+    * (eval suites are thousands of items — KBs to MBs) broadcast to a
+    * single left join against the corpus shingle stream, then one
+    * doc-keyed aggregate: one corpus pass, the corpus never shuffles on
+    * gram. Identical plumbing at 100 TB.
+    */
+  def contaminationRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Dedup.shingles(spark, dir, 4, distinct = true)
+    val bench = sh.filter($"doc_id" < 20).select($"s").distinct()
+      .withColumn("hit", lit(1L))
+    sh.filter($"doc_id" >= 20)
+      .join(broadcast(bench), Seq("s"), "left_outer")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+           sum(coalesce($"hit", lit(0L))).as("n_shared"))
+      .withColumn("ppm", expr("(1000000 * n_shared) div n_grams"))
+      .withColumn("flagged", $"ppm" >= 100000)
+      .orderBy($"doc_id")
+  }
+
+  /** Span-corruption preprocessing — the T5/UL2 denoising-objective
+    * transform that turns raw text into (corrupted input, target) pairs:
+    * ~15% of tokens are masked in multi-token spans (mean length 3),
+    * each span is replaced by ONE numbered sentinel in the input, and
+    * the target is the sentinel-delimited masked content. Sampling is
+    * DERANDOMIZED the way every sampling stage in this engine is
+    * ([[sampleHash]], shard assignment): a token's 3-token segment is
+    * masked iff `hexint(md5(doc_id||'_'||seg)) % 20 < 3` — 15% in
+    * expectation, reproducible bit-for-bit on both engines, and stable
+    * under any partitioning. Adjacent masked segments merge into one
+    * span (run-length numbering), exactly like T5 merges adjacent
+    * corrupted positions. The gate emits per-doc span census plus md5
+    * checksums of the corrupted INPUT and the TARGET texts, so the
+    * sentinel splicing itself is verified, not just the counts.
+    *
+    * Scale shape: pure per-document map-side work — explode, integer/md5
+    * arithmetic, one doc-keyed window for the span numbering and one
+    * doc-keyed aggregate to reassemble; the corpus shuffles once on
+    * doc_id and nothing joins. The 100 TB tokenization job runs exactly
+    * this shape per shard.
+    */
+  def spanCorrupt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .withColumn("seg", expr("pos div 3"))
+      .withColumn("masked", expr(
+        "cast(conv(substring(md5(concat(cast(doc_id as string), '_', " +
+          "cast(seg as string))), 1, 4), 16, 10) as bigint) % 20 < 3"))
+    val byPos = Window.partitionBy($"doc_id").orderBy($"pos")
+    val marked = toks
+      .withColumn("prev_masked",
+        coalesce(lag($"masked", 1).over(byPos), lit(false)))
+      .withColumn("starts", $"masked" && !$"prev_masked")
+      .withColumn("span",
+        sum($"starts".cast("long")).over(
+          byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("in_piece",
+        when(!$"masked", $"w")
+          .when($"starts", concat(lit("<X"), $"span" - 1, lit(">")))
+          .otherwise(lit("")))
+      .withColumn("tgt_piece",
+        when($"masked" && $"starts",
+             concat(lit("<X"), $"span" - 1, lit("> "), $"w"))
+          .when($"masked", $"w")
+          .otherwise(lit("")))
+    marked.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           sum($"masked".cast("long")).as("n_masked"),
+           sum($"starts".cast("long")).as("n_spans"),
+           expr("array_join(filter(transform(array_sort(" +
+             "collect_list(struct(pos, in_piece))), s -> s.in_piece), " +
+             "p -> p <> ''), ' ')").as("input_text"),
+           expr("array_join(filter(transform(array_sort(" +
+             "collect_list(struct(pos, tgt_piece))), s -> s.tgt_piece), " +
+             "p -> p <> ''), ' ')").as("target_text"))
+      .select($"doc_id", $"n_tokens", $"n_masked", $"n_spans",
+              expr("(1000000 * n_masked) div n_tokens").as("ppm_masked"),
+              md5(encode($"input_text", "UTF-8")).as("input_checksum"),
+              md5(encode($"target_text", "UTF-8")).as("target_checksum"))
+      .orderBy($"doc_id")
+  }
+
+  /** Code-switching detection — per-SEGMENT language identification
+    * aggregated to a per-document census: a crawled page that flips
+    * language mid-document (boilerplate in one language, content in
+    * another; forum quotes; machine-translated halves) gets one
+    * misleading whole-doc language label, so curation pipelines segment
+    * first and flag documents whose segments disagree. Reuses the
+    * [[langId]] profile-argmax mechanism over fixed 20-token segments
+    * (the fixture has no paragraph marks — same stand-in rule as
+    * [[graft.ops.llm.Dedup]] paragraph dedup); a real corpus would
+    * segment on blank lines with everything downstream unchanged.
+    * Segments with no profile hit label 'und' via the segment spine
+    * left-join, so silence never fakes agreement.
+    *
+    * Scale shape: token explode is map-side; scoring joins a broadcast
+    * ~stopword-list-sized profile table; the argmax window and both
+    * aggregates are all keyed by (doc, seg) or doc — the corpus shuffles
+    * on doc_id once (AQE coalesces the tiny tail). No corpus self-join.
+    */
+  def codeSwitch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val segW = 20
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .withColumn("seg", expr(s"pos div $segW").cast("long"))
+    val spine = toks.select($"doc_id", $"seg").distinct()
+    val prof = profiles.toDF("plang", "w")
+    val scores = toks.join(broadcast(prof), Seq("w"))
+      .groupBy($"doc_id", $"seg", $"plang").agg(count(lit(1)).as("score"))
+    val wArg = Window.partitionBy($"doc_id", $"seg")
+      .orderBy($"score".desc, $"plang")
+    val pred = scores.withColumn("rn", row_number().over(wArg))
+      .filter($"rn" === 1).select($"doc_id", $"seg", $"plang")
+    spine.join(pred, Seq("doc_id", "seg"), "left_outer")
+      .withColumn("plang", coalesce($"plang", lit("und")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+           countDistinct($"plang").as("n_langs"),
+           expr("array_join(array_sort(collect_set(plang)), ',')").as("langs"))
+      .withColumn("code_switched", $"n_langs" >= 2)
+      .orderBy($"doc_id")
+  }
+
   /** Sequence packing — assign documents to fixed-budget training
     * sequences (context windows) by cumulative token count: doc d lands
     * in the bin where its start offset falls (`(cumsum − tokens) div B`,
@@ -1262,6 +1399,9 @@ object TextStats extends QueryPack {
     "llm_unimax_alloc"  -> (unimaxAlloc _),
     "llm_pack_sequences" -> (packSequences _),
     "llm_contamination" -> (contamination _),
+    "llm_contamination_ratio" -> (contaminationRatio _),
+    "llm_span_corrupt"  -> (spanCorrupt _),
+    "llm_code_switch"   -> (codeSwitch _),
     "llm_text_stats"    -> (textStats _),
     "llm_lang_id"       -> (langId _),
     "llm_quality_score" -> (qualityScore _),
@@ -1749,6 +1889,93 @@ object TextStats extends QueryPack {
         |FROM c JOIN b USING (s)
         |GROUP BY 1, 2 HAVING COUNT(*) >= 8
         |ORDER BY 1, 2""".stripMargin,
+    // same distinct-gram containment ratio, same exact-integer ppm
+    "llm_contamination_ratio" ->
+      s"""WITH ${Dedup.shingleCte(4)},
+        |b AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+        |c AS (SELECT doc_id, s FROM sh WHERE doc_id >= 20),
+        |j AS (SELECT c.doc_id,
+        |        CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |      FROM c LEFT JOIN b ON c.s = b.s),
+        |a AS (SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+        |        SUM(hit)::BIGINT AS n_shared
+        |      FROM j GROUP BY doc_id)
+        |SELECT doc_id, n_grams, n_shared,
+        |  ((1000000 * n_shared) // n_grams)::BIGINT AS ppm,
+        |  ((1000000 * n_shared) // n_grams) >= 100000 AS flagged
+        |FROM a ORDER BY doc_id""".stripMargin,
+    // same md5-derandomized 15% segment mask, same run-length sentinel
+    // numbering, checksums prove the spliced INPUT and TARGET texts match
+    "llm_span_corrupt" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS w,
+        |    generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        |  FROM documents),
+        |m AS (SELECT doc_id, pos, w,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || '_' || (pos // 3)::VARCHAR),
+        |     1, 4))::BIGINT % 20 < 3 AS masked
+        |  FROM toks),
+        |r AS (SELECT doc_id, pos, w, masked,
+        |    COALESCE(lag(masked) OVER (PARTITION BY doc_id ORDER BY pos),
+        |             false) AS prev_masked
+        |  FROM m),
+        |s AS (SELECT doc_id, pos, w, masked,
+        |    (masked AND NOT prev_masked) AS starts,
+        |    SUM(CASE WHEN masked AND NOT prev_masked THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS UNBOUNDED PRECEDING) AS span
+        |  FROM r),
+        |p AS (SELECT doc_id, pos, masked, starts,
+        |    CASE WHEN NOT masked THEN w
+        |         WHEN starts THEN '<X' || (span - 1)::VARCHAR || '>'
+        |         ELSE '' END AS in_piece,
+        |    CASE WHEN masked AND starts
+        |           THEN '<X' || (span - 1)::VARCHAR || '> ' || w
+        |         WHEN masked THEN w
+        |         ELSE '' END AS tgt_piece
+        |  FROM s),
+        |a AS (SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+        |    SUM(CASE WHEN masked THEN 1 ELSE 0 END)::BIGINT AS n_masked,
+        |    SUM(CASE WHEN starts THEN 1 ELSE 0 END)::BIGINT AS n_spans,
+        |    COALESCE(string_agg(in_piece, ' ' ORDER BY pos)
+        |             FILTER (WHERE in_piece <> ''), '') AS input_text,
+        |    COALESCE(string_agg(tgt_piece, ' ' ORDER BY pos)
+        |             FILTER (WHERE tgt_piece <> ''), '') AS target_text
+        |  FROM p GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_masked, n_spans,
+        |  ((1000000 * n_masked) // n_tokens)::BIGINT AS ppm_masked,
+        |  md5(input_text) AS input_checksum,
+        |  md5(target_text) AS target_checksum
+        |FROM a ORDER BY doc_id""".stripMargin,
+    // same 20-token segments, same profile argmax (score DESC, plang),
+    // same 'und' spine fill, same sorted distinct-language list
+    "llm_code_switch" ->
+      s"""WITH prof(plang, w) AS (VALUES $profileValues),
+        |toks AS (SELECT doc_id,
+        |           unnest(string_split(text, ' ')) AS w,
+        |           generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        |         FROM documents),
+        |seg AS (SELECT doc_id, w, (pos // 20)::BIGINT AS seg FROM toks),
+        |spine AS (SELECT DISTINCT doc_id, seg FROM seg),
+        |sc AS (SELECT doc_id, seg, plang, COUNT(*)::BIGINT AS score
+        |       FROM seg JOIN prof USING (w) GROUP BY 1, 2, 3),
+        |pr AS (SELECT doc_id, seg, plang FROM (
+        |         SELECT doc_id, seg, plang,
+        |           row_number() OVER (PARTITION BY doc_id, seg
+        |                              ORDER BY score DESC, plang) AS rn
+        |         FROM sc) WHERE rn = 1),
+        |lab AS (SELECT s.doc_id, s.seg, COALESCE(pr.plang, 'und') AS plang
+        |        FROM spine s LEFT JOIN pr
+        |          ON s.doc_id = pr.doc_id AND s.seg = pr.seg),
+        |d AS (SELECT DISTINCT doc_id, plang FROM lab),
+        |a1 AS (SELECT doc_id, COUNT(*)::BIGINT AS n_segments
+        |       FROM lab GROUP BY doc_id),
+        |a2 AS (SELECT doc_id, COUNT(*)::BIGINT AS n_langs,
+        |         string_agg(plang, ',' ORDER BY plang) AS langs
+        |       FROM d GROUP BY doc_id)
+        |SELECT a1.doc_id, n_segments, n_langs, langs,
+        |  n_langs >= 2 AS code_switched
+        |FROM a1 JOIN a2 USING (doc_id) ORDER BY a1.doc_id""".stripMargin,
     "llm_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
