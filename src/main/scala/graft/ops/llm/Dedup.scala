@@ -62,9 +62,17 @@ object Dedup extends QueryPack {
     * (min, collect_set).
     */
   private[llm] def shingles(spark: SparkSession, dir: String, n: Int,
-                            distinct: Boolean): DataFrame = {
-    import spark.implicits._
-    val raw = Tables.documents(spark, dir)
+                            distinct: Boolean): DataFrame =
+    shinglesFrom(Tables.documents(spark, dir), n, distinct)
+
+  /** [[shingles]] over any (doc_id, text) corpus — the streaming-twin
+    * entry ([[graft.streaming.DecontamStream]] shingles each arriving
+    * micro-batch with the SAME expression the batch gates use).
+    */
+  private[graft] def shinglesFrom(docs: DataFrame, n: Int,
+                                  distinct: Boolean): DataFrame = {
+    import docs.sparkSession.implicits._
+    val raw = docs
       .select($"doc_id", split($"text", " ").as("ws"))
       .filter(size($"ws") >= n)
       .select($"doc_id", explode(expr(shingleExpr(n))).as("s"))

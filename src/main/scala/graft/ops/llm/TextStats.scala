@@ -916,15 +916,26 @@ object TextStats extends QueryPack {
     import spark.implicits._
     val sh = Dedup.shingles(spark, dir, 4, distinct = true)
     val bench = sh.filter($"doc_id" < 20).select($"s").distinct()
-      .withColumn("hit", lit(1L))
-    sh.filter($"doc_id" >= 20)
+    contaminationRatioFrom(sh.filter($"doc_id" >= 20), bench)
+      .orderBy($"doc_id")
+  }
+
+  /** [[contaminationRatio]]'s core over any (doc_id, s) corpus shingle
+    * stream and any benchmark gram set — the one definition the batch
+    * gate and [[graft.streaming.DecontamStream]]'s micro-batches share.
+    * Unsorted (streaming batches don't order); callers sort if gated.
+    */
+  private[graft] def contaminationRatioFrom(corpusShingles: DataFrame,
+                                            benchGrams: DataFrame): DataFrame = {
+    import corpusShingles.sparkSession.implicits._
+    val bench = benchGrams.select($"s").withColumn("hit", lit(1L))
+    corpusShingles
       .join(broadcast(bench), Seq("s"), "left_outer")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_grams"),
            sum(coalesce($"hit", lit(0L))).as("n_shared"))
       .withColumn("ppm", expr("(1000000 * n_shared) div n_grams"))
       .withColumn("flagged", $"ppm" >= 100000)
-      .orderBy($"doc_id")
   }
 
   /** Span-corruption preprocessing — the T5/UL2 denoising-objective
@@ -1000,30 +1011,31 @@ object TextStats extends QueryPack {
     * (the fixture has no paragraph marks — same stand-in rule as
     * [[graft.ops.llm.Dedup]] paragraph dedup); a real corpus would
     * segment on blank lines with everything downstream unchanged.
-    * Segments with no profile hit label 'und' via the segment spine
-    * left-join, so silence never fakes agreement.
+    * Segments with no profile hit label 'und': non-profile tokens stay
+    * in the stream as 'und' candidates that lose to ANY real language in
+    * the argmax (the `plang = 'und'` sort key), so silence never fakes
+    * agreement — and no separate segment spine (which would mean a
+    * second corpus scan and a corpus-sized merge join) is ever built.
     *
-    * Scale shape: token explode is map-side; scoring joins a broadcast
-    * ~stopword-list-sized profile table; the argmax window and both
-    * aggregates are all keyed by (doc, seg) or doc — the corpus shuffles
-    * on doc_id once (AQE coalesces the tiny tail). No corpus self-join.
+    * Scale shape: ONE corpus scan; the explode is map-side; the profile
+    * table joins as a broadcast LEFT join (keeps every token); the
+    * argmax window and both aggregates are all keyed by (doc, seg) or
+    * doc. No corpus self-join, no second scan.
     */
   def codeSwitch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val segW = 20
-    val toks = Tables.documents(spark, dir)
+    val prof = profiles.toDF("plang", "w")
+    val scores = Tables.documents(spark, dir)
       .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
       .withColumn("seg", expr(s"pos div $segW").cast("long"))
-    val spine = toks.select($"doc_id", $"seg").distinct()
-    val prof = profiles.toDF("plang", "w")
-    val scores = toks.join(broadcast(prof), Seq("w"))
+      .join(broadcast(prof), Seq("w"), "left_outer")
+      .withColumn("plang", coalesce($"plang", lit("und")))
       .groupBy($"doc_id", $"seg", $"plang").agg(count(lit(1)).as("score"))
     val wArg = Window.partitionBy($"doc_id", $"seg")
-      .orderBy($"score".desc, $"plang")
-    val pred = scores.withColumn("rn", row_number().over(wArg))
+      .orderBy(($"plang" === "und").asc, $"score".desc, $"plang")
+    scores.withColumn("rn", row_number().over(wArg))
       .filter($"rn" === 1).select($"doc_id", $"seg", $"plang")
-    spine.join(pred, Seq("doc_id", "seg"), "left_outer")
-      .withColumn("plang", coalesce($"plang", lit("und")))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_segments"),
            countDistinct($"plang").as("n_langs"),
@@ -1947,8 +1959,9 @@ object TextStats extends QueryPack {
         |  md5(input_text) AS input_checksum,
         |  md5(target_text) AS target_checksum
         |FROM a ORDER BY doc_id""".stripMargin,
-    // same 20-token segments, same profile argmax (score DESC, plang),
-    // same 'und' spine fill, same sorted distinct-language list
+    // same 20-token segments, same profile argmax with 'und' (kept-in-
+    // stream non-profile tokens) losing to any real language, same
+    // sorted distinct-language list
     "llm_code_switch" ->
       s"""WITH prof(plang, w) AS (VALUES $profileValues),
         |toks AS (SELECT doc_id,
@@ -1956,20 +1969,18 @@ object TextStats extends QueryPack {
         |           generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
         |         FROM documents),
         |seg AS (SELECT doc_id, w, (pos // 20)::BIGINT AS seg FROM toks),
-        |spine AS (SELECT DISTINCT doc_id, seg FROM seg),
+        |lab0 AS (SELECT s.doc_id, s.seg, COALESCE(p.plang, 'und') AS plang
+        |         FROM seg s LEFT JOIN prof p USING (w)),
         |sc AS (SELECT doc_id, seg, plang, COUNT(*)::BIGINT AS score
-        |       FROM seg JOIN prof USING (w) GROUP BY 1, 2, 3),
+        |       FROM lab0 GROUP BY 1, 2, 3),
         |pr AS (SELECT doc_id, seg, plang FROM (
         |         SELECT doc_id, seg, plang,
         |           row_number() OVER (PARTITION BY doc_id, seg
-        |                              ORDER BY score DESC, plang) AS rn
+        |             ORDER BY (plang = 'und') ASC, score DESC, plang) AS rn
         |         FROM sc) WHERE rn = 1),
-        |lab AS (SELECT s.doc_id, s.seg, COALESCE(pr.plang, 'und') AS plang
-        |        FROM spine s LEFT JOIN pr
-        |          ON s.doc_id = pr.doc_id AND s.seg = pr.seg),
-        |d AS (SELECT DISTINCT doc_id, plang FROM lab),
+        |d AS (SELECT DISTINCT doc_id, plang FROM pr),
         |a1 AS (SELECT doc_id, COUNT(*)::BIGINT AS n_segments
-        |       FROM lab GROUP BY doc_id),
+        |       FROM pr GROUP BY doc_id),
         |a2 AS (SELECT doc_id, COUNT(*)::BIGINT AS n_langs,
         |         string_agg(plang, ',' ORDER BY plang) AS langs
         |       FROM d GROUP BY doc_id)

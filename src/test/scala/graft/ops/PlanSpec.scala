@@ -158,6 +158,41 @@ class PlanSpec extends SparkSpec {
     assert(winAt >= 0 && winAt < takeAt, p)
   }
 
+  test("llm_contamination_ratio: the benchmark gram set broadcasts (the " +
+       "corpus never shuffles on gram) and the left join keeps every doc") {
+    val p = plan("llm_contamination_ratio")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftOuter"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("llm_span_corrupt is join-free: explode + one doc-keyed window + " +
+       "one doc-keyed aggregate, nothing else") {
+    val p = plan("llm_span_corrupt")
+    assert(!p.toLowerCase.contains("join"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("llm_code_switch: ONE corpus scan, the profile table broadcasts " +
+       "as a left join, and no corpus-sized join exists (the spine form " +
+       "scanned documents twice and merge-joined them)") {
+    val p = plan("llm_code_switch")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftOuter"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert("FileScan parquet".r.findAllIn(p).length === 1, p)
+  }
+
+  test("llm_ivf_add: the trained-centroid frame broadcasts to the " +
+       "arrival batch (BroadcastNestedLoopJoin over K=4 centroid rows " +
+       "is the argmax spine); the indexed corpus is scanned only by the " +
+       "training aggregate, never shuffled per arrival") {
+    val p = plan("llm_ivf_add")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+           p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("llm_split_stratified: stratum size comes from a window count over " +
        "the rank window's own partitioning — one source exchange, NO join " +
        "(the joined-counts form scanned documents twice; r7 weak flag)") {
