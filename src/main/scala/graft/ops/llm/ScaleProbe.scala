@@ -378,6 +378,81 @@ object ScaleProbe {
       val (n, s) = timedNorm(m)
       println(f"[scale-probe] normalize mult=$m%-3d sentences=$n%-8d time=$s%.2fs")
     }
+
+    // Span corruption at multiplied corpus: explode + one doc-keyed
+    // window + one doc-keyed aggregate, all per-document — time must
+    // track rows ≈linearly (shifted doc_ids randomize the mask per copy,
+    // so the masked fraction stays ~15% at every multiplier).
+    def timedSpanCorrupt(m: Int): (Long, Double) = {
+      val c = corpusM(m)
+      val t0 = System.nanoTime()
+      val masked = TextStats.spanCorruptFrom(c)
+        .agg(sum($"n_masked")).as[Long].collect().head
+      (masked, (System.nanoTime() - t0) / 1e9)
+    }
+    timedSpanCorrupt(1) // warmup
+    Seq(1, mult).distinct.foreach { m =>
+      val (n, s) = timedSpanCorrupt(m)
+      println(f"[scale-probe] span-corrupt mult=$m%-3d masked=$n%-8d time=$s%.2fs")
+    }
+
+    // Containment-ratio decontamination at multiplied corpus against
+    // the FIXED benchmark gram set: the bench side broadcast is
+    // constant-size, so time must track the corpus shingle stream
+    // ≈linearly — the posture that matters when the corpus is 100 TB
+    // and the eval suite is a few MB.
+    val benchSet = Dedup.shinglesFrom(docs, 4, distinct = true)
+      .filter($"doc_id" < 20).select($"s").distinct()
+    def timedContamRatio(m: Int): (Long, Double) = {
+      val c = corpusM(m)
+      val t0 = System.nanoTime()
+      val flagged = TextStats.contaminationRatioFrom(
+          Dedup.shinglesFrom(c, 4, distinct = true), benchSet)
+        .agg(sum(when($"flagged", 1L).otherwise(0L))).as[Long].collect().head
+      (flagged, (System.nanoTime() - t0) / 1e9)
+    }
+    timedContamRatio(1) // warmup
+    Seq(1, mult).distinct.foreach { m =>
+      val (n, s) = timedContamRatio(m)
+      println(f"[scale-probe] contam-ratio mult=$m%-3d flagged=$n%-7d time=$s%.2fs")
+    }
+
+    // Code-switch detection at multiplied corpus: one scan, broadcast
+    // profile left join, (doc, seg)-keyed argmax — linear by the same
+    // argument as lang-id; the probe confirms no hidden corpus join.
+    def timedCodeSwitch(m: Int): (Long, Double) = {
+      val c = corpusM(m)
+      val t0 = System.nanoTime()
+      val n = TextStats.codeSwitchFrom(c)
+        .agg(sum(when($"code_switched", 1L).otherwise(0L)))
+        .as[Long].collect().head
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    timedCodeSwitch(1) // warmup
+    Seq(1, mult).distinct.foreach { m =>
+      val (n, s) = timedCodeSwitch(m)
+      println(f"[scale-probe] code-switch mult=$m%-3d switched=$n%-7d time=$s%.2fs")
+    }
+
+    // Incremental IVF add at multiplied corpus: training aggregate key
+    // space (cells × dims) is corpus-independent and the arrival batch
+    // assigns against a K-row broadcast — time tracks corpus ≈linearly,
+    // and the 10% batch share keeps both sides growing together.
+    def timedIvfAdd(m: Int): (Long, Double) = {
+      val c = (0 until m)
+        .map(i => base.select(($"vec_id" + lit(i * 1000000L)).as("vec_id"),
+                              $"v", $"nrm"))
+        .reduce(_ union _)
+      val t0 = System.nanoTime()
+      val added = Similarity.ivfAddFrom(c)
+        .agg(sum($"n_added")).as[Long].collect().head
+      (added, (System.nanoTime() - t0) / 1e9)
+    }
+    timedIvfAdd(1) // warmup
+    Seq(1, mult).distinct.foreach { m =>
+      val (n, s) = timedIvfAdd(m)
+      println(f"[scale-probe] ivf-add mult=$m%-3d added=$n%-7d time=$s%.2fs")
+    }
     spark.stop()
   }
 }

@@ -575,6 +575,61 @@ object Similarity extends QueryPack {
       .orderBy($"q_id", $"rk")
   }
 
+  /** Binary-quantization top-k — the 1-bit compression tier below SQ8:
+    * each 64-dim vector becomes ONE 64-bit word (bit d = v[d] ≥ μ[d],
+    * the per-dim decimal-exact corpus mean as threshold), a 64×
+    * compression that turns candidate generation into XOR + popcount —
+    * the kernel modern vector stores run before any float touches the
+    * hot path. Per query: Hamming-distance prescreen to 16 candidates
+    * (bit_count(qcode ^ code), integer-exact), then exact cosine rerank
+    * of the 16 to the final top-3. Output carries BOTH distances so the
+    * gate verifies prescreen and rerank.
+    *
+    * Scale shape: thresholds are a Dim-row decimal aggregate collected
+    * to one broadcast array; encoding is a map-side pass (8 bytes out
+    * per vector — the corpus index is 1/64th the raw size); the Hamming
+    * screen is a 10-row broadcast against the code scan with a per-query
+    * WindowGroupLimit head; only |Q|×16 rows ever see full vectors
+    * again. The corpus never self-joins and never shuffles raw vectors.
+    */
+  def bqTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = corpus(spark, dir)
+    val mu = c.select(posexplode($"v").as(Seq("d", "x")))
+      .groupBy($"d").agg(graft.Det.davg($"x").as("m"))
+      .groupBy().agg(collect_list(struct($"d", $"m")).as("dm"))
+      .select(expr("transform(array_sort(dm), s -> s.m)").as("mu"))
+    // two 32-bit words, not one 64-bit: bit 63 through a signed shift
+    // behaves differently across engines (overflow checks), and the
+    // split costs nothing — hamming adds the two popcounts
+    def word(lo: Int): String =
+      s"""aggregate(sequence($lo, ${lo + 31}), 0L, (acc, d) ->
+         |  acc + if(element_at(v, d + 1) >= element_at(mu, d + 1),
+         |           shiftleft(1L, d - $lo), 0L))""".stripMargin
+    val coded = c.crossJoin(broadcast(mu))
+      .withColumn("code_lo", expr(word(0)))
+      .withColumn("code_hi", expr(word(32)))
+    val q = coded.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("vq"), $"nrm".as("nq"),
+              $"code_lo".as("q_lo"), $"code_hi".as("q_hi"))
+    val wH = Window.partitionBy($"q_id").orderBy($"ham".asc, $"n_id")
+    val cand = coded
+      .select($"vec_id".as("n_id"), $"v".as("vc"), $"nrm".as("nc"),
+              $"code_lo", $"code_hi")
+      .join(broadcast(q), $"n_id" =!= $"q_id")
+      .withColumn("ham", expr(
+        "cast(bit_count(code_lo ^ q_lo) + bit_count(code_hi ^ q_hi) as bigint)"))
+      .withColumn("hrk", row_number().over(wH))
+      .filter($"hrk" <= 16)
+    val wS = Window.partitionBy($"q_id").orderBy($"sim".desc, $"n_id")
+    cand
+      .withColumn("sim", expr(dotExpr) / ($"nq" * $"nc"))
+      .withColumn("rk", row_number().over(wS).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"q_id", $"rk", $"n_id", $"ham", $"sim")
+      .orderBy($"q_id", $"rk")
+  }
+
   // ---- Random projection (Johnson–Lindenstrauss) -----------------------
   //
   // The dimensionality-reduction step big embedding pipelines run BEFORE
@@ -820,9 +875,13 @@ object Similarity extends QueryPack {
     * [[kmeansRefine]] movement census is the signal that schedules a
     * retrain.
     */
-  def ivfAdd(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val all = Dedup.withIvfCell(corpus(spark, dir))
+  def ivfAdd(spark: SparkSession, dir: String): DataFrame =
+    ivfAddFrom(corpus(spark, dir))
+
+  /** [[ivfAdd]] over any (vec_id, v) corpus — the probe entry. */
+  private[graft] def ivfAddFrom(c: DataFrame): DataFrame = {
+    import c.sparkSession.implicits._
+    val all = Dedup.withIvfCell(c)
       .select($"vec_id", $"v", $"cell".as("c0"))
     val old = all.filter($"vec_id" % 10 =!= 0)
     val batch = all.filter($"vec_id" % 10 === 0)
@@ -856,6 +915,7 @@ object Similarity extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ivf_add"         -> (ivfAdd _),
+    "llm_bq_topk"         -> (bqTopK _),
     "llm_diversify_topk"  -> (diversifyTopK _),
     "llm_ann_ivf_mp"      -> (annIvfMultiProbe _),
     "llm_mrl_recall"      -> (mrlRecall _),
@@ -1014,6 +1074,49 @@ object Similarity extends QueryPack {
         |SELECT label, pos, COUNT(*) AS n, ${graft.Det.sqlAvg("x")} AS c
         |FROM e WHERE pos < 8
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    // identical decimal-exact per-dim mean thresholds, identical two-word
+    // sign codes, identical Hamming prescreen (ham ASC, n_id) to 16 and
+    // exact-cosine rerank (sim DESC, n_id) to 3
+    "llm_bq_topk" ->
+      s"""WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |            FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+        |      FROM v0),
+        |ex AS (SELECT generate_subscripts(v, 1) - 1 AS d, unnest(v) AS x FROM v0),
+        |md AS (SELECT d, ${graft.Det.sqlAvg("x")} AS m FROM ex GROUP BY d),
+        |muT AS (SELECT list(m ORDER BY d) AS mu FROM md),
+        |coded AS (SELECT vec_id, v, nrm,
+        |    list_reduce(list_transform(range(0, 32), d ->
+        |      CASE WHEN v[d + 1] >= mu[d + 1]
+        |           THEN (1::BIGINT << d) ELSE 0::BIGINT END),
+        |      (a, b) -> a + b) AS code_lo,
+        |    list_reduce(list_transform(range(32, 64), d ->
+        |      CASE WHEN v[d + 1] >= mu[d + 1]
+        |           THEN (1::BIGINT << (d - 32)) ELSE 0::BIGINT END),
+        |      (a, b) -> a + b) AS code_hi
+        |  FROM n, muT),
+        |q AS (SELECT vec_id AS q_id, v AS vq, nrm AS nq,
+        |        code_lo AS q_lo, code_hi AS q_hi
+        |      FROM coded WHERE vec_id < 10),
+        |h AS (SELECT q_id, vq, nq, c.vec_id AS n_id, c.v AS vc, c.nrm AS nc,
+        |        (bit_count(xor(c.code_lo, q_lo))
+        |         + bit_count(xor(c.code_hi, q_hi)))::BIGINT AS ham
+        |      FROM coded c JOIN q ON c.vec_id <> q.q_id),
+        |cand AS (SELECT q_id, vq, nq, n_id, vc, nc, ham FROM (
+        |    SELECT q_id, vq, nq, n_id, vc, nc, ham,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY ham ASC, n_id) AS hrk
+        |    FROM h) WHERE hrk <= 16),
+        |s AS (SELECT q_id, n_id, ham,
+        |        list_reduce(list_transform(range(1, 65), k -> vq[k] * vc[k]),
+        |                    (a, b) -> a + b) / (nq * nc) AS sim
+        |      FROM cand)
+        |SELECT q_id, rk, n_id, ham, sim FROM (
+        |  SELECT q_id, n_id, ham, sim,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY sim DESC, n_id)::BIGINT AS rk
+        |  FROM s) WHERE rk <= 3
+        |ORDER BY q_id, rk""".stripMargin,
     // identical seed-cell assignment and decimal-exact centroid training
     // restricted to the index side, identical frozen-centroid argmax
     // (dot DESC, cell) over the arrival batch only

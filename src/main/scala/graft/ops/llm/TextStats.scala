@@ -959,9 +959,13 @@ object TextStats extends QueryPack {
     * doc_id and nothing joins. The 100 TB tokenization job runs exactly
     * this shape per shard.
     */
-  def spanCorrupt(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val toks = Tables.documents(spark, dir)
+  def spanCorrupt(spark: SparkSession, dir: String): DataFrame =
+    spanCorruptFrom(Tables.documents(spark, dir))
+
+  /** [[spanCorrupt]] over any (doc_id, text) corpus — the probe entry. */
+  private[graft] def spanCorruptFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = docs
       .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
       .withColumn("seg", expr("pos div 3"))
       .withColumn("masked", expr(
@@ -1022,11 +1026,15 @@ object TextStats extends QueryPack {
     * argmax window and both aggregates are all keyed by (doc, seg) or
     * doc. No corpus self-join, no second scan.
     */
-  def codeSwitch(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def codeSwitch(spark: SparkSession, dir: String): DataFrame =
+    codeSwitchFrom(Tables.documents(spark, dir))
+
+  /** [[codeSwitch]] over any (doc_id, text) corpus — the probe entry. */
+  private[graft] def codeSwitchFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val segW = 20
     val prof = profiles.toDF("plang", "w")
-    val scores = Tables.documents(spark, dir)
+    val scores = docs
       .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
       .withColumn("seg", expr(s"pos div $segW").cast("long"))
       .join(broadcast(prof), Seq("w"), "left_outer")

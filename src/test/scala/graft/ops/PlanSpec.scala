@@ -193,6 +193,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("llm_bq_topk: the hamming prescreen is a WindowGroupLimit head " +
+       "over the code scan (queries broadcast); raw vectors never " +
+       "shuffle — only the 16-candidate slice reaches the cosine rerank") {
+    val p = plan("llm_bq_topk")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+           p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("llm_split_stratified: stratum size comes from a window count over " +
        "the rank window's own partitioning — one source exchange, NO join " +
        "(the joined-counts form scanned documents twice; r7 weak flag)") {

