@@ -646,7 +646,40 @@ object Curation extends QueryPack {
       .orderBy($"lang")
   }
 
+  /** Prompt-prefix cache census — the serving-side planning op behind
+    * paged-KV prefix caching (vLLM-style automatic prefix reuse): when
+    * many requests share their first K tokens (system prompts, few-shot
+    * headers, templated instructions), the shared prefix's KV cache is
+    * computed once and reused, so the census "how many documents share
+    * each 8-token prefix, and how many prefill tokens would reuse save"
+    * is what sizes the cache and picks K. Exact integers throughout:
+    * saved = (n_docs − 1) · prefix_tokens (every occurrence after the
+    * first hits cache). Top-10 prefixes by (n_docs DESC, md5) — the
+    * cache-priority order.
+    *
+    * Scale shape: map-side prefix extraction, ONE hash aggregate on the
+    * prefix (distinct-prefix-bounded, ≤ corpus), top-10 via
+    * orderBy+limit = TakeOrderedAndProject. The census never joins and
+    * never sorts more than per-partition heads.
+    */
+  def prefixCache(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(expr("slice(split(text, ' '), 1, 8)").as("pt"))
+      .select(expr("array_join(pt, ' ')").as("prefix"),
+              size($"pt").cast("long").as("prefix_toks"))
+      .groupBy($"prefix", $"prefix_toks")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" >= 2)
+      .select(md5(encode($"prefix", "UTF-8")).as("prefix_md5"),
+              $"prefix_toks", $"n_docs",
+              (($"n_docs" - 1) * $"prefix_toks").as("saved_tokens"))
+      .orderBy($"n_docs".desc, $"prefix_md5")
+      .limit(10)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_prefix_cache"      -> (prefixCache _),
     "llm_e2e_curation"      -> (e2eCuration _),
     "llm_domain_divergence" -> (domainDivergence _),
     "llm_curation_funnel" -> (curationFunnel _),
@@ -747,6 +780,20 @@ object Curation extends QueryPack {
       |ORDER BY lang""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // same 8-token prefix, same exact-integer savings, same
+    // (n_docs DESC, md5) cache-priority head
+    "llm_prefix_cache" ->
+      """WITH p AS (SELECT list_slice(string_split(text, ' '), 1, 8) AS pt
+        |           FROM documents),
+        |g AS (SELECT array_to_string(pt, ' ') AS prefix,
+        |        len(pt)::BIGINT AS prefix_toks
+        |      FROM p),
+        |c AS (SELECT prefix, prefix_toks, COUNT(*)::BIGINT AS n_docs
+        |      FROM g GROUP BY prefix, prefix_toks
+        |      HAVING COUNT(*) >= 2)
+        |SELECT md5(prefix) AS prefix_md5, prefix_toks, n_docs,
+        |  ((n_docs - 1) * prefix_toks)::BIGINT AS saved_tokens
+        |FROM c ORDER BY n_docs DESC, prefix_md5 LIMIT 10""".stripMargin,
     // one DuckDB replay of the whole chain: nfc_normalize → the funnel's
     // quality features → first-quality-wins hash dedup → the CDC CTE over
     // the survivors → per-lang census
