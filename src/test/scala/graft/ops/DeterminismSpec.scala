@@ -24,7 +24,11 @@ class DeterminismSpec extends SparkSpec {
                 "llm_tfidf",            // rational idf doubles
                 "q14_promo_effect",     // derived double ratio
                 "llm_substring_excise", // md5 reassembly from span windows
-                "llm_semdedup"))        // float-ordered keep policy
+                "llm_semdedup",         // float-ordered keep policy
+                "llm_span_corrupt",     // run-length sentinel splice checksums
+                "llm_code_switch",      // broadcast-left-join argmax + set agg
+                "llm_bq_topk",          // decimal thresholds + float rerank
+                "llm_ivf_add"))         // decimal centroids + broadcast argmax
     test(s"$q is bit-identical under 3 vs 7 shuffle partitions") {
       val a = runAt("3", q)
       val b = runAt("7", q)
