@@ -241,6 +241,52 @@ object Joins extends QueryPack {
       .orderBy($"p_event_id")
   }
 
+  /** C11 as-of NEAREST: for each purchase, the click minimizing the
+    * |event_id| distance in EITHER direction (pandas `merge_asof
+    * direction='nearest'`), ties broken backward — the completion of the
+    * as-of family ([[asOf]] backward, [[asOfForward]] forward-bounded).
+    * Same union-then-window design: the backward candidate is the last
+    * click strictly before, the forward candidate the first click
+    * strictly after, both from ONE user-keyed partitioning (two frames
+    * over the same Window spec → Catalyst plans one exchange feeding one
+    * WindowExec pair, never a join). Linear, one shuffle, no per-pair
+    * materialization — the join-then-rank form explodes quadratically on
+    * a hot user.
+    */
+  def asOfNearest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"event_id", $"user_id", $"event_type")
+    val wB = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wF = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(1, Window.unboundedFollowing)
+    ev
+      .withColumn("prev_click",
+        last(when($"event_type" === "click", $"event_id"),
+             ignoreNulls = true).over(wB))
+      .withColumn("next_click",
+        first(when($"event_type" === "click", $"event_id"),
+              ignoreNulls = true).over(wF))
+      .filter($"event_type" === "purchase")
+      .withColumn("d_prev", $"event_id" - $"prev_click")
+      .withColumn("d_next", $"next_click" - $"event_id")
+      .withColumn("nearest_click_id",
+        when($"d_prev".isNotNull && ($"d_next".isNull || $"d_prev" <= $"d_next"),
+             $"prev_click")
+          .when($"d_next".isNotNull, $"next_click")
+          .otherwise(lit(-1L)))
+      .withColumn("direction",
+        when($"nearest_click_id" === -1L, "none")
+          .when($"nearest_click_id" === $"prev_click" &&
+                ($"d_next".isNull || $"d_prev" <= $"d_next"), "backward")
+          .otherwise("forward"))
+      .select($"event_id".as("p_event_id"), $"user_id",
+              $"nearest_click_id", $"direction")
+      .orderBy($"p_event_id")
+  }
+
   /** C12 interval overlap join: 7-day shipping windows × month intervals,
     * overlap predicate start1 < end2 AND end1 > start2.
     *
@@ -388,6 +434,7 @@ object Joins extends QueryPack {
     "join_cross_small"      -> (crossSmall _),
     "join_asof"             -> (asOf _),
     "join_asof_forward"     -> (asOfForward _),
+    "join_asof_nearest"     -> (asOfNearest _),
     "join_null_safe"        -> (nullSafeJoin _),
     "join_interval_overlap" -> (intervalOverlap _)
   )
@@ -495,6 +542,30 @@ object Joins extends QueryPack {
         |SELECT COALESCE(clicks.k, -1) AS k, n_clicks, n_buys
         |FROM clicks JOIN buys ON clicks.k IS NOT DISTINCT FROM buys.k
         |ORDER BY k""".stripMargin,
+    // independent join-then-pick derivation of the same nearest rule:
+    // min |delta| over ALL same-user clicks, ties backward
+    "join_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id FROM events
+        |      WHERE event_type = 'click'),
+        |pairs AS (
+        |  SELECT p.event_id AS p_event_id, p.user_id,
+        |    c.event_id AS c_id,
+        |    abs(c.event_id - p.event_id) AS dist,
+        |    CASE WHEN c.event_id < p.event_id THEN 0 ELSE 1 END AS fwd
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id),
+        |ranked AS (
+        |  SELECT p_event_id, user_id, c_id, fwd,
+        |    row_number() OVER (PARTITION BY p_event_id
+        |                       ORDER BY dist ASC, fwd ASC) AS rn
+        |  FROM pairs)
+        |SELECT p_event_id, user_id,
+        |  COALESCE(c_id, -1) AS nearest_click_id,
+        |  CASE WHEN c_id IS NULL THEN 'none'
+        |       WHEN fwd = 0 THEN 'backward' ELSE 'forward' END AS direction
+        |FROM ranked WHERE rn = 1
+        |ORDER BY p_event_id""".stripMargin,
     "join_asof_forward" ->
       """SELECT p_event_id, user_id, COALESCE(c_min, -1) AS next_click_id
         |FROM (

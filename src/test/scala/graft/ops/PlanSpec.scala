@@ -53,6 +53,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("specifiedwindowframe(RangeFrame, 1, 1000)"), p)
   }
 
+  test("join_asof_nearest is window-based: no join, both direction frames " +
+       "ride ONE user_id exchange") {
+    val p = plan("join_asof_nearest")
+    assert(!p.toLowerCase.contains("join"), p)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length === 1, p)
+  }
+
   test("keyed_latest_per_key is a partial+final aggregate (map-side combine), not a window sort") {
     val p = plan("keyed_latest_per_key")
     // max_by(struct) carries a struct buffer, so Spark plans SortAggregate
