@@ -218,7 +218,72 @@ object Multimodal extends QueryPack {
     }
   }
 
+  /** Perceptual-hash near-duplicate audit — the image-dedup stage of a
+    * LAION-style multimodal pipeline, run here as average-hash (aHash)
+    * over the opaque payload: sample a 64-point byte grid (position
+    * `(k·n) div 64` — the same resize rule as [[multimodalFeatures]]),
+    * set bit k iff the sampled byte is ≥ the grid mean (cross-multiplied
+    * exact: `b_k·64 ≥ Σb`), pack as two 32-bit words. A re-encoded copy
+    * (for doc_id % 5 = 0: the LAST 8 bytes overwritten, length
+    * preserved — like aHash's fixed resize grid, the sample positions
+    * `(k·n) div 64` only align between copies of EQUAL length, so a
+    * faithful "same image, different bytes" twin must not change n;
+    * appending instead of overwriting shifts every sample and destroys
+    * locality, which is exactly the property measured here) perturbs
+    * only the few grid samples landing in the tweaked tail, so its hash
+    * sits within a small Hamming radius of the original while exact
+    * hashing ([[graft.ops.llm.Dedup]] dedupExact) sees unrelated bytes.
+    * The gate reports the per-mime twin-pair Hamming census — count,
+    * near-dup share at radius 8, min/max — proving the LOCALITY property
+    * aHash exists for.
+    *
+    * Scale shape: hashing is map-side (one hex pass per payload, 64
+    * samples regardless of asset size); twin pairs join on doc_id
+    * (hash-partitioned, no fanout). Unknown-pair search at corpus scale
+    * reuses the [[Dedup]] SimHash band machinery unchanged (8×8-bit
+    * bands bucket candidates with ≤ 7-flip pigeonhole recall) — the
+    * code words here are drop-in band-join keys.
+    */
+  def multimodalPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def coded(payload: org.apache.spark.sql.Column, idCol: String) = {
+      val base = assets(spark, dir)
+        .select($"doc_id".as(idCol), $"m.mime".as("mime"),
+                hex(payload).as("h"),
+                octet_length(payload).cast("long").as("n"))
+        .withColumn("bvals", expr(
+          """transform(sequence(0, 63), k ->
+            |  cast(conv(substr(h, cast(2 * ((k * n) div 64) + 1 as int), 2),
+            |            16, 10) as bigint))""".stripMargin))
+        .withColumn("s", expr("aggregate(bvals, 0L, (a, x) -> a + x)"))
+      def word(lo: Int) = expr(
+        s"""aggregate(sequence($lo, ${lo + 31}), 0L, (acc, d) ->
+           |  acc + if(element_at(bvals, d + 1) * 64 >= s,
+           |           shiftleft(1L, d - $lo), 0L))""".stripMargin)
+      base.select(col(idCol), $"mime",
+                  word(0).as(s"${idCol}_lo"), word(32).as(s"${idCol}_hi"))
+    }
+    val orig = coded($"m.bytes", "doc_id")
+    val twin = coded(
+      encode(expr(
+        """concat(substring(decode(m.bytes, 'UTF-8'), 1,
+          |  cast(octet_length(m.bytes) - 8 as int)), ' ~re-enc')"""
+          .stripMargin), "UTF-8"),
+      "t_id")
+      .filter($"t_id" % 5 === 0)
+      .select($"t_id".as("doc_id"), $"t_id_lo", $"t_id_hi")
+    orig.join(twin, Seq("doc_id"))
+      .withColumn("ham", expr(
+        "cast(bit_count(doc_id_lo ^ t_id_lo) + bit_count(doc_id_hi ^ t_id_hi) as bigint)"))
+      .groupBy($"mime")
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(($"ham" <= 8).cast("long")).as("n_near"),
+           min($"ham").as("min_ham"), max($"ham").as("max_ham"))
+      .orderBy($"mime")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_multimodal_phash"    -> (multimodalPhash _),
     "llm_multimodal_stats"    -> (multimodalStats _),
     "llm_multimodal_frames"   -> (frameSample _),
     "llm_multimodal_sniff"    -> (multimodalSniff _),
@@ -226,6 +291,66 @@ object Multimodal extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // same 64-point sampled grid over the hex encoding, same
+    // cross-multiplied mean threshold, same two-word codes and
+    // twin-pair Hamming census
+    "llm_multimodal_phash" ->
+      """WITH a AS (SELECT doc_id,
+        |    CASE WHEN source IN ('src0','src1','src2','src3','src4')
+        |           THEN 'image/png'
+        |         WHEN source IN ('src5','src6','src7','src8','src9')
+        |           THEN 'audio/wav'
+        |         ELSE 'text/plain' END AS mime,
+        |    text FROM documents),
+        |o AS (SELECT doc_id, mime, hex(text) AS h,
+        |        strlen(text)::BIGINT AS n FROM a),
+        |b AS (SELECT doc_id, mime,
+        |    list_transform(range(0, 64), k ->
+        |      ('0x' || substr(h, (2 * ((k * n) // 64) + 1)::INT, 2))::BIGINT)
+        |      AS bvals
+        |  FROM o),
+        |s AS (SELECT doc_id, mime, bvals,
+        |        list_reduce(bvals, (x, y) -> x + y) AS s FROM b),
+        |c AS (SELECT doc_id, mime,
+        |    list_reduce(list_transform(range(0, 32), d ->
+        |      CASE WHEN bvals[d + 1] * 64 >= s
+        |           THEN (1::BIGINT << d) ELSE 0::BIGINT END),
+        |      (x, y) -> x + y) AS lo,
+        |    list_reduce(list_transform(range(32, 64), d ->
+        |      CASE WHEN bvals[d + 1] * 64 >= s
+        |           THEN (1::BIGINT << (d - 32)) ELSE 0::BIGINT END),
+        |      (x, y) -> x + y) AS hi
+        |  FROM s),
+        |o2 AS (SELECT doc_id,
+        |         hex(substr(text, 1, strlen(text) - 8) || ' ~re-enc') AS h,
+        |         strlen(substr(text, 1, strlen(text) - 8)
+        |                || ' ~re-enc')::BIGINT AS n
+        |       FROM a WHERE doc_id % 5 = 0),
+        |b2 AS (SELECT doc_id,
+        |    list_transform(range(0, 64), k ->
+        |      ('0x' || substr(h, (2 * ((k * n) // 64) + 1)::INT, 2))::BIGINT)
+        |      AS bvals
+        |  FROM o2),
+        |s2 AS (SELECT doc_id, bvals,
+        |         list_reduce(bvals, (x, y) -> x + y) AS s FROM b2),
+        |c2 AS (SELECT doc_id,
+        |    list_reduce(list_transform(range(0, 32), d ->
+        |      CASE WHEN bvals[d + 1] * 64 >= s
+        |           THEN (1::BIGINT << d) ELSE 0::BIGINT END),
+        |      (x, y) -> x + y) AS lo2,
+        |    list_reduce(list_transform(range(32, 64), d ->
+        |      CASE WHEN bvals[d + 1] * 64 >= s
+        |           THEN (1::BIGINT << (d - 32)) ELSE 0::BIGINT END),
+        |      (x, y) -> x + y) AS hi2
+        |  FROM s2),
+        |p AS (SELECT c.mime,
+        |        (bit_count(xor(c.lo, c2.lo2))
+        |         + bit_count(xor(c.hi, c2.hi2)))::BIGINT AS ham
+        |      FROM c JOIN c2 USING (doc_id))
+        |SELECT mime, COUNT(*)::BIGINT AS n_pairs,
+        |  SUM(CASE WHEN ham <= 8 THEN 1 ELSE 0 END)::BIGINT AS n_near,
+        |  MIN(ham) AS min_ham, MAX(ham) AS max_ham
+        |FROM p GROUP BY mime ORDER BY mime""".stripMargin,
     // replays resize (src_index = (i*n) div 64) + max-byte decode from
     // the hex encoding of the same payloads — verifies the typed
     // mapPartitions stub pipeline byte-for-byte

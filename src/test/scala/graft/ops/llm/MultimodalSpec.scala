@@ -87,4 +87,26 @@ class MultimodalSpec extends SparkSpec {
     assert(out.values.sum ===
       graft.Tables.documents(spark, dir).count())
   }
+
+  test("phash locality: a length-preserving tail re-encode stays within " +
+       "a small Hamming radius for nearly every twin, pair counts follow " +
+       "the doc_id % 5 planting, and an identical payload hashes " +
+       "identically (min_ham = 0 somewhere)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val out = Multimodal.multimodalPhash(spark, dir)
+    val rows = out.collect()
+    val nPairs = rows.map(_.getAs[Long]("n_pairs")).sum
+    val nNear = rows.map(_.getAs[Long]("n_near")).sum
+    // one twin per doc_id % 5 == 0
+    assert(nPairs ===
+      graft.Tables.documents(spark, dir)
+        .where(col("doc_id") % 5 === 0).count())
+    // locality: ≥ 95% of twins within radius 8 of a 64-bit code —
+    // unrelated payloads sit near 32 (binomial mean), so the separation
+    // is what makes banding work
+    assert(nNear * 100 >= nPairs * 95, s"only $nNear/$nPairs near")
+    assert(rows.map(_.getAs[Long]("min_ham")).min === 0L)
+    assert(rows.forall(_.getAs[Long]("max_ham") <= 20L))
+  }
 }
