@@ -94,6 +94,34 @@ object Aggregates extends QueryPack {
       .orderBy($"l_returnflag")
   }
 
+  /** C16 approx top-k (Spark 4's `approx_top_k` frequent-items sketch) —
+    * completes the sketch family (HLL cardinality, CMS heavy hitters,
+    * freqItems support set): the streaming "what are the hottest keys"
+    * question a 100 TB job answers without a full groupBy+sort. Same
+    * tolerance-row gating stance as [[approxDistinct]]: the sketch's
+    * internal ordering is algorithm-specific, so the gate emits the
+    * EXACT top-3 (count desc, key — the fixture's event_type counts are
+    * all distinct, so the cut is unambiguous) plus a boolean asserting
+    * each exact top item appears in the sketch's top-k; with
+    * maxItemsTracked ≥ the domain, the sketch is exact and the boolean
+    * is a hard guarantee, not a coin flip. Physical shape: one
+    * partial+final sketch aggregate (mergeable — the 1000-executor
+    * pattern), a broadcast of the ONE sketch row, and a
+    * TakeOrderedAndProject for the exact side.
+    */
+  def approxTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val exact = ev.groupBy($"event_type").agg(count(lit(1)).as("n_exact"))
+      .orderBy($"n_exact".desc, $"event_type").limit(3)
+    val sketch = ev.agg(expr("approx_top_k(event_type, 3, 100)").as("tk"))
+      .select(expr("transform(tk, s -> s.item)").as("items"))
+    exact.crossJoin(broadcast(sketch))
+      .select($"event_type", $"n_exact",
+              expr("array_contains(items, event_type)").as("in_sketch"))
+      .orderBy($"n_exact".desc, $"event_type")
+  }
+
   /** C16 (mergeability) — the 100 TB sketch pattern: build an HLL sketch
     * PER GROUP (per partition/day/shard in production), then union the
     * binary sketches and estimate the global cardinality without ever
@@ -537,6 +565,7 @@ object Aggregates extends QueryPack {
     "agg_min_max"         -> (minMax _),
     "agg_count_distinct"  -> (countDistinctQ _),
     "agg_approx_distinct" -> (approxDistinct _),
+    "agg_approx_top_k"    -> (approxTopK _),
     "agg_approx_percentile" -> (approxPercentile _),
     "agg_mode" -> (modeQ _),
     "agg_freq_items" -> (freqItemsQ _),
@@ -657,6 +686,10 @@ object Aggregates extends QueryPack {
     "agg_approx_percentile" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows, TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_approx_top_k" ->
+      """SELECT event_type, COUNT(*)::BIGINT AS n_exact, TRUE AS in_sketch
+        |FROM events GROUP BY event_type
+        |ORDER BY n_exact DESC, event_type LIMIT 3""".stripMargin,
     "agg_histogram" ->
       s"""SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
         |  COUNT(*) AS n, ${Det.sqlSum("o_totalprice")} AS sum_price
