@@ -962,8 +962,24 @@ object TextStats extends QueryPack {
   def spanCorrupt(spark: SparkSession, dir: String): DataFrame =
     spanCorruptFrom(Tables.documents(spark, dir))
 
-  /** [[spanCorrupt]] over any (doc_id, text) corpus — the probe entry. */
+  /** [[spanCorrupt]] over any (doc_id, text) corpus — the probe entry:
+    * the census/checksum frame the gate hashes.
+    */
   private[graft] def spanCorruptFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    spanCorruptTextsFrom(docs)
+      .select($"doc_id", $"n_tokens", $"n_masked", $"n_spans",
+              expr("(1000000 * n_masked) div n_tokens").as("ppm_masked"),
+              md5(encode($"input_text", "UTF-8")).as("input_checksum"),
+              md5(encode($"target_text", "UTF-8")).as("target_checksum"))
+      .orderBy($"doc_id")
+  }
+
+  /** The (corrupted input, target) TEXTS per document — what a training
+    * pipeline actually materializes; the gate consumes the md5s, the
+    * [[graft.pipeline]] span_corrupt processor the texts themselves.
+    */
+  private[graft] def spanCorruptTextsFrom(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val toks = docs
       .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
@@ -998,11 +1014,6 @@ object TextStats extends QueryPack {
            expr("array_join(filter(transform(array_sort(" +
              "collect_list(struct(pos, tgt_piece))), s -> s.tgt_piece), " +
              "p -> p <> ''), ' ')").as("target_text"))
-      .select($"doc_id", $"n_tokens", $"n_masked", $"n_spans",
-              expr("(1000000 * n_masked) div n_tokens").as("ppm_masked"),
-              md5(encode($"input_text", "UTF-8")).as("input_checksum"),
-              md5(encode($"target_text", "UTF-8")).as("target_checksum"))
-      .orderBy($"doc_id")
   }
 
   /** Code-switching detection — per-SEGMENT language identification

@@ -94,3 +94,66 @@ final class QualityFilterProcessor(params: Conf) extends Transform {
   }
 }
 
+/** Benchmark decontamination as a pipeline stage: drop documents whose
+  * distinct 4-gram containment ratio against the benchmark set at
+  * `benchmark_path` (a parquet of documents; its grams are extracted
+  * with the SAME shingle expression) reaches `max_ppm` (default 100000 =
+  * 10%). The exact gate-proven rule (`llm_contamination_ratio`), joined
+  * back as a LEFT ANTI on the id column so arbitrary extra columns pass
+  * through untouched. Batch-legal and foreachBatch-legal (the
+  * [[graft.streaming.DecontamStream]] path); a bare streaming DF should
+  * use that stream's ingest wrapper instead (the per-doc aggregate would
+  * otherwise become unbounded cross-batch state).
+  */
+final class DecontaminateProcessor(params: Conf) extends Transform {
+  private val benchPath = params.str("benchmark_path").getOrElse(
+    throw new IllegalArgumentException(
+      "decontaminate needs a 'benchmark_path' param"))
+  private val idCol   = params.str("id_column").getOrElse("doc_id")
+  private val textCol = params.str("text_column").getOrElse("text")
+  private val maxPpm  = params.str("max_ppm").map(_.toLong).getOrElse(100000L)
+  private val unknown = params.m.keySet --
+    Set("benchmark_path", "id_column", "text_column", "max_ppm")
+  require(unknown.isEmpty,
+    s"decontaminate: unsupported params ${unknown.toSeq.sorted.mkString(", ")} " +
+    "(supported: benchmark_path, id_column, text_column, max_ppm)")
+  def apply(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val bench = graft.ops.llm.Dedup.shinglesFrom(
+        spark.read.parquet(benchPath)
+          .select(col(idCol).as("doc_id"), col(textCol).as("text")),
+        4, distinct = true)
+      .select(col("s")).distinct()
+    val sh = graft.ops.llm.Dedup.shinglesFrom(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      4, distinct = true)
+    val flagged = graft.ops.llm.TextStats.contaminationRatioFrom(sh, bench)
+      .where(col("ppm") >= maxPpm)
+      .select(col("doc_id").as(idCol))
+    df.join(flagged, Seq(idCol), "left_anti")
+  }
+}
+
+/** T5-style span corruption as a pipeline stage: replaces the text
+  * column with the corrupted INPUT and appends the sentinel-delimited
+  * TARGET (`llm_span_corrupt`'s gate-proven transform). Batch-legal (the
+  * splice needs a per-document window); run inside foreachBatch for
+  * streaming tokenization jobs.
+  */
+final class SpanCorruptProcessor(params: Conf) extends Transform {
+  private val idCol   = params.str("id_column").getOrElse("doc_id")
+  private val textCol = params.str("text_column").getOrElse("text")
+  private val unknown = params.m.keySet -- Set("id_column", "text_column")
+  require(unknown.isEmpty,
+    s"span_corrupt: unsupported params ${unknown.toSeq.sorted.mkString(", ")} " +
+    "(supported: id_column, text_column)")
+  def apply(df: DataFrame): DataFrame = {
+    val texts = graft.ops.llm.TextStats.spanCorruptTextsFrom(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      .select(col("doc_id").as(idCol),
+              col("input_text"), col("target_text"), col("n_spans"))
+    df.drop(textCol).join(texts, Seq(idCol))
+      .withColumnRenamed("input_text", textCol)
+  }
+}
+

@@ -93,6 +93,8 @@ object ProcessorRegistry {
     "quality_filter" -> ((_, p) => new QualityFilterProcessor(p)),
     "nfc_normalize"  -> ((s, p) => new NfcNormalizeProcessor(s, p)),
     "cdc_chunks"     -> ((_, p) => new CdcChunkProcessor(p)),
+    "decontaminate"  -> ((_, p) => new DecontaminateProcessor(p)),
+    "span_corrupt"   -> ((_, p) => new SpanCorruptProcessor(p)),
     // reference-style full class paths, translated
     "graft.pipeline.NoOpProcessor"           -> ((_, p) => new NoOpProcessor(p)),
     "graft.pipeline.UppercaseValueProcessor" -> ((_, p) => new UppercaseValueProcessor(p)),

@@ -126,6 +126,47 @@ class ProcessorSpec extends SparkSpec {
     assert(e.getMessage.contains("unsupported params"))
     assert(e.getMessage.contains("txt_column"))
   }
+
+  test("decontaminate drops exactly the benchmark-contained docs, passes " +
+       "extra columns through, and requires benchmark_path") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val benchDir = tmpDir("decon-bench")
+    bench.write.mode("overwrite").parquet(benchDir)
+    // doc 1 = verbatim benchmark text (100% containment), doc 2 clean,
+    // doc 3 too short to shingle (passes — nothing to leak)
+    val in = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "keep-me"),
+      (2L, "one two three four five six seven eight", "keep-me"),
+      (3L, "too short", "keep-me")).toDF("doc_id", "text", "extra")
+    val p = ProcessorRegistry.resolve(spark, "decontaminate",
+      Conf(Map("benchmark_path" -> benchDir)))
+    val out = p.process(in).get
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq === Seq(2L, 3L))
+    assert(out.columns.contains("extra"))
+    val e = intercept[IllegalArgumentException] {
+      ProcessorRegistry.resolve(spark, "decontaminate", Conf.empty)
+    }
+    assert(e.getMessage.contains("benchmark_path"))
+  }
+
+  test("span_corrupt replaces the text column with the corrupted input, " +
+       "appends the target, and the sentinel counts agree") {
+    val in = Seq((1L, ("tok " * 60).trim, "en"))
+      .toDF("doc_id", "text", "lang")
+    val p = ProcessorRegistry.resolve(spark, "span_corrupt", Conf.empty)
+    val out = p.process(in).get
+    assert(out.columns.toSet ===
+      Set("doc_id", "lang", "text", "target_text", "n_spans"))
+    val row = out.head()
+    val spans = row.getAs[Long]("n_spans")
+    val inputSentinels =
+      "<X\\d+>".r.findAllIn(row.getAs[String]("text")).length
+    val targetSentinels =
+      "<X\\d+>".r.findAllIn(row.getAs[String]("target_text")).length
+    assert(inputSentinels === spans)
+    assert(targetSentinels === spans)
+  }
 }
 
 /** Deliberately NOT registered — exercises the Class.forName path. */
