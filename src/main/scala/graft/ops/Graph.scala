@@ -18,16 +18,93 @@ import graft.Tables
 object Graph extends QueryPack {
 
   /** Distinct undirected edges (a < b) of the co-occurrence graph. */
-  private def edges(spark: SparkSession, dir: String): DataFrame = {
+  private def edges(spark: SparkSession, dir: String): DataFrame =
+    edgesAt(spark, dir, 25)
+
+  /** [[edges]] with a configurable sparsity cut: the iterative gates
+    * ([[componentsQ]], [[khopQ]]) use `> 45`, which fragments the fixture
+    * graph into ~200 components with one 482-vertex giant — the
+    * structure connected-components and hop-profile work exists for.
+    */
+  private def edgesAt(spark: SparkSession, dir: String,
+                      minQty: Int): DataFrame = {
     import spark.implicits._
     val pairs = Tables.lineitem(spark, dir)
-      .where($"l_quantity" > 25)
+      .where($"l_quantity" > minQty)
       .select($"l_orderkey".as("o"), $"l_partkey".as("s"))
       .distinct()
     pairs.as("p1")
       .join(pairs.as("p2"), $"p1.o" === $"p2.o" && $"p1.s" < $"p2.s")
       .select($"p1.s".as("a"), $"p2.s".as("b"))
       .distinct()
+  }
+
+  /** Connected components of the sparse co-occurrence graph — the
+    * general-graph form of the engine's duplicate-cluster resolution:
+    * the SAME distributed min-label propagation with pointer doubling
+    * ([[llm.Dedup.minLabelPropagate]] — O(log diameter) rounds, scalar
+    * convergence witness, per-round pinning, no driver graph) applied to
+    * an arbitrary edge list instead of near-dup pairs. Output is the
+    * per-component census (component = min vertex id, size, max vertex)
+    * — 203 components incl. a 482-vertex giant at sf0.01, so the gate
+    * exercises real multi-component structure, not a single blob. The
+    * giant is chain-like (eccentricity ≥ 40), so the round cap is 32
+    * here (measured convergent; label+shortcut covers distance
+    * super-linearly per round) vs the near-dup default 20 — dedup
+    * clusters are dense and shallow, co-occurrence chains are not.
+    *
+    * The oracle resolves the same components with a recursive CTE, so
+    * the gate checks graph semantics against an independent method.
+    */
+  def componentsQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = edgesAt(spark, dir, 45)
+    llm.Dedup.minLabelPropagate(e.select($"a".as("d1"), $"b".as("d2")),
+                                maxIter = 32)
+      .groupBy($"lab".as("component"))
+      .agg(count(lit(1)).as("n_vertices"), max($"doc").as("max_vertex"))
+      .orderBy($"component")
+  }
+
+  /** K-hop ego-network census (K = 8) from the graph's minimum vertex —
+    * the neighborhood-size profile feature engineering extracts per
+    * entity (how many vertices are reachable within 1, 2, … hops). Exact
+    * breadth-first frontier expansion: each round joins the CURRENT
+    * frontier (never the full visited set) against the adjacency list,
+    * anti-joins the visited set, and pins the result — K bounded rounds
+    * by construction (the fixture giant's eccentricity is ≥ 40, so an
+    * unbounded BFS would be a 40-round driver loop; the K-hop profile is
+    * the bounded question a feature pipeline actually asks; components
+    * as a whole are [[componentsQ]]'s O(log d) job).
+    *
+    * The oracle replays shortest-hop distances with a recursive CTE
+    * capped at the same K — two independent BFS implementations must
+    * agree level-for-level.
+    */
+  def khopQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val K = 8
+    val e = edgesAt(spark, dir, 45)
+    val u = e.select($"a".as("v"), $"b".as("w"))
+      .union(e.select($"b".as("v"), $"a".as("w")))
+      .transform(graft.state.Materialize.pin)
+    val src = e.agg(min($"a")).head().getLong(0) // one-row bounded probe
+    var visited = Seq((src, 0L)).toDF("v", "lvl")
+      .transform(graft.state.Materialize.pin)
+    var frontier = visited
+    for (lvl <- 1 to K) {
+      val nxt = frontier.join(u, Seq("v"))
+        .select($"w".as("v")).distinct()
+        .join(visited, Seq("v"), "left_anti")
+        .withColumn("lvl", lit(lvl.toLong))
+        .transform(graft.state.Materialize.pin)
+      visited = visited.unionByName(nxt)
+        .transform(graft.state.Materialize.pin)
+      frontier = nxt
+    }
+    visited.groupBy($"lvl")
+      .agg(count(lit(1)).as("n_vertices"), min($"v").as("first_vertex"))
+      .orderBy($"lvl")
   }
 
   /** Triangle count via DEGREE-ORIENTED wedge closing. Orienting every
@@ -116,11 +193,50 @@ object Graph extends QueryPack {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_triangles" -> (trianglesQ _),
+    "graph_triangles"  -> (trianglesQ _),
+    "graph_components" -> (componentsQ _),
+    "graph_khop"       -> (khopQ _),
     "sql_recursive_cte" -> (recursiveAncestors _)
   )
 
+  /** Shared edge CTE text for the iterative-gate oracles (q > 45). */
+  private val edgeCte45: String =
+    """pairs AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS s
+      |          FROM lineitem WHERE l_quantity > 45),
+      |e AS (SELECT DISTINCT p1.s AS a, p2.s AS b
+      |      FROM pairs p1 JOIN pairs p2 ON p1.o = p2.o AND p1.s < p2.s),
+      |u AS (SELECT a AS v, b AS w FROM e UNION SELECT b, a FROM e)"""
+      .stripMargin
+
   def oracle: Map[String, String] = Map(
+    // independent method: recursive-CTE min-label reachability must
+    // resolve the identical component census
+    "graph_components" ->
+      s"""WITH $edgeCte45,
+        |verts AS (SELECT DISTINCT v FROM u),
+        |r AS (
+        |  WITH RECURSIVE r(v, lab) AS (
+        |    SELECT v, v FROM verts
+        |    UNION
+        |    SELECT u.w, r.lab FROM r JOIN u ON r.v = u.v WHERE r.lab < u.w
+        |  ) SELECT v, MIN(lab) AS lab FROM r GROUP BY v)
+        |SELECT lab AS component, COUNT(*)::BIGINT AS n_vertices,
+        |  MAX(v) AS max_vertex
+        |FROM r GROUP BY lab ORDER BY component""".stripMargin,
+    // independent BFS: recursive-CTE shortest-hop capped at the same K
+    "graph_khop" ->
+      s"""WITH $edgeCte45,
+        |src AS (SELECT MIN(a) AS s FROM e),
+        |r AS (
+        |  WITH RECURSIVE bfs(v, lvl) AS (
+        |    SELECT s, 0 FROM src
+        |    UNION
+        |    SELECT u.w, bfs.lvl + 1 FROM bfs JOIN u ON bfs.v = u.v
+        |    WHERE bfs.lvl < 8
+        |  ) SELECT v, MIN(lvl) AS lvl FROM bfs GROUP BY v)
+        |SELECT lvl::BIGINT AS lvl, COUNT(*)::BIGINT AS n_vertices,
+        |  MIN(v) AS first_vertex
+        |FROM r GROUP BY lvl ORDER BY lvl""".stripMargin,
     // DuckDB's integer division is `//` where Spark's is DIV; the
     // depth literal starts INT32 in both and stays INT32 through +1
     "sql_recursive_cte" ->

@@ -757,7 +757,8 @@ object Dedup extends QueryPack {
     * minimum id. Shared by the MinHash cluster resolution
     * ([[dedupClusters]]) and the semantic-dedup grouping ([[semDedup]]).
     */
-  private def minLabelPropagate(pairs: DataFrame): DataFrame = {
+  private[graft] def minLabelPropagate(pairs: DataFrame,
+                                       maxIter: Int = 20): DataFrame = {
     import pairs.sparkSession.implicits._
     val edges = pairs.union(pairs.select($"d2".as("d1"), $"d1".as("d2")))
       .transform(graft.state.Materialize.pin)
@@ -774,7 +775,7 @@ object Dedup extends QueryPack {
     var prevSum = labSum(labels)
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    while (!converged && iter < maxIter) {
       val neighborLabs = edges
         .join(labels.select($"doc".as("d1"), $"lab"), Seq("d1"))
         .select($"d2".as("doc"), $"lab")
