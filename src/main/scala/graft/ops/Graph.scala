@@ -47,11 +47,19 @@ object Graph extends QueryPack {
     * an arbitrary edge list instead of near-dup pairs. Output is the
     * per-component census (component = min vertex id, size, max vertex)
     * — 203 components incl. a 482-vertex giant at sf0.01, so the gate
-    * exercises real multi-component structure, not a single blob. The
-    * giant is chain-like (eccentricity ≥ 40), so the round cap is 32
-    * here (measured convergent; label+shortcut covers distance
-    * super-linearly per round) vs the near-dup default 20 — dedup
-    * clusters are dense and shallow, co-occurrence chains are not.
+    * exercises real multi-component structure, not a single blob (the
+    * denser `> 40` cut collapses to one 99% giant at sf0.01 — useless
+    * as a census). The giant is chain-like (eccentricity ≥ 40), so
+    * propagation is diameter-bound here — measured 21 hops at sf0.01,
+    * 33 at sf0.1 (the pointer shortcut does not compound on random-id
+    * chains: probes with 1 and 3 shortcut substeps per hop converged in
+    * the same hop count) — hence cap 64 vs the near-dup default 20
+    * (dedup clusters are dense and shallow). Scaling note: the
+    * co-occurrence graph DENSIFIES with SF (diameter shrinks as edges
+    * multiply), so the cap is conservative upward; for adversarial
+    * long-chain graphs at 100 TB the documented upgrade is alternating
+    * large-star/small-star contraction (Kiveris et al. 2014, O(log²)
+    * rounds), which drops into the same loop skeleton.
     *
     * The oracle resolves the same components with a recursive CTE, so
     * the gate checks graph semantics against an independent method.
@@ -60,7 +68,7 @@ object Graph extends QueryPack {
     import spark.implicits._
     val e = edgesAt(spark, dir, 45)
     llm.Dedup.minLabelPropagate(e.select($"a".as("d1"), $"b".as("d2")),
-                                maxIter = 32)
+                                maxIter = 64)
       .groupBy($"lab".as("component"))
       .agg(count(lit(1)).as("n_vertices"), max($"doc").as("max_vertex"))
       .orderBy($"component")
