@@ -28,7 +28,9 @@ class DeterminismSpec extends SparkSpec {
                 "llm_span_corrupt",     // run-length sentinel splice checksums
                 "llm_code_switch",      // broadcast-left-join argmax + set agg
                 "llm_bq_topk",          // decimal thresholds + float rerank
-                "llm_ivf_add"))         // decimal centroids + broadcast argmax
+                "llm_ivf_add",          // decimal centroids + broadcast argmax
+                "graph_components",     // iterative propagation + checkpoints
+                "graph_khop"))          // frontier BFS + checkpoints
     test(s"$q is bit-identical under 3 vs 7 shuffle partitions") {
       val a = runAt("3", q)
       val b = runAt("7", q)
