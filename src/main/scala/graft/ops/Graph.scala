@@ -74,6 +74,58 @@ object Graph extends QueryPack {
       .orderBy($"component")
   }
 
+  /** PageRank iteration count — mirrored into the oracle's unrolled CTE
+    * chain so the engines cannot disagree on depth.
+    */
+  private val PrIters = 10
+
+  /** General-graph PageRank (damping 0.85, 10 fixed iterations) over the
+    * sparse co-occurrence graph — the centrality weighting a crawl-scale
+    * curation pipeline runs on its HOST graph (Common Crawl publishes
+    * exactly this: harmonic/PageRank centrality over the domain graph,
+    * consumed as a quality prior when sampling). Same determinism design
+    * as the TextRank gate ([[llm.Ranking]]): ranks in integer micro-units
+    * (start 1,000,000; `150000 + (850·incoming) div 1000` per round) with
+    * floor division everywhere, so ten iterations are bit-identical
+    * cross-engine — no float drift, no convergence epsilon. Undirected
+    * graph = symmetric directed edges; out-weight = degree.
+    *
+    * Scale shape: T fixed iterations of (edge join + node-keyed
+    * aggregate), each pinned — cost is T × corpus-linear, state is one
+    * rank row per vertex, no driver materialization. Output is the
+    * top-50 by (rank, id) — a TakeOrderedAndProject, the shape a quality
+    * prior is actually consumed in.
+    *
+    * The oracle replays every iteration as an unrolled CTE generated
+    * from the SAME [[PrIters]] constant.
+    */
+  def pagerankQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = edgesAt(spark, dir, 45)
+    val u = e.select($"a".as("w1"), $"b".as("w2"))
+      .union(e.select($"b".as("w1"), $"a".as("w2")))
+      .transform(graft.state.Materialize.pin)
+    val outw = u.groupBy($"w1").agg(count(lit(1)).as("out_w"))
+    val nodes = u.select($"w1".as("node")).distinct()
+      .transform(graft.state.Materialize.pin)
+    def step(prev: DataFrame): DataFrame = {
+      val contrib = u.join(outw, "w1")
+        .join(prev.withColumnRenamed("node", "w1"), "w1")
+        .select($"w2".as("node"), expr("r div out_w").as("c"))
+        .groupBy($"node").agg(sum($"c").as("incoming"))
+      nodes.join(contrib, Seq("node"), "left")
+        .select($"node",
+          (lit(150000L) +
+           expr("(850 * coalesce(incoming, 0L)) div 1000")).as("r"))
+    }
+    var r = nodes.withColumn("r", lit(1000000L))
+    // two iterations per pin: per-iteration cost is action-overhead-
+    // bound at these graph sizes (same finding as componentsQ)
+    for (_ <- 1 to PrIters / 2)
+      r = step(step(r)).transform(graft.state.Materialize.pin)
+    r.orderBy($"r".desc, $"node").limit(50)
+  }
+
   /** K-hop ego-network census (K = 8) from the graph's minimum vertex —
     * the neighborhood-size profile feature engineering extracts per
     * entity (how many vertices are reachable within 1, 2, … hops). Exact
@@ -204,6 +256,7 @@ object Graph extends QueryPack {
     "graph_triangles"  -> (trianglesQ _),
     "graph_components" -> (componentsQ _),
     "graph_khop"       -> (khopQ _),
+    "graph_pagerank"   -> (pagerankQ _),
     "sql_recursive_cte" -> (recursiveAncestors _)
   )
 
@@ -216,7 +269,32 @@ object Graph extends QueryPack {
       |u AS (SELECT a AS v, b AS w FROM e UNION SELECT b, a FROM e)"""
       .stripMargin
 
+  /** The PageRank oracle replays every iteration as an unrolled CTE
+    * chain generated from the SAME [[PrIters]] constant — identical
+    * integer micro-unit arithmetic, floor division round for round.
+    */
+  private val pagerankOracle: String = {
+    val base =
+      s"""WITH $edgeCte45,
+        |ed AS (SELECT v AS w1, w AS w2 FROM u),
+        |outw AS (SELECT w1, COUNT(*)::BIGINT AS out_w FROM ed GROUP BY w1),
+        |nodes AS (SELECT DISTINCT w1 AS node FROM ed),
+        |r0 AS (SELECT node, 1000000::BIGINT AS r FROM nodes)""".stripMargin
+    val iters = (1 to PrIters).map { k =>
+      s"""r$k AS (
+         |  SELECT n.node,
+         |    (150000 + (850 * COALESCE(s.incoming, 0)) // 1000)::BIGINT AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.w2 AS node, SUM(p.r // o.out_w)::BIGINT AS incoming
+         |    FROM ed e JOIN outw o ON e.w1 = o.w1
+         |    JOIN r${k - 1} p ON e.w1 = p.node
+         |    GROUP BY e.w2) s ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$iters\nSELECT node, r FROM r$PrIters ORDER BY r DESC, node LIMIT 50"
+  }
+
   def oracle: Map[String, String] = Map(
+    "graph_pagerank" -> pagerankOracle,
     // independent method: recursive-CTE min-label reachability must
     // resolve the identical component census
     "graph_components" ->
