@@ -92,8 +92,12 @@ object Bench {
       // of storage-memory pressure (the mechanism behind the r4
       // llm_winnow_pairs 78× official-vs-isolated anomaly).
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(
-        _.unpersist(blocking = false))
+      // ... but never the session-lived cache pins (SuffixIndex): those
+      // are lineage-truncated, so unpersisting them doesn't free-and-
+      // recompute, it BREAKS every later query holding the cached frame.
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => graft.state.Materialize.isRetained(id) }
+        .values.foreach(_.unpersist(blocking = false))
       val times = (1 to reps).flatMap { _ =>
         // Drain the async cleanup backlog (shuffle files, broadcasts) from
         // prior queries before timing: 60 queries in one JVM otherwise

@@ -217,183 +217,178 @@ object Dedup extends QueryPack {
     * this operator answers "what is the single longest verbatim string
     * that occurs twice anywhere", exactly).
     *
-    * Method: binary search on the length L (dup-existence is monotone in
-    * L), with an O(corpus) map-side probe per step:
-    *   - ONE-TIME prep: per document, inclusive prefix sums of the
-    *     polynomial rolling hash Σ c_j·B^{−j} under TWO 31-bit prime
-    *     moduli, plus the B^i power table — built from exploded char
-    *     rows with per-doc running-sum windows (O(len log len) per doc,
-    *     never an O(len²) array fold), collected into per-doc arrays and
-    *     pinned (~corpus chars × 4 longs once);
-    *   - probe(L): explode positions from the 1-row-per-doc prep frame
-    *     (map-side), reconstruct every L-gram's hash with four O(1)
-    *     array reads + three mulmods (all < 2^62, ANSI-safe), and ask
-    *     "any (h1, h2) with count ≥ 2" — one hash-aggregate shuffle of
-    *     position rows, nothing corpus-quadratic anywhere;
-    *   - ⌈log₂ maxlen⌉ probes total, then an EXACT verification at the
-    *     found L*: the duplicated-hash positions (a small slice) join
-    *     back to their texts and group by the actual substring, so a
-    *     dual-modulus collision (P ≈ n²/2^62 per probe, deterministic —
-    *     never flaky) can only cause a detected-and-retried empty
-    *     verify, not a wrong answer.
+    * Method (round 9 — derived from the SHARED [[SuffixIndex]] instead
+    * of the retired standalone rolling-hash prober, collapsing the
+    * bench's two heaviest pipelines into one build):
+    *   - a rank frame at compare length c certifies EXACT c-char
+    *     equality at any position with ≥ c remaining chars, so "some
+    *     L-gram occurs twice" ⟺ "some tuple of ranks at offsets
+    *     {0, c, 2c, …, L−c} (consecutive gaps ≤ c) occurs twice among
+    *     valid starts" — the classical O(1) substring-equality check
+    *     from doubling ranks, with no hash-collision case at all;
+    *   - BRACKET: walking rounds finest-first, the largest compare
+    *     length c with a "full tie" (two positions of ≥ c remaining
+    *     chars sharing a rank) gives L* ≥ c, and the smallest round
+    *     without one gives L* < c' — so the binary search runs inside
+    *     one round's granularity, on documents PRUNED to those holding
+    *     a full tie at the bracket level (any longer dup's docs must);
+    *   - probe(L): per-doc `lead` window for the offset ranks (fixed
+    *     multiples of c precomputed once and pinned; only the L−c
+    *     offset varies per probe) + one hash aggregate, "any tuple
+    *     count ≥ 2";
+    *   - L* < 16 fallback (below the seed's certified prefix): binary
+    *     search with direct ≤15-char substring group-bys;
+    *   - at L*: the tuple groups ≥ 2 ARE the duplicated L*-grams
+    *     (exact, not candidates); join back to texts for the substring
+    *     spelling and per-group occurrence/document counts.
     *
     * The oracle finds the same maximum by the INDEPENDENT classical
-    * method — max LCP over adjacent suffixes of the full suffix sort —
-    * so the hash match proves the algorithm, not a shared spelling.
+    * method — max LCP over adjacent suffixes of the naive full suffix
+    * sort (DuckDB materializes and sorts actual suffix strings); the
+    * engine never materializes a suffix and never globally sorts, so
+    * the hash match proves the algorithm, not a shared spelling.
     */
   def longestDupSubstring(spark: SparkSession, dir: String): DataFrame =
-    longestDupSubstringFrom(Tables.documents(spark, dir).select(
-      col("doc_id"), col("text")))
+    longestDupFromIndex(SuffixIndex.forDir(spark, dir),
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
 
-  private[llm] def longestDupSubstringFrom(docs: DataFrame): DataFrame = {
+  private[llm] def longestDupSubstringFrom(docs: DataFrame): DataFrame =
+    longestDupFromIndex(SuffixIndex.build(docs),
+      docs.select(col("doc_id"), col("text")))
+
+  private def ceilDiv(a: Int, b: Int): Int = (a + b - 1) / b
+
+  private def longestDupFromIndex(ix: SuffixIndex.Index,
+                                  docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val B = 131L
-    val M1 = 2147483647L // 2^31 − 1, prime
-    val M2 = 2147483629L // prime
-    val ib1 = BigInt(B).modInverse(BigInt(M1)).toLong
-    val ib2 = BigInt(B).modInverse(BigInt(M2)).toLong
+    val base = docs.select($"doc_id", $"text")
+      .where(length($"text") > 0)
 
-    val base = docs.select($"doc_id", $"text", length($"text").as("len"))
-      .where($"len" > 0)
-    val maxLen = base.agg(max($"len")).head().getInt(0)
-    // b^e mod m for a column exponent, with the squared bases
-    // b^(2^k) PRECOMPUTED as literals and the fold sized to the actual
-    // exponent width (positions < maxLen — ~10 bits at fixture scale,
-    // not a fixed 25): a plain-long fold of conditional mulmods — no
-    // per-iteration struct, no runtime squaring; products < 2^62 so
-    // ANSI-safe. This fold runs 4× per corpus CHARACTER in prep — its
-    // iteration count is the prep hot loop.
-    val expBits = math.max(64 - java.lang.Long.numberOfLeadingZeros(
-      math.max(maxLen - 1, 1).toLong), 1)
-    def binexp(b: Long, m: Long, eCol: String) = {
-      val sq = Iterator.iterate(BigInt(b) mod m)(p => p * p mod m)
-        .take(expBits.toInt).map(_.toLong).mkString(",")
-      s"""aggregate(sequence(0, ${expBits - 1}), 1L, (acc, k) ->
-         |  IF((shiftright($eCol, k) & 1) = 1,
-         |     pmod(acc * element_at(array($sq), k + 1), $m), acc))"""
-        .stripMargin
+    val emptyOut = base.sparkSession.emptyDataFrame
+      .select(lit(0L).as("lmax"), lit("").as("g"),
+        lit(0L).as("n_occ"), lit(0L).as("n_docs"))
+      .where(lit(false))
+
+    // ---- bracket: finest round with a FULL tie (both positions have
+    // ≥ compareLen remaining chars ⇒ true LCP ≥ compareLen; padded
+    // short-suffix ties certify only their own length and don't count)
+    var loRound: SuffixIndex.Round = null
+    var lo = 0
+    var hiBound = ix.maxLen
+    val it = ix.rounds.reverseIterator
+    while (loRound == null && it.hasNext) {
+      val rd = it.next()
+      if (rd.compareLen <= ix.maxLen) {
+        val anyTie = rd.ranks.join(broadcast(ix.lens), Seq("doc_id"))
+          .where($"len" - $"i" >= rd.compareLen)
+          .groupBy($"r").agg(count(lit(1)).as("n")).where($"n" >= 2)
+          .limit(1).count() > 0
+        if (anyTie) { loRound = rd; lo = rd.compareLen }
+        else hiBound = rd.compareLen - 1
+      }
     }
-    val wInc = Window.partitionBy($"doc_id").orderBy($"i")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val chars = base
-      .withColumn("codes", expr(
-        "transform(filter(split(text, ''), c -> c <> ''), " +
-        "c -> cast(ascii(c) as bigint))"))
-      .select($"doc_id", $"len", posexplode($"codes").as(Seq("i", "c")))
-      .withColumn("pw1", expr(binexp(B, M1, "i")))
-      .withColumn("pw2", expr(binexp(B, M2, "i")))
-      // inclusive prefix sums T[i] = Σ_{j ≤ i} c_j·B^(−j) mod M: terms
-      // < 2^38, ≤ 2^25 of them — the raw window sum stays < 2^63
-      .withColumn("t1", pmod(sum(pmod($"c" * expr(binexp(ib1, M1, "i")), lit(M1)))
-        .over(wInc), lit(M1)))
-      .withColumn("t2", pmod(sum(pmod($"c" * expr(binexp(ib2, M2, "i")), lit(M2)))
-        .over(wInc), lit(M2)))
-    val prep0 = chars
-      .groupBy($"doc_id", $"len")
-      .agg(expr("array_sort(collect_list(struct(i, t1, t2, pw1, pw2)))").as("a"))
-      .select($"doc_id", $"len",
-        expr("transform(a, x -> x.t1)").as("T1"),
-        expr("transform(a, x -> x.t2)").as("T2"),
-        expr("transform(a, x -> x.pw1)").as("P1"),
-        expr("transform(a, x -> x.pw2)").as("P2"))
-      .transform(graft.state.Materialize.pin)
 
-    // hash of the L-gram at i: (T[i+L−1] − T[i−1])·B^i·B^(L−1), all mod M
-    def hCols(l: Int): Seq[Column] = Seq((M1, "T1", "P1"), (M2, "T2", "P2"))
-      .zipWithIndex.map { case ((m, t, p), ix) =>
-        val blConst = BigInt(B).modPow(BigInt(l - 1), BigInt(m)).toLong
-        expr(s"""pmod(pmod(
-          |  pmod(get($t, i + ${l - 1}) - IF(i = 0, 0L, get($t, i - 1)) + $m, $m)
-          |  * get($p, i), $m) * ${blConst}L, $m)""".stripMargin)
-          .as(s"h${ix + 1}")
+    if (loRound == null) {
+      // L* < 16: direct substring probes (tiny grams, corpus-wide)
+      val withLen = base.withColumn("len", length($"text"))
+      def grams(l: Int): DataFrame = withLen.where($"len" >= l)
+        .select($"doc_id", $"text", explode(expr(s"sequence(0, len - $l)")).as("i"))
+        .select($"doc_id", expr(s"substring(text, cast(i + 1 as int), $l)").as("g"))
+      def hasDup(l: Int): Boolean =
+        grams(l).groupBy($"g").agg(count(lit(1)).as("n"))
+          .where($"n" >= 2).limit(1).count() > 0
+      var l0 = 0
+      var h0 = math.min(hiBound, 15)
+      while (l0 < h0) {
+        val mid = (l0 + h0 + 1) / 2
+        if (hasDup(mid)) l0 = mid else h0 = mid - 1
       }
-    def grams(prep: DataFrame, l: Int): DataFrame =
-      prep.where($"len" >= l)
-        .select($"doc_id", explode(expr(s"sequence(0, len - $l)")).as("i"),
-          $"T1", $"T2", $"P1", $"P2")
-        .select(($"doc_id" +: $"i" +: hCols(l)): _*)
-    def hasDup(prep: DataFrame, l: Int): Boolean =
-      grams(prep, l).groupBy($"h1", $"h2").agg(count(lit(1)).as("n"))
-        .where($"n" >= 2).limit(1).count() > 0
+      if (l0 == 0) emptyOut
+      else grams(l0).groupBy($"g")
+        .agg(count(lit(1)).as("n_occ"), countDistinct($"doc_id").as("n_docs"))
+        .where($"n_occ" >= 2)
+        .select(lit(l0.toLong).as("lmax"), $"g", $"n_occ", $"n_docs")
+        .orderBy($"g")
+    } else {
+      val c = lo
+      val hi = math.min(hiBound, ix.maxLen)
+      // prune to documents holding a full-tied rank group at level c: a
+      // dup pair of any length ≥ c has both its starts full-tied at c
+      val wR = Window.partitionBy($"r")
+      val tiedDocs = loRound.ranks.join(broadcast(ix.lens), Seq("doc_id"))
+        .where($"len" - $"i" >= c)
+        .withColumn("n", count(lit(1)).over(wR))
+        .where($"n" >= 2).select($"doc_id").distinct()
+      val byPos = Window.partitionBy($"doc_id").orderBy($"i")
+      // precompute the offset ranks at fixed multiples of c once; the
+      // probes' only per-L window is the single L−c offset
+      val kPre = math.max(ceilDiv(hi, c) - 1, 0)
+      val pf0 = loRound.ranks.join(tiedDocs, Seq("doc_id"), "left_semi")
+        .join(broadcast(ix.lens), Seq("doc_id"))
+        // per-POSITION prune flag: a start of any dup of length ≥ c must
+        // share its first c chars with another valid start, i.e. sit in
+        // a rank group with ≥ 2 members of ≥ c remaining chars. Probes
+        // filter on it, shrinking every group-by to candidate starts
+        // only (the lead windows still see every position — the flag
+        // restricts group-by INPUT rows, not the window frames)
+        .withColumn("ntc", sum(when($"len" - $"i" >= c, 1).otherwise(0))
+          .over(Window.partitionBy($"r")))
+      val pf = (1 to kPre).foldLeft(pf0) { (df, k) =>
+        df.withColumn(s"rk$k", lead($"r", k * c).over(byPos))
+      }.transform(graft.state.Materialize.pin)
 
-    // ONE multi-length pass over the power-of-2 grid brackets L* into an
-    // octave (replaces ~6 sequential probes with a single shuffle): for
-    // every position, the hashes of all grid grams that fit — one
-    // explode, count≥2 per (L, h1, h2), then the per-L dup flags are a
-    // ≤25-row collect
-    val grid = Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxLen).toSeq
-    // B^(l−1) for the ~10 grid lengths: a literal array indexed by the
-    // grid position (_gx from posexplode) — NOT a per-row binexp fold,
-    // which at grid-pass volume (positions × grid) was the hot loop
-    def hGridCols: Seq[Column] = Seq((M1, "T1", "P1"), (M2, "T2", "P2"))
-      .zipWithIndex.map { case ((m, t, p), ix) =>
-        val bl = grid.map(l => BigInt(B).modPow(BigInt(l - 1), BigInt(m)).toLong)
-          .mkString(",")
-        expr(s"""pmod(pmod(
-          |  pmod(get($t, i + l - 1) - IF(i = 0, 0L, get($t, i - 1)) + $m, $m)
-          |  * get($p, i), $m) * element_at(array($bl), _gx + 1), $m)"""
-          .stripMargin)
-          .as(s"h${ix + 1}")
-      }
-    val dupLs: Set[Int] = prep0
-      .select($"doc_id", $"len", posexplode(expr(
-        s"filter(transform(array(${grid.mkString(",")}), x -> x), " +
-        "x -> x <= len)")).as(Seq("_gx", "l")),
-        $"T1", $"T2", $"P1", $"P2")
-      .select($"doc_id", $"len", $"_gx", $"l",
-        explode(expr("sequence(0, len - l)")).as("i"),
-        $"T1", $"T2", $"P1", $"P2")
-      .select(($"l" +: $"i" +: hGridCols): _*)
-      .groupBy($"l", $"h1", $"h2").agg(count(lit(1)).as("n"))
-      .where($"n" >= 2)
-      .select($"l").distinct().collect().map(_.getInt(0)).toSet
-
-    var result: Option[DataFrame] = None
-    if (dupLs.nonEmpty) {
-      val bracketLo = dupLs.max
-      // prune to documents carrying a duplicated bracketLo-gram: a dup
-      // pair of any longer length implies dup grams at bracketLo in both
-      // docs, so refinement probes only need the surviving documents
-      val wH = Window.partitionBy($"h1", $"h2")
-      val dupDocs = grams(prep0, bracketLo)
-        .withColumn("grp", count(lit(1)).over(wH))
-        .where($"grp" >= 2)
-        .select($"doc_id").distinct()
-      val prep = prep0.join(dupDocs, Seq("doc_id"), "left_semi")
-        .transform(graft.state.Materialize.pin)
-      var hi = maxLen
-      while (result.isEmpty && hi >= 1) {
-        var lo = bracketLo.min(hi)
-        var h2 = math.min(2 * bracketLo - 1, hi)
-        while (lo < h2) {
-          val mid = (lo + h2 + 1) / 2
-          if (hasDup(prep, mid)) lo = mid else h2 = mid - 1
+      // ranks at offsets {0, c, …, (m−2)c, L−c}: consecutive gaps ≤ c,
+      // union covers [0, L) ⇒ tuple equality ⟺ L-gram equality (every
+      // offset position keeps ≥ c chars when i + L ≤ len, so no padded
+      // rank is ever compared)
+      def keyed(l: Int): DataFrame = {
+        val m = ceilDiv(l, c)
+        val offs = ((1 to (m - 2)).map(_ * c) :+ (l - c))
+          .filter(_ > 0).distinct.sorted
+        val varOffs = offs.filter(off => off % c != 0 || off / c > kPre)
+        // variable-offset leads MUST be computed BEFORE the validity
+        // filter: filtering first makes the window skip the trimmed
+        // tail rows, so a dup ending near a document's end would read a
+        // wrong/null offset rank and silently lose its collision
+        val src = varOffs.foldLeft(pf) { (df, off) =>
+          df.withColumn(s"rv$off", lead($"r", off).over(byPos))
         }
-        val lStar = lo
-        val pos = grams(prep, lStar)
-          .withColumn("grp", count(lit(1)).over(wH))
-          .where($"grp" >= 2)
-          .select($"doc_id", $"i")
-        val exact = pos.hint("SHUFFLE_HASH").join(base, Seq("doc_id"))
-          .select($"doc_id",
-            expr(s"substring(text, cast(i + 1 as int), $lStar)").as("g"))
-          .groupBy($"g")
-          .agg(count(lit(1)).as("n_occ"),
-               countDistinct($"doc_id").as("n_docs"))
-          .where($"n_occ" >= 2)
-          .select(lit(lStar.toLong).as("lmax"), $"g", $"n_occ", $"n_docs")
-          .orderBy($"g")
-        if (exact.limit(1).count() > 0) result = Some(exact)
-        else hi = lStar - 1 // dual-modulus collision: retry below it
+        val offCols = offs.zipWithIndex.map { case (off, j) =>
+          val cc = if (varOffs.contains(off)) col(s"rv$off")
+                   else col(s"rk${off / c}")
+          cc.as(s"k$j")
+        }
+        src.where($"i" + l <= $"len" && $"ntc" >= 2)
+          .select(($"doc_id" +: $"i" +: $"r" +: offCols): _*)
       }
+      def keyCols(df: DataFrame): Seq[Column] =
+        df.columns.filter(n => n == "r" || n.startsWith("k")).toSeq.map(col)
+      def hasDup(l: Int): Boolean = {
+        val kd = keyed(l)
+        kd.groupBy(keyCols(kd): _*).agg(count(lit(1)).as("n"))
+          .where($"n" >= 2).limit(1).count() > 0
+      }
+      var l0 = lo
+      var h0 = hi
+      while (l0 < h0) {
+        val mid = (l0 + h0 + 1) / 2
+        if (hasDup(mid)) l0 = mid else h0 = mid - 1
+      }
+      val lStar = l0
+      val kd = keyed(lStar)
+      val wK = Window.partitionBy(keyCols(kd): _*)
+      val pos = kd.withColumn("grp", count(lit(1)).over(wK))
+        .where($"grp" >= 2)
+        .select($"doc_id", $"i")
+      pos.hint("SHUFFLE_HASH").join(base, Seq("doc_id"))
+        .select($"doc_id",
+          expr(s"substring(text, cast(i + 1 as int), $lStar)").as("g"))
+        .groupBy($"g")
+        .agg(count(lit(1)).as("n_occ"), countDistinct($"doc_id").as("n_docs"))
+        .select(lit(lStar.toLong).as("lmax"), $"g", $"n_occ", $"n_docs")
+        .orderBy($"g")
     }
-    result.getOrElse(
-      base.sparkSession.emptyDataFrame
-        .select(lit(0L).as("lmax"), lit("").as("g"),
-          lit(0L).as("n_occ"), lit(0L).as("n_docs"))
-        .where(lit(false)))
   }
-
   /** C36 URL-level dedup — the canonicalization stage a crawl pipeline
     * runs BEFORE any content is fetched or hashed: the same page is
     * reached under many URL spellings (mixed-case scheme/host, explicit

@@ -422,7 +422,7 @@ object TextStats extends QueryPack {
     *     seed instead of 6.
     * The re-rank each round must be a GLOBAL dense_rank — and a global
     * Window is a single-partition sort, the scale-killer this engine
-    * bans. Instead [[rankByBucketed]] two-phases it with a
+    * bans. Instead [[SuffixIndex]]'s rankByBucketed two-phases it with a
     * DETERMINISTIC bucket column (a pure function of the sort key's
     * leading component, so equal keys always share a bucket):
     *   1. per-bucket `dense_rank` — ONE hash exchange on the bucket;
@@ -444,91 +444,24 @@ object TextStats extends QueryPack {
     * substring signal.
     */
   def suffixArrayGlobal(spark: SparkSession, dir: String): DataFrame =
-    suffixRanksGlobal(Tables.documents(spark, dir))
+    formatSuffixRanks(SuffixIndex.forDir(spark, dir))
 
-  /** Distributed two-phase global dense rank of `df` by `sortCols`;
-    * `bucket` MUST be a pure function of the sort key's leading
-    * component (equal keys share a bucket). Returns (doc_id/i/r frame,
-    * number of distinct keys). See [[suffixArrayGlobal]] step list.
+  /** Formats a [[SuffixIndex.Index]] into the gate's output frame. */
+  private def formatSuffixRanks(ix: SuffixIndex.Index): DataFrame = {
+    val f = ix.finalRanks
+    f.select(f("doc_id"), f("r"), f("i").cast("long").as("sa_pos"))
+      .orderBy(col("r"), col("doc_id"), col("sa_pos"))
+  }
+
+  /** From-frame twin for laws/probes: builds a fresh (un-memoized)
+    * [[SuffixIndex]] and formats its final ranks — the round-8
+    * `suffixRanksGlobal` output, bit-identical (the build moved to
+    * [[SuffixIndex.build]] unchanged; only the per-round frames are now
+    * retained for the longest-dup-substring consumer).
     */
-  private def rankByBucketed(df: DataFrame, bucket: Column,
-                             sortCols: Seq[Column]): (DataFrame, Long) = {
-    import df.sparkSession.implicits._
-    val local = df.withColumn("b", bucket)
-      .withColumn("dl", dense_rank().over(
-        Window.partitionBy($"b").orderBy(sortCols: _*)).cast("long"))
-      .transform(graft.state.Materialize.pin)
-    val cnts = local.groupBy($"b").agg(max($"dl").as("c"))
-    // bounded frame (bucket space, corpus-independent): the exclusive
-    // prefix sum may run single-partition
-    val offs = cnts
-      .withColumn("off", coalesce(sum($"c").over(
-        Window.orderBy($"b").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select($"b", $"off")
-    val out = local.join(broadcast(offs), Seq("b"))
-      .select($"doc_id", $"i", ($"dl" + $"off").as("r"))
-    val nDistinct = cnts.agg(sum($"c")).head().getLong(0)
-    (out, nDistinct)
-  }
+  private[llm] def suffixRanksGlobal(docs: DataFrame): DataFrame =
+    formatSuffixRanks(SuffixIndex.build(docs))
 
-  private[llm] def suffixRanksGlobal(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    val spark = docs.sparkSession
-    val base = docs.select($"doc_id", $"text", length($"text").as("len"))
-      .where($"len" > 0)
-    val agg0 = base.agg(max($"len"), sum($"len".cast("long"))).head()
-    val (maxLen, nSuffixes) = (agg0.getInt(0), agg0.getLong(1))
-    val byPos = Window.partitionBy($"doc_id").orderBy($"i")
-    // order-preserving pack of chars [lo, hi] of the suffix at i into a
-    // long: 7 bits per char (ASCII fixture — the per-doc form makes the
-    // same assumption); past-end positions pack as 0, below every real
-    // char. The codes ARRAY is built once per document so each packed
-    // char is an O(1) `get` — packing straight from the string would
-    // seek O(i) per substring call (UTF8String has no random access),
-    // an O(len²) seed measured at 3× the whole query
-    def pack(lo: Int, hi: Int) = expr(
-      s"""aggregate(sequence($lo, $hi), 0L, (acc, k) ->
-         |  acc * 128 + coalesce(get(codes, i + k), 0L))""".stripMargin)
-    val seed = base
-      .withColumn("codes", expr(
-        "transform(filter(split(text, ''), c -> c <> ''), " +
-        "c -> cast(ascii(c) as bigint))"))
-      .select($"doc_id", explode(expr("sequence(0, len - 1)")).as("i"), $"codes")
-      .select($"doc_id", $"i", pack(0, 7).as("p1"), pack(8, 15).as("p2"))
-    // seed bucket: the first two chars (p1's top 14 bits) — ≤ 128²
-    // buckets, balanced by the corpus's 2-gram distribution
-    var (cur, nDistinct) =
-      rankByBucketed(seed, expr(s"p1 div ${1L << 42}"), Seq($"p1", $"p2"))
-    // later rounds bucket by rank range. Ranks are dense in
-    // [1, nDistinct-of-the-PREVIOUS-round] — width MUST divide that
-    // span, not nSuffixes: under heavy duplication nDistinct ≪
-    // nSuffixes, and an nSuffixes-derived width collapsed every row
-    // into one or two buckets (the 10× ScaleProbe caught it: 202s and
-    // 1.5 GiB task peaks vs ~linear after this fix). 4× more buckets
-    // than shuffle partitions keeps each window sort group at ~n/(4p)
-    // rows — reducers still balance, per-group buffering shrinks.
-    val p = math.max(spark.conf.get("spark.sql.shuffle.partitions").toInt, 1)
-    var d = 16
-    var prevDistinct = -1L
-    // quadrupling measured best here: doubling = more rounds (17s),
-    // octupling = wider sort keys + 7 leads per round (18s), quad = 13s
-    while (d < maxLen && nDistinct != nSuffixes && nDistinct != prevDistinct) {
-      prevDistinct = nDistinct
-      val bucketWidth = nDistinct / (4L * p) + 1
-      val quad = cur
-        .withColumn("r2", coalesce(lead($"r", d).over(byPos), lit(-1L)))
-        .withColumn("r3", coalesce(lead($"r", 2 * d).over(byPos), lit(-1L)))
-        .withColumn("r4", coalesce(lead($"r", 3 * d).over(byPos), lit(-1L)))
-      val (next, nd) = rankByBucketed(quad, expr(s"r div $bucketWidth"),
-        Seq($"r", $"r2", $"r3", $"r4"))
-      cur = next
-      nDistinct = nd
-      d *= 4
-    }
-    cur.select($"doc_id", $"r", $"i".cast("long").as("sa_pos"))
-      .orderBy($"r", $"doc_id", $"sa_pos")
-  }
 
   private[llm] def suffixRanks(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._

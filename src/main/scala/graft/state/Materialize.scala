@@ -34,6 +34,30 @@ object Materialize {
 
   val ModeKey = "spark.graft.materialize"
 
+  /** RDD ids pinned on behalf of a SESSION-LIVED cache (the memoized
+    * [[graft.ops.llm.SuffixIndex]]): Bench's per-query debris sweep
+    * unpersists every persistent RDD between queries, which would
+    * destroy a lineage-truncated (localCheckpoint) cached frame — the
+    * cache would then hand later queries dataframes whose blocks are
+    * gone. The sweep consults this set and leaves retained ids alone.
+    */
+  private val retained =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  def isRetained(rddId: Int): Boolean = retained.contains(rddId)
+
+  /** [[pin]], additionally marking the newly-persisted RDD ids as
+    * retained (diffed around the pin — the builds that use this run
+    * sequentially per session, which is the only way pins happen).
+    */
+  def pinRetained(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = pin(df)
+    (sc.getPersistentRDDs.keySet -- before).foreach(retained.add(_))
+    out
+  }
+
   def pin(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.get(ModeKey, "local") match {

@@ -173,7 +173,13 @@ class SubstringSpanSpec extends SparkSpec {
           12L -> s"${filler(4, 30)}omega sigma kappa ta${filler(5, 30)}",
           13L -> s"${filler(6, 30)}omega sigma kappa ta${filler(7, 30)}"),
       // within-ONE-doc repeat only (both occurrences in the same doc)
-      Seq(20L -> s"zqjxkv repeated block here! ${filler(0, 25)} repeated block here! wvm")
+      Seq(20L -> s"zqjxkv repeated block here! ${filler(0, 25)} repeated block here! wvm"),
+      // dup ending at the very LAST character of both docs — regression
+      // for the probe's offset-rank window near the validity boundary
+      // (an offset lead computed AFTER the validity filter reads a
+      // trimmed row here and silently loses the collision)
+      Seq(30L -> s"${filler(0, 28)}final shared tail block!",
+          31L -> s"${filler(1, 28)}final shared tail block!")
     )
     corpora.foreach { texts =>
       val (lmaxExp, topExp) = bruteLongestDup(texts)
