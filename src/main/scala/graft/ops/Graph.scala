@@ -41,25 +41,20 @@ object Graph extends QueryPack {
 
   /** Connected components of the sparse co-occurrence graph — the
     * general-graph form of the engine's duplicate-cluster resolution:
-    * the SAME distributed min-label propagation with pointer doubling
-    * ([[llm.Dedup.minLabelPropagate]] — O(log diameter) rounds, scalar
-    * convergence witness, per-round pinning, no driver graph) applied to
-    * an arbitrary edge list instead of near-dup pairs. Output is the
-    * per-component census (component = min vertex id, size, max vertex)
-    * — 203 components incl. a 482-vertex giant at sf0.01, so the gate
-    * exercises real multi-component structure, not a single blob (the
-    * denser `> 40` cut collapses to one 99% giant at sf0.01 — useless
-    * as a census). The giant is chain-like (eccentricity ≥ 40), so
-    * propagation is diameter-bound here — measured 21 hops at sf0.01,
-    * 33 at sf0.1 (the pointer shortcut does not compound on random-id
-    * chains: probes with 1 and 3 shortcut substeps per hop converged in
-    * the same hop count) — hence cap 64 vs the near-dup default 20
-    * (dedup clusters are dense and shallow). Scaling note: the
-    * co-occurrence graph DENSIFIES with SF (diameter shrinks as edges
-    * multiply), so the cap is conservative upward; for adversarial
-    * long-chain graphs at 100 TB the documented upgrade is alternating
-    * large-star/small-star contraction (Kiveris et al. 2014, O(log²)
-    * rounds), which drops into the same loop skeleton.
+    * the SAME alternating large-star/small-star contraction
+    * ([[llm.Dedup.starComponents]] — Kiveris et al. 2014, O(log²)
+    * rounds on any topology, scalar set-fingerprint witness, per-round
+    * pinning, no driver graph) applied to an arbitrary edge list
+    * instead of near-dup pairs. Output is the per-component census
+    * (component = min vertex id, size, max vertex) — 203 components
+    * incl. a 482-vertex giant at sf0.01, so the gate exercises real
+    * multi-component structure, not a single blob (the denser `> 40`
+    * cut collapses to one 99% giant at sf0.01 — useless as a census).
+    * The giant is chain-like (eccentricity ≥ 40) — exactly the shape
+    * that bound round 8's min-label propagation to the diameter (33
+    * hops / 9.8s at sf0.1); contraction flattens it in a handful of
+    * rounds regardless of eccentricity, which is what survives an
+    * adversarial long-chain graph at 100 TB.
     *
     * The oracle resolves the same components with a recursive CTE, so
     * the gate checks graph semantics against an independent method.
@@ -67,8 +62,7 @@ object Graph extends QueryPack {
   def componentsQ(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = edgesAt(spark, dir, 45)
-    llm.Dedup.minLabelPropagate(e.select($"a".as("d1"), $"b".as("d2")),
-                                maxIter = 64)
+    llm.Dedup.starComponents(e.select($"a".as("d1"), $"b".as("d2")))
       .groupBy($"lab".as("component"))
       .agg(count(lit(1)).as("n_vertices"), max($"doc").as("max_vertex"))
       .orderBy($"component")

@@ -726,78 +726,118 @@ object Dedup extends QueryPack {
 
   /** C37 (completion): duplicate-CLUSTER resolution. Pairs are not a
     * dedup policy — a near-dup chain a~b~c must collapse to ONE kept
-    * document, so the pair graph needs connected components. Min-label
-    * propagation over the [[dedupNearMinhash]] pairs: every clustered doc
-    * maps to its component's smallest doc_id (the canonical survivor).
-    *
-    * Scale notes: each iteration is two joins + an aggregate (all keyed
-    * shuffles). Neighbor-min alone needs DIAMETER iterations; the
-    * pointer-doubling step (label := min(label, label-of-label)) halves
-    * the remaining distance each round, so convergence is O(log
-    * diameter) — 20 rounds covers components a million hops across.
-    * `localCheckpoint` truncates the growing lineage each round.
+    * document, so the pair graph needs connected components.
+    * [[starComponents]] over the [[dedupNearMinhash]] pairs: every
+    * clustered doc maps to its component's smallest doc_id (the
+    * canonical survivor). Star contraction converges in O(log² n)
+    * rounds on ANY pair-graph topology — including the adversarial
+    * chain-shaped near-dup graphs (page-sequence shingle drift) that
+    * made the round-8 diameter-bound propagation the named scale risk.
     *
     * The oracle resolves the same components with a recursive CTE, so the
     * gate checks graph semantics, not implementation.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    minLabelPropagate(nearDupPairs(spark, dir).select($"d1", $"d2"))
+    starComponents(nearDupPairs(spark, dir).select($"d1", $"d2"))
       .select($"doc".as("doc_id"), $"lab".as("cluster_rep"))
       .orderBy($"doc_id")
   }
 
-  /** Min-label propagation (connected components) over an undirected
-    * pair list `(d1, d2)` → `(doc, lab)` with `lab` = the component's
-    * minimum id. Shared by the MinHash cluster resolution
-    * ([[dedupClusters]]) and the semantic-dedup grouping ([[semDedup]]).
+  /** Connected components over an undirected pair list `(d1, d2)` →
+    * `(doc, lab)` with `lab` = the component's minimum id. Shared by the
+    * MinHash cluster resolution ([[dedupClusters]]), the semantic-dedup
+    * grouping ([[semDedup]]) and the general-graph census
+    * ([[graft.ops.Graph]] `graph_components`).
+    *
+    * Algorithm: alternating large-star / small-star contraction
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond") — the round-8 min-label propagation it replaces was
+    * DIAMETER-bound (measured 33 hops at sf0.1 on the chain-like
+    * co-occurrence giant; an adversarial long-chain graph at 100 TB
+    * would make it the engine's slowest operator), while star
+    * contraction converges in O(log² n) rounds on ANY topology:
+    *   - large-star(u): every neighbor v > u re-attaches to
+    *     m = min(Γ(u) ∪ {u}) — new edge (v, m);
+    *   - small-star(u): every neighbor v ≤ u, and u itself, attach to
+    *     m = min of the small side.
+    * Both are one groupBy + one keyed join over the edge list — no
+    * windows, no driver graph; each keeps connectivity invariant
+    * (every rewritten edge routes through the shared minimum) and
+    * monotonically contracts toward the star forest whose centers are
+    * the component minima, which is a fixed point of BOTH operations.
+    *
+    * Convergence witness: the canonical edge-set fingerprint
+    * (count, bit_xor of per-edge xxhash64) unchanged by a large-star
+    * AND by the following small-star — set-level stability of each
+    * operation individually, the paper's termination condition (a
+    * composition-level check alone could in principle declare a 2-cycle
+    * converged). A coverage `require` asserts every input vertex
+    * surfaces in the output exactly once.
     */
-  private[graft] def minLabelPropagate(pairs: DataFrame,
-                                       maxIter: Int = 20): DataFrame = {
+  private[graft] def starComponents(pairs: DataFrame,
+                                    maxRounds: Int = 100): DataFrame = {
     import pairs.sparkSession.implicits._
-    val edges = pairs.union(pairs.select($"d2".as("d1"), $"d1".as("d2")))
+    val verts = pairs.select($"d1".as("u")).union(pairs.select($"d2".as("u")))
+      .distinct().transform(graft.state.Materialize.pin)
+    val nVerts = verts.count()
+    var e = pairs.select($"d1".as("u"), $"d2".as("v"))
+      .where($"u" =!= $"v").distinct()
       .transform(graft.state.Materialize.pin)
-    var labels = edges.select($"d1".as("doc")).distinct()
-      .withColumn("lab", $"doc").transform(graft.state.Materialize.pin)
-    // Convergence witness: min-propagation labels are monotonically
-    // NON-INCREASING per node, so "no node changed" ⟺ "sum of labels
-    // unchanged" — one aggregate on the (checkpointed, tiny) label
-    // table instead of a join-and-compare against the previous round.
-    def labSum(df: org.apache.spark.sql.DataFrame): Long =
-      // coalesce: sum over an EMPTY label table (no near-dup pairs at
-      // this SF) is NULL; 0 makes the loop converge on first iteration
-      df.agg(coalesce(sum($"lab"), lit(0L))).head.getLong(0)
-    var prevSum = labSum(labels)
+    // canonical set fingerprint — orientation-free, order-free
+    def fp(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(least($"u", $"v"), greatest($"u", $"v"))),
+          lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def largeStar(df: DataFrame): DataFrame = {
+      val sym = df.select($"u", $"v")
+        .union(df.select($"v".as("u"), $"u".as("v")))
+      val mins = sym.groupBy($"u").agg(min($"v").as("mv"))
+        .select($"u", least($"mv", $"u").as("m"))
+      sym.join(mins, Seq("u")).where($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v")).distinct()
+    }
+    def smallStar(df: DataFrame): DataFrame = {
+      val dir = df.select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+      val mins = dir.groupBy($"u").agg(min($"v").as("m"))
+      dir.join(mins, Seq("u"))
+        .select($"v".as("u"), $"m".as("v"))
+        .union(mins.select($"u", $"m".as("v")))
+        .where($"u" =!= $"v").distinct()
+    }
+    val dbg = java.lang.Boolean.getBoolean("graft.graph.debug")
+    var prev = fp(e)
     var converged = false
-    var iter = 0
-    // one propagation HOP: neighbor-min + one pointer-shortcut follow
-    def hop(ls: DataFrame): DataFrame = {
-      val neighborLabs = edges
-        .join(ls.select($"doc".as("d1"), $"lab"), Seq("d1"))
-        .select($"d2".as("doc"), $"lab")
-      val viaNeighbors = ls.select($"doc", $"lab").union(neighborLabs)
-        .groupBy($"doc").agg(min($"lab").as("lab"))
-      viaNeighbors
-        .join(viaNeighbors.select($"doc".as("lab"), $"lab".as("lab2")),
-              Seq("lab"), "left_outer")
-        .select($"doc", least($"lab", coalesce($"lab2", $"lab")).as("lab"))
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // one pin + one fingerprint per (large ∘ small) round; stability
+      // of the COMPOSITION triggers the (rare) per-op confirmation
+      // below instead of paying a mid-round materialization every round
+      val next = smallStar(largeStar(e)).transform(graft.state.Materialize.pin)
+      val fpS = fp(next)
+      if (fpS == prev) {
+        // composition-stable: confirm large-star alone is also stable
+        // (the paper's termination is per-op; a composition 2-cycle,
+        // while never observed, would otherwise terminate early)
+        converged = fp(largeStar(next)) == prev
+      }
+      prev = fpS
+      e = next
+      round += 1
+      if (dbg) println(s"[star-components] round $round fp=$fpS")
     }
-    // TWO hops per pinned-and-checked round: on diameter-bound graphs
-    // (chain-like components — graph_components' case) the driver-side
-    // pin + convergence-sum actions dominate round cost, so batching
-    // hops between actions ~halves wall clock at identical semantics
-    // (labels are monotone non-increasing, so "sum stable across a
-    // 2-hop round" still witnesses the fixed point exactly).
-    while (!converged && iter < maxIter) {
-      val next = hop(hop(labels)).transform(graft.state.Materialize.pin)
-      val s = labSum(next)
-      converged = s == prevSum
-      prevSum = s
-      labels = next
-      iter += 2
-    }
-    require(converged, s"label propagation did not converge in $iter hops")
-    labels.select($"doc", $"lab")
+    require(converged, s"star contraction did not converge in $round rounds")
+    // star forest: every non-minimum vertex carries exactly one edge to
+    // its component minimum; the minima label themselves
+    val labels = e.select($"u".as("doc"), $"v".as("lab"))
+      .union(e.select($"v").distinct().select($"v".as("doc"), $"v".as("lab")))
+    val out = labels.transform(graft.state.Materialize.pin)
+    val covered = out.count()
+    require(covered == nVerts,
+      s"star contraction lost vertices: $covered labels for $nVerts vertices")
+    out
   }
 
   /** Number of IVF coarse-quantizer cells for [[dedupEmbedding]]. At the
@@ -874,7 +914,7 @@ object Dedup extends QueryPack {
     * (the paper's policy: the least-redundant representative survives;
     * ties to the lowest vec_id). Composition of existing machinery:
     * the [[dedupEmbeddingApprox]] candidate graph, the shared
-    * [[minLabelPropagate]] component resolution, and one rank window
+    * [[starComponents]] component resolution, and one rank window
     * for the keep policy — no new shuffle shapes.
     *
     * Cross-engine determinism: cos-to-centroid divides the same
@@ -884,7 +924,7 @@ object Dedup extends QueryPack {
     *
     * Scale notes: inherits the cell-shuffle pair engine's bounds
     * (executor memory O(corpus/K) per group, no driver
-    * materialization); the propagation loop runs log-diameter rounds
+    * materialization); the contraction loop runs O(log²) rounds
     * over the (tiny) pair-connected subset only; the keep window
     * shuffles that subset once more.
     */
@@ -893,7 +933,7 @@ object Dedup extends QueryPack {
     val corpus = Similarity.corpus(spark, dir)
     val pairs = embeddingPairs(corpus, thr = 0.45, sameCellOnly = true)
       .select($"i".as("d1"), $"j".as("d2"))
-    val labels = minLabelPropagate(pairs)
+    val labels = starComponents(pairs)
       .select($"doc".as("vec_id"), $"lab")
     val cnorm = ivfCentroids.map(w => math.sqrt(w.map(x => x * x).sum))
     // cos to the vector's OWN cell centroid, as one CASE over the K

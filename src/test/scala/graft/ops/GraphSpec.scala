@@ -54,6 +54,38 @@ class GraphSpec extends SparkSpec {
     assert(count(es)._3 === naiveTriangles(es))
   }
 
+  test("starComponents: adversarial long chain, cycle, star and forest " +
+       "all match a driver-side union-find (the chain is the shape that " +
+       "bound the retired min-label propagation to its diameter)") {
+    import spark.implicits._
+    def unionFind(es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    // ids shuffled so the chain's minimum sits mid-chain, not at an end
+    val rnd = new scala.util.Random(42)
+    val ids = rnd.shuffle((1L to 2000L).toVector)
+    val chain = ids.sliding(2).map(p => (p(0), p(1))).toSeq
+    val cycle = (3000L to 3040L).map(i => (i, if (i == 3040L) 3000L else i + 1))
+    val star = (4001L to 4050L).map(i => (4000L, i))
+    val graphs = Seq(chain, cycle, star, chain ++ cycle ++ star)
+    graphs.foreach { es =>
+      val expected = unionFind(es)
+      val got = graft.ops.llm.Dedup
+        .starComponents(es.toDF("d1", "d2"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected)
+    }
+  }
+
   test("dedupClusters matches GraphX ConnectedComponents on the fixture " +
        "near-dup graph (independent engine cross-check)") {
     // GraphX CC converges to the minimum vertex id per component — the
