@@ -172,17 +172,23 @@ object ScaleProbe {
         }
       }
     })
+    // The AUTO (census-driven selectDfCap) form is the one probed: the
+    // multiplied corpus is the adversarial df shift — every duplicated
+    // doc multiplies each fingerprint's document frequency by the
+    // multiplier, so a hand-pinned cap either over-prunes or lets the
+    // pair fanout grow ×mult² — while the census rule must keep total
+    // fanout ≤ pairBudgetPerRow × index rows with NO constant edited.
     def timedWinnowPairs(m: Int): (Long, Double, Long) = {
       val c = corpusL(m).select($"doc_id", $"text")
       peakTaskMem.set(0)
       val t0 = System.nanoTime()
-      val n = TextStats.winnowPairsFrom(c).count()
+      val n = TextStats.winnowPairsAutoFrom(c).count()
       (n, (System.nanoTime() - t0) / 1e9, peakTaskMem.get())
     }
     timedWinnowPairs(1) // warmup
     Seq(1, mult).distinct.foreach { m =>
       val (n, s, mem) = timedWinnowPairs(m)
-      println(f"[scale-probe] winnow-pairs mult=$m%-3d pairs=$n%-8d time=$s%.2fs peak_task_mem=${mem / (1 << 20)}%dMiB")
+      println(f"[scale-probe] winnow-pairs-auto mult=$m%-3d pairs=$n%-8d time=$s%.2fs peak_task_mem=${mem / (1 << 20)}%dMiB")
     }
 
     // Substring-span detection at multiplied corpus — the WORST case by

@@ -294,7 +294,7 @@ object TextStats extends QueryPack {
     * universe of [[winnowPairsFrom]] — exposed for [[PairCountProbe]]'s
     * df-distribution telemetry.
     */
-  private[llm] def winnowSelected(docs: DataFrame): DataFrame = {
+  private[ops] def winnowSelected(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     winnowMins(docs).select($"doc_id", $"wmin").distinct()
   }

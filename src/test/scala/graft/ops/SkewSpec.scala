@@ -141,6 +141,37 @@ class SkewSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 1L, 9L, 11L)))
   }
 
+  test("winnowPairsAutoFrom: the census-chosen cap prunes corpus-wide " +
+       "boilerplate fingerprints by itself and still reports the " +
+       "planted copy pair — no hand-tuned constant in the loop") {
+    import graft.ops.llm.TextStats
+    // deterministic gibberish so every doc's unique section is unique
+    def gib(seed: Long, n: Int): String = {
+      var s = seed
+      (0 until n).map { _ =>
+        s = s * 6364136223846793005L + 1442695040888963407L
+        ('a' + ((s >>> 33) % 26)).toChar
+      }.mkString
+    }
+    val boiler = gib(999L, 400)  // shared by ALL docs: df = ndocs
+    val passage = gib(777L, 400) // shared by docs 0 and 1 only: df = 2
+    val docs = (0 until 200).map { d =>
+      val text =
+        if (d <= 1) boiler + passage + gib(d, 200)
+        else boiler + gib(d, 200)
+      (d.toLong, text)
+    }.toDF("doc_id", "text")
+    // the census must tighten the cap BELOW the boilerplate df (200) on
+    // its own — and in this corpus below even the pinned gate cap (50)
+    val cap = graft.ops.llm.Dedup.selectDfCap(
+      TextStats.winnowSelected(docs), col("wmin"))
+    assert(cap < 50, s"census cap should undercut the pinned 50, got $cap")
+    val out = TextStats.winnowPairsAutoFrom(docs)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((0L, 1L)),
+      s"expected exactly the planted pair, got ${out.take(5)}")
+  }
+
   test("bucketed tables join WITHOUT a shuffle (co-located join — the " +
        "pre-partitioning story for repeated 100TB joins)") {
     // Bucketing pays the shuffle ONCE at write time; every subsequent
