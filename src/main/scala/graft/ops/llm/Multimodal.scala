@@ -264,11 +264,17 @@ object Multimodal extends QueryPack {
                   word(0).as(s"${idCol}_lo"), word(32).as(s"${idCol}_hi"))
     }
     val orig = coded($"m.bytes", "doc_id")
+    // the trailing-8 cut is counted in CHARACTERS of the decoded text on
+    // BOTH sides (and floored at 0), so the twin derivation cannot
+    // diverge between the engines on a non-ASCII or sub-9-char payload
+    // (byte-counted substring vs DuckDB's char-counted substr — and
+    // DuckDB's substr ERRORS on a non-positive length where Spark
+    // returns empty)
     val twin = coded(
       encode(expr(
         """concat(substring(decode(m.bytes, 'UTF-8'), 1,
-          |  cast(octet_length(m.bytes) - 8 as int)), ' ~re-enc')"""
-          .stripMargin), "UTF-8"),
+          |  cast(greatest(length(decode(m.bytes, 'UTF-8')) - 8, 0) as int)),
+          |  ' ~re-enc')""".stripMargin), "UTF-8"),
       "t_id")
       .filter($"t_id" % 5 === 0)
       .select($"t_id".as("doc_id"), $"t_id_lo", $"t_id_hi")
@@ -322,8 +328,8 @@ object Multimodal extends QueryPack {
         |      (x, y) -> x + y) AS hi
         |  FROM s),
         |o2 AS (SELECT doc_id,
-        |         hex(substr(text, 1, strlen(text) - 8) || ' ~re-enc') AS h,
-        |         strlen(substr(text, 1, strlen(text) - 8)
+        |         hex(substr(text, 1, greatest(strlen(text) - 8, 0)) || ' ~re-enc') AS h,
+        |         strlen(substr(text, 1, greatest(strlen(text) - 8, 0))
         |                || ' ~re-enc')::BIGINT AS n
         |       FROM a WHERE doc_id % 5 = 0),
         |b2 AS (SELECT doc_id,

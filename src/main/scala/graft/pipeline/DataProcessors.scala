@@ -152,7 +152,13 @@ final class SpanCorruptProcessor(params: Conf) extends Transform {
         df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
       .select(col("doc_id").as(idCol),
               col("input_text"), col("target_text"), col("n_spans"))
-    df.drop(textCol).join(texts, Seq(idCol))
+    // LEFT join: a null-text row produces no corrupted output (posexplode
+    // of split(null) yields nothing), and an inner join here silently
+    // DROPPED such rows from the pipeline (round-8 advice). Null-text
+    // rows now pass through with null input/target and n_spans = 0 —
+    // visible to the next stage instead of vanishing.
+    df.drop(textCol).join(texts, Seq(idCol), "left_outer")
+      .withColumn("n_spans", coalesce(col("n_spans"), lit(0L)))
       .withColumnRenamed("input_text", textCol)
   }
 }

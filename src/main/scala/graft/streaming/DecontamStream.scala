@@ -67,17 +67,24 @@ object DecontamStream {
     * gate-proven ratio over this batch's shingles, joined back so docs
     * too short to shingle (< 4 tokens — no 4-grams, nothing to leak)
     * pass with ppm 0 rather than vanishing.
+    *
+    * Schema-generic on purpose: the source's own columns pass through
+    * verbatim (whatever they are) with the coalesced ratio columns
+    * appended — an enumerated fixture-column list here would break the
+    * stream with an analysis error on any source-schema evolution and
+    * silently DROP extra columns (round-8 advice).
     */
   private[graft] def decontaminate(batch: DataFrame,
                                    bench: DataFrame): DataFrame = {
     import batch.sparkSession.implicits._
     val sh = graft.ops.llm.Dedup.shinglesFrom(batch, 4, distinct = true)
     val ratio = graft.ops.llm.TextStats.contaminationRatioFrom(sh, bench)
+    val passThrough = batch.columns.toSeq.map(col)
     batch.join(ratio, Seq("doc_id"), "left_outer")
-      .select($"doc_id", $"text", $"lang", $"source", $"n_chars",
-              coalesce($"n_grams", lit(0L)).as("n_grams"),
-              coalesce($"n_shared", lit(0L)).as("n_shared"),
-              coalesce($"ppm", lit(0L)).as("ppm"),
-              coalesce($"flagged", lit(false)).as("flagged"))
+      .select(passThrough ++ Seq(
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"n_shared", lit(0L)).as("n_shared"),
+        coalesce($"ppm", lit(0L)).as("ppm"),
+        coalesce($"flagged", lit(false)).as("flagged")): _*)
   }
 }

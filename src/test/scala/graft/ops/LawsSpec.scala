@@ -228,4 +228,26 @@ class LawsSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
     assert(out === expected)
   }
+
+  test("agg_approx_top_k fixture precondition: the top-3 event_type cut " +
+       "is strictly distinct (3rd vs 4th counts differ), so the gate's " +
+       "hard-coded in_sketch=TRUE oracle cannot silently hinge on a tie") {
+    // The gate emits the exact top-3 plus a sketch-membership boolean the
+    // oracle pins to TRUE. A fixture regeneration that introduced a tie
+    // at the cut would make a CORRECT sketch fail the gate with no hint
+    // why — this law makes that drift fail HERE, with the counts shown.
+    import spark.implicits._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val counts = graft.Tables.events(spark, dir)
+        .groupBy($"event_type").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"event_type")
+        .select($"n").as[Long].collect()
+      assert(counts.length >= 4,
+        s"$dir: need >= 4 event types for an unambiguous top-3 cut")
+      val top4 = counts.take(4)
+      assert(top4.distinct.length == 4,
+        s"$dir: top-3 cut is tied — counts ${top4.mkString(",")}; the " +
+        "agg_approx_top_k oracle's in_sketch=TRUE is no longer sound")
+    }
+  }
 }

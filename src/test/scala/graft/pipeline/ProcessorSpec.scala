@@ -167,6 +167,19 @@ class ProcessorSpec extends SparkSpec {
     assert(inputSentinels === spans)
     assert(targetSentinels === spans)
   }
+
+  test("span_corrupt passes null-text rows through (n_spans = 0) instead " +
+       "of silently dropping them") {
+    val in = Seq((1L, Option(("tok " * 60).trim), "en"),
+                 (2L, Option.empty[String], "de"))
+      .toDF("doc_id", "text", "lang")
+    val p = ProcessorRegistry.resolve(spark, "span_corrupt", Conf.empty)
+    val out = p.process(in).get
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    val nullRow = out.where($"doc_id" === 2L).head()
+    assert(nullRow.getAs[String]("text") == null)
+    assert(nullRow.getAs[Long]("n_spans") === 0L)
+  }
 }
 
 /** Deliberately NOT registered — exercises the Class.forName path. */

@@ -78,4 +78,27 @@ class DecontamStreamSpec extends SparkSpec {
     assert(spark.read.parquet(rej).where($"doc_id" === 90003L).count() === 1L)
     assert(spark.read.parquet(out).where($"doc_id" === 90003L).count() === 0L)
   }
+
+  test("decontaminate is schema-generic: source columns (including ones " +
+       "the fixture never had) pass through verbatim with the ratio " +
+       "columns appended") {
+    import spark.implicits._
+    val bench = Seq("alpha beta gamma delta epsilon zeta").toDF("text")
+      .transform(b => graft.ops.llm.Dedup
+        .shinglesFrom(b.withColumn("doc_id", lit(0L)), 4, distinct = true)
+        .select($"s").distinct())
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "crawl-42", 7),
+      (2L, "one two three four five six seven", "crawl-43", 9))
+      .toDF("doc_id", "text", "provenance", "extra_score")
+    val out = DecontamStream.decontaminate(batch, bench)
+    assert(out.columns.toSeq ===
+      Seq("doc_id", "text", "provenance", "extra_score",
+          "n_grams", "n_shared", "ppm", "flagged"))
+    val rows = out.orderBy($"doc_id").collect()
+    assert(rows(0).getAs[String]("provenance") === "crawl-42")
+    assert(rows(0).getAs[Boolean]("flagged"))
+    assert(rows(1).getAs[Int]("extra_score") === 9)
+    assert(!rows(1).getAs[Boolean]("flagged"))
+  }
 }
