@@ -142,6 +142,73 @@ class KafkaContractSpec extends SparkSpec {
     }
   }
 
+  test("STREAMING kafka sink contract failures: a missing value column " +
+       "and a missing mandatory checkpoint each throw BEFORE any query " +
+       "starts (A3 value contract + kafka_connector.py:210-214 twin)") {
+    withTestKafka {
+      val src = Sources.create(spark, sourceConf, streaming = true)
+      // value contract on the STREAMING branch (batch twin tested below)
+      val noValue = src.selectExpr("key AS k", "offset AS o")
+      val e1 = intercept[IllegalArgumentException] {
+        Sinks.startStream(noValue, ComponentConfig("kafka", Conf(Map(
+          "bootstrap_servers" -> "broker-1:9092",
+          "output_topic" -> "out-topic",
+          "checkpoint_location_output" -> tmpDir("kafka-novalue-ckpt")))))
+      }
+      assert(e1.getMessage.contains("'value' column"))
+      // mandatory checkpoint: the reference hard-fails when
+      // checkpoint_location_output is absent; so does the twin
+      val withValue = src.selectExpr("CAST(value AS STRING) AS value")
+      val e2 = intercept[IllegalArgumentException] {
+        Sinks.startStream(withValue, ComponentConfig("kafka", Conf(Map(
+          "bootstrap_servers" -> "broker-1:9092",
+          "output_topic" -> "out-topic"))))
+      }
+      assert(e2.getMessage.contains("checkpoint_location_output"))
+      assert(TestKafkaSource.written.isEmpty,
+        "a contract failure must not have written anything")
+    }
+  }
+
+  test("kafka sink checkpoint drives RESTART semantics: a second run on " +
+       "the same checkpoint resumes past the committed offsets and " +
+       "re-emits nothing (exactly-once by offset commit, executed)") {
+    withTestKafka {
+      val checkpoint = tmpDir("kafka-restart-ckpt")
+      def yaml = s"""app_name: restart
+           |source:
+           |  type: kafka
+           |  config:
+           |    bootstrap_servers: broker-1:9092
+           |    input_topic: ${TestKafkaSource.Topic}
+           |    starting_offsets: earliest
+           |processors:
+           |  - name: upper
+           |    class: uppercase
+           |sink:
+           |  type: kafka
+           |  config:
+           |    bootstrap_servers: broker-1:9092
+           |    output_topic: out-topic
+           |    checkpoint_location_output: $checkpoint
+           |""".stripMargin
+      val q1 = graft.pipeline.Pipeline.fromYamlString(spark, yaml)
+        .build().run(awaitTermination = false).get
+      try { q1.processAllAvailable() } finally q1.stop()
+      import scala.jdk.CollectionConverters._
+      val firstRun = TestKafkaSource.written.asScala.toSeq
+      assert(firstRun.nonEmpty)
+      TestKafkaSource.written.clear()
+      // second pipeline, same checkpoint: offsets are committed, so the
+      // source plans an EMPTY range and the sink receives nothing
+      val q2 = graft.pipeline.Pipeline.fromYamlString(spark, yaml)
+        .build().run(awaitTermination = false).get
+      try { q2.processAllAvailable() } finally q2.stop()
+      assert(TestKafkaSource.written.isEmpty,
+        s"restart re-emitted ${TestKafkaSource.written.asScala.toSeq}")
+    }
+  }
+
   test("batch kafka sink enforces the value contract and writes through " +
        "the same factory seam") {
     withTestKafka {
