@@ -120,6 +120,82 @@ object Graph extends QueryPack {
     r.orderBy($"r".desc, $"node").limit(50)
   }
 
+  /** DIRECTED PageRank with dangling-mass redistribution and a
+    * convergence-residual column — the two pieces a crawl host-graph
+    * centrality prior actually needs beyond [[pagerankQ]]'s undirected
+    * form (VERDICT r8 #8): real host graphs are directed (who links
+    * whom), a large fraction of hosts have NO out-links (crawl
+    * frontier leaves; their rank would leak out of the system every
+    * iteration unless redistributed), and a consumer wants to see how
+    * settled the ranks are at the fixed iteration budget.
+    *
+    * Graph: the co-occurrence projection ORIENTED low→high part key —
+    * every component's maximal vertices become genuine dangling nodes
+    * (489 of 1,274 at sf0.01), so the redistribution term is exercised
+    * by real structure, not a synthetic patch.
+    *
+    * Same cross-engine determinism design as [[pagerankQ]]: integer
+    * micro-units, floor division everywhere. Per iteration:
+    * `r' = 150000 + (850 · (incoming + D div N)) div 1000` where
+    * `incoming = Σ r_u div out_u` over in-neighbors and `D = Σ r_u`
+    * over dangling nodes (the standard dangling-mass uniform
+    * redistribution, kept exactly replayable by flooring the per-node
+    * share). The residual column is `|r_T − r_{T−1}|` per node — the
+    * convergence diagnostic (a production job iterates until
+    * `Σ residual` crosses a threshold; the gate pins T = [[PrIters]]
+    * for determinism and EXPOSES the residual instead).
+    *
+    * Scale shape: T × (edge join + node aggregate) like the undirected
+    * form, plus one tiny dangling-set join and a broadcast 1-row
+    * dangling-mass frame per iteration — nothing new shuffles. The
+    * oracle replays every iteration (and the dangling scalar) as an
+    * unrolled CTE from the same [[PrIters]] constant.
+    */
+  def pagerankDirectedQ(spark: SparkSession, dir: String): DataFrame =
+    pagerankDirectedFrom(edgesAt(spark, dir, 45))
+
+  /** [[pagerankDirectedQ]] over any directed `(a, b)` edge frame —
+    * exposed so the GraphSpec law can drive it with hand-built graphs
+    * against a driver-side integer replica.
+    */
+  private[ops] def pagerankDirectedFrom(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val ed = e.select($"a".as("w1"), $"b".as("w2"))
+      .transform(graft.state.Materialize.pin)
+    val outw = ed.groupBy($"w1").agg(count(lit(1)).as("out_w"))
+    val nodes = ed.select($"w1".as("node"))
+      .union(ed.select($"w2".as("node"))).distinct()
+      .transform(graft.state.Materialize.pin)
+    val n = nodes.count()
+    val dangling = nodes
+      .join(outw.select($"w1".as("node")), Seq("node"), "left_anti")
+      .transform(graft.state.Materialize.pin)
+    def step(prev: DataFrame): DataFrame = {
+      val contrib = ed.join(outw, "w1")
+        .join(prev.withColumnRenamed("node", "w1"), "w1")
+        .select($"w2".as("node"), expr("r div out_w").as("c"))
+        .groupBy($"node").agg(sum($"c").as("incoming"))
+      val share = dangling.join(prev, Seq("node"))
+        .agg(coalesce(sum($"r"), lit(0L)).as("dm"))
+        .select(expr(s"dm div ${n}L").as("ds"))
+      nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(share))
+        .select($"node",
+          (lit(150000L) +
+           expr("(850 * (coalesce(incoming, 0L) + ds)) div 1000")).as("r"))
+    }
+    var r = nodes.withColumn("r", lit(1000000L))
+    var prev: DataFrame = r
+    for (i <- 1 to PrIters) {
+      prev = r
+      r = step(r)
+      if (i % 2 == 0) r = r.transform(graft.state.Materialize.pin)
+    }
+    r.join(prev.select($"node", $"r".as("r_prev")), Seq("node"))
+      .select($"node", $"r", abs($"r" - $"r_prev").as("residual"))
+      .orderBy($"r".desc, $"node").limit(50)
+  }
+
   /** K-hop ego-network census (K = 8) from the graph's minimum vertex —
     * the neighborhood-size profile feature engineering extracts per
     * entity (how many vertices are reachable within 1, 2, … hops). Exact
@@ -251,6 +327,7 @@ object Graph extends QueryPack {
     "graph_components" -> (componentsQ _),
     "graph_khop"       -> (khopQ _),
     "graph_pagerank"   -> (pagerankQ _),
+    "graph_pagerank_directed" -> (pagerankDirectedQ _),
     "sql_recursive_cte" -> (recursiveAncestors _)
   )
 
@@ -287,8 +364,48 @@ object Graph extends QueryPack {
     s"$base,\n$iters\nSELECT node, r FROM r$PrIters ORDER BY r DESC, node LIMIT 50"
   }
 
+  /** Unrolled-CTE twin of [[pagerankDirectedQ]]: directed low→high
+    * edges, per-iteration dangling-mass scalar, identical floor
+    * arithmetic, residual from the last two iterations.
+    */
+  private val pagerankDirectedOracle: String = {
+    val base =
+      s"""WITH $edgeCte45,
+        |ed AS MATERIALIZED (SELECT a AS w1, b AS w2 FROM e),
+        |outw AS MATERIALIZED (
+        |  SELECT w1, COUNT(*)::BIGINT AS out_w FROM ed GROUP BY w1),
+        |nodes AS MATERIALIZED (SELECT DISTINCT v FROM
+        |  (SELECT w1 AS v FROM ed UNION SELECT w2 FROM ed)),
+        |nn AS MATERIALIZED (SELECT COUNT(*)::BIGINT AS n FROM nodes),
+        |dang AS MATERIALIZED (SELECT nd.v AS node FROM nodes nd
+        |         LEFT JOIN outw o ON nd.v = o.w1 WHERE o.w1 IS NULL),
+        |r0 AS MATERIALIZED (SELECT v AS node, 1000000::BIGINT AS r FROM nodes)"""
+        .stripMargin
+    val iters = (1 to PrIters).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT nd.v AS node,
+         |    (150000 + (850 * (COALESCE(s.incoming, 0) + d.ds)) // 1000)::BIGINT AS r
+         |  FROM nodes nd
+         |  LEFT JOIN (
+         |    SELECT e2.w2 AS node, SUM(p.r // o.out_w)::BIGINT AS incoming
+         |    FROM ed e2 JOIN outw o ON e2.w1 = o.w1
+         |    JOIN r${k - 1} p ON e2.w1 = p.node
+         |    GROUP BY e2.w2) s ON nd.v = s.node
+         |  CROSS JOIN (
+         |    SELECT (COALESCE(SUM(p.r), 0) // (SELECT n FROM nn))::BIGINT AS ds
+         |    FROM dang dg JOIN r${k - 1} p ON dg.node = p.node) d)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters
+       |SELECT a.node, a.r, abs(a.r - b.r)::BIGINT AS residual
+       |FROM r$PrIters a JOIN r${PrIters - 1} b ON a.node = b.node
+       |ORDER BY a.r DESC, a.node LIMIT 50""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "graph_pagerank" -> pagerankOracle,
+    "graph_pagerank_directed" -> pagerankDirectedOracle,
     // independent method: recursive-CTE min-label reachability must
     // resolve the identical component census
     "graph_components" ->

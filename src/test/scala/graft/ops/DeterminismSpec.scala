@@ -31,7 +31,8 @@ class DeterminismSpec extends SparkSpec {
                 "llm_ivf_add",          // decimal centroids + broadcast argmax
                 "graph_components",     // iterative propagation + checkpoints
                 "graph_khop",           // frontier BFS + checkpoints
-                "graph_pagerank"))      // integer micro-unit rank iterations
+                "graph_pagerank",       // integer micro-unit rank iterations
+                "graph_pagerank_directed")) // + dangling-mass scalar frame
     test(s"$q is bit-identical under 3 vs 7 shuffle partitions") {
       val a = runAt("3", q)
       val b = runAt("7", q)

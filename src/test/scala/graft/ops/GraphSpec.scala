@@ -86,6 +86,41 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("directed PageRank with dangling mass matches a driver-side " +
+       "integer replica exactly (ranks AND residuals), and the dangling " +
+       "redistribution term provably changes the answer") {
+    import spark.implicits._
+    // chain into a hub with two dangling sinks: 1→2, 1→3, 2→4, 3→4
+    // (4 is dangling), plus isolated-pair 5→6 (6 dangling)
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (5L, 6L))
+    def replica(edges: Seq[(Long, Long)], iters: Int)
+        : (Map[Long, Long], Map[Long, Long]) = {
+      val nodes = edges.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+      val n = nodes.length.toLong
+      val out = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      var r = nodes.map(_ -> 1000000L).toMap
+      var prev = r
+      for (_ <- 1 to iters) {
+        prev = r
+        val d = nodes.filterNot(out.contains).map(r).sum
+        val inc = edges.groupBy(_._2).view.mapValues(
+          _.map { case (u, _) => r(u) / out(u) }.sum).toMap
+        r = nodes.map(v =>
+          v -> (150000L + (850L * (inc.getOrElse(v, 0L) + d / n)) / 1000L)).toMap
+      }
+      (r, r.map { case (k, v) => k -> math.abs(v - prev(k)) })
+    }
+    val (expR, expRes) = replica(es, 10)
+    val got = Graph.pagerankDirectedFrom(es.toDF("a", "b"))
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(r => r._1 -> r._2).toMap === expR)
+    assert(got.map(r => r._1 -> r._3).toMap === expRes)
+    // sanity: zeroing the dangling term changes node 1's rank (it has no
+    // in-edges, so WITHOUT redistribution it would pin at the 150000
+    // floor) — the term is load-bearing, not decorative
+    assert(expR(1L) > 150000L)
+  }
+
   test("dedupClusters matches GraphX ConnectedComponents on the fixture " +
        "near-dup graph (independent engine cross-check)") {
     // GraphX CC converges to the minimum vertex id per component — the
