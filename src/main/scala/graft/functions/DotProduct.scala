@@ -107,6 +107,14 @@ object GraftFunctions {
     NfcNormalize(children.head)
   }
 
+  private val packInfo =
+    new ExpressionInfo(classOf[PackChars7].getName, "graft_pack7")
+
+  private def packBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "graft_pack7 expects exactly 2 arguments")
+    PackChars7(children.head, children(1))
+  }
+
   private val bloomInfo = new ExpressionInfo(
     classOf[BloomMightContain].getName, "graft_bloom_might_contain")
 
@@ -126,6 +134,8 @@ object GraftFunctions {
       FunctionIdentifier("graft_nfc"), nfcInfo, nfcBuilder _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_bloom_might_contain"), bloomInfo, bloomBuilder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_pack7"), packInfo, packBuilder _)
   }
 }
 
@@ -148,6 +158,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
        (children: Seq[Expression]) => {
          require(children.length == 1, "graft_md5_60 expects exactly 1 argument")
          Md5Hex60(children.head)
+       }))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_pack7"),
+       new ExpressionInfo(classOf[PackChars7].getName, "graft_pack7"),
+       (children: Seq[Expression]) => {
+         require(children.length == 2, "graft_pack7 expects exactly 2 arguments")
+         PackChars7(children.head, children(1))
        }))
     ext.injectFunction(
       (FunctionIdentifier("graft_nfc"),

@@ -88,9 +88,13 @@ object SuffixIndex {
                              sortCols: Seq[Column], pin: DataFrame => DataFrame)
       : (DataFrame, Long) = {
     import df.sparkSession.implicits._
+    // pin only the 4 columns every consumer needs — materializing the
+    // sort-key columns too (p1/p2 or the 4 round ranks) roughly doubled
+    // the per-round checkpoint volume for data nothing reads again
     val local = df.withColumn("b", bucket)
       .withColumn("dl", dense_rank().over(
         Window.partitionBy($"b").orderBy(sortCols: _*)).cast("long"))
+      .select($"doc_id", $"i", $"b", $"dl")
       .transform(pin)
     val cnts = local.groupBy($"b").agg(max($"dl").as("c"))
     // bounded frame (bucket space, corpus-independent): the exclusive
@@ -142,22 +146,19 @@ object SuffixIndex {
     // char is an O(1) `get` — packing straight from the string would
     // seek O(i) per substring call (UTF8String has no random access),
     // an O(len²) seed measured at 3× the whole query
-    // the packed arrays are built per DOCUMENT and only then position-
-    // exploded via arrays_zip — an earlier shape exploded positions
-    // first and carried the whole codes array on every position row
-    // (corpus × avg-len longs of row width through the exchange;
-    // measured ~2× the whole seed stage at sf0.1)
-    def packArr(lo: Int, hi: Int) =
-      s"""transform(sequence(0, len - 1), i ->
-         |  aggregate(sequence($lo, $hi), 0L, (acc, k) ->
-         |    acc * 128 + coalesce(get(codes, i + k), 0L)))""".stripMargin
+    // the packed seed keys come from the native codegen'd
+    // [[graft.functions.PackChars7]] (O(1) byte access on the
+    // UTF8String, zero allocation, stays in whole-stage codegen) — the
+    // earlier array spellings needed a per-document codes array just to
+    // get O(1) character access and either carried it on every position
+    // row or allocated three intermediate arrays per document; the
+    // packed values and their ordering semantics are IDENTICAL
+    graft.functions.GraftFunctions.register(spark)
     val seed = base
-      .withColumn("codes", expr(
-        "transform(filter(split(text, ''), c -> c <> ''), " +
-        "c -> cast(ascii(c) as bigint))"))
-      .select($"doc_id", posexplode(expr(
-        s"arrays_zip(${packArr(0, 7)}, ${packArr(8, 15)})")).as(Seq("i", "ps")))
-      .select($"doc_id", $"i", $"ps.0".as("p1"), $"ps.1".as("p2"))
+      .select($"doc_id", explode(expr("sequence(0, len - 1)")).as("i"), $"text")
+      .select($"doc_id", $"i",
+        expr("graft_pack7(text, i)").as("p1"),
+        expr("graft_pack7(text, i + 8)").as("p2"))
     // seed bucket: the first two chars (p1's top 14 bits) — ≤ 128²
     // buckets, balanced by the corpus's 2-gram distribution
     lap("prelude (maxLen/lens)")
