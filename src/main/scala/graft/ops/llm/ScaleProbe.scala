@@ -459,6 +459,35 @@ object ScaleProbe {
       val (n, s) = timedIvfAdd(m)
       println(f"[scale-probe] ivf-add mult=$m%-3d added=$n%-7d time=$s%.2fs")
     }
+
+    // Star-contraction components on the ADVERSARIAL topology by
+    // construction: one single chain of L vertices with shuffled ids
+    // (diameter = L−1 — the shape that bound the retired min-label
+    // propagation to ~diameter hops; at 20k vertices it would have
+    // needed ~20k hops). Kiveris-style alternating contraction must
+    // finish in O(log² L) rounds, so the ×mult chain may add only a
+    // ~constant number of rounds, and time must track edges ≈linearly.
+    def timedChainCc(m: Int): (Long, Long, Double) = {
+      val L = 2000 * m
+      // vertex labels are a deterministic SCRAMBLE of the positions
+      // (odd multiplier mod 2^31 is a bijection), so the component
+      // minimum sits somewhere mid-chain — the worst case for label
+      // propagation, irrelevant to contraction
+      val byPos = spark.range(L).select($"id".as("pos"),
+        pmod($"id" * 2654435761L, lit(1L << 31)).as("node"))
+      val chain = byPos.as("x")
+        .join(byPos.as("y"), col("x.pos") + 1 === col("y.pos"))
+        .select(col("x.node").as("d1"), col("y.node").as("d2"))
+      val t0 = System.nanoTime()
+      val labels = Dedup.starComponents(chain)
+      val nComp = labels.select($"lab").distinct().count()
+      (L.toLong, nComp, (System.nanoTime() - t0) / 1e9)
+    }
+    timedChainCc(1) // warmup
+    Seq(1, mult).distinct.foreach { m =>
+      val (l, nc, s) = timedChainCc(m)
+      println(f"[scale-probe] star-components-chain mult=$m%-3d vertices=$l%-7d components=$nc time=$s%.2fs")
+    }
     spark.stop()
   }
 }
