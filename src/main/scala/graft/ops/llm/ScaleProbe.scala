@@ -460,6 +460,30 @@ object ScaleProbe {
       println(f"[scale-probe] ivf-add mult=$m%-3d added=$n%-7d time=$s%.2fs")
     }
 
+    // Hard-negative mining at multiplied corpus: fixed 10-query
+    // broadcast × growing candidate stream, one window per query group —
+    // time must track the corpus ≈linearly (the label predicate is
+    // row-local; no new join appears as the corpus grows).
+    def timedHardNeg(m: Int): (Long, Double) = {
+      graft.functions.GraftFunctions.register(spark)
+      val labeled = graft.Tables.embeddings(spark, sfDir)
+        .select($"vec_id", $"label",
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+      val c = (0 until m)
+        .map(i => labeled.select(($"vec_id" + lit(i * 1000000L)).as("vec_id"),
+                                 $"label", $"v", $"nrm"))
+        .reduce(_ union _)
+      val t0 = System.nanoTime()
+      val nRows = Similarity.hardNegativesFrom(c).count()
+      (nRows, (System.nanoTime() - t0) / 1e9)
+    }
+    timedHardNeg(1) // warmup
+    Seq(1, mult).distinct.foreach { m =>
+      val (n, s) = timedHardNeg(m)
+      println(f"[scale-probe] hard-negatives mult=$m%-3d rows=$n%-5d time=$s%.2fs")
+    }
+
     // Star-contraction components on the ADVERSARIAL topology by
     // construction: one single chain of L vertices with shuffled ids
     // (diameter = L−1 — the shape that bound the retired min-label

@@ -77,6 +77,65 @@ object Similarity extends QueryPack {
       .orderBy($"q_id", $"rk")
   }
 
+  /** Contrastive HARD-NEGATIVE mining — the label-constrained form of
+    * [[annCosineTopK]] and the pair-construction step of embedding-model
+    * training (DPR/SimCSE-style): for each query vector, the top-5 most
+    * cosine-similar vectors whose LABEL DIFFERS from the query's (the
+    * hard negatives — near in embedding space, wrong by supervision),
+    * plus the best same-label similarity (`pos_best`) and the margin
+    * `pos_best − sim` — the quantity a contrastive loss actually
+    * optimizes, and the mining threshold a training pipeline filters on
+    * (smallest margin = hardest negative; a NEGATIVE margin flags a
+    * negative ranked above every positive, the label-noise signal).
+    *
+    * Same determinism machinery as the ANN family: `graft_dot`
+    * left-to-right fold for sim (bit-identical to DuckDB's
+    * `list_reduce`), ties broken by id, `max` for pos_best
+    * (order-independent), margin a single IEEE subtraction of two
+    * deterministic doubles. A query whose label has no other member
+    * yields null pos_best/margin in BOTH engines (left join).
+    *
+    * Scale shape: the gate is the exact brute-force form (10 broadcast
+    * queries × corpus scan — the oracle's replayable shape); at corpus
+    * scale the label filter composes unchanged with the IVF candidate
+    * pruning of [[annIvf]]/[[annIvfMultiProbe]] (mine within the
+    * probed cells only — the standard recall trade), because the
+    * constraint is a per-row predicate on the candidate stream, not a
+    * new join.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    hardNegativesFrom(Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label",
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))")))
+  }
+
+  /** [[hardNegatives]] over any (vec_id, label, v, nrm) frame — the
+    * ScaleProbe entry.
+    */
+  private[llm] def hardNegativesFrom(n: DataFrame): DataFrame = {
+    import n.sparkSession.implicits._
+    val q = n.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"),
+              $"v".as("vq"), $"nrm".as("nq"))
+    val c = n.select($"vec_id".as("n_id"), $"label".as("n_label"),
+                     $"v".as("vc"), $"nrm".as("nc"))
+    val sims = c.join(broadcast(q), $"n_id" =!= $"q_id")
+      .withColumn("sim", expr(dotExpr) / ($"nq" * $"nc"))
+    val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"n_id")
+    val negs = sims.where($"n_label" =!= $"q_label")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 5)
+    val posBest = sims.where($"n_label" === $"q_label")
+      .groupBy($"q_id").agg(max($"sim").as("pos_best"))
+    negs.join(posBest, Seq("q_id"), "left_outer")
+      .select($"q_id", $"rk", $"n_id", $"n_label".cast("long").as("n_label"),
+              $"sim", $"pos_best", ($"pos_best" - $"sim").as("margin"))
+      .orderBy($"q_id", $"rk")
+  }
+
   /** C38 scale path: sign-LSH bucketing (8 tables × 8 md5-derived
     * hyperplanes) → candidate set per query → exact re-rank of candidates
     * only. Output per query: candidate-set size, best candidate similarity,
@@ -920,6 +979,7 @@ object Similarity extends QueryPack {
     "llm_ann_ivf_mp"      -> (annIvfMultiProbe _),
     "llm_mrl_recall"      -> (mrlRecall _),
     "llm_ann_cosine_topk" -> (annCosineTopK _),
+    "llm_hard_negatives"  -> (hardNegatives _),
     "llm_rp_topk"         -> (rpTopK _),
     "llm_rp_kmeans"       -> (rpKmeans _),
     "llm_ann_lsh"         -> (annLshBuckets _),
@@ -1282,6 +1342,30 @@ object Similarity extends QueryPack {
         |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk
         |      FROM s)
         |SELECT q_id, rk, n_id, sim FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    // identical sim fold and tie order as the ANN oracle, plus the label
+    // constraint on the negative stream and a max() positive margin
+    "llm_hard_negatives" ->
+      """WITH v0 AS (SELECT vec_id, label,
+        |              list_transform(embedding, x -> x::DOUBLE) AS v
+        |            FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |        sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+        |      FROM v0),
+        |q AS (SELECT * FROM n WHERE vec_id < 10),
+        |s AS (SELECT q.vec_id AS q_id, q.label AS q_label,
+        |        c.vec_id AS n_id, c.label AS n_label,
+        |        list_reduce(list_transform(range(1, 65), k -> q.v[k] * c.v[k]),
+        |                    (x, y) -> x + y) / (q.nrm * c.nrm) AS sim
+        |      FROM q JOIN n c ON c.vec_id <> q.vec_id),
+        |neg AS (SELECT q_id, n_id, n_label, sim,
+        |          row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk
+        |        FROM s WHERE n_label <> q_label),
+        |p AS (SELECT q_id, max(sim) AS pos_best
+        |      FROM s WHERE n_label = q_label GROUP BY q_id)
+        |SELECT neg.q_id, neg.rk, neg.n_id, neg.n_label::BIGINT AS n_label,
+        |  neg.sim, p.pos_best, p.pos_best - neg.sim AS margin
+        |FROM neg LEFT JOIN p ON neg.q_id = p.q_id
+        |WHERE neg.rk <= 5 ORDER BY neg.q_id, neg.rk""".stripMargin,
     "llm_ann_lsh" ->
       """WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
         |            FROM embeddings),

@@ -28,6 +28,7 @@ class DeterminismSpec extends SparkSpec {
                 "llm_span_corrupt",     // run-length sentinel splice checksums
                 "llm_code_switch",      // broadcast-left-join argmax + set agg
                 "llm_bq_topk",          // decimal thresholds + float rerank
+                "llm_hard_negatives",   // float-ordered mining + margin
                 "llm_ivf_add",          // decimal centroids + broadcast argmax
                 "graph_components",     // iterative propagation + checkpoints
                 "graph_khop",           // frontier BFS + checkpoints
