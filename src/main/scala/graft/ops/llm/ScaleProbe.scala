@@ -502,10 +502,16 @@ object ScaleProbe {
       val chain = byPos.as("x")
         .join(byPos.as("y"), col("x.pos") + 1 === col("y.pos"))
         .select(col("x.node").as("d1"), col("y.node").as("d2"))
-      val t0 = System.nanoTime()
-      val labels = Dedup.starComponents(chain)
-      val nComp = labels.select($"lab").distinct().count()
-      (L.toLong, nComp, (System.nanoTime() - t0) / 1e9)
+      // force the DISTRIBUTED contraction — the probe measures the
+      // 100 TB path, not the bounded driver-local fast path that would
+      // otherwise absorb a 20k-edge graph
+      spark.conf.set("spark.graft.cc.localEdgeMax", "0")
+      try {
+        val t0 = System.nanoTime()
+        val labels = Dedup.starComponents(chain)
+        val nComp = labels.select($"lab").distinct().count()
+        (L.toLong, nComp, (System.nanoTime() - t0) / 1e9)
+      } finally spark.conf.unset("spark.graft.cc.localEdgeMax")
     }
     timedChainCc(1) // warmup
     Seq(1, mult).distinct.foreach { m =>

@@ -77,12 +77,19 @@ class GraphSpec extends SparkSpec {
     val cycle = (3000L to 3040L).map(i => (i, if (i == 3040L) 3000L else i + 1))
     val star = (4001L to 4050L).map(i => (4000L, i))
     val graphs = Seq(chain, cycle, star, chain ++ cycle ++ star)
-    graphs.foreach { es =>
-      val expected = unionFind(es)
-      val got = graft.ops.llm.Dedup
-        .starComponents(es.toDF("d1", "d2"))
-        .as[(Long, Long)].collect().toMap
-      assert(got === expected)
+    // BOTH paths must agree with the reference: the bounded driver-local
+    // union-find fast path (default) AND the distributed star
+    // contraction (forced by zeroing the local-edge bound) — the
+    // TextRank fast-path/fallback equality contract
+    for (localMax <- Seq("200000", "0")) {
+      spark.conf.set("spark.graft.cc.localEdgeMax", localMax)
+      try graphs.foreach { es =>
+        val expected = unionFind(es)
+        val got = graft.ops.llm.Dedup
+          .starComponents(es.toDF("d1", "d2"))
+          .as[(Long, Long)].collect().toMap
+        assert(got === expected, s"localEdgeMax=$localMax")
+      } finally spark.conf.unset("spark.graft.cc.localEdgeMax")
     }
   }
 
