@@ -107,6 +107,14 @@ object GraftFunctions {
     NfcNormalize(children.head)
   }
 
+  private val md5AtInfo =
+    new ExpressionInfo(classOf[Md5Hex60At].getName, "graft_md5_60_at")
+
+  private def md5AtBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 3, "graft_md5_60_at expects exactly 3 arguments")
+    Md5Hex60At(children.head, children(1), children(2))
+  }
+
   private val packInfo =
     new ExpressionInfo(classOf[PackChars7].getName, "graft_pack7")
 
@@ -136,6 +144,8 @@ object GraftFunctions {
       FunctionIdentifier("graft_bloom_might_contain"), bloomInfo, bloomBuilder _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_pack7"), packInfo, packBuilder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_md5_60_at"), md5AtInfo, md5AtBuilder _)
   }
 }
 
@@ -158,6 +168,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
        (children: Seq[Expression]) => {
          require(children.length == 1, "graft_md5_60 expects exactly 1 argument")
          Md5Hex60(children.head)
+       }))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_md5_60_at"),
+       new ExpressionInfo(classOf[Md5Hex60At].getName, "graft_md5_60_at"),
+       (children: Seq[Expression]) => {
+         require(children.length == 3, "graft_md5_60_at expects exactly 3 arguments")
+         Md5Hex60At(children.head, children(1), children(2))
        }))
     ext.injectFunction(
       (FunctionIdentifier("graft_pack7"),

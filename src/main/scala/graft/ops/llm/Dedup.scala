@@ -1470,7 +1470,7 @@ object Dedup extends QueryPack {
         s"""concat(array(0),
            |  CASE WHEN len > $w THEN
            |    filter(sequence($w, len - 1), i ->
-           |      ${CrossHash.hex60Native(s"substring(text, i - ${w - 1}, $w)")}
+           |      graft_md5_60_at(text, i - ${w - 1} - 1, $w)
            |        % $divisor = 0)
            |  ELSE array() END,
            |  array(len))""".stripMargin))
@@ -1501,7 +1501,7 @@ object Dedup extends QueryPack {
         explode(expr(s"sequence($w, len)")).as("i"))
       .filter($"i" < $"len") // a cut at the end would emit an empty chunk
       .select($"doc_id", $"i",
-        expr(CrossHash.hex60Native(s"substring(text, i - ${w - 1}, $w)")).as("hv"))
+        expr(s"graft_md5_60_at(text, i - ${w - 1} - 1, $w)").as("hv"))
       .filter($"hv" % divisor === 0)
       .groupBy($"doc_id").agg(sort_array(collect_list($"i")).as("cuts"))
     d.join(bounds, Seq("doc_id"), "left")

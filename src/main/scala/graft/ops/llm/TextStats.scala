@@ -279,10 +279,12 @@ object TextStats extends QueryPack {
         explode(expr(s"sequence(0, length(text) - $k)")).as("i"),
         $"text")
       .select($"doc_id", $"len", $"i",
-        // native hex60: this is THE hot expression of the whole bench
-        // (one md5 per char position) — digest bytes straight to a long,
-        // no 32-char hex string, no substring, no base conversion
-        expr(CrossHash.hex60Native(s"substring(text, i + 1, $k)")).as("hv"))
+        // native positional hex60: THE hot expression of the whole bench
+        // (one md5 per char position) — digest bytes straight to a long
+        // from the byte slice in place: no hex string, no base
+        // conversion, and no substring (whose O(i) char seek made the
+        // position explode O(len²) per document)
+        expr(s"graft_md5_60_at(text, i, $k)").as("hv"))
     val win = Window.partitionBy($"doc_id").orderBy($"i")
       .rowsBetween(Window.currentRow, w - 1)
     grams

@@ -56,4 +56,22 @@ class Md5Hex60Spec extends SparkSpec {
     // stage 1 (the starred prefix is how the simple plan string marks it)
     assert(plan.contains("*(1) Project [graft_md5_60"), plan)
   }
+
+  test("graft_md5_60_at(text, i, k) is bit-identical to " +
+       "graft_md5_60(substring(text, i+1, k)) over every fixture " +
+       "position, including the clamped tail and past-end positions") {
+    reg(); import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val diff = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"text", length($"text").as("len"))
+      .where($"len" > 0)
+      // i runs PAST the end on purpose (len + 2) to pin the clamping
+      .select($"text", explode(expr("sequence(0, len + 2)")).as("i"))
+      .select(
+        expr("graft_md5_60_at(text, i, 8)").as("nat"),
+        expr("graft_md5_60(substring(text, i + 1, 8))").as("sql"))
+      .where($"nat" =!= $"sql")
+      .count()
+    assert(diff == 0L)
+  }
 }
