@@ -941,7 +941,11 @@ object Dedup extends QueryPack {
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    embeddingPairsCached(spark, dir, thr = 0.45, sameCellOnly = false)
+    // deliberately UNCACHED: this exact-mode gate has a single consumer
+    // (nothing shares its (0.45, all-pairs) parameters), and PlanSpec
+    // pins that its construction stays lazy — the memoizing pin is an
+    // eager materialization that would buy nothing here
+    embeddingPairs(Similarity.corpus(spark, dir), thr = 0.45)
       .orderBy($"i", $"j")
   }
 
