@@ -33,7 +33,13 @@ object Plans {
     sb ++= "self-correct — and is therefore hinted explicitly and pinned by\n"
     sb ++= "PlanSpec — is a join where one side is a checkpointed RDD with no\n"
     sb ++= "stats (Catalyst then broadcasts the OTHER side however big it gets:\n"
-    sb ++= "see llm_semdedup's label join and llm_substring_excise's slice join).\n"
+    sb ++= "see llm_semdedup's label join and llm_substring_excise's slice join).\n\n"
+    sb ++= "A `LocalTableScan` feeding a component-census aggregate (the\n"
+    sb ++= "graph/cluster gates) is the BOUNDED driver-local fast path for\n"
+    sb ++= "<=200k-edge pair graphs (TextRank precedent; spark.graft.cc.\n"
+    sb ++= "localEdgeMax=0 disables). The distributed star contraction is the\n"
+    sb ++= ">200k path — law-equal in GraphSpec, probed at 10x in ScaleProbe's\n"
+    sb ++= "forced-distributed chain section.\n"
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val tree =
         try fn(spark, sfDir).queryExecution.executedPlan.toString
