@@ -533,10 +533,12 @@ object Dedup extends QueryPack {
   private val pairsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private[graft] def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    graft.state.Materialize.purgeStopped(pairsCache)(_._1)
     pairsCache.computeIfAbsent((spark, dir), _ =>
       nearDupPairsUncached(spark, dir)
         .transform(graft.state.Materialize.pinRetained))
+  }
 
   private def nearDupPairsUncached(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -836,7 +838,13 @@ object Dedup extends QueryPack {
     if (nEdges <= localMax)
       return starComponentsLocal(
         e.select($"u", $"v").as[(Long, Long)].collect(), spark)
-    val verts = pairs.select($"d1".as("u")).union(pairs.select($"d2".as("u")))
+    // vertex domain = vertices incident to ≥1 NON-self edge (derived from
+    // the filtered frame `e`, not the raw pairs): a vertex appearing only
+    // in self-pairs is not part of the pair graph, on BOTH paths — the
+    // local union-find (which collects `e`) already had this semantics,
+    // and deriving the coverage denominator from raw pairs made the
+    // distributed require() disagree with it (ADVICE r9)
+    val verts = e.select($"u").union(e.select($"v".as("u")))
       .distinct().transform(graft.state.Materialize.pin)
     val nVerts = verts.count()
     // canonical set fingerprint — orientation-free, order-free
@@ -959,10 +967,12 @@ object Dedup extends QueryPack {
     (SparkSession, String, Double, Boolean), DataFrame]()
 
   private def embeddingPairsCached(spark: SparkSession, dir: String,
-                                   thr: Double, sameCellOnly: Boolean): DataFrame =
+                                   thr: Double, sameCellOnly: Boolean): DataFrame = {
+    graft.state.Materialize.purgeStopped(embPairsCache)(_._1)
     embPairsCache.computeIfAbsent((spark, dir, thr, sameCellOnly), _ =>
       embeddingPairs(Similarity.corpus(spark, dir), thr, sameCellOnly)
         .transform(graft.state.Materialize.pinRetained))
+  }
 
   /** The production APPROXIMATE mode of [[dedupEmbedding]]: candidates
     * are same-cell pairs only — each vector is emitted once under its

@@ -328,8 +328,8 @@ object Multimodal extends QueryPack {
         |      (x, y) -> x + y) AS hi
         |  FROM s),
         |o2 AS (SELECT doc_id,
-        |         hex(substr(text, 1, greatest(strlen(text) - 8, 0)) || ' ~re-enc') AS h,
-        |         strlen(substr(text, 1, greatest(strlen(text) - 8, 0))
+        |         hex(substr(text, 1, greatest(length(text) - 8, 0)) || ' ~re-enc') AS h,
+        |         strlen(substr(text, 1, greatest(length(text) - 8, 0))
         |                || ' ~re-enc')::BIGINT AS n
         |       FROM a WHERE doc_id % 5 = 0),
         |b2 AS (SELECT doc_id,

@@ -71,9 +71,11 @@ object SuffixIndex {
   /** Memoized per (session, fixture dir): the two consuming gates run in
     * the same session over the same dir, and the build is the whole cost.
     */
-  def forDir(spark: SparkSession, dir: String): Index =
+  def forDir(spark: SparkSession, dir: String): Index = {
+    graft.state.Materialize.purgeStopped(cache)(_._1)
     cache.computeIfAbsent((spark, dir),
       _ => build(Tables.documents(spark, dir), retain = true))
+  }
 
   /** Distributed two-phase global dense rank of `df` by `sortCols`;
     * `bucket` MUST be a pure function of the sort key's leading

@@ -41,21 +41,48 @@ object Materialize {
     * cache would then hand later queries dataframes whose blocks are
     * gone. The sweep consults this set and leaves retained ids alone.
     */
-  private val retained =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  private val retained = new java.util.concurrent.ConcurrentHashMap[
+    Int, org.apache.spark.SparkContext]()
 
-  def isRetained(rddId: Int): Boolean = retained.contains(rddId)
+  /** Ids are attributed to their owning context: RDD ids restart at 0 per
+    * SparkContext, so a stale id surviving a context stop would exempt an
+    * UNRELATED later pin from the sweep. Entries of stopped contexts are
+    * purged on lookup (ADVICE r9).
+    */
+  def isRetained(rddId: Int): Boolean = retained.get(rddId) match {
+    case null => false
+    case sc if sc.isStopped => retained.remove(rddId); false
+    case _ => true
+  }
+
+  private val retainLock = new Object
 
   /** [[pin]], additionally marking the newly-persisted RDD ids as
-    * retained (diffed around the pin — the builds that use this run
-    * sequentially per session, which is the only way pins happen).
+    * retained. The ids are diffed around the pin; the lock confines the
+    * diff window so a concurrent `pinRetained` (e.g. parallel suites on a
+    * shared context) cannot have its ids attributed here (ADVICE r9). A
+    * concurrent plain [[pin]] inside the window is still possible and at
+    * worst exempts one sweepable pin from one sweep — stopped-context
+    * entries are purged on lookup either way.
     */
-  def pinRetained(df: DataFrame): DataFrame = {
+  def pinRetained(df: DataFrame): DataFrame = retainLock.synchronized {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val out = pin(df)
-    (sc.getPersistentRDDs.keySet -- before).foreach(retained.add(_))
+    (sc.getPersistentRDDs.keySet -- before).foreach(retained.put(_, sc))
     out
+  }
+
+  /** Drop entries of a (SparkSession, …)-keyed session cache whose
+    * session's context has stopped — the cached frames' blocks died with
+    * the context, so handing them out would serve dead blocks, and the
+    * entries otherwise leak for the JVM's lifetime (ADVICE r9). Call
+    * before every cache lookup; CHM iterators support concurrent removal.
+    */
+  def purgeStopped[K, V](cache: java.util.concurrent.ConcurrentHashMap[K, V])(
+      session: K => org.apache.spark.sql.SparkSession): Unit = {
+    val it = cache.keySet.iterator
+    while (it.hasNext) if (session(it.next()).sparkContext.isStopped) it.remove()
   }
 
   def pin(df: DataFrame): DataFrame = {

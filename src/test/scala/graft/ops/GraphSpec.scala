@@ -93,6 +93,27 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("starComponents: self-loops are inert and a self-loop-ONLY vertex " +
+       "is outside the pair graph, identically on both paths (ADVICE r9: " +
+       "the coverage denominator must come from the filtered edge frame)") {
+    import spark.implicits._
+    // (7,7) decorates a real vertex; (99,99) is a vertex with no non-self
+    // edge — it must be dropped by BOTH the local union-find fast path
+    // and the distributed contraction (whose require() previously counted
+    // it and tripped)
+    val es = Seq((1L, 2L), (2L, 3L), (7L, 8L), (7L, 7L), (99L, 99L))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L)
+    for (localMax <- Seq("200000", "0")) {
+      spark.conf.set("spark.graft.cc.localEdgeMax", localMax)
+      try {
+        val got = graft.ops.llm.Dedup
+          .starComponents(es.toDF("d1", "d2"))
+          .as[(Long, Long)].collect().toMap
+        assert(got === expected, s"localEdgeMax=$localMax")
+      } finally spark.conf.unset("spark.graft.cc.localEdgeMax")
+    }
+  }
+
   test("directed PageRank with dangling mass matches a driver-side " +
        "integer replica exactly (ranks AND residuals), and the dangling " +
        "redistribution term provably changes the answer") {

@@ -40,4 +40,33 @@ class RetainedPinSpec extends SparkSpec {
     // and the retained frame is still fully consumable post-sweep
     assert(retained.agg(sum($"x")).head().getLong(0) === 9900L)
   }
+
+  test("concurrent pinRetained calls each register their own ids " +
+       "(the diff window is lock-confined, ADVICE r9) and all survive " +
+       "the sweep") {
+    val sc = spark.sparkContext
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val frames = Await.result(Future.sequence((1 to 4).map { k =>
+      Future(Materialize.pinRetained(
+        spark.range(100L * k).select($"id", ($"id" + k).as("x"))))
+    }), 2.minutes)
+    sc.getPersistentRDDs
+      .filterNot { case (id, _) => Materialize.isRetained(id) }
+      .values.foreach(_.unpersist(blocking = true))
+    frames.zipWithIndex.foreach { case (df, i) =>
+      assert(df.count() === 100L * (i + 1),
+        "every concurrently-retained frame must stay usable post-sweep")
+    }
+  }
+
+  test("purgeStopped keeps entries whose session is alive") {
+    val cache = new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), Int]()
+    cache.put((spark, "a"), 1)
+    cache.put((spark, "b"), 2)
+    Materialize.purgeStopped(cache)(_._1)
+    assert(cache.size() === 2, "live-session entries must survive a purge")
+  }
 }
