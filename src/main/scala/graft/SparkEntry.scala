@@ -15,7 +15,7 @@ object SparkEntry {
     Aggregates, Joins, Windows, SortSetOps, Scalars, Keyed, ScansUdx, Reshape,
     TimeSeries, Fuzzy, Skew, Scd, Merge, Layout, Tpch, Graph, llm.Dedup,
     llm.Similarity, llm.TextStats, llm.Multimodal, llm.Ranking, llm.Curation,
-    llm.Classify
+    llm.Classify, llm.UnicodeGates
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

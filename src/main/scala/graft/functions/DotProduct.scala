@@ -116,11 +116,11 @@ object GraftFunctions {
   }
 
   private val packInfo =
-    new ExpressionInfo(classOf[PackChars7].getName, "graft_pack7")
+    new ExpressionInfo(classOf[PackBytes8].getName, "graft_pack8")
 
   private def packBuilder(children: Seq[Expression]): Expression = {
-    require(children.length == 2, "graft_pack7 expects exactly 2 arguments")
-    PackChars7(children.head, children(1))
+    require(children.length == 2, "graft_pack8 expects exactly 2 arguments")
+    PackBytes8(children.head, children(1))
   }
 
   private val bloomInfo = new ExpressionInfo(
@@ -143,7 +143,7 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_bloom_might_contain"), bloomInfo, bloomBuilder _)
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_pack7"), packInfo, packBuilder _)
+      FunctionIdentifier("graft_pack8"), packInfo, packBuilder _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_md5_60_at"), md5AtInfo, md5AtBuilder _)
   }
@@ -177,11 +177,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
          Md5Hex60At(children.head, children(1), children(2))
        }))
     ext.injectFunction(
-      (FunctionIdentifier("graft_pack7"),
-       new ExpressionInfo(classOf[PackChars7].getName, "graft_pack7"),
+      (FunctionIdentifier("graft_pack8"),
+       new ExpressionInfo(classOf[PackBytes8].getName, "graft_pack8"),
        (children: Seq[Expression]) => {
-         require(children.length == 2, "graft_pack7 expects exactly 2 arguments")
-         PackChars7(children.head, children(1))
+         require(children.length == 2, "graft_pack8 expects exactly 2 arguments")
+         PackBytes8(children.head, children(1))
        }))
     ext.injectFunction(
       (FunctionIdentifier("graft_nfc"),

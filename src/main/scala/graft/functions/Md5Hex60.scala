@@ -53,12 +53,13 @@ object Md5Hex60 {
 
   /** [[compute]] over the byte slice `[pos, pos+len)` of `s` (clamped at
     * the string's end; empty slice hashes like the empty string) —
-    * equals `compute(substring(s, pos+1, len))` for ASCII strings
-    * WITHOUT the substring's O(pos) character seek, its UTF8String
+    * WITHOUT a substring's O(pos) character seek, its UTF8String
     * allocation, or the whole-string byte copy `getBytes` makes. The
-    * 8-byte scratch copy is the only allocation. Same ASCII contract as
-    * [[PackChars7]]: byte slice ⟺ char substring only when bytes are
-    * chars (every gram-hash consumer already assumes it).
+    * scratch copy is the only allocation. BYTE semantics by design
+    * (the declared contract of every gram-hash consumer — winnowing,
+    * CDC — since round 10): `pos`/`len` are UTF-8 byte offsets, equal
+    * to char offsets exactly when the text is ASCII. Same byte-level
+    * contract as [[PackBytes8]].
     */
   def computeAt(s: UTF8String, pos: Int, len: Int): Long = {
     val n = s.numBytes()

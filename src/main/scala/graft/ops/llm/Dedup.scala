@@ -220,8 +220,8 @@ object Dedup extends QueryPack {
     * Method (round 9 — derived from the SHARED [[SuffixIndex]] instead
     * of the retired standalone rolling-hash prober, collapsing the
     * bench's two heaviest pipelines into one build):
-    *   - a rank frame at compare length c certifies EXACT c-char
-    *     equality at any position with ≥ c remaining chars, so "some
+    *   - a rank frame at compare length c certifies EXACT c-byte
+    *     equality at any position with ≥ c remaining bytes, so "some
     *     L-gram occurs twice" ⟺ "some tuple of ranks at offsets
     *     {0, c, 2c, …, L−c} (consecutive gaps ≤ c) occurs twice among
     *     valid starts" — the classical O(1) substring-equality check
@@ -236,8 +236,8 @@ object Dedup extends QueryPack {
     *     multiples of c precomputed once and pinned; only the L−c
     *     offset varies per probe) + one hash aggregate, "any tuple
     *     count ≥ 2";
-    *   - L* < 16 fallback (below the seed's certified prefix): binary
-    *     search with direct ≤15-char substring group-bys;
+    *   - below-seed fallback (L* under the seed's certified prefix,
+    *     14 bytes): binary search with direct byte-slice group-bys;
     *   - at L*: the tuple groups ≥ 2 ARE the duplicated L*-grams
     *     (exact, not candidates); join back to texts for the substring
     *     spelling and per-group occurrence/document counts.
@@ -256,13 +256,35 @@ object Dedup extends QueryPack {
     longestDupFromIndex(SuffixIndex.build(docs),
       docs.select(col("doc_id"), col("text")))
 
+  /** [[longestDupSubstringFrom]] with hex-spelled `g` — the
+    * [[UnicodeGates]] entry: on multilingual text the maximal duplicated
+    * BYTE string may end mid-character, which hex represents losslessly.
+    */
+  private[llm] def longestDupUnicodeFrom(docs: DataFrame): DataFrame =
+    longestDupFromIndex(SuffixIndex.build(docs),
+      docs.select(col("doc_id"), col("text")), hexOut = true)
+
   private def ceilDiv(a: Int, b: Int): Int = (a + b - 1) / b
 
   private def longestDupFromIndex(ix: SuffixIndex.Index,
-                                  docs: DataFrame): DataFrame = {
+                                  docs: DataFrame,
+                                  hexOut: Boolean = false): DataFrame = {
     import docs.sparkSession.implicits._
+    // BYTE semantics throughout (the index is byte-indexed since round
+    // 10): lmax counts bytes, slices are byte slices of the UTF-8
+    // encoding. `g` formats the winning byte string as UTF-8 text for
+    // the ASCII-fixture gate (identical to the old char spelling there)
+    // or as hex for the unicode gate — a maximal duplicated BYTE string
+    // may end mid-character (CJK siblings share lead bytes), which hex
+    // represents losslessly while a decode would replace.
     val base = docs.select($"doc_id", $"text")
-      .where(length($"text") > 0)
+      .where(octet_length($"text") > 0)
+    // cast(binary → string) reinterprets the bytes as a UTF8String
+    // WITHOUT validation — total (Spark 4's `decode` throws
+    // MALFORMED_CHARACTER_CODING on a mid-character slice) and
+    // byte-lossless, == the char spelling on ASCII
+    def fmtG(bytes: Column): Column =
+      if (hexOut) lower(hex(bytes)) else bytes.cast("string")
 
     val emptyOut = base.sparkSession.emptyDataFrame
       .select(lit(0L).as("lmax"), lit("").as("g"),
@@ -288,26 +310,29 @@ object Dedup extends QueryPack {
       }
     }
 
+    val seedLen = ix.rounds.head.compareLen
     if (loRound == null) {
-      // L* < 16: direct substring probes (tiny grams, corpus-wide)
-      val withLen = base.withColumn("len", length($"text"))
+      // L* below the seed's certified prefix: direct byte-slice probes
+      // (tiny grams, corpus-wide)
+      val withLen = base.withColumn("len", octet_length($"text"))
+        .withColumn("tb", encode($"text", "UTF-8"))
       def grams(l: Int): DataFrame = withLen.where($"len" >= l)
-        .select($"doc_id", $"text", explode(expr(s"sequence(0, len - $l)")).as("i"))
-        .select($"doc_id", expr(s"substring(text, cast(i + 1 as int), $l)").as("g"))
+        .select($"doc_id", $"tb", explode(expr(s"sequence(0, len - $l)")).as("i"))
+        .select($"doc_id", expr(s"substring(tb, cast(i + 1 as int), $l)").as("gb"))
       def hasDup(l: Int): Boolean =
-        grams(l).groupBy($"g").agg(count(lit(1)).as("n"))
+        grams(l).groupBy($"gb").agg(count(lit(1)).as("n"))
           .where($"n" >= 2).limit(1).count() > 0
       var l0 = 0
-      var h0 = math.min(hiBound, 15)
+      var h0 = math.min(hiBound, seedLen - 1)
       while (l0 < h0) {
         val mid = (l0 + h0 + 1) / 2
         if (hasDup(mid)) l0 = mid else h0 = mid - 1
       }
       if (l0 == 0) emptyOut
-      else grams(l0).groupBy($"g")
+      else grams(l0).groupBy($"gb")
         .agg(count(lit(1)).as("n_occ"), countDistinct($"doc_id").as("n_docs"))
         .where($"n_occ" >= 2)
-        .select(lit(l0.toLong).as("lmax"), $"g", $"n_occ", $"n_docs")
+        .select(lit(l0.toLong).as("lmax"), fmtG($"gb").as("g"), $"n_occ", $"n_docs")
         .orderBy($"g")
     } else {
       val c = lo
@@ -382,10 +407,11 @@ object Dedup extends QueryPack {
         .select($"doc_id", $"i")
       pos.hint("SHUFFLE_HASH").join(base, Seq("doc_id"))
         .select($"doc_id",
-          expr(s"substring(text, cast(i + 1 as int), $lStar)").as("g"))
-        .groupBy($"g")
+          expr(s"substring(encode(text, 'UTF-8'), cast(i + 1 as int), $lStar)")
+            .as("gb"))
+        .groupBy($"gb")
         .agg(count(lit(1)).as("n_occ"), countDistinct($"doc_id").as("n_docs"))
-        .select(lit(lStar.toLong).as("lmax"), $"g", $"n_occ", $"n_docs")
+        .select(lit(lStar.toLong).as("lmax"), fmtG($"gb").as("g"), $"n_occ", $"n_docs")
         .orderBy($"g")
     }
   }
@@ -1472,10 +1498,19 @@ object Dedup extends QueryPack {
   private[graft] def cdcChunkRows(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val w = 16       // boundary window (chars)
-    val divisor = 64 // boundary density ⇒ expected chunk length
+    val w = 16       // boundary window (bytes)
+    val divisor = 64 // boundary density ⇒ expected chunk length (bytes)
+    // BYTE semantics (declared round 10): boundary positions, window
+    // hashes and cut arithmetic are over the UTF-8 byte stream — the
+    // contract `graft_md5_60_at` natively implements. Chunk IDENTITY
+    // (`h`) is md5 of the raw byte slice, so dedup is exact even when a
+    // boundary splits a multi-byte character; `chunk` is the bytes
+    // reinterpreted as a string (cast, not decode — byte-preserving and
+    // total; identical to the old char spelling on ASCII), `nb` the
+    // exact byte width.
     docs
-      .select($"doc_id", $"text", length($"text").as("len"))
+      .select($"doc_id", $"text", octet_length($"text").as("len"),
+        encode($"text", "UTF-8").as("tb"))
       // boundary at i ⇔ hash(window ending at i) ≡ 0 (mod divisor);
       // i ≤ len−1 — a cut at the end would emit an empty chunk. The CASE
       // guards sequence()'s descending mode (len = 16 ⇒ sequence(16, 15)
@@ -1491,11 +1526,14 @@ object Dedup extends QueryPack {
       .select($"doc_id", explode(expr(
         """transform(sequence(1, size(cuts2) - 1), j -> struct(
           |  j AS j,
-          |  substring(text, element_at(cuts2, j) + 1,
-          |            element_at(cuts2, j + 1) - element_at(cuts2, j)) AS chunk))"""
+          |  substring(tb, element_at(cuts2, j) + 1,
+          |            element_at(cuts2, j + 1) - element_at(cuts2, j)) AS cb,
+          |  element_at(cuts2, j + 1) - element_at(cuts2, j) AS nb))"""
           .stripMargin)).as("c"))
-      .select($"doc_id", $"c.j".as("j"), $"c.chunk".as("chunk"),
-        md5($"c.chunk").as("h"))
+      // chunk display = cast(binary → string): byte-preserving reinterpret,
+      // total where Spark 4's `decode` throws on a mid-character cut
+      .select($"doc_id", $"c.j".as("j"), $"c.cb".cast("string").as("chunk"),
+        $"c.nb".as("nb"), md5($"c.cb").as("h"))
   }
 
   /** [[cdcChunkRows]]'s batch twin: identical chunks via explode +
@@ -1508,7 +1546,10 @@ object Dedup extends QueryPack {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val w = 16
     val divisor = 64
-    val d = docs.select($"doc_id", $"text", length($"text").as("len"))
+    // byte semantics — see [[cdcChunkRows]] (CdcChunksSpec pins the
+    // twins row-identical so the boundary rule cannot drift)
+    val d = docs.select($"doc_id", $"text", octet_length($"text").as("len"),
+      encode($"text", "UTF-8").as("tb"))
     val bounds = d
       .filter($"len" >= w)
       .select($"doc_id", $"len", $"text",
@@ -1523,12 +1564,14 @@ object Dedup extends QueryPack {
         array(lit(0)),
         coalesce($"cuts", expr("cast(array() as array<int>)")),
         array($"len")))
-      .select($"doc_id", $"text", $"cuts2",
+      .select($"doc_id", $"tb", $"cuts2",
         explode(expr("sequence(1, size(cuts2) - 1)")).as("j"))
       .select($"doc_id", $"j",
-        expr("substring(text, element_at(cuts2, j) + 1, " +
-             "element_at(cuts2, j + 1) - element_at(cuts2, j))").as("chunk"))
-      .withColumn("h", md5($"chunk"))
+        expr("substring(tb, element_at(cuts2, j) + 1, " +
+             "element_at(cuts2, j + 1) - element_at(cuts2, j))").as("cb"),
+        expr("element_at(cuts2, j + 1) - element_at(cuts2, j)").as("nb"))
+      .select($"doc_id", $"j", $"cb".cast("string").as("chunk"),
+        $"nb", md5($"cb").as("h"))
   }
 
   def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
@@ -1540,7 +1583,9 @@ object Dedup extends QueryPack {
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         sum(when($"nd" >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
-        sum(when($"nd" >= 2, length($"chunk")).otherwise(0)).cast("long")
+        // byte width from the cut arithmetic (== char width on the ASCII
+        // fixture the oracle's len(chunk) runs on)
+        sum(when($"nd" >= 2, $"nb").otherwise(0)).cast("long")
           .as("dup_chars"),
         md5(array_join(
           transform(array_sort(collect_list(struct($"j", $"h"))),

@@ -19,12 +19,13 @@ import graft.Tables
   * the tuple check is EXACT — unlike the retired rolling-hash prober it
   * replaces, there is no collision case and no verify-retry loop).
   *
-  * Construction (moved verbatim from TextStats round 8; the per-round
-  * algorithm and its output are unchanged — TextNormSpec's naive-sort
+  * Construction (round-8 TextStats algorithm; round 10 moved it to
+  * BYTE-level UTF-8 semantics — positions/lengths in bytes, order =
+  * byte-lexicographic = code-point order — TextNormSpec's naive-sort
   * and partition-count-determinism pins still hold):
-  *   - seed rank = first 16 chars packed order-preserving into two longs
-  *     (7 bits/char, past-end packs as 0 — shorter-prefix-sorts-first
-  *     string semantics);
+  *   - seed rank = first 14 bytes packed order-preserving into two longs
+  *     (8 bits/byte, past-end packs as 0 — shorter-prefix-sorts-first
+  *     byte-string semantics);
   *   - each round QUADRUPLES the compared prefix: rank by the 4-tuple
   *     (r_i, r_{i+d}, r_{i+2d}, r_{i+3d}) where the three leads share one
   *     per-document window pass;
@@ -48,8 +49,8 @@ import graft.Tables
 object SuffixIndex {
 
   /** One prefix-quadrupling round: `ranks` = (doc_id, i, r) for every
-    * (document, position) suffix; equal `r` ⟺ the suffixes agree on
-    * their first `compareLen` characters (past-end sentinel semantics).
+    * (document, byte position) suffix; equal `r` ⟺ the suffixes agree
+    * on their first `compareLen` BYTES (past-end sentinel semantics).
     */
   final case class Round(compareLen: Int, ranks: DataFrame)
 
@@ -132,7 +133,15 @@ object SuffixIndex {
       println(f"[suffix-index] $tag: ${(System.nanoTime() - tDbg) / 1e9}%.1fs")
       tDbg = System.nanoTime()
     }
-    val base = docs.select($"doc_id", $"text", length($"text").as("len"))
+    // BYTE-level (UTF-8) semantics, declared round 10: positions are
+    // byte offsets, lengths are byte counts, and the suffix order is
+    // byte-lexicographic — which for UTF-8 IS code-point order, so the
+    // index is exact on any multilingual corpus (the round-9 7-bit pack
+    // was order-preserving only on ASCII). Byte semantics is also what
+    // exact-substring dedup at scale indexes (Lee et al. 2022 operate
+    // on byte/token streams), and it keeps every hot expression on
+    // UTF8String.getByte — the only O(1) access the format offers.
+    val base = docs.select($"doc_id", $"text", octet_length($"text").as("len"))
       .where($"len" > 0)
     // one corpus scan: pin the per-doc lengths, derive the scalar
     // aggregates from the pinned frame instead of a second scan
@@ -141,33 +150,28 @@ object SuffixIndex {
     val agg0 = lens.agg(max($"len"), sum($"len".cast("long"))).head()
     val (maxLen, nSuffixes) = (agg0.getInt(0), agg0.getLong(1))
     val byPos = Window.partitionBy($"doc_id").orderBy($"i")
-    // order-preserving pack of chars [lo, hi] of the suffix at i into a
-    // long: 7 bits per char (ASCII fixture — the per-doc form makes the
-    // same assumption); past-end positions pack as 0, below every real
-    // char. The codes ARRAY is built once per document so each packed
-    // char is an O(1) `get` — packing straight from the string would
-    // seek O(i) per substring call (UTF8String has no random access),
-    // an O(len²) seed measured at 3× the whole query
-    // the packed seed keys come from the native codegen'd
-    // [[graft.functions.PackChars7]] (O(1) byte access on the
+    // order-preserving pack of the first 14 bytes of the suffix at i
+    // into two longs (8 bits per byte, 7 bytes per long; past-end packs
+    // as 0, below every real byte — shorter-prefix-sorts-first byte
+    // semantics). The packed seed keys come from the native codegen'd
+    // [[graft.functions.PackBytes8]] (O(1) byte access on the
     // UTF8String, zero allocation, stays in whole-stage codegen) — the
     // earlier array spellings needed a per-document codes array just to
     // get O(1) character access and either carried it on every position
-    // row or allocated three intermediate arrays per document; the
-    // packed values and their ordering semantics are IDENTICAL
+    // row or allocated three intermediate arrays per document
     graft.functions.GraftFunctions.register(spark)
     val seed = base
       .select($"doc_id", explode(expr("sequence(0, len - 1)")).as("i"), $"text")
       .select($"doc_id", $"i",
-        expr("graft_pack7(text, i)").as("p1"),
-        expr("graft_pack7(text, i + 8)").as("p2"))
-    // seed bucket: the first two chars (p1's top 14 bits) — ≤ 128²
+        expr("graft_pack8(text, i)").as("p1"),
+        expr("graft_pack8(text, i + 7)").as("p2"))
+    // seed bucket: the first two bytes (p1's top 16 bits) — ≤ 256²
     // buckets, balanced by the corpus's 2-gram distribution
     lap("prelude (maxLen/lens)")
     var (cur, nDistinct) =
-      rankByBucketed(seed, expr(s"p1 div ${1L << 42}"), Seq($"p1", $"p2"), pin)
+      rankByBucketed(seed, expr(s"p1 div ${1L << 40}"), Seq($"p1", $"p2"), pin)
     lap(s"seed rank (nDistinct=$nDistinct)")
-    var rounds = Vector(Round(16, cur))
+    var rounds = Vector(Round(14, cur))
     // later rounds bucket by rank range. Ranks are dense in
     // [1, nDistinct-of-the-PREVIOUS-round] — width MUST divide that
     // span, not nSuffixes: under heavy duplication nDistinct ≪
@@ -177,7 +181,7 @@ object SuffixIndex {
     // than shuffle partitions keeps each window sort group at ~n/(4p)
     // rows — reducers still balance, per-group buffering shrinks.
     val p = math.max(spark.conf.get("spark.sql.shuffle.partitions").toInt, 1)
-    var d = 16
+    var d = 14
     var prevDistinct = -1L
     // quadrupling measured best here: doubling = more rounds (17s),
     // octupling = wider sort keys + 7 leads per round (18s), quad = 13s

@@ -263,20 +263,28 @@ object TextStats extends QueryPack {
       .orderBy($"doc_id")
   }
 
-  /** The shared winnowing core: per-char-gram native md5 hashes →
+  /** The shared winnowing core: per-gram native md5 hashes →
     * per-position window minima over fully-populated windows. Feeds both
     * the per-doc fingerprint aggregate ([[winnowFrom]]) and the
     * cross-doc pair join ([[winnowPairs]]).
+    *
+    * BYTE semantics (declared round 10): grams are k-BYTE slices of the
+    * UTF-8 encoding at byte offsets — the contract `graft_md5_60_at`
+    * already implements natively (O(1) `getByte`; char offsets would
+    * need an O(i) seek per position). Equal to char grams exactly when
+    * the text is ASCII, which is why the fixture oracle's char spelling
+    * still matches; UnicodeTextSpec pins the byte semantics against a
+    * driver-side reference on a multilingual corpus.
     */
   private def winnowMins(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val k = 8 // gram width (chars)
+    val k = 8 // gram width (bytes)
     val w = 4 // winnowing window (grams)
     val grams = docs
-      .filter(length($"text") >= k + w - 1)
-      .select($"doc_id", length($"text").as("len"),
-        explode(expr(s"sequence(0, length(text) - $k)")).as("i"),
+      .filter(octet_length($"text") >= k + w - 1)
+      .select($"doc_id", octet_length($"text").as("len"),
+        explode(expr(s"sequence(0, octet_length(text) - $k)")).as("i"),
         $"text")
       .select($"doc_id", $"len", $"i",
         // native positional hex60: THE hot expression of the whole bench

@@ -45,12 +45,14 @@ object ChunkDedupStream {
   /** The transform alone (stream-agnostic): chunk → first-arrival-wins
     * dedup on the chunk hash. Emits one row per never-seen-before chunk:
     * (doc_id, j, h, n_chars) — the chunk text itself is dropped after
-    * hashing to keep state and sink rows compact.
+    * hashing to keep state and sink rows compact. `n_chars` is the
+    * chunk's exact BYTE width (the chunker's round-10 byte semantics;
+    * == char count on ASCII).
     */
   private[graft] def newChunks(docs: DataFrame): DataFrame =
     graft.ops.llm.Dedup
       .cdcChunkRows(docs.select(col("doc_id"), col("text")))
-      .withColumn("n_chars", length(col("chunk")).cast("long"))
-      .drop("chunk")
+      .withColumn("n_chars", col("nb").cast("long"))
+      .drop("chunk", "nb")
       .dropDuplicates("h")
 }
