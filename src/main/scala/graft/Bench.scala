@@ -127,7 +127,11 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val (load1, mem1) = (loadAvg(), memAvailMb())
     val env = s""""env":{"load_start":$load0,"load_end":$load1,""" +
-      s""""mem_avail_start_mb":$mem0,"mem_avail_end_mb":$mem1},""" +
+      s""""mem_avail_start_mb":$mem0,"mem_avail_end_mb":$mem1,""" +
+      // the one-time cold SuffixIndex build the medians exclude (rep 1
+      // absorbs it) — published in the artifact so the accounting is
+      // machine-readable (−1 when no suffix gate ran this sweep)
+      s""""suffix_index_cold_s":${graft.ops.llm.SuffixIndex.lastBuildSeconds}},""" +
       // the ≤2× perf gate's denominator, pinned IN the artifact so a
       // loaded-host run overwriting BENCH.json can't silently shift it:
       // the recorded round-5 full-sweep snapshot (221 queries, sf0.1,
@@ -142,9 +146,17 @@ object Bench {
     // fragile (BENCH_r01.json recorded parsed:null). NEVER on a filtered
     // run — a SPARK_GRAFT_BENCH_ONLY tuning run would otherwise clobber
     // the full round snapshot with a partial one.
-    if (only.isEmpty)
+    if (only.isEmpty) {
       try Files.writeString(Paths.get("BENCH.json"), line + "\n")
       catch { case _: Throwable => () }
+      // automatic per-query regression guard vs the latest committed
+      // BENCH_r{N}.json (VERDICT r9 #8: run it in the round flow, not by
+      // hand) — writes BENCH_REGRESS.md and prints one loud line
+      try regressGuard(results.toMap)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench-regress] guard failed: ${e.getMessage}")
+      }
+    }
     // The driver captures only the LAST 2000 chars of output and parses the
     // JSON out of that window; every round so far recorded parsed:null
     // because (a) sbt's logger prefixed the line with "[info] " (fixed via
@@ -155,6 +167,77 @@ object Bench {
     // Slowest queries are kept first if the full map still doesn't fit.
     println(compactLine(results, total, sfDir, env = env))
     spark.stop()
+  }
+
+  /** Compare this run's medians against the newest committed
+    * `BENCH_r{N}.json` (factor-1.5 alarm, mirroring
+    * `tools/bench_regress.py`), write the `BENCH_REGRESS.md` artifact,
+    * and print a one-line verdict. Broken = ran before, failed now;
+    * regressed = ≥1.5× slower on the comparable set.
+    */
+  private def regressGuard(current: Map[String, Double]): Unit = {
+    val dir = Paths.get(".")
+    val pat = raw"BENCH_r(\d+)\.json".r
+    var best: Option[(Int, java.nio.file.Path)] = None
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(dir).iterator().asScala.foreach { p =>
+      p.getFileName.toString match {
+        case pat(n) if best.forall(_._1 < n.toInt) => best = Some((n.toInt, p))
+        case _ => ()
+      }
+    }
+    best.foreach { case (round, path) =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(Files.readString(path))
+      // the driver's BENCH_r{N}.json wraps the bench line under
+      // "parsed"; when its stdout scrape failed, "parsed" is null and
+      // "tail" holds a (possibly truncated) fragment — recover pairs by
+      // regex, mirroring tools/bench_regress.py
+      val old: Map[String, Double] = {
+        val parsed = node.get("parsed")
+        val direct = node.get("queries")
+        val qs =
+          if (parsed != null && parsed.isObject) parsed.get("queries")
+          else direct
+        if (qs != null && qs.isObject)
+          qs.fieldNames().asScala.map(k => k -> qs.get(k).asDouble()).toMap
+        else {
+          val tail = Option(node.get("tail")).map(_.asText("")).getOrElse("")
+          raw""""([A-Za-z0-9_]+)":(-?\d+\.\d+)""".r.findAllMatchIn(tail)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filterNot(m => Set("value", "load_start", "load_end",
+              "baseline_s", "suffix_index_cold_s").contains(m._1)).toMap
+        }
+      }
+      val shared = old.keySet.intersect(current.keySet)
+        .filter(k => old(k) > 0 && current(k) >= 0)
+      val broken = old.keySet.intersect(current.keySet)
+        .filter(k => old(k) > 0 && current(k) < 0).toSeq.sorted
+      val regressed = shared.filter(k => current(k) / old(k) >= 1.5)
+        .toSeq.sortBy(k => -current(k) / old(k))
+      val improved = shared.filter(k => old(k) / current(k) >= 1.5)
+        .toSeq.sortBy(k => -old(k) / current(k))
+      def row(k: String) = f"| $k | ${old(k)}%.2f | ${current(k)}%.2f | ${current(k) / old(k)}%.2fx |"
+      val md = new StringBuilder
+      md ++= s"# BENCH_REGRESS — this run vs BENCH_r$round.json (factor 1.5)\n\n"
+      md ++= s"Comparable queries: ${shared.size}; broken: ${broken.size}; "
+      md ++= s"regressed >=1.5x: ${regressed.size}; improved >=1.5x: ${improved.size}.\n\n"
+      if (broken.nonEmpty)
+        md ++= broken.mkString("Broken (ran before, failed now): ", ", ", "\n\n")
+      if (regressed.nonEmpty) {
+        md ++= "| regressed | old s | new s | factor |\n|---|---|---|---|\n"
+        regressed.foreach(k => md ++= row(k) + "\n")
+        md ++= "\n"
+      }
+      if (improved.nonEmpty) {
+        md ++= "| improved | old s | new s | factor |\n|---|---|---|---|\n"
+        improved.foreach(k => md ++= row(k) + "\n")
+      }
+      Files.writeString(Paths.get("BENCH_REGRESS.md"), md.toString)
+      println(s"[bench-regress] vs r$round: ${shared.size} comparable, " +
+        s"${broken.size} broken, ${regressed.size} regressed >=1.5x, " +
+        s"${improved.size} improved >=1.5x -> BENCH_REGRESS.md")
+    }
   }
 
   /** Render the results as a JSON line guaranteed ≤ `budget` chars. */

@@ -291,6 +291,15 @@ object Dedup extends QueryPack {
         lit(0L).as("n_occ"), lit(0L).as("n_docs"))
       .where(lit(false))
 
+    // stage telemetry for tuning runs (same contract as SuffixIndex)
+    val dbg = java.lang.Boolean.getBoolean("graft.suffix.debug") ||
+      sys.env.get("SPARK_GRAFT_SUFFIX_DEBUG").contains("1")
+    var tDbg = System.nanoTime()
+    def lap(tag: String): Unit = if (dbg) {
+      println(f"[longest-dup] $tag: ${(System.nanoTime() - tDbg) / 1e9}%.1fs")
+      tDbg = System.nanoTime()
+    }
+
     // ---- bracket: finest round with a FULL tie (both positions have
     // ≥ compareLen remaining chars ⇒ true LCP ≥ compareLen; padded
     // short-suffix ties certify only their own length and don't count)
@@ -307,6 +316,7 @@ object Dedup extends QueryPack {
           .limit(1).count() > 0
         if (anyTie) { loRound = rd; lo = rd.compareLen }
         else hiBound = rd.compareLen - 1
+        lap(s"bracket anyTie c=${rd.compareLen} -> $anyTie")
       }
     }
 
@@ -337,10 +347,16 @@ object Dedup extends QueryPack {
     } else {
       val c = lo
       val hi = math.min(hiBound, ix.maxLen)
+      // pin the bracket round ONCE: since round 10 a Round frame is a
+      // lazy union of active/frozen slices across several build pins,
+      // and this consumer scans it three times (tiedDocs, pf0, and the
+      // lStar extraction's base ranks) — one sweepable pin here keeps
+      // the probes on a single materialized frame
+      val loRanks = graft.state.Materialize.pin(loRound.ranks)
       // prune to documents holding a full-tied rank group at level c: a
       // dup pair of any length ≥ c has both its starts full-tied at c
       val wR = Window.partitionBy($"r")
-      val tiedDocs = loRound.ranks.join(broadcast(ix.lens), Seq("doc_id"))
+      val tiedDocs = loRanks.join(broadcast(ix.lens), Seq("doc_id"))
         .where($"len" - $"i" >= c)
         .withColumn("n", count(lit(1)).over(wR))
         .where($"n" >= 2).select($"doc_id").distinct()
@@ -348,7 +364,7 @@ object Dedup extends QueryPack {
       // precompute the offset ranks at fixed multiples of c once; the
       // probes' only per-L window is the single L−c offset
       val kPre = math.max(ceilDiv(hi, c) - 1, 0)
-      val pf0 = loRound.ranks.join(tiedDocs, Seq("doc_id"), "left_semi")
+      val pf0 = loRanks.join(tiedDocs, Seq("doc_id"), "left_semi")
         .join(broadcast(ix.lens), Seq("doc_id"))
         // per-POSITION prune flag: a start of any dup of length ≥ c must
         // share its first c chars with another valid start, i.e. sit in
@@ -358,9 +374,25 @@ object Dedup extends QueryPack {
         // restricts group-by INPUT rows, not the window frames)
         .withColumn("ntc", sum(when($"len" - $"i" >= c, 1).otherwise(0))
           .over(Window.partitionBy($"r")))
-      val pf = (1 to kPre).foldLeft(pf0) { (df, k) =>
+      val pfWide = (1 to kPre).foldLeft(pf0) { (df, k) =>
         df.withColumn(s"rk$k", lead($"r", k * c).over(byPos))
       }.transform(graft.state.Materialize.pin)
+      // the tied-doc prune usually leaves a SMALL candidate frame (only
+      // documents holding a ≥c-byte dup survive), and the ~9 binary-
+      // search probes each run a 3-stage job over it — at 32 shuffle
+      // partitions the fixed per-stage cost dominates. Right-size the
+      // probe frame's parallelism to its measured row count (bounded
+      // driver probe on a pinned frame; ≥64k rows per partition), the
+      // same adaptive shape AQE applies to post-shuffle stages.
+      val pfRows = pfWide.count()
+      val parts = math.max(1L, math.min(pfRows / 65536L + 1,
+        pfWide.rdd.getNumPartitions.toLong)).toInt
+      val pf =
+        if (parts < pfWide.rdd.getNumPartitions)
+          pfWide.repartition(parts, $"doc_id")
+            .transform(graft.state.Materialize.pin)
+        else pfWide
+      lap(s"pf build (c=$c, kPre=$kPre, rows=$pfRows, parts=$parts)")
 
       // ranks at offsets {0, c, …, (m−2)c, L−c}: consecutive gaps ≤ c,
       // union covers [0, L) ⇒ tuple equality ⟺ L-gram equality (every
@@ -398,6 +430,7 @@ object Dedup extends QueryPack {
       while (l0 < h0) {
         val mid = (l0 + h0 + 1) / 2
         if (hasDup(mid)) l0 = mid else h0 = mid - 1
+        lap(s"probe mid=$mid -> [$l0, $h0]")
       }
       val lStar = l0
       val kd = keyed(lStar)

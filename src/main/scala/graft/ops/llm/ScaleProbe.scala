@@ -518,6 +518,29 @@ object ScaleProbe {
       val (l, nc, s) = timedChainCc(m)
       println(f"[scale-probe] star-components-chain mult=$m%-3d vertices=$l%-7d components=$nc time=$s%.2fs")
     }
+
+    // ANN recall under scale (VERDICT r9 #7): recall@10 of the
+    // production IVF approximate search vs brute force, over an nprobe
+    // sweep, at 1× and mult× corpus — the quantized gates are
+    // exactness-gated against replayed arithmetic, but RECALL of the
+    // approximate modes is a property of cell occupancy, which shifts
+    // with corpus size; this is the artifact that tracks it. The
+    // nprobe = IvfCells row degenerates to exhaustive search and must
+    // read 1.000 — the section's self-check.
+    def timedRecall(m: Int, nprobe: Int): (Double, Double, Double) = {
+      val c = (0 until m)
+        .map(i => base.select(($"vec_id" + lit(i * 1000000L)).as("vec_id"), $"v", $"nrm"))
+        .reduce(_ union _)
+      val t0 = System.nanoTime()
+      val r = Similarity.ivfRecallProbe(c, k = 10, nprobe = nprobe)
+        .agg(avg($"n_hit" / 10.0), avg($"n_cand")).head()
+      (r.getDouble(0), r.getDouble(1), (System.nanoTime() - t0) / 1e9)
+    }
+    timedRecall(1, 1) // warmup
+    for (m <- Seq(1, mult).distinct; np <- Seq(1, 2, Dedup.IvfCells)) {
+      val (rec, cand, s) = timedRecall(m, np)
+      println(f"[scale-probe] ivf-recall mult=$m%-3d nprobe=$np recall@10=$rec%.3f mean_cand=$cand%.0f time=$s%.2fs")
+    }
     spark.stop()
   }
 }

@@ -863,6 +863,60 @@ object Similarity extends QueryPack {
       .orderBy($"q_id", $"rk")
   }
 
+  /** Recall@k instrumentation of the production IVF approximate search
+    * (VERDICT r9 #7): the same probe-selection and candidate plumbing as
+    * [[annIvf]] / [[annIvfMultiProbe]], parameterized by probe breadth,
+    * scored against the brute-force top-k as ground truth. Per query
+    * emits (n_cand, n_hit of the true top-k found); the ScaleProbe
+    * section aggregates to mean recall@k at 1× and 10× corpus — the
+    * scale where cell occupancy (and therefore the single-probe recall
+    * floor) actually shifts. Ties broken by (sim DESC, n_id) on BOTH
+    * paths, so recall is deterministic even on a duplicated corpus.
+    * `nprobe = IvfCells` degenerates to exhaustive search — its
+    * recall-1.0 row is the section's self-check.
+    */
+  private[llm] def ivfRecallProbe(n: DataFrame, k: Int, nprobe: Int,
+                                  nQ: Int = 16): DataFrame = {
+    import n.sparkSession.implicits._
+    val cells = Dedup.withIvfCell(n)
+    val qBase = n.filter($"vec_id" < nQ)
+    val wProbe = Window.partitionBy($"q_id").orderBy($"dot".desc, $"probe_cell")
+    val probes = Dedup.withIvfDots(qBase)
+      .select($"vec_id".as("q_id"), $"v".as("vq"), $"nrm".as("nq"),
+        explode(expr(s"""transform(sequence(0, ${Dedup.IvfCells - 1}), c ->
+          struct(c AS probe_cell,
+                 element_at(array(${(0 until Dedup.IvfCells)
+                   .map(c => s"_ivf_d$c").mkString(", ")}), c + 1) AS dot))"""))
+          .as("p"))
+      .select($"q_id", $"vq", $"nq", $"p.probe_cell".as("probe_cell"),
+        $"p.dot".as("dot"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter($"prn" <= nprobe)
+      .select($"q_id", $"vq", $"nq", $"probe_cell")
+    val c = cells.select($"vec_id".as("n_id"), $"v".as("vc"), $"nrm".as("nc"),
+      $"cell")
+    val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"n_id")
+    val wCnt = Window.partitionBy($"q_id")
+    val approx = c
+      .join(broadcast(probes), $"cell" === $"probe_cell" && $"n_id" =!= $"q_id")
+      .withColumn("sim", expr(dotExpr) / ($"nq" * $"nc"))
+      .withColumn("n_cand", count(lit(1)).over(wCnt))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"q_id", $"n_id", $"n_cand")
+    val brute = n.select($"vec_id".as("n_id"), $"v".as("vc"), $"nrm".as("nc"))
+      .join(broadcast(qBase.select($"vec_id".as("q_id"), $"v".as("vq"),
+        $"nrm".as("nq"))), $"n_id" =!= $"q_id")
+      .withColumn("sim", expr(dotExpr) / ($"nq" * $"nc"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"q_id", $"n_id")
+    approx.join(brute.withColumn("hit", lit(1L)), Seq("q_id", "n_id"), "left")
+      .groupBy($"q_id")
+      .agg(max($"n_cand").as("n_cand"),
+           sum(coalesce($"hit", lit(0L))).as("n_hit"))
+  }
+
   /** Diversified top-k rerank — the single-pass (order-free) form of
     * maximal marginal relevance: every candidate's score is penalized by
     * λ × its max similarity to any HIGHER-base-ranked candidate, then the

@@ -51,6 +51,15 @@ object SuffixIndex {
   /** One prefix-quadrupling round: `ranks` = (doc_id, i, r) for every
     * (document, byte position) suffix; equal `r` ⟺ the suffixes agree
     * on their first `compareLen` BYTES (past-end sentinel semantics).
+    *
+    * Round 10: `r` is a COUNT-rank (0-based number of suffixes strictly
+    * before, ties sharing their group's minimum), not a dense rank —
+    * order- and equality-equivalent (every consumer uses ranks for
+    * ordering/equality only), and it is what makes rank refinement
+    * GROUP-LOCAL: a group at rank r of size m owns the rank interval
+    * [r, r+m), so a split renumbers only inside the interval and rows
+    * in other groups never shift. The dense spelling the suffix-array
+    * gate emits is derived once at the end ([[Index.finalRanks]]).
     */
   final case class Round(compareLen: Int, ranks: DataFrame)
 
@@ -58,14 +67,25 @@ object SuffixIndex {
       rounds: Vector[Round], // ascending compareLen; last = finest
       nSuffixes: Long,
       maxLen: Int,
-      lens: DataFrame) { // (doc_id, len), one row per non-empty doc
+      lens: DataFrame, // (doc_id, len), one row per non-empty doc
+      denseFinal: () => DataFrame) {
 
-    /** The finest rank frame — the generalized suffix array itself
-      * (identical cross-document suffixes tie, which IS the duplicated-
-      * substring signal the dedup gates consume).
+    /** The finest rank frame re-numbered as 1-based DENSE ranks — the
+      * generalized suffix array the gate emits (identical cross-document
+      * suffixes tie, which IS the duplicated-substring signal the dedup
+      * gates consume). Lazy: the longest-dup consumer probes the
+      * count-rank [[rounds]] directly and never pays this pass.
       */
-    def finalRanks: DataFrame = rounds.last.ranks
+    lazy val finalRanks: DataFrame = denseFinal()
   }
+
+  /** Wall seconds of the most recent [[build]] in this JVM (−1 until one
+    * runs). [[graft.Bench]] emits it into BENCH.json's env block so the
+    * one-time cold build the medians exclude (the rep-1-absorbs-setup
+    * contract) is machine-readable in the artifact itself (VERDICT r9
+    * accounting note / #8).
+    */
+  @volatile var lastBuildSeconds: Double = -1.0
 
   private val cache = new ConcurrentHashMap[(SparkSession, String), Index]()
 
@@ -118,6 +138,7 @@ object SuffixIndex {
     * frames collected instead of discarded.
     */
   def build(docs: DataFrame, retain: Boolean = false): Index = {
+    val tBuild0 = System.nanoTime()
     import docs.sparkSession.implicits._
     val spark = docs.sparkSession
     // retained pins survive Bench's between-queries debris sweep —
@@ -126,8 +147,10 @@ object SuffixIndex {
     val pin: DataFrame => DataFrame =
       if (retain) graft.state.Materialize.pinRetained
       else graft.state.Materialize.pin
-    // stage telemetry for tuning runs (-Dgraft.suffix.debug=true)
-    val dbg = java.lang.Boolean.getBoolean("graft.suffix.debug")
+    // stage telemetry for tuning runs (-Dgraft.suffix.debug=true or
+    // SPARK_GRAFT_SUFFIX_DEBUG=1 — the env form survives sbt's fork)
+    val dbg = java.lang.Boolean.getBoolean("graft.suffix.debug") ||
+      sys.env.get("SPARK_GRAFT_SUFFIX_DEBUG").contains("1")
     var tDbg = System.nanoTime()
     def lap(tag: String): Unit = if (dbg) {
       println(f"[suffix-index] $tag: ${(System.nanoTime() - tDbg) / 1e9}%.1fs")
@@ -160,46 +183,111 @@ object SuffixIndex {
     // get O(1) character access and either carried it on every position
     // row or allocated three intermediate arrays per document
     graft.functions.GraftFunctions.register(spark)
-    val seed = base
+    val seed0 = base
       .select($"doc_id", explode(expr("sequence(0, len - 1)")).as("i"), $"text")
       .select($"doc_id", $"i",
         expr("graft_pack8(text, i)").as("p1"),
         expr("graft_pack8(text, i + 7)").as("p2"))
-    // seed bucket: the first two bytes (p1's top 16 bits) — ≤ 256²
-    // buckets, balanced by the corpus's 2-gram distribution
     lap("prelude (maxLen/lens)")
-    var (cur, nDistinct) =
-      rankByBucketed(seed, expr(s"p1 div ${1L << 40}"), Seq($"p1", $"p2"), pin)
-    lap(s"seed rank (nDistinct=$nDistinct)")
-    var rounds = Vector(Round(14, cur))
-    // later rounds bucket by rank range. Ranks are dense in
-    // [1, nDistinct-of-the-PREVIOUS-round] — width MUST divide that
-    // span, not nSuffixes: under heavy duplication nDistinct ≪
-    // nSuffixes, and an nSuffixes-derived width collapsed every row
-    // into one or two buckets (the 10× ScaleProbe caught it: 202s and
-    // 1.5 GiB task peaks vs ~linear after this fix). 4× more buckets
-    // than shuffle partitions keeps each window sort group at ~n/(4p)
-    // rows — reducers still balance, per-group buffering shrinks.
-    val p = math.max(spark.conf.get("spark.sql.shuffle.partitions").toInt, 1)
+    // ---- seed: two-phase bucketed COUNT-rank (0-based rows-strictly-
+    // before; rank() not dense_rank — ties share their group minimum).
+    // Bucket = the first two bytes (p1's top 16 bits) — ≤ 256² buckets,
+    // balanced by the corpus's 2-gram distribution; offsets are the
+    // exclusive prefix sums of per-bucket ROW counts (a bounded tiny
+    // frame broadcast back). `fin` marks singleton groups — suffixes
+    // already uniquely ranked by their first 14 bytes — detected from
+    // the SAME window pass (a row is singleton iff neither neighbor in
+    // the bucket sort shares its key): frozen rows are excluded from
+    // every later round's re-rank, the standard finished-rank prune of
+    // prefix doubling (under low duplication late rounds shrink toward
+    // the tied residue — the duplicated-substring signal itself).
+    val wB = Window.partitionBy($"b").orderBy($"p1", $"p2")
+    val sameUp   = lag($"p1", 1).over(wB) === $"p1" && lag($"p2", 1).over(wB) === $"p2"
+    val sameDown = lead($"p1", 1).over(wB) === $"p1" && lead($"p2", 1).over(wB) === $"p2"
+    // bucket offsets from a SEPARATE pre-window scan (map-side partial
+    // aggregate of the re-packed seed — no sort): the window half then
+    // has exactly one consumer, so the whole seed pipeline (window +
+    // broadcast-offset join) evaluates once into ONE pin. Pinning the
+    // ASSEMBLED frame matters: every later round's frame is a union of
+    // SLICES of earlier pins, and the longest-dup consumer re-scans
+    // those frames — an unpinned join here re-executed corpus-wide on
+    // every probe (measured +3.5s on the cold dup gate).
+    val offs0 = seed0.groupBy(expr(s"p1 div ${1L << 40}").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum($"c").over(
+        Window.orderBy($"b").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select($"b", $"off")
+    val seedRanked = seed0.withColumn("b", expr(s"p1 div ${1L << 40}"))
+      .withColumn("rl", rank().over(wB).cast("long"))
+      .withColumn("fin",
+        !coalesce(sameUp, lit(false)) && !coalesce(sameDown, lit(false)))
+      .join(broadcast(offs0), Seq("b"))
+      .select($"doc_id", $"i", ($"rl" - 1 + $"off").as("r"), $"fin")
+      .transform(pin)
+    lap("seed rank")
+    var rounds = Vector(Round(14, seedRanked))
+    // active/frozen split: `full` is the current whole frame (the lead
+    // windows must see EVERY position — an active row's offset rank may
+    // live on a frozen neighbor, and leads computed after a filter read
+    // trimmed neighbors, the round-9 tail bug); only the active rows are
+    // re-ranked and pinned per round, so per-round pin volume tracks the
+    // SHRINKING tied residue, not the corpus
+    var active = seedRanked.where(!$"fin").select($"doc_id", $"i", $"r")
+    var frozen = seedRanked.where($"fin").select($"doc_id", $"i", $"r")
     var d = 14
-    var prevDistinct = -1L
-    // quadrupling measured best here: doubling = more rounds (17s),
-    // octupling = wider sort keys + 7 leads per round (18s), quad = 13s
-    while (d < maxLen && nDistinct != nSuffixes && nDistinct != prevDistinct) {
-      prevDistinct = nDistinct
-      val bucketWidth = nDistinct / (4L * p) + 1
-      val quad = cur
+    var more = true
+    // quadrupling measured best here: doubling = more rounds,
+    // octupling = wider sort keys + 7 leads per round
+    while (d < maxLen && more) {
+      val full = active.withColumn("fin", lit(false))
+        .unionByName(frozen.withColumn("fin", lit(true)))
+      val quad = full
         .withColumn("r2", coalesce(lead($"r", d).over(byPos), lit(-1L)))
         .withColumn("r3", coalesce(lead($"r", 2 * d).over(byPos), lit(-1L)))
         .withColumn("r4", coalesce(lead($"r", 3 * d).over(byPos), lit(-1L)))
-      val (next, nd) = rankByBucketed(quad, expr(s"r div $bucketWidth"),
-        Seq($"r", $"r2", $"r3", $"r4"), pin)
-      cur = next
-      nDistinct = nd
+        .where(!$"fin")
+      // GROUP-LOCAL refinement: within group r (count-rank ⇒ the group
+      // owns [r, r+m)), new r = r + rank()−1 over the offset tuple —
+      // one hash exchange of the ACTIVE rows on r, no global re-rank.
+      // Singleton detection from the same window (neighbor comparison),
+      // and `rl > 1` anywhere ⇔ some group split this round — its
+      // absence is the paper's fixed point (r determines r(i+d) ⇒ by
+      // positional composition r determines every r(i+kd))
+      val wG = Window.partitionBy($"r").orderBy($"r2", $"r3", $"r4")
+      def same(off: Int => Column): Column =
+        off(1) === $"r2" && off(2) === $"r3" && off(3) === $"r4"
+      val sUp = same(k => lag(col(Seq("r2", "r3", "r4")(k - 1)), 1).over(wG))
+      val sDn = same(k => lead(col(Seq("r2", "r3", "r4")(k - 1)), 1).over(wG))
+      val ref = quad
+        .withColumn("rl", rank().over(wG).cast("long"))
+        .withColumn("fin",
+          !coalesce(sUp, lit(false)) && !coalesce(sDn, lit(false)))
+        .select($"doc_id", $"i", ($"r" + $"rl" - 1).as("r"), $"fin", $"rl")
+        .transform(pin)
+      val split = ref.where($"rl" > 1).limit(1).count() > 0
+      frozen = frozen.unionByName(ref.where($"fin").select($"doc_id", $"i", $"r"))
+      active = ref.where(!$"fin").select($"doc_id", $"i", $"r")
       d *= 4
-      rounds :+= Round(d, cur)
-      lap(s"round d=$d (nDistinct=$nDistinct)")
+      rounds :+= Round(d,
+        active.withColumn("fin", lit(false))
+          .unionByName(frozen.withColumn("fin", lit(true))))
+      // stop when nothing split (fixed point: only never-splitting ties
+      // — identical cross-doc suffixes — remain) or everything is frozen
+      more = split && !active.isEmpty
+      lap(s"round d=$d (split=$split)")
     }
-    Index(rounds, nSuffixes, maxLen, lens)
+    // the dense spelling of the finest frame, derived on demand: ranks
+    // are count-ranks in [0, nSuffixes), so a width-of-rank-range bucket
+    // is a pure function of the leading (only) sort key
+    val p = math.max(spark.conf.get("spark.sql.shuffle.partitions").toInt, 1)
+    val finest = rounds.last.ranks
+    val dense = () => {
+      val width = nSuffixes / (4L * p) + 1
+      rankByBucketed(finest.select($"doc_id", $"i", $"r"),
+        expr(s"r div $width"), Seq($"r"), pin)._1
+    }
+    lastBuildSeconds = (System.nanoTime() - tBuild0) / 1e9
+    Index(rounds, nSuffixes, maxLen, lens, dense)
   }
 }
