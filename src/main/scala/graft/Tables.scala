@@ -86,6 +86,9 @@ object Tables {
   private val registered = new ConcurrentHashMap[SparkSession, String]()
 
   def registerViews(s: SparkSession, d: String): Unit = {
+    // same stopped-session hygiene as the SuffixIndex/pair caches
+    // (ADVICE r9): entries for stopped sessions are dead weight
+    graft.state.Materialize.purgeStopped(registered)(identity)
     if (d == registered.get(s)) return
     def reg(n: String)(df: => DataFrame): Unit =
       try df.createOrReplaceTempView(n)
