@@ -9,12 +9,23 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
 
-  /** The recorded baseline the ≤2× gate divides by: round-5 full sweep,
-    * 100.46s over 221 queries at sf0.1 (see BENCH.json Scaladoc note in
-    * [[main]]). Bump ONLY when a judge re-records the baseline.
+  /** The recorded baseline the ≤2× gate divides by. Bump ONLY when a
+    * judge re-records the baseline.
+    *
+    * Round-10 re-record, judge-authorized (VERDICT r9 #3): the round-5
+    * denominator (100.46s / 221 queries) was recorded on ~2× faster
+    * iron — proven by r9's controlled A/B (the exact r5 tree rebuilt on
+    * today's host reproduces today's times) — so the gate had come to
+    * measure the host, not the code. New baseline: the round-10
+    * clean-host full sweep, **142.01s over 251 queries at sf0.1,
+    * local[32], load_start 0.10** (BENCH_r10 pre-record run; regression
+    * guard vs r9 on the 66-query comparable set: 0 broken, 0 regressed
+    * ≥1.5×, 5 improved ≥1.5×). The r5 value stays in COVERAGE's
+    * baseline history; cross-round ratios before r10 keep their
+    * published r5-denominated values.
     */
-  private val BaselineSeconds = 100.46
-  private val BaselineRound = 5
+  private val BaselineSeconds = 142.01
+  private val BaselineRound = 10
 
   /** Force FULL evaluation of every output column. Timing `count()` lets
     * Catalyst prune the projected expressions, so map-only queries (scalar

@@ -13,6 +13,10 @@ import org.apache.spark.sql.functions._
   * recorded in COVERAGE.md §"Scale evidence".
   *
   *   sbt "runMain graft.ops.llm.ScaleProbe [mult] [sfDir]"
+  *
+  * `SPARK_GRAFT_PROBE_ONLY=para,cdc,...` restricts the run to the named
+  * sections (tags as printed) — how the ≈linear families are probed at
+  * mult=100 without paying the quadratic sections' 100× cost.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -28,6 +32,18 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
+    // Optional comma-separated section filter (SPARK_GRAFT_PROBE_ONLY):
+    // mult=100 is only feasible for the ≈linear families — the
+    // quadratic-by-construction sections (pairs: n² pair density;
+    // winnow-pairs-auto: Σdf² fanout budget; suffix-array-global:
+    // corpus-wide tie groups) would run for hours at 100×. The filter
+    // selects sections by their printed tag; warmups of skipped
+    // sections are skipped with them.
+    val onlySections = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def probeMults(name: String, warmup: => Any): Seq[Int] =
+      if (onlySections.forall(_.contains(name))) { warmup; Seq(1, mult).distinct }
+      else Seq.empty
     val base = Similarity.corpus(spark, sfDir).select($"vec_id", $"v", $"nrm")
     def timed(m: Int): (Long, Double) = {
       val corpus = (0 until m)
@@ -37,8 +53,7 @@ object ScaleProbe {
       val nPairs = Dedup.embeddingPairs(corpus, thr = 0.45).count()
       (nPairs, (System.nanoTime() - t0) / 1e9)
     }
-    timed(1) // warmup
-    Seq(1, mult).distinct.foreach { m =>
+    probeMults("pairs", timed(1)).foreach { m =>
       val (pairs, sec) = timed(m)
       val n = 2000L * m
       println(f"[scale-probe] mult=$m%-3d corpus=$n%-6d pairs>=thr=$pairs%-8d time=$sec%.2fs")
@@ -59,8 +74,7 @@ object ScaleProbe {
       (kept, (System.nanoTime() - t0) / 1e9)
     }
     val nDocs = docs.count()
-    timedPara(1) // warmup
-    Seq(1, mult).distinct.foreach { m =>
+    probeMults("para", timedPara(1)).foreach { m =>
       val (kept, sec) = timedPara(m)
       println(f"[scale-probe] para mult=$m%-3d docs=${nDocs * m}%-7d segs_kept=$kept%-8d time=$sec%.2fs")
     }
@@ -81,8 +95,7 @@ object ScaleProbe {
       val t2 = System.nanoTime()
       (nTf, (t1 - t0) / 1e9, (t2 - t1) / 1e9)
     }
-    timedRank(1) // warmup
-    Seq(1, mult).distinct.foreach { m =>
+    probeMults("rank", timedRank(1)).foreach { m =>
       val (nTf, tfSec, trSec) = timedRank(m)
       println(f"[scale-probe] rank mult=$m%-3d tfidf_rows=$nTf%-7d tfidf=$tfSec%.2fs textrank_dist=$trSec%.2fs")
     }
@@ -112,8 +125,7 @@ object ScaleProbe {
       val t4 = System.nanoTime()
       ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9, (t4 - t3) / 1e9)
     }
-    timedCuration(1) // warmup
-    Seq(1, mult).distinct.foreach { m =>
+    probeMults("curation", timedCuration(1)).foreach { m =>
       val (chk, boil, ppl, bpe) = timedCuration(m)
       println(f"[scale-probe] curation mult=$m%-3d chunking=$chk%.2fs boilerplate=$boil%.2fs perplexity=$ppl%.2fs bpe=$bpe%.2fs")
     }
@@ -127,8 +139,7 @@ object ScaleProbe {
       Curation.trigramBackoffFrom(c).count()
       (System.nanoTime() - t0) / 1e9
     }
-    timedTrigram(1) // warmup
-    Seq(1, mult).distinct.foreach { m =>
+    probeMults("trigram", timedTrigram(1)).foreach { m =>
       println(f"[scale-probe] trigram mult=$m%-3d time=${timedTrigram(m)}%.2fs")
     }
 
@@ -144,8 +155,7 @@ object ScaleProbe {
         .agg(sum($"n_fps"), sum(length($"fp_head"))).collect()
       (System.nanoTime() - t0) / 1e9
     }
-    timedWinnow(1) // warmup
-    Seq(1, mult).distinct.foreach { m =>
+    probeMults("winnow", timedWinnow(1)).foreach { m =>
       println(f"[scale-probe] winnow mult=$m%-3d time=${timedWinnow(m)}%.2fs")
     }
 
@@ -185,8 +195,7 @@ object ScaleProbe {
       val n = TextStats.winnowPairsAutoFrom(c).count()
       (n, (System.nanoTime() - t0) / 1e9, peakTaskMem.get())
     }
-    timedWinnowPairs(1) // warmup
-    Seq(1, mult).distinct.foreach { m =>
+    probeMults("winnow-pairs-auto", timedWinnowPairs(1)).foreach { m =>
       val (n, s, mem) = timedWinnowPairs(m)
       println(f"[scale-probe] winnow-pairs-auto mult=$m%-3d pairs=$n%-8d time=$s%.2fs peak_task_mem=${mem / (1 << 20)}%dMiB")
     }
@@ -204,8 +213,7 @@ object ScaleProbe {
       val n = Dedup.substringSpansFrom(c).count()
       (n, (System.nanoTime() - t0) / 1e9, peakTaskMem.get())
     }
-    timedSpans(1) // warmup
-    Seq(1, mult).distinct.foreach { m =>
+    probeMults("substr-spans", timedSpans(1)).foreach { m =>
       val (n, s, mem) = timedSpans(m)
       println(f"[scale-probe] substr-spans mult=$m%-3d docs_hit=$n%-8d time=$s%.2fs peak_task_mem=${mem / (1 << 20)}%dMiB")
     }
@@ -227,8 +235,7 @@ object ScaleProbe {
         .agg(sum($"n_sampled")).as[Long].collect().head
       (sampled, (System.nanoTime() - t0) / 1e9)
     }
-    timedFunnel(1) // warmup
-    Seq(1, mult).distinct.foreach { m =>
+    probeMults("funnel", timedFunnel(1)).foreach { m =>
       val (n, s) = timedFunnel(m)
       println(f"[scale-probe] funnel mult=$m%-3d sampled=$n%-8d time=$s%.2fs")
     }
@@ -246,8 +253,7 @@ object ScaleProbe {
         .agg(count(lit(1)), countDistinct($"h")).collect()(0)
       (r.getLong(0), r.getLong(1), (System.nanoTime() - t0) / 1e9)
     }
-    timedCdc(1) // warmup
-    Seq(1, mult).distinct.foreach { m =>
+    probeMults("cdc", timedCdc(1)).foreach { m =>
       val (n, d, s) = timedCdc(m)
       println(f"[scale-probe] cdc mult=$m%-3d chunks=$n%-8d distinct=$d%-8d time=$s%.2fs")
     }
@@ -265,8 +271,7 @@ object ScaleProbe {
       val rows = Similarity.pqAdcFrom(c).count()
       (rows, (System.nanoTime() - t0) / 1e9)
     }
-    timedPq(1) // warmup
-    Seq(1, mult).distinct.foreach { m =>
+    probeMults("pq_adc", timedPq(1)).foreach { m =>
       val (rows, s) = timedPq(m)
       println(f"[scale-probe] pq_adc mult=$m%-3d corpus=${2000L * m}%-7d topk_rows=$rows%-5d time=$s%.2fs")
     }
@@ -286,8 +291,7 @@ object ScaleProbe {
         .agg(sum($"n_vecs")).as[Long].collect().head
       (rows, (System.nanoTime() - t0) / 1e9)
     }
-    timedRp(1) // warmup
-    Seq(1, mult).distinct.foreach { m =>
+    probeMults("rp_kmeans", timedRp(1)).foreach { m =>
       val (vecs, s) = timedRp(m)
       println(f"[scale-probe] rp_kmeans mult=$m%-3d corpus=${2000L * m}%-7d clustered=$vecs%-7d time=$s%.2fs")
     }
@@ -304,8 +308,7 @@ object ScaleProbe {
         .agg(sum($"n_docs")).as[Long].collect().head
       (n, (System.nanoTime() - t0) / 1e9)
     }
-    timedNbc(1) // warmup
-    Seq(1, mult).distinct.foreach { m =>
+    probeMults("nbc", timedNbc(1)).foreach { m =>
       val (n, s) = timedNbc(m)
       println(f"[scale-probe] nbc mult=$m%-3d held_out=$n%-7d time=$s%.2fs")
     }
@@ -325,8 +328,7 @@ object ScaleProbe {
       val n = Dedup.urlDedupFrom(c).count()
       (n, (System.nanoTime() - t0) / 1e9)
     }
-    timedUrl(1) // warmup
-    Seq(1, mult).distinct.foreach { m =>
+    probeMults("url-dedup", timedUrl(1)).foreach { m =>
       val (n, s) = timedUrl(m)
       println(f"[scale-probe] url-dedup mult=$m%-3d canonical=$n%-7d time=$s%.2fs")
     }
@@ -341,8 +343,7 @@ object ScaleProbe {
       val n = TextStats.suffixRanks(c).count()
       (n, (System.nanoTime() - t0) / 1e9)
     }
-    timedSa(1) // warmup
-    Seq(1, mult).distinct.foreach { m =>
+    probeMults("suffix-array", timedSa(1)).foreach { m =>
       val (n, s) = timedSa(m)
       println(f"[scale-probe] suffix-array mult=$m%-3d suffixes=$n%-8d time=$s%.2fs")
     }
@@ -362,8 +363,7 @@ object ScaleProbe {
       val n = TextStats.suffixRanksGlobal(c).count()
       (n, (System.nanoTime() - t0) / 1e9, peakTaskMem.get())
     }
-    timedSaGlobal(1) // warmup
-    Seq(1, mult).distinct.foreach { m =>
+    probeMults("suffix-array-global", timedSaGlobal(1)).foreach { m =>
       val (n, s, mem) = timedSaGlobal(m)
       println(f"[scale-probe] suffix-array-global mult=$m%-3d suffixes=$n%-8d time=$s%.2fs peak_task_mem=${mem / (1 << 20)}%dMiB")
     }
@@ -379,8 +379,7 @@ object ScaleProbe {
         .agg(sum(size($"ss"))).as[Long].collect().head
       (n, (System.nanoTime() - t0) / 1e9)
     }
-    timedNorm(1) // warmup
-    Seq(1, mult).distinct.foreach { m =>
+    probeMults("normalize", timedNorm(1)).foreach { m =>
       val (n, s) = timedNorm(m)
       println(f"[scale-probe] normalize mult=$m%-3d sentences=$n%-8d time=$s%.2fs")
     }
@@ -396,8 +395,7 @@ object ScaleProbe {
         .agg(sum($"n_masked")).as[Long].collect().head
       (masked, (System.nanoTime() - t0) / 1e9)
     }
-    timedSpanCorrupt(1) // warmup
-    Seq(1, mult).distinct.foreach { m =>
+    probeMults("span-corrupt", timedSpanCorrupt(1)).foreach { m =>
       val (n, s) = timedSpanCorrupt(m)
       println(f"[scale-probe] span-corrupt mult=$m%-3d masked=$n%-8d time=$s%.2fs")
     }
@@ -417,8 +415,7 @@ object ScaleProbe {
         .agg(sum(when($"flagged", 1L).otherwise(0L))).as[Long].collect().head
       (flagged, (System.nanoTime() - t0) / 1e9)
     }
-    timedContamRatio(1) // warmup
-    Seq(1, mult).distinct.foreach { m =>
+    probeMults("contam-ratio", timedContamRatio(1)).foreach { m =>
       val (n, s) = timedContamRatio(m)
       println(f"[scale-probe] contam-ratio mult=$m%-3d flagged=$n%-7d time=$s%.2fs")
     }
@@ -434,8 +431,7 @@ object ScaleProbe {
         .as[Long].collect().head
       (n, (System.nanoTime() - t0) / 1e9)
     }
-    timedCodeSwitch(1) // warmup
-    Seq(1, mult).distinct.foreach { m =>
+    probeMults("code-switch", timedCodeSwitch(1)).foreach { m =>
       val (n, s) = timedCodeSwitch(m)
       println(f"[scale-probe] code-switch mult=$m%-3d switched=$n%-7d time=$s%.2fs")
     }
@@ -454,8 +450,7 @@ object ScaleProbe {
         .agg(sum($"n_added")).as[Long].collect().head
       (added, (System.nanoTime() - t0) / 1e9)
     }
-    timedIvfAdd(1) // warmup
-    Seq(1, mult).distinct.foreach { m =>
+    probeMults("ivf-add", timedIvfAdd(1)).foreach { m =>
       val (n, s) = timedIvfAdd(m)
       println(f"[scale-probe] ivf-add mult=$m%-3d added=$n%-7d time=$s%.2fs")
     }
@@ -478,8 +473,7 @@ object ScaleProbe {
       val nRows = Similarity.hardNegativesFrom(c).count()
       (nRows, (System.nanoTime() - t0) / 1e9)
     }
-    timedHardNeg(1) // warmup
-    Seq(1, mult).distinct.foreach { m =>
+    probeMults("hard-negatives", timedHardNeg(1)).foreach { m =>
       val (n, s) = timedHardNeg(m)
       println(f"[scale-probe] hard-negatives mult=$m%-3d rows=$n%-5d time=$s%.2fs")
     }
@@ -513,8 +507,7 @@ object ScaleProbe {
         (L.toLong, nComp, (System.nanoTime() - t0) / 1e9)
       } finally spark.conf.unset("spark.graft.cc.localEdgeMax")
     }
-    timedChainCc(1) // warmup
-    Seq(1, mult).distinct.foreach { m =>
+    probeMults("star-components-chain", timedChainCc(1)).foreach { m =>
       val (l, nc, s) = timedChainCc(m)
       println(f"[scale-probe] star-components-chain mult=$m%-3d vertices=$l%-7d components=$nc time=$s%.2fs")
     }
@@ -536,8 +529,8 @@ object ScaleProbe {
         .agg(avg($"n_hit" / 10.0), avg($"n_cand")).head()
       (r.getDouble(0), r.getDouble(1), (System.nanoTime() - t0) / 1e9)
     }
-    timedRecall(1, 1) // warmup
-    for (m <- Seq(1, mult).distinct; np <- Seq(1, 2, Dedup.IvfCells)) {
+    for (m <- probeMults("ivf-recall", timedRecall(1, 1));
+         np <- Seq(1, 2, Dedup.IvfCells)) {
       val (rec, cand, s) = timedRecall(m, np)
       println(f"[scale-probe] ivf-recall mult=$m%-3d nprobe=$np recall@10=$rec%.3f mean_cand=$cand%.0f time=$s%.2fs")
     }

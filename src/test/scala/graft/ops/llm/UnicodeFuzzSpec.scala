@@ -1,0 +1,179 @@
+package graft.ops.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Randomized multilingual corpora against the byte-level suffix
+  * machinery ([[SuffixIndex]] / longest-dup) — the fuzz complement to
+  * [[UnicodeTextSpec]]'s fixed planted corpus (VERDICT r9 #1). The
+  * planted corpus proves the chosen edge cases; these corpora prove the
+  * cases nobody chose: random mixes of 1/2/3/4-byte scripts, combining
+  * marks, shared prefixes, cross-script duplications planted at random
+  * offsets, empty and sub-seed-width documents.
+  *
+  * Both references are INDEPENDENT driver-side computations on the raw
+  * UTF-8 bytes (a plain byte-array suffix sort; an exhaustive
+  * duplicated-gram scan) — no shared spelling with the engine.
+  *
+  * Documents are assembled from ATOMS (single code points or a full
+  * combining sequence), and duplications are planted by copying atom
+  * slices, so every generated string is well-formed UTF-16 — yet the
+  * byte machinery still sees mid-character and cross-atom byte ties
+  * (CJK atoms share lead bytes; the engine must handle byte-level ties
+  * the generator never spells explicitly).
+  */
+class UnicodeFuzzSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val pools: Vector[Vector[String]] = Vector(
+    ('a' to 'z').toVector.map(_.toString),             // 1-byte ASCII
+    "àâäçéèêëîïôöùûüÿñ".toVector.map(_.toString),      // 2-byte Latin
+    "αβγδεζηθικλμνξοπ".toVector.map(_.toString),       // 2-byte Greek
+    "абвгдежзийклмноп".toVector.map(_.toString),       // 2-byte Cyrillic
+    "的一是不了人我在有他这为之大来以个中上们".toVector.map(_.toString), // 3-byte CJK
+    "אבגדהוזחטיכלמנ".toVector.map(_.toString),         // RTL Hebrew
+    "ابتثجحخدذرزسشص".toVector.map(_.toString),         // RTL Arabic
+    Vector("é", "ä", "ô", "ñ"), // combining (NFD)
+    Vector("🦀", "🚀", "🌍", // astral 4-byte
+           "🧪", "𝒜")
+  )
+
+  /** One random corpus: ~26 random docs + planted cross-doc atom-slice
+    * duplications + the deliberate degenerate docs (empty, single-atom,
+    * exact-prefix pair).
+    */
+  private def genCorpus(seed: Long): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    def atom(): String = {
+      val p = pools(rnd.nextInt(pools.length))
+      p(rnd.nextInt(p.length))
+    }
+    val base: Vector[Vector[String]] =
+      Vector.fill(20)(Vector.fill(1 + rnd.nextInt(40))(atom()))
+    // plant: copy a random atom slice of one doc into two others (and
+    // once twice into the SAME doc — a within-doc dup), guaranteeing
+    // duplicated byte runs long past the 14-byte seed width
+    val planted = {
+      var docs = base
+      (0 until 4).foreach { _ =>
+        val src = docs(rnd.nextInt(docs.length))
+        if (src.nonEmpty) {
+          val a = rnd.nextInt(src.length)
+          val b = math.min(src.length, a + 3 + rnd.nextInt(12))
+          val slice = src.slice(a, b)
+          def splice(d: Vector[String]): Vector[String] = {
+            val at = if (d.isEmpty) 0 else rnd.nextInt(d.length + 1)
+            d.take(at) ++ slice ++ d.drop(at)
+          }
+          val i = rnd.nextInt(docs.length)
+          val j = rnd.nextInt(docs.length)
+          docs = docs.updated(i, splice(docs(i)))
+          docs = docs.updated(j, splice(splice(docs(j))))
+        }
+      }
+      docs
+    }
+    val strs = planted.map(_.mkString)
+    val extras = Vector(
+      "",                                       // empty doc
+      atom(),                                   // below the seed width
+      strs.head,                                // exact duplicate of doc 0
+      strs.head.take(math.max(1, strs.head.length / 2)) // prefix of doc 0
+    )
+    (strs ++ extras).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+  }
+
+  private def byteOrd: Ordering[Array[Byte]] = new Ordering[Array[Byte]] {
+    def compare(x: Array[Byte], y: Array[Byte]): Int = {
+      val m = math.min(x.length, y.length)
+      var i = 0
+      while (i < m) {
+        val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      java.lang.Integer.compare(x.length, y.length)
+    }
+  }
+
+  /** Naive global dense byte-suffix ranks: (doc, bytePos) -> rank. */
+  private def naiveRanks(corpus: Seq[(Long, String)]): Map[(Long, Long), Long] = {
+    val ord = byteOrd
+    val suffixes = corpus.flatMap { case (id, text) =>
+      val b = text.getBytes("UTF-8")
+      b.indices.map(i => (id, i.toLong, b.drop(i)))
+    }
+    val sorted = suffixes.sortBy(_._3)(ord)
+    val out = scala.collection.mutable.Map[(Long, Long), Long]()
+    var rank = 0L
+    var prev: Array[Byte] = null
+    sorted.foreach { case (id, i, suf) =>
+      if (prev == null || ord.compare(prev, suf) != 0) rank += 1
+      prev = suf
+      out((id, i)) = rank
+    }
+    out.toMap
+  }
+
+  /** Naive longest duplicated byte string: exhaustive max-LCP over the
+    * sorted suffixes, then every lmax-byte gram with >= 2 occurrences as
+    * (lmax, lowercase-hex g, n_occ, n_docs) rows sorted by g.
+    */
+  private def naiveLongestDup(corpus: Seq[(Long, String)])
+      : Seq[(Long, String, Long, Long)] = {
+    val ord = byteOrd
+    val byDoc = corpus.map { case (id, t) => id -> t.getBytes("UTF-8") }
+    val sorted = byDoc.flatMap { case (id, b) =>
+      b.indices.map(i => (id, i, b))
+    }.sortBy { case (_, i, b) => b.drop(i) }(ord)
+    def lcp(x: Array[Byte], xi: Int, y: Array[Byte], yi: Int): Int = {
+      var k = 0
+      while (xi + k < x.length && yi + k < y.length &&
+             x(xi + k) == y(yi + k)) k += 1
+      k
+    }
+    val lmax = sorted.sliding(2).collect {
+      case Seq((_, i1, b1), (_, i2, b2)) => lcp(b1, i1, b2, i2)
+    }.foldLeft(0)(math.max)
+    if (lmax == 0) Seq.empty
+    else {
+      val grams = byDoc.flatMap { case (id, b) =>
+        (0 to b.length - lmax).map(i =>
+          (b.slice(i, i + lmax).map("%02x".format(_)).mkString, id))
+      }
+      grams.groupBy(_._1).toSeq
+        .map { case (g, occ) =>
+          (lmax.toLong, g, occ.size.toLong, occ.map(_._2).distinct.size.toLong)
+        }
+        .filter(_._3 >= 2L)
+        .sortBy(_._2)
+    }
+  }
+
+  for (seed <- Seq(11L, 42L, 2026L)) {
+    test(s"seed $seed: global byte suffix ranks on a random multilingual " +
+         "corpus match the naive byte-array sort") {
+      val corpus = genCorpus(seed)
+      val frame = corpus.toDF("doc_id", "text")
+      val got = TextStats.suffixRanksGlobal(frame)
+        .select($"doc_id", $"sa_pos", $"r")
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got === naiveRanks(corpus),
+        s"distributed ranks drifted from the naive sort (seed $seed)")
+    }
+
+    test(s"seed $seed: longest duplicated byte string on a random " +
+         "multilingual corpus matches the exhaustive scan") {
+      val corpus = genCorpus(seed)
+      val frame = corpus.toDF("doc_id", "text")
+      val got = Dedup.longestDupUnicodeFrom(frame)
+        .select($"lmax", $"g", $"n_occ", $"n_docs")
+        .as[(Long, String, Long, Long)].collect().toSeq
+        .sortBy(_._2)
+      assert(got === naiveLongestDup(corpus),
+        s"longest-dup drifted from the exhaustive reference (seed $seed)")
+    }
+  }
+}
