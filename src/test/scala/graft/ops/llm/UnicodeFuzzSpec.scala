@@ -151,6 +151,48 @@ class UnicodeFuzzSpec extends SparkSpec {
     }
   }
 
+  // independent replica of the 60-bit md5 prefix (same spelling as
+  // UnicodeTextSpec — BigInt fold, not the engine's bit-shift chain)
+  private def hex60(bytes: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    BigInt(1, d.take(8)).toLong >>> 4
+  }
+
+  /** Naive winnow (k=8-byte grams, w=4 window): doc -> (n_fps, fp_head). */
+  private def naiveWinnow(corpus: Seq[(Long, String)])
+      : Map[Long, (Long, String)] = {
+    val k = 8; val w = 4
+    corpus.flatMap { case (id, text) =>
+      val b = text.getBytes("UTF-8")
+      val n = b.length
+      if (n < k + w - 1) None
+      else {
+        val hv = (0 to n - k).map(i => hex60(b.slice(i, i + k)))
+        val wmins = (0 to n - k - (w - 1)).map(i => hv.slice(i, i + w).min)
+        val fps = wmins.distinct.sorted
+        Some(id -> (fps.size.toLong, fps.take(8).mkString("|")))
+      }
+    }.toMap
+  }
+
+  /** Naive CDC chunks (16-byte window, divisor 64): (doc, j, nb, md5). */
+  private def naiveCdc(corpus: Seq[(Long, String)])
+      : Set[(Long, Int, Int, String)] = {
+    val w = 16; val divisor = 64
+    corpus.flatMap { case (id, text) =>
+      val b = text.getBytes("UTF-8")
+      val n = b.length
+      val cuts = 0 +: (w until n)
+        .filter(i => hex60(b.slice(i - w, i)) % divisor == 0) :+ n
+      cuts.sliding(2).zipWithIndex.map {
+        case (Seq(a, c), j0) =>
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(b.slice(a, c)).map("%02x".format(_)).mkString
+          (id, j0 + 1, c - a, h)
+      }
+    }.toSet
+  }
+
   for (seed <- Seq(11L, 42L, 2026L)) {
     test(s"seed $seed: global byte suffix ranks on a random multilingual " +
          "corpus match the naive byte-array sort") {
@@ -174,6 +216,33 @@ class UnicodeFuzzSpec extends SparkSpec {
         .sortBy(_._2)
       assert(got === naiveLongestDup(corpus),
         s"longest-dup drifted from the exhaustive reference (seed $seed)")
+    }
+
+    test(s"seed $seed: winnow fingerprints on a random multilingual " +
+         "corpus match the naive byte-gram reference") {
+      val corpus = genCorpus(seed)
+      val got = TextStats.winnowFrom(corpus.toDF("doc_id", "text"))
+        .select($"doc_id", $"n_fps", $"fp_head")
+        .as[(Long, Long, String)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got === naiveWinnow(corpus),
+        s"winnow drifted from the byte-gram reference (seed $seed)")
+    }
+
+    test(s"seed $seed: CDC chunks on a random multilingual corpus match " +
+         "the naive byte-boundary reference and tile the byte stream") {
+      val corpus = genCorpus(seed)
+      val batch = Dedup.cdcChunkRowsBatch(corpus.toDF("doc_id", "text"))
+      val got = batch.select($"doc_id", $"j", $"nb", $"h")
+        .as[(Long, Int, Int, String)].collect().toSet
+      assert(got === naiveCdc(corpus),
+        s"CDC chunker drifted from the byte-boundary reference (seed $seed)")
+      val widths = batch.groupBy($"doc_id").agg(sum($"nb").as("s"))
+        .as[(Long, Long)].collect().toMap
+      corpus.filter(_._2.nonEmpty).foreach { case (id, text) =>
+        assert(widths(id) === text.getBytes("UTF-8").length.toLong,
+          s"doc $id: chunks do not tile the byte stream (seed $seed)")
+      }
     }
   }
 }
