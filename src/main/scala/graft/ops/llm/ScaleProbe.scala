@@ -42,8 +42,19 @@ object ScaleProbe {
     val onlySections = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def probeMults(name: String, warmup: => Any): Seq[Int] =
-      if (onlySections.forall(_.contains(name))) { warmup; Seq(1, mult).distinct }
-      else Seq.empty
+      if (onlySections.forall(_.contains(name))) {
+        // Per-section debris sweep (the Bench between-queries contract):
+        // pinned (localCheckpoint) frames from earlier sections otherwise
+        // occupy block storage and contaminate later sections' times —
+        // measured: suffix-array-global at 10× read 179s with the
+        // winnow-pairs section's 2+ GiB of pins resident vs 88s swept.
+        // Retained (session-cache) pins are exempt, as in Bench.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => graft.state.Materialize.isRetained(id) }
+          .values.foreach(_.unpersist(blocking = false))
+        warmup; Seq(1, mult).distinct
+      } else Seq.empty
     val base = Similarity.corpus(spark, sfDir).select($"vec_id", $"v", $"nrm")
     def timed(m: Int): (Long, Double) = {
       val corpus = (0 until m)
