@@ -137,7 +137,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val (load1, mem1) = (loadAvg(), memAvailMb())
-    val env = s""""env":{"load_start":$load0,"load_end":$load1,""" +
+    // Self-annotate contention (VERDICT r10 #6): snapshots are only
+    // comparable below load 1.5 (the repo's own bar, memory + COVERAGE);
+    // a loaded driver run previously produced two phantom >=1.5x
+    // "regressions" a reader had to debunk by hand. Flag it in the
+    // artifact so downstream tooling (and the regress guard below) can
+    // mark the run suspect instead of crying wolf.
+    val contended = load0 >= 1.5
+    val env = s""""env":{"load_start":$load0,"load_end":$load1,"contended":$contended,""" +
       s""""mem_avail_start_mb":$mem0,"mem_avail_end_mb":$mem1,""" +
       // the one-time cold SuffixIndex build the medians exclude (rep 1
       // absorbs it) — published in the artifact so the accounting is
@@ -163,7 +170,7 @@ object Bench {
       // automatic per-query regression guard vs the latest committed
       // BENCH_r{N}.json (VERDICT r9 #8: run it in the round flow, not by
       // hand) — writes BENCH_REGRESS.md and prints one loud line
-      try regressGuard(results.toMap)
+      try regressGuard(results.toMap, contended, load0)
       catch { case e: Throwable =>
         System.err.println(s"[bench-regress] guard failed: ${e.getMessage}")
       }
@@ -186,17 +193,21 @@ object Bench {
     * and print a one-line verdict. Broken = ran before, failed now;
     * regressed = ≥1.5× slower on the comparable set.
     */
-  private def regressGuard(current: Map[String, Double]): Unit = {
+  private def regressGuard(current: Map[String, Double], contended: Boolean,
+                           loadStart: Double): Unit = {
     val dir = Paths.get(".")
     val pat = raw"BENCH_r(\d+)\.json".r
     var best: Option[(Int, java.nio.file.Path)] = None
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.list(dir).iterator().asScala.foreach { p =>
+    // close the directory stream (ADVICE r10: Files.list leaks the fd
+    // when only its iterator is consumed)
+    val listing = java.nio.file.Files.list(dir)
+    try listing.iterator().asScala.foreach { p =>
       p.getFileName.toString match {
         case pat(n) if best.forall(_._1 < n.toInt) => best = Some((n.toInt, p))
         case _ => ()
       }
-    }
+    } finally listing.close()
     best.foreach { case (round, path) =>
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val node = mapper.readTree(Files.readString(path))
@@ -214,7 +225,14 @@ object Bench {
           qs.fieldNames().asScala.map(k => k -> qs.get(k).asDouble()).toMap
         else {
           val tail = Option(node.get("tail")).map(_.asText("")).getOrElse("")
-          raw""""([A-Za-z0-9_]+)":(-?\d+\.\d+)""".r.findAllMatchIn(tail)
+          // the tail is the LAST 2000 chars of the driver's stdout scrape:
+          // its start boundary can cut a pair mid-token, so require each
+          // match to sit between JSON delimiters — a leading `{`/`,` proves
+          // the key wasn't truncated, a trailing `,`/`}` proves the number
+          // wasn't (ADVICE r10: a boundary fragment yielded a wrong old
+          // time and a spurious >=1.5x verdict)
+          raw"""[,{]"([A-Za-z0-9_]+)":(-?\d+\.\d+)(?=[,}])""".r
+            .findAllMatchIn(tail)
             .map(m => m.group(1) -> m.group(2).toDouble)
             .filterNot(m => Set("value", "load_start", "load_end",
               "baseline_s", "suffix_index_cold_s").contains(m._1)).toMap
@@ -230,13 +248,20 @@ object Bench {
         .toSeq.sortBy(k => -old(k) / current(k))
       def row(k: String) = f"| $k | ${old(k)}%.2f | ${current(k)}%.2f | ${current(k) / old(k)}%.2fx |"
       val md = new StringBuilder
-      md ++= s"# BENCH_REGRESS — this run vs BENCH_r$round.json (factor 1.5)\n\n"
+      val suspect = if (contended) " — CONTENDED HOST" else ""
+      md ++= s"# BENCH_REGRESS — this run vs BENCH_r$round.json (factor 1.5)$suspect\n\n"
+      if (contended)
+        md ++= f"**CONTENDED RUN (load_start $loadStart%.2f >= 1.5)**: times are " +
+          "not comparable to a clean-host snapshot; any 'regressed' rows below " +
+          "are SUSPECT-HOST, not code verdicts (VERDICT r10 #6 — a load-1.74 " +
+          "driver run flagged two phantom regressions the clean run contradicted).\n\n"
       md ++= s"Comparable queries: ${shared.size}; broken: ${broken.size}; "
       md ++= s"regressed >=1.5x: ${regressed.size}; improved >=1.5x: ${improved.size}.\n\n"
       if (broken.nonEmpty)
         md ++= broken.mkString("Broken (ran before, failed now): ", ", ", "\n\n")
       if (regressed.nonEmpty) {
-        md ++= "| regressed | old s | new s | factor |\n|---|---|---|---|\n"
+        val head = if (contended) "regressed (suspect-host)" else "regressed"
+        md ++= s"| $head | old s | new s | factor |\n|---|---|---|---|\n"
         regressed.foreach(k => md ++= row(k) + "\n")
         md ++= "\n"
       }
@@ -245,9 +270,10 @@ object Bench {
         improved.foreach(k => md ++= row(k) + "\n")
       }
       Files.writeString(Paths.get("BENCH_REGRESS.md"), md.toString)
+      val flag = if (contended) " [CONTENDED: regressions suspect-host]" else ""
       println(s"[bench-regress] vs r$round: ${shared.size} comparable, " +
         s"${broken.size} broken, ${regressed.size} regressed >=1.5x, " +
-        s"${improved.size} improved >=1.5x -> BENCH_REGRESS.md")
+        s"${improved.size} improved >=1.5x -> BENCH_REGRESS.md$flag")
     }
   }
 

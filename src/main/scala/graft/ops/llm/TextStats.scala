@@ -390,10 +390,12 @@ object TextStats extends QueryPack {
     * under exact-substring dedup (Lee et al. 2022 build suffix arrays of
     * the whole corpus to find every duplicated substring; the k-gram
     * [[winnowMins]]/span machinery approximates what this computes
-    * exactly). A naive suffix sort compares O(len)-char strings
+    * exactly). A naive suffix sort compares O(len)-byte strings
     * O(n log n) times; prefix doubling never compares strings at all
-    * after round 0 — round j orders suffixes by their first 2^j chars
-    * using only the PAIR of integer ranks (rank_i, rank_{i+2^(j-1)})
+    * after round 0 — round j orders suffixes by their first 7·2^j BYTES
+    * (byte-level UTF-8 semantics, like the global sibling since r10; the
+    * seed is [[graft.functions.PackBytes8]] over the first 7 bytes)
+    * using only the PAIR of integer ranks (rank_i, rank_{i+d})
     * from the previous round, so each round is two windows on the same
     * doc_id partitioning (a `lead` to fetch the offset rank — positions
     * are contiguous, making the self-join a window — and a `dense_rank`
@@ -475,17 +477,27 @@ object TextStats extends QueryPack {
 
   private[llm] def suffixRanks(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val base = docs.select($"doc_id", $"text", length($"text").as("len"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // BYTE-level semantics, consistent with the global sibling since r10
+    // (ADVICE r10: this per-doc gate was the one remaining char/ascii()
+    // holdout — silently ASCII-only while the multilingual claims cover
+    // the suffix family): positions are byte offsets, lengths are byte
+    // counts, order is byte-lexicographic (= code-point order on UTF-8).
+    // On the ASCII gate fixture (doc_id < 100, verified all-ASCII at
+    // sf0.01/sf0.1) bytes ≡ chars, so the naive DuckDB char-sort oracle
+    // is unchanged.
+    val base = docs.select($"doc_id", $"text", octet_length($"text").as("len"))
       .where($"len" > 0)
     val maxLen = base.agg(max($"len")).head().getInt(0)
-    // round 0: rank = the character code at i (any order-preserving
-    // initial rank works; ASCII fixture ⇒ ascii() IS the code point)
+    // round 0: rank = the first 7 suffix bytes packed order-preserving
+    // into one long (any order-preserving, prefix-injective initial rank
+    // works; graft_pack8's past-end-as-0 gives shorter-prefix-sorts-first
+    // byte semantics) — certifies d=7 before the first doubling round
     var cur = base
       .select($"doc_id", explode(expr("sequence(0, len - 1)")).as("i"), $"text")
-      .select($"doc_id", $"i",
-              expr("cast(ascii(substring(text, i + 1, 1)) as bigint)").as("r"))
+      .select($"doc_id", $"i", expr("graft_pack8(text, i)").as("r"))
       .transform(graft.state.Materialize.pin)
-    var d = 1
+    var d = 7
     while (d < maxLen) {
       val byPos  = Window.partitionBy($"doc_id").orderBy($"i")
       val byPair = Window.partitionBy($"doc_id").orderBy($"r", $"r2")

@@ -130,6 +130,13 @@ object UnicodeGates extends graft.ops.QueryPack {
          |SELECT (SELECT lmax FROM m) AS lmax, g,
          |  COUNT(*)::BIGINT AS n_occ,
          |  COUNT(DISTINCT doc_id)::BIGINT AS n_docs
-         |FROM g GROUP BY g HAVING COUNT(*) >= 2 ORDER BY g""".stripMargin
+         |FROM g
+         |WHERE (SELECT lmax FROM m) > 0
+         |GROUP BY g HAVING COUNT(*) >= 2 ORDER BY g""".stripMargin
+    // the lmax > 0 guard (ADVICE r10): with no duplicated byte anywhere
+    // the engine returns an EMPTY frame, while the unguarded oracle
+    // grouped zero-length grams into one row — only the planted 63-byte
+    // dup kept them aligned; the guard makes both sides empty on a
+    // dup-free corpus so editing the corpus can't trip the gate.
   )
 }

@@ -63,11 +63,28 @@ final class NfcNormalizeProcessor(spark: org.apache.spark.sql.SparkSession,
 }
 
 /** C36 content-defined chunking: explode each document into CDC chunk
-  * rows (doc_id, j, chunk, h) via the pure-projection chunker — the
-  * pipeline form of [[graft.ops.llm.Dedup.cdcChunkRows]]; follow with
+  * rows via the pure-projection chunker — the pipeline form of
+  * [[graft.ops.llm.Dedup.cdcChunkRows]]; follow with
   * `dedup_exact(columns=[h])` for chunk-level dedup, in batch or
   * streaming (the [[graft.streaming.ChunkDedupStream]] architecture,
   * config-driven).
+  *
+  * Declared output schema (the pipeline-boundary contract — ADVICE r10:
+  * the r10 byte-semantics change had widened it silently):
+  *   - `doc_id`, `j` — document id and 1-based chunk ordinal;
+  *   - `chunk` — the chunk BYTES reinterpreted as a string (CDC cuts on
+  *     the UTF-8 byte stream, so a boundary may split a multi-byte
+  *     character; the reinterpret is byte-preserving and total where a
+  *     decode would throw or substitute);
+  *   - `nb` — exact chunk width in BYTES (trustworthy even when `chunk`
+  *     is not cleanly decodable);
+  *   - `h` — md5 of the raw byte slice, the chunk's dedup identity;
+  *   - `chunk_valid_utf8` — true iff `chunk` is well-formed UTF-8, i.e.
+  *     the cut did NOT land mid-character and downstream consumers may
+  *     treat `chunk` as text. Computed as the md5 round-trip
+  *     `md5(encode(chunk)) = h`: re-encoding substitutes U+FFFD for any
+  *     malformed sequence, so equality with the raw-byte hash proves
+  *     well-formedness without carrying the byte slice itself.
   */
 final class CdcChunkProcessor(params: Conf) extends Transform {
   private val textCol = params.str("text_column").getOrElse("text")
@@ -80,7 +97,9 @@ final class CdcChunkProcessor(params: Conf) extends Transform {
     "(supported: text_column, id_column)")
   def apply(df: DataFrame): DataFrame =
     graft.ops.llm.Dedup.cdcChunkRows(
-      df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      .withColumn("chunk_valid_utf8",
+        md5(encode(col("chunk"), "UTF-8")) === col("h"))
 }
 
 /** C39 quality filter: keep documents within configured token bounds. */

@@ -193,6 +193,24 @@ class UnicodeFuzzSpec extends SparkSpec {
     }.toSet
   }
 
+  test("NUL (0x00) bytes are rejected at index build, not silently " +
+       "mis-ranked") {
+    // the pack seed's past-end sentinel IS byte 0, so a NUL-bearing
+    // suffix would tie with its NUL-free prefix and freeze as "equal" at
+    // the fixed point — the build now enforces the documented no-NUL
+    // contract loudly (ADVICE r10; PackBytes8 Scaladoc)
+    val corpus = Seq((0L, "clean ascii doc"), (1L, "has a \u0000 nul byte"))
+    val ex = intercept[Exception] {
+      TextStats.suffixRanksGlobal(corpus.toDF("doc_id", "text"))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("NUL")),
+      s"expected the NUL ingestion guard to fire, got: ${ex.getMessage}")
+  }
+
   for (seed <- Seq(11L, 42L, 2026L)) {
     test(s"seed $seed: global byte suffix ranks on a random multilingual " +
          "corpus match the naive byte-array sort") {

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.SparkSpec
 import graft.config.Conf
+import org.apache.spark.sql.functions._
 
 /** Reproduces the reference's processor-level asserted scenarios:
   *  - golden uppercase table (…/processors/custom_processors.py:71-93)
@@ -125,6 +126,39 @@ class ProcessorSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unsupported params"))
     assert(e.getMessage.contains("txt_column"))
+  }
+
+  test("cdc_chunks declares its boundary schema and flags mid-character " +
+       "cuts via chunk_valid_utf8 (ADVICE r10: the byte-semantics change " +
+       "had widened the schema silently)") {
+    // long CJK text: CDC cuts on the byte stream, so with 3-byte
+    // characters ~2/3 of interior boundaries land mid-character —
+    // deterministic for this fixed content
+    val cjk = "训练数据质量决定模型最终效果与泛化能力上限" * 40
+    val in = Seq((1L, cjk), (2L, "plain ascii " + ("x" * 200)))
+      .toDF("doc_id", "text")
+    val p = ProcessorRegistry.resolve(spark, "cdc_chunks", Conf.empty)
+    val out = p.process(in).get
+    assert(out.columns.toSeq ===
+      Seq("doc_id", "j", "chunk", "nb", "h", "chunk_valid_utf8"),
+      "pipeline-boundary schema contract")
+    // nb stays trustworthy regardless of decodability: chunks tile the
+    // exact byte stream
+    val widths = out.groupBy($"doc_id").agg(sum($"nb").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(widths(1L) === cjk.getBytes("UTF-8").length.toLong)
+    // the ASCII doc's chunks are all valid; the CJK doc has at least one
+    // interior cut and this content produces a mid-character one
+    val flags = out.select($"doc_id", $"chunk_valid_utf8")
+      .as[(Long, Boolean)].collect()
+    assert(flags.filter(_._1 == 2L).forall(_._2), "ASCII chunks all valid")
+    assert(flags.exists(f => f._1 == 1L && !f._2),
+      "expected a flagged mid-character cut on the CJK doc")
+    // the flag is consistent with a real decodability check: re-encoding
+    // a valid chunk reproduces its exact byte width
+    val chk = out.where($"chunk_valid_utf8")
+      .where(octet_length(encode($"chunk", "UTF-8")) =!= $"nb").count()
+    assert(chk === 0L)
   }
 
   test("decontaminate drops exactly the benchmark-contained docs, passes " +
