@@ -264,6 +264,15 @@ object Dedup extends QueryPack {
     longestDupFromIndex(SuffixIndex.build(docs),
       docs.select(col("doc_id"), col("text")), hexOut = true)
 
+  /** Hex-output longest-dup over a caller-held (possibly memoized) index
+    * — the [[UnicodeGates]] entry sharing one [[SuffixIndex.forFrame]]
+    * build with the suffix-array gate (VERDICT r10 #4).
+    */
+  private[llm] def longestDupUnicodeFromIndex(ix: SuffixIndex.Index,
+                                              docs: DataFrame): DataFrame =
+    longestDupFromIndex(ix, docs.select(col("doc_id"), col("text")),
+      hexOut = true)
+
   private def ceilDiv(a: Int, b: Int): Int = (a + b - 1) / b
 
   private def longestDupFromIndex(ix: SuffixIndex.Index,
@@ -306,15 +315,28 @@ object Dedup extends QueryPack {
     var loRound: SuffixIndex.Round = null
     var lo = 0
     var hiBound = ix.maxLen
+    // materialized on the bracket's HIT round: the docs holding a
+    // full-tied rank group at that level — the probe phase's prune set.
+    // Fused into the bracket walk (r11): the walk already aggregates the
+    // tied residue per round, so producing the doc ids on the hit costs
+    // one tiny pin instead of a second corpus-wide residue scan later
+    var tiedDocs: DataFrame = null
     val it = ix.rounds.reverseIterator
     while (loRound == null && it.hasNext) {
       val rd = it.next()
       if (rd.compareLen <= ix.maxLen) {
-        val anyTie = rd.ranks.join(broadcast(ix.lens), Seq("doc_id"))
+        // !fin prefilter (r11): fin marks globally-singleton ranks, so a
+        // tied group's members are all !fin — the aggregation's shuffle
+        // then moves only the tied residue, not the corpus (validity can
+        // only SHRINK a group, never lift a singleton to ≥ 2)
+        val td = rd.ranks.where(!$"fin")
+          .join(broadcast(ix.lens), Seq("doc_id"))
           .where($"len" - $"i" >= rd.compareLen)
-          .groupBy($"r").agg(count(lit(1)).as("n")).where($"n" >= 2)
-          .limit(1).count() > 0
-        if (anyTie) { loRound = rd; lo = rd.compareLen }
+          .withColumn("n", count(lit(1)).over(Window.partitionBy($"r")))
+          .where($"n" >= 2).select($"doc_id").distinct()
+          .transform(graft.state.Materialize.pin)
+        val anyTie = !td.isEmpty
+        if (anyTie) { loRound = rd; lo = rd.compareLen; tiedDocs = td }
         else hiBound = rd.compareLen - 1
         lap(s"bracket anyTie c=${rd.compareLen} -> $anyTie")
       }
@@ -347,24 +369,26 @@ object Dedup extends QueryPack {
     } else {
       val c = lo
       val hi = math.min(hiBound, ix.maxLen)
-      // pin the bracket round ONCE: since round 10 a Round frame is a
-      // lazy union of active/frozen slices across several build pins,
-      // and this consumer scans it three times (tiedDocs, pf0, and the
-      // lStar extraction's base ranks) — one sweepable pin here keeps
-      // the probes on a single materialized frame
-      val loRanks = graft.state.Materialize.pin(loRound.ranks)
-      // prune to documents holding a full-tied rank group at level c: a
-      // dup pair of any length ≥ c has both its starts full-tied at c
-      val wR = Window.partitionBy($"r")
-      val tiedDocs = loRanks.join(broadcast(ix.lens), Seq("doc_id"))
-        .where($"len" - $"i" >= c)
-        .withColumn("n", count(lit(1)).over(wR))
-        .where($"n" >= 2).select($"doc_id").distinct()
+      // the bracket round frame is consumed twice (tiedDocs, pf0) — both
+      // scans read the build's already-materialized pins through a lazy
+      // union, so a further corpus-wide pin here bought nothing once the
+      // probes moved onto the pruned pf frame (r11 measurement; the r10
+      // pin predated the pf prune)
+      val loRanks = loRound.ranks
       val byPos = Window.partitionBy($"doc_id").orderBy($"i")
       // precompute the offset ranks at fixed multiples of c once; the
       // probes' only per-L window is the single L−c offset
       val kPre = math.max(ceilDiv(hi, c) - 1, 0)
-      val pf0 = loRanks.join(tiedDocs, Seq("doc_id"), "left_semi")
+      if (dbg) { val n = tiedDocs.count(); lap(s"tiedDocs n=$n (dbg-only job)") }
+      // broadcast the id set: without the hint the semi-join plans as a
+      // sort-merge and shuffles the corpus-sized rank frame (measured
+      // ~1.5s of the pf pin at sf0.1 for a 303-doc id set). The frame is
+      // ids-only (16 B/doc) and strictly smaller than the pf frame the
+      // join produces — if the tied-doc set were ever too big to
+      // broadcast, pf itself (every POSITION of those docs) would be the
+      // blocker first, not this hint
+      val pf0 = loRanks.drop("fin")
+        .join(broadcast(tiedDocs), Seq("doc_id"), "left_semi")
         .join(broadcast(ix.lens), Seq("doc_id"))
         // per-POSITION prune flag: a start of any dup of length ≥ c must
         // share its first c chars with another valid start, i.e. sit in
@@ -384,11 +408,21 @@ object Dedup extends QueryPack {
       // probe frame's parallelism to its measured row count (bounded
       // driver probe on a pinned frame; ≥64k rows per partition), the
       // same adaptive shape AQE applies to post-shuffle stages.
+      if (dbg) lap("pfWide pin")
       val pfRows = pfWide.count()
-      val parts = math.max(1L, math.min(pfRows / 65536L + 1,
-        pfWide.rdd.getNumPartitions.toLong)).toInt
+      // ~16k rows per partition: each batched probe explodes every row
+      // into up to 15 key tuples, so a single-partition frame would run
+      // the batch single-threaded (measured 1.6s/batch at 115k rows × 1
+      // partition) while over-splitting re-introduces per-task overhead
+      val shufP = docs.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt
+      val parts = math.max(1L, math.min(pfRows / 16384L + 1,
+        shufP.toLong)).toInt
+      // re-partition in EITHER direction: AQE can coalesce the pinned
+      // frame to 1 partition (serializing every probe batch), and an
+      // over-split tiny frame pays per-task overhead on every probe
       val pf =
-        if (parts < pfWide.rdd.getNumPartitions)
+        if (parts != pfWide.rdd.getNumPartitions)
           pfWide.repartition(parts, $"doc_id")
             .transform(graft.state.Materialize.pin)
         else pfWide
@@ -420,17 +454,70 @@ object Dedup extends QueryPack {
       }
       def keyCols(df: DataFrame): Seq[Column] =
         df.columns.filter(n => n == "r" || n.startsWith("k")).toSeq.map(col)
-      def hasDup(l: Int): Boolean = {
-        val kd = keyed(l)
-        kd.groupBy(keyCols(kd): _*).agg(count(lit(1)).as("n"))
-          .where($"n" >= 2).limit(1).count() > 0
+      // offsets a probe at length l compares (beyond the implicit 0)
+      def offsFor(l: Int): Seq[Int] = {
+        val m = ceilDiv(l, c)
+        (((1 to (m - 2)).map(_ * c) :+ (l - c)).filter(_ > 0)).distinct.sorted
+      }
+      // ---- BATCHED multi-cut search (r11, VERDICT #5): at this frame
+      // size (pf is the pruned candidate set, usually ≪ corpus) a probe's
+      // cost is almost pure job scheduling, so probing K lengths in ONE
+      // distributed job beats K binary-search jobs even though each does
+      // K× the (tiny) work. Per batch: every variable-offset lead for
+      // every probed length comes from one shared per-doc window pass
+      // (identical window spec ⇒ one WindowExec), each row then explodes
+      // into one key-tuple struct per VALID probed length, and one hash
+      // aggregate on (probe length, tuple) answers all K "does some
+      // L-gram occur twice" questions at once. Key tuples are padded to
+      // the batch's max arity with -2 (count-ranks are ≥ 0, so the pad
+      // never collides with a real rank).
+      def probeBatch(ls: Seq[Int]): Set[Int] = {
+        val allVar = ls.flatMap(offsFor)
+          .filter(off => off % c != 0 || off / c > kPre).distinct.sorted
+        val src = allVar.foldLeft(pf) { (df, off) =>
+          df.withColumn(s"rv$off", lead($"r", off).over(byPos))
+        }
+        val mAr = ls.map(l => offsFor(l).size).max
+        val structs = ls.map { l =>
+          val offs = offsFor(l)
+          val ks = offs.map { off =>
+            if (off % c == 0 && off / c <= kPre) col(s"rk${off / c}")
+            else col(s"rv$off")
+          } ++ Seq.fill(mAr - offs.size)(lit(-2L))
+          struct((lit(l).as("ll") +: ($"i" + l <= $"len").as("ok") +:
+            ks.zipWithIndex.map { case (cc, j) => cc.cast("long").as(s"k$j") }): _*)
+        }
+        val withDup = src.where($"ntc" >= 2)
+          .select($"r", explode(array(structs: _*)).as("s"))
+          .where($"s.ok")
+          .groupBy(($"s.ll" +: $"r" +:
+            (0 until mAr).map(j => col(s"s.k$j"))): _*)
+          .agg(count(lit(1)).as("n")).where($"n" >= 2)
+          .select($"ll").distinct()
+          .as[Int].collect().toSet
+        withDup
       }
       var l0 = lo
       var h0 = hi
+      var firstBatch = true
       while (l0 < h0) {
-        val mid = (l0 + h0 + 1) / 2
-        if (hasDup(mid)) l0 = mid else h0 = mid - 1
-        lap(s"probe mid=$mid -> [$l0, $h0]")
+        val width = h0 - l0
+        // per-batch cost = fixed scheduling + per-cut explode volume, so
+        // the widest (first) range probes coarsely and later, narrow
+        // ranges probe densely (measured optimum on the sf0.1 fixture)
+        val nCuts = math.min(if (firstBatch) 7 else 15, width)
+        firstBatch = false
+        // evenly spaced cuts in (l0, h0], last cut = h0; width ≥ nCuts
+        // makes them strictly increasing
+        val cuts = (1 to nCuts).map(j => l0 + (width.toLong * j / nCuts).toInt)
+          .distinct
+        val dup = probeBatch(cuts)
+        val good = cuts.filter(dup.contains)
+        val firstBad = cuts.filterNot(dup.contains).headOption
+        if (good.nonEmpty) l0 = good.max
+        h0 = firstBad.map(_ - 1).getOrElse(h0)
+        lap(s"probe batch ${cuts.size} cuts in [${cuts.head}, ${cuts.last}]" +
+          s" -> [$l0, $h0]")
       }
       val lStar = l0
       val kd = keyed(lStar)

@@ -100,6 +100,23 @@ object SuffixIndex {
       _ => build(Tables.documents(spark, dir), retain = true))
   }
 
+  /** Memoized [[build]] for an in-memory corpus, keyed on (session,
+    * caller-supplied corpus fingerprint) — the [[forDir]] pattern for
+    * frames with no backing dir. The two [[UnicodeGates]] gates consume
+    * the SAME 10-doc planted corpus and previously each paid a full
+    * un-memoized distributed build, ~half of their combined bench cost
+    * duplicated scheduling (VERDICT r10 #4). The caller owns the
+    * fingerprint ⇄ content correspondence (UnicodeGates derives it from
+    * the planted texts, so editing the corpus changes the key); the
+    * un-memoized [[build]] stays the entry point for laws, fuzz suites
+    * and probes, which need fresh per-corpus builds.
+    */
+  def forFrame(docs: DataFrame, fingerprint: String): Index = {
+    graft.state.Materialize.purgeStopped(cache)(_._1)
+    cache.computeIfAbsent((docs.sparkSession, s"frame:$fingerprint"),
+      _ => build(docs, retain = true))
+  }
+
   /** Distributed two-phase global dense rank of `df` by `sortCols`;
     * `bucket` MUST be a pure function of the sort key's leading
     * component (equal keys share a bucket). Returns the ranked frame and

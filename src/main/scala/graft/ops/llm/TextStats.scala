@@ -474,6 +474,13 @@ object TextStats extends QueryPack {
   private[llm] def suffixRanksGlobal(docs: DataFrame): DataFrame =
     formatSuffixRanks(SuffixIndex.build(docs))
 
+  /** Formatter over a caller-held (possibly memoized) index — the
+    * [[UnicodeGates]] entry, which shares one [[SuffixIndex.forFrame]]
+    * build between its two gates (VERDICT r10 #4).
+    */
+  private[llm] def suffixRanksGlobalFromIndex(ix: SuffixIndex.Index): DataFrame =
+    formatSuffixRanks(ix)
+
 
   private[llm] def suffixRanks(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
