@@ -478,7 +478,7 @@ object TextStats extends QueryPack {
     * [[UnicodeGates]] entry, which shares one [[SuffixIndex.forFrame]]
     * build between its two gates (VERDICT r10 #4).
     */
-  private[llm] def suffixRanksGlobalFromIndex(ix: SuffixIndex.Index): DataFrame =
+  private[graft] def suffixRanksGlobalFromIndex(ix: SuffixIndex.Index): DataFrame =
     formatSuffixRanks(ix)
 
 
