@@ -357,6 +357,56 @@ object ScaleProbe {
       println(f"[scale-probe] cdc mult=$m%-3d chunks=$n%-8d distinct=$d%-8d time=$s%.2fs")
     }
 
+    // STREAMING chunk-dedup at 10× the micro-batches/keys (VERDICT r10
+    // #3 — the batch families all carry scale probes; this gives the
+    // streaming twins one). The content-bound claim under test: state =
+    // one row per DISTINCT chunk hash, so re-crawled content (10× the
+    // batches, 10× the doc keys, same text population) must leave state
+    // rows EXACTLY flat while per-batch wall stays level. Drives the
+    // real ChunkDedupStream transform (CDC chunker + dropDuplicates on
+    // the hash) through MemoryStream micro-batches against the noop
+    // sink, reading state rows/bytes from the progress telemetry. The
+    // driver-side doc collect is the bounded fixture corpus (~1.4 MB) —
+    // a probe-harness convenience, not part of the operator under test.
+    def streamChunkProbe(m: Int): (Int, Double, Double, Long, Long) = {
+      implicit val ctx = spark.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.ChunkDedupStream
+        .newChunks(in.toDF().toDF("doc_id", "text"))
+        .writeStream.format("noop").outputMode("append").start()
+      try {
+        val all = docs.as[(Long, String)].collect()
+        val slice = math.max(1, math.ceil(all.length / 10.0).toInt)
+        val slices = all.grouped(slice).toSeq
+        val walls = scala.collection.mutable.ArrayBuffer[Double]()
+        for (copy <- 0 until m; s <- slices) {
+          val t0 = System.nanoTime()
+          // shifted ids = new crawl keys, same text = same chunk hashes
+          in.addData(s.toSeq.map { case (id, t) => (id + copy * 1000000L, t) }: _*)
+          q.processAllAvailable()
+          walls += (System.nanoTime() - t0) / 1e9
+        }
+        val p = q.lastProgress
+        val (rows, mem) =
+          if (p != null && p.stateOperators.nonEmpty)
+            (p.stateOperators(0).numRowsTotal,
+             p.stateOperators(0).memoryUsedBytes)
+          else (-1L, -1L)
+        (walls.size, walls.sum / walls.size, walls.max, rows, mem)
+      } finally q.stop()
+    }
+    // headOption: the ladder here is the fixed {1, 10} pair, not the
+    // probe's strong-scaling mult list
+    probeMults("stream-chunk-dedup", streamChunkProbe(1)).headOption.foreach { _ =>
+      Seq(1, 10).foreach { m =>
+        val (nb, mean, mx, rows, mem) = streamChunkProbe(m)
+        println(f"[scale-probe] stream-chunk-dedup mult=$m%-3d batches=$nb%-4d " +
+          f"mean_batch=$mean%.2fs max_batch=$mx%.2fs state_rows=$rows%-7d " +
+          f"state_mb=${mem / (1 << 20)}%d")
+      }
+    }
+
     // PQ train + ADC at multiplied corpus: the codebook aggregate's key
     // space (M·Ks·Sd) is corpus-independent and scoring is one scan of
     // the code frame against a constant broadcast lookup table — time
