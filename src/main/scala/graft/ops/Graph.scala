@@ -99,11 +99,16 @@ object Graph extends QueryPack {
     val u = e.select($"a".as("w1"), $"b".as("w2"))
       .union(e.select($"b".as("w1"), $"a".as("w2")))
       .transform(graft.state.Materialize.pin)
-    val outw = u.groupBy($"w1").agg(count(lit(1)).as("out_w"))
+    // the degree join is LOOP-INVARIANT: weight every edge with its
+    // source's out-degree once and pin, instead of re-joining u ⋈ outw
+    // inside all PrIters iterations (r11 — one pinned frame replaces T
+    // edge-shuffle joins; per-iteration work drops to one join + one agg)
+    val uw = u.join(u.groupBy($"w1").agg(count(lit(1)).as("out_w")), "w1")
+      .transform(graft.state.Materialize.pin)
     val nodes = u.select($"w1".as("node")).distinct()
       .transform(graft.state.Materialize.pin)
     def step(prev: DataFrame): DataFrame = {
-      val contrib = u.join(outw, "w1")
+      val contrib = uw
         .join(prev.withColumnRenamed("node", "w1"), "w1")
         .select($"w2".as("node"), expr("r div out_w").as("c"))
         .groupBy($"node").agg(sum($"c").as("incoming"))
@@ -163,6 +168,11 @@ object Graph extends QueryPack {
     val ed = e.select($"a".as("w1"), $"b".as("w2"))
       .transform(graft.state.Materialize.pin)
     val outw = ed.groupBy($"w1").agg(count(lit(1)).as("out_w"))
+    // loop-invariant degree join hoisted out of all PrIters iterations
+    // (r11, same as the undirected form): per-iteration work drops to
+    // one rank join + one aggregate over the pinned weighted edges
+    val edw = ed.join(outw, "w1")
+      .transform(graft.state.Materialize.pin)
     val nodes = ed.select($"w1".as("node"))
       .union(ed.select($"w2".as("node"))).distinct()
       .transform(graft.state.Materialize.pin)
@@ -171,7 +181,7 @@ object Graph extends QueryPack {
       .join(outw.select($"w1".as("node")), Seq("node"), "left_anti")
       .transform(graft.state.Materialize.pin)
     def step(prev: DataFrame): DataFrame = {
-      val contrib = ed.join(outw, "w1")
+      val contrib = edw
         .join(prev.withColumnRenamed("node", "w1"), "w1")
         .select($"w2".as("node"), expr("r div out_w").as("c"))
         .groupBy($"node").agg(sum($"c").as("incoming"))
