@@ -149,7 +149,10 @@ object Bench {
       // the one-time cold SuffixIndex build the medians exclude (rep 1
       // absorbs it) — published in the artifact so the accounting is
       // machine-readable (−1 when no suffix gate ran this sweep)
-      s""""suffix_index_cold_s":${graft.ops.llm.SuffixIndex.lastBuildSeconds}},""" +
+      s""""suffix_index_cold_s":${graft.ops.llm.SuffixIndex.lastBuildSeconds},""" +
+      // same accounting for the r11 memoized span frame shared by the
+      // two substring gates
+      s""""span_frame_cold_s":${graft.ops.llm.Dedup.spanFrameColdSeconds}},""" +
       // the ≤2× perf gate's denominator, pinned IN the artifact so a
       // loaded-host run overwriting BENCH.json can't silently shift it:
       // the recorded round-5 full-sweep snapshot (221 queries, sf0.1,
@@ -235,7 +238,8 @@ object Bench {
             .findAllMatchIn(tail)
             .map(m => m.group(1) -> m.group(2).toDouble)
             .filterNot(m => Set("value", "load_start", "load_end",
-              "baseline_s", "suffix_index_cold_s").contains(m._1)).toMap
+              "baseline_s", "suffix_index_cold_s", "span_frame_cold_s")
+              .contains(m._1)).toMap
         }
       }
       val shared = old.keySet.intersect(current.keySet)
