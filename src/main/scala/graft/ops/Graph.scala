@@ -238,8 +238,11 @@ object Graph extends QueryPack {
         .join(visited, Seq("v"), "left_anti")
         .withColumn("lvl", lit(lvl.toLong))
         .transform(graft.state.Materialize.pin)
+      // visited is a union of ALREADY-pinned level frames — re-pinning
+      // it each round re-materialized the cumulative set K times (~2×K
+      // eager jobs for a K-hop walk); the lazy union over the level pins
+      // serves the anti-join at the same cost (r11)
       visited = visited.unionByName(nxt)
-        .transform(graft.state.Materialize.pin)
       frontier = nxt
     }
     visited.groupBy($"lvl")
