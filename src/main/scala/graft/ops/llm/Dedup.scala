@@ -678,6 +678,7 @@ object Dedup extends QueryPack {
     */
   private val pairsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  graft.state.Materialize.registerSessionCache(() => pairsCache.clear())
 
   private[graft] def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     graft.state.Materialize.purgeStopped(pairsCache)(_._1)
@@ -1111,6 +1112,7 @@ object Dedup extends QueryPack {
     */
   private val embPairsCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Double, Boolean), DataFrame]()
+  graft.state.Materialize.registerSessionCache(() => embPairsCache.clear())
 
   private def embeddingPairsCached(spark: SparkSession, dir: String,
                                    thr: Double, sameCellOnly: Boolean): DataFrame = {
@@ -1443,6 +1445,7 @@ object Dedup extends QueryPack {
     */
   private val spanCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  graft.state.Materialize.registerSessionCache(() => spanCache.clear())
 
   /** Wall seconds of the largest memoized span-frame build this JVM
     * (−1 until one runs) — emitted into BENCH.json's env block so the

@@ -89,7 +89,17 @@ object SuffixIndex {
     */
   @volatile var lastBuildSeconds: Double = -1.0
 
+  /** JVM-lifetime count of [[build]] invocations — the memoization
+    * evidence `MemoCacheSpec` asserts on: N concurrent misses on ONE
+    * cache key must increment this exactly once (`computeIfAbsent`
+    * runs the mapping function at most once per key and blocks the
+    * other callers until the single build installs).
+    */
+  private[graft] val buildsStarted =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   private val cache = new ConcurrentHashMap[(SparkSession, String), Index]()
+  graft.state.Materialize.registerSessionCache(() => cache.clear())
 
   /** Memoized per (session, fixture dir): the two consuming gates run in
     * the same session over the same dir, and the build is the whole cost.
@@ -158,6 +168,7 @@ object SuffixIndex {
     */
   def build(docs: DataFrame, retain: Boolean = false): Index = {
     val tBuild0 = System.nanoTime()
+    buildsStarted.incrementAndGet()
     import docs.sparkSession.implicits._
     val spark = docs.sparkSession
     // retained pins survive Bench's between-queries debris sweep —

@@ -281,6 +281,7 @@ object TextStats extends QueryPack {
     */
   private val winnowSelCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  graft.state.Materialize.registerSessionCache(() => winnowSelCache.clear())
 
   private def winnowSelForDir(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -85,6 +85,24 @@ object Materialize {
     while (it.hasNext) if (session(it.next()).sparkContext.isStopped) it.remove()
   }
 
+  /** Clear callbacks of the session-lived memo caches (SuffixIndex
+    * `forDir`/`forFrame`, Dedup's span/pair caches, TextStats' winnow
+    * cache). Each cache registers once at object init; tests that must
+    * observe a cache MISS — the unknown-mode dispatch error, a real
+    * reliable-vs-local re-derivation — reset the whole memo layer here
+    * instead of reaching into private maps. Cleared entries' pinned
+    * blocks are NOT unpersisted (callers may still hold the frames);
+    * they remain subject to the normal sweep/GC lifecycle.
+    */
+  private val sessionCaches =
+    new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
+
+  private[graft] def registerSessionCache(clear: () => Unit): Unit =
+    sessionCaches.add(clear)
+
+  private[graft] def clearSessionCaches(): Unit =
+    sessionCaches.forEach(_.apply())
+
   def pin(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.get(ModeKey, "local") match {

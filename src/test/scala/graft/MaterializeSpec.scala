@@ -24,10 +24,16 @@ class MaterializeSpec extends SparkSpec {
   test("reliable checkpoint mode matches local mode on pinned pipelines") {
     val qs = SparkEntry.queries
     // one per pin-heavy family: fingerprint reuse, CC iteration loop,
-    // prefix-doubling rounds, PageRank iterations
+    // prefix-doubling rounds, PageRank iterations. The memo layer is
+    // cleared before EACH mode's run: a cache hit would hand the
+    // reliable run the local run's pinned frame and the comparison
+    // would be vacuous (the r11 winnow/span memoization made the
+    // un-cleared form exactly that).
     Seq("llm_winnow_pairs", "llm_dedup_clusters", "llm_suffix_array",
         "llm_textrank").foreach { name =>
+      Materialize.clearSessionCaches()
       val local    = canon(qs(name)(spark, dir))
+      Materialize.clearSessionCaches()
       val reliable = withMode("reliable")(canon(qs(name)(spark, dir)))
       assert(local.nonEmpty, s"$name: empty result")
       assert(reliable == local, s"$name: reliable mode drifts from local")
@@ -35,6 +41,9 @@ class MaterializeSpec extends SparkSpec {
   }
 
   test("unknown materialize mode fails fast") {
+    // a memo-cache hit would serve the already-pinned frame and never
+    // reach the mode dispatch — force the MISS
+    Materialize.clearSessionCaches()
     val e = withMode("spill-to-floppy") {
       intercept[IllegalArgumentException](
         SparkEntry.queries("llm_winnow_pairs")(spark, dir).collect())

@@ -256,10 +256,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), p) // the segment explode
   }
 
-  test("llm_substring_spans: the cross-doc duplication test is a gram " +
-       "WINDOW, never an aggregate-plus-join-back (which would re-derive " +
-       "the position explode) — exactly zero join operators") {
+  test("llm_substring_spans GATE consumes the memoized span checkpoint: " +
+       "zero join operators, and the position explode ran once upstream " +
+       "(Generate appears nowhere in the gate plan)") {
     val p = plan("llm_substring_spans")
+    val joinOps = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct")
+    assert(!joinOps.exists(p.contains), p)
+    // the r11 memoized span frame (Dedup.dupSpansForDir) truncates the
+    // derivation's lineage; the report is a bare aggregate over it
+    assert(!p.contains("Generate explode(sequence"), p)
+  }
+
+  test("the span DERIVATION is a gram WINDOW, never an aggregate-plus-" +
+       "join-back (which would re-derive the position explode) — " +
+       "asserted on the un-memoized from-frame twin the probes use") {
+    val p = graft.ops.llm.Dedup
+      .substringSpansFrom(graft.Tables.documents(spark, dir))
+      .queryExecution.executedPlan.toString
     val joinOps = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
       "BroadcastNestedLoopJoin", "CartesianProduct")
     assert(!joinOps.exists(p.contains), p)
