@@ -1452,7 +1452,8 @@ object Dedup extends QueryPack {
     * one-time cold cost the medians exclude stays machine-readable
     * (the `suffix_index_cold_s` accounting convention).
     */
-  @volatile var spanFrameColdSeconds: Double = -1.0
+  private val spanFrameColdGauge = new graft.state.MaxGauge
+  def spanFrameColdSeconds: Double = spanFrameColdGauge.get
 
   private def dupSpansForDir(spark: SparkSession, dir: String): DataFrame = {
     graft.state.Materialize.purgeStopped(spanCache)(_._1)
@@ -1460,8 +1461,7 @@ object Dedup extends QueryPack {
       val t0 = System.nanoTime()
       val sp = graft.state.Materialize.pinRetained(dupSpans(
         Tables.documents(spark, dir).select(col("doc_id"), col("text"))))
-      spanFrameColdSeconds =
-        math.max(spanFrameColdSeconds, (System.nanoTime() - t0) / 1e9)
+      spanFrameColdGauge.sample((System.nanoTime() - t0) / 1e9)
       sp
     })
   }
@@ -1558,9 +1558,10 @@ object Dedup extends QueryPack {
     exciseFromSpans(dupSpans(docs).transform(graft.state.Materialize.pin),
       docs)
 
-  private def exciseFromSpans(spRaw: DataFrame, docs: DataFrame): DataFrame = {
+  // callers decide how `sp` is materialized (memoized retained pin for
+  // the dir-keyed gates, plain pin for the from-frame twin)
+  private def exciseFromSpans(sp: DataFrame, docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val sp = spRaw
     val bySpan = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"s")
     // kept interval BEFORE each span (empty when spans are back-to-back

@@ -249,7 +249,14 @@ object ScaleProbe {
     val wsCpuNs = new java.util.concurrent.atomic.AtomicLong(0)
     val wsTasks = new java.util.concurrent.atomic.AtomicLong(0)
     val wsSpill = new java.util.concurrent.atomic.AtomicLong(0)
-    spark.sparkContext.addSparkListener(new SparkListener {
+    // listener + corpus-bytes job only when a weak section is actually
+    // selected (a SPARK_GRAFT_PROBE_ONLY run of other sections would
+    // otherwise pay a full corpus scan and funnel EVERY later section's
+    // tasks through these atomics for data nobody reads), and removed
+    // again right after the weak sections so it doesn't outlive them
+    val weakEnabled = Seq("weak-winnow", "weak-spans")
+      .exists(n => onlySections.forall(_.contains(n)))
+    val wsListener = new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
         if (m != null) {
@@ -259,8 +266,11 @@ object ScaleProbe {
           wsSpill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
         }
       }
-    })
-    val docBytes = docs.agg(sum(octet_length($"text"))).as[Long].collect().head
+    }
+    if (weakEnabled) spark.sparkContext.addSparkListener(wsListener)
+    val docBytes =
+      if (weakEnabled) docs.agg(sum(octet_length($"text"))).as[Long].collect().head
+      else 0L
     def weakScale(tag: String, run: org.apache.spark.sql.DataFrame => Unit,
                   control: Boolean = false): Unit = {
       // parts = m pins per-task input at the FULL base corpus (~1.4 MB of
@@ -316,6 +326,7 @@ object ScaleProbe {
         .agg(sum($"n_fps"), sum(length($"fp_head"))).collect(),
       control = true)
     weakScale("spans", c => Dedup.substringSpansFrom(c).count())
+    if (weakEnabled) spark.sparkContext.removeSparkListener(wsListener)
 
     // End-to-end curation funnel at multiplied corpus: duplication makes
     // the exact-dedup stage maximally busy (every copy beyond the first

@@ -87,7 +87,8 @@ object SuffixIndex {
     * planted-corpus indexes after the fixture one, and "the figure the
     * accounting note cares about" is the dominant (corpus) build.
     */
-  @volatile var lastBuildSeconds: Double = -1.0
+  private val lastBuildGauge = new graft.state.MaxGauge
+  def lastBuildSeconds: Double = lastBuildGauge.get
 
   /** JVM-lifetime count of [[build]] invocations — the memoization
     * evidence `MemoCacheSpec` asserts on: N concurrent misses on ONE
@@ -331,8 +332,7 @@ object SuffixIndex {
       rankByBucketed(finest.select($"doc_id", $"i", $"r"),
         expr(s"r div $width"), Seq($"r"), pin)._1
     }
-    lastBuildSeconds =
-      math.max(lastBuildSeconds, (System.nanoTime() - tBuild0) / 1e9)
+    lastBuildGauge.sample((System.nanoTime() - tBuild0) / 1e9)
     Index(rounds, nSuffixes, maxLen, lens, dense)
   }
 }

@@ -30,6 +30,26 @@ import org.apache.spark.sql.DataFrame
   *     exists for. A real deployment sets `spark.checkpoint.dir` to
   *     shared reliable storage (HDFS / object store) explicitly.
   */
+/** Concurrent running-max gauge (−1 until the first sample) for the
+  * cold-build telemetry Bench publishes (`suffix_index_cold_s`,
+  * `span_frame_cold_s`). The former `@volatile var x = math.max(x, v)`
+  * pattern was a non-atomic read-modify-write: two sessions racing
+  * distinct cache keys could lose the LARGER cold-build time — exactly
+  * the number the field exists to report.
+  */
+final class MaxGauge {
+  private val bits = new java.util.concurrent.atomic.AtomicLong(
+    java.lang.Double.doubleToLongBits(-1.0))
+  @annotation.tailrec
+  final def sample(v: Double): Unit = {
+    val cur = bits.get()
+    if (v > java.lang.Double.longBitsToDouble(cur) &&
+        !bits.compareAndSet(cur, java.lang.Double.doubleToLongBits(v)))
+      sample(v)
+  }
+  def get: Double = java.lang.Double.longBitsToDouble(bits.get())
+}
+
 object Materialize {
 
   val ModeKey = "spark.graft.materialize"
@@ -90,9 +110,7 @@ object Materialize {
     * cache). Each cache registers once at object init; tests that must
     * observe a cache MISS — the unknown-mode dispatch error, a real
     * reliable-vs-local re-derivation — reset the whole memo layer here
-    * instead of reaching into private maps. Cleared entries' pinned
-    * blocks are NOT unpersisted (callers may still hold the frames);
-    * they remain subject to the normal sweep/GC lifecycle.
+    * instead of reaching into private maps.
     */
   private val sessionCaches =
     new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
@@ -100,8 +118,29 @@ object Materialize {
   private[graft] def registerSessionCache(clear: () => Unit): Unit =
     sessionCaches.add(clear)
 
-  private[graft] def clearSessionCaches(): Unit =
+  /** Reset every registered memo cache AND un-strand their pins. The
+    * cleared entries' retained RDD ids would otherwise stay exempt from
+    * the debris sweep forever (the sweep skips retained ids BY DESIGN),
+    * so each clear + re-derivation cycle would strictly grow executor
+    * block storage until the context stops. The caches just dropped
+    * their only handles, so the pins are unpersisted and un-retained
+    * here; a frame a caller captured BEFORE the clear is invalidated
+    * (lineage-truncated, blocks gone) — acceptable for this test-only
+    * reset API, and documented so nobody promotes it to a public
+    * surface without revisiting that contract.
+    */
+  private[graft] def clearSessionCaches(): Unit = {
     sessionCaches.forEach(_.apply())
+    val it = retained.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val sc = e.getValue
+      if (!sc.isStopped)
+        sc.getPersistentRDDs.get(e.getKey)
+          .foreach(_.unpersist(blocking = false))
+      it.remove()
+    }
+  }
 
   def pin(df: DataFrame): DataFrame = {
     val spark = df.sparkSession

@@ -26,6 +26,14 @@ class MemoCacheSpec extends SparkSpec {
 
   import spark.implicits._
 
+  /** Per-run nonce in every cache fingerprint: the memo cache and the
+    * build counter are JVM-global, so a hard-coded key would make a
+    * SECOND execution in one test JVM (testQuick rerun, suite retry)
+    * hit the already-installed entry and fail the exactly-one-build
+    * assertion even though memoization works.
+    */
+  private val runTag = java.util.UUID.randomUUID().toString.take(8)
+
   private def corpus(tag: String, n: Int) =
     (0 until n).map(i => (i.toLong, s"doc $tag $i shares the planted dup " +
         s"payload ABCDEFGH-$tag plus unique tail ${i * 7919}"))
@@ -37,7 +45,7 @@ class MemoCacheSpec extends SparkSpec {
     val before = SuffixIndex.buildsStarted.get()
     val idxs = Await.result(
       Future.sequence((1 to 8).map(_ =>
-        Future(SuffixIndex.forFrame(docs, "memo-spec-single")))),
+        Future(SuffixIndex.forFrame(docs, s"memo-spec-single-$runTag")))),
       5.minutes)
     assert(SuffixIndex.buildsStarted.get() - before === 1,
       "computeIfAbsent must run the build mapping exactly once per key")
@@ -56,8 +64,8 @@ class MemoCacheSpec extends SparkSpec {
     val before = SuffixIndex.buildsStarted.get()
     val Seq(ib, ic) = Await.result(
       Future.sequence(Seq(
-        Future(SuffixIndex.forFrame(docsB, "memo-spec-b")),
-        Future(SuffixIndex.forFrame(docsC, "memo-spec-c")))),
+        Future(SuffixIndex.forFrame(docsB, s"memo-spec-b-$runTag")),
+        Future(SuffixIndex.forFrame(docsC, s"memo-spec-c-$runTag")))),
       5.minutes)
     assert(SuffixIndex.buildsStarted.get() - before === 2,
       "each distinct key must pay its own build")
@@ -67,7 +75,7 @@ class MemoCacheSpec extends SparkSpec {
     assert(ib.nSuffixes === bytesB)
     assert(ic.nSuffixes === bytesC)
     // a revisit on either key is a pure hit — no third build
-    assert(SuffixIndex.forFrame(docsB, "memo-spec-b") eq ib)
+    assert(SuffixIndex.forFrame(docsB, s"memo-spec-b-$runTag") eq ib)
     assert(SuffixIndex.buildsStarted.get() - before === 2)
   }
 }
