@@ -118,10 +118,18 @@ object Graph extends QueryPack {
            expr("(850 * coalesce(incoming, 0L)) div 1000")).as("r"))
     }
     var r = nodes.withColumn("r", lit(1000000L))
-    // two iterations per pin: per-iteration cost is action-overhead-
-    // bound at these graph sizes (same finding as componentsQ)
-    for (_ <- 1 to PrIters / 2)
-      r = step(step(r)).transform(graft.state.Materialize.pin)
+    // five iterations per pin (r11, measured 3.6s -> 3.0s at sf0.1): the
+    // chain is pure lazy join+agg — nothing inside an iteration forces
+    // evaluation, so a deeper lineage between pins just widens one job,
+    // and each pin otherwise costs a whole scheduled job at this graph
+    // size. The DIRECTED form cannot do this (see pagerankDirectedFrom:
+    // its per-iteration dangling-mass broadcast evaluates eagerly, so an
+    // unpinned prev-chain re-executes once per remaining iteration —
+    // measured 3.7s -> 6.4s at cadence 5).
+    for (i <- 1 to PrIters) {
+      r = step(r)
+      if (i % 5 == 0) r = r.transform(graft.state.Materialize.pin)
+    }
     r.orderBy($"r".desc, $"node").limit(50)
   }
 
@@ -206,6 +214,12 @@ object Graph extends QueryPack {
     }
     var r = nodesF.withColumn("r", lit(1000000L))
     var prev: DataFrame = r
+    // cadence 2, NOT the undirected form's 5: each iteration's dangling-
+    // mass broadcast evaluates `prev` EAGERLY, so every un-pinned
+    // iteration between pins is re-executed once per later iteration —
+    // cadence 5 measured 3.7s -> 6.4s at sf0.1 from exactly that
+    // quadratic recompute; cadence 2 bounds the re-executed chain to one
+    // iteration
     for (i <- 1 to PrIters) {
       prev = r
       r = step(r)
