@@ -687,11 +687,24 @@ object Dedup extends QueryPack {
         .transform(graft.state.Materialize.pinRetained))
   }
 
-  private def nearDupPairsUncached(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  private def nearDupPairsUncached(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairsFrom(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")))
+
+  /** The MinHash+LSH near-dup pair pipeline over any (doc_id, text)
+    * corpus — the from-frame twin of [[nearDupPairs]] (same shape the
+    * suffix/winnow families expose), consumed by the dir-keyed gate
+    * above and the `near_dedup` pipeline processor
+    * ([[graft.pipeline.NearDedupProcessor]]). Entirely lazy: banding,
+    * the bucket equi-join, and the exact Jaccard verify are one
+    * declarative plan (no actions), so it composes inside a pipeline
+    * fold and Catalyst optimizes across the processor boundary.
+    */
+  private[graft] def nearDupPairsFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     // Raw (non-distinct) shingles: min() and collect_set() dedup
     // inherently, so the pre-aggregation distinct shuffle is pure waste.
-    val sh = shingles(spark, dir, 3, distinct = false)
+    val sh = shinglesFrom(docs, 3, distinct = false)
     val buckets = minhashBuckets(sh)
     val cand = buckets.select($"doc_id".as("d1"), $"band", $"bucket")
       .join(buckets.select($"doc_id".as("d2"), $"band", $"bucket"), Seq("band", "bucket"))

@@ -61,17 +61,28 @@ object TextStats extends QueryPack {
   def langId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
+    docs.join(langPredictionsFrom(docs), Seq("doc_id"), "left_outer")
+      .select($"lang", coalesce($"plang", lit("und")).as("predicted"))
+      .groupBy($"lang", $"predicted").agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  /** Per-document language prediction `(doc_id, plang)` — the
+    * profile-argmax core of [[langId]], shared with the `lang_id`
+    * pipeline processor ([[graft.pipeline.LangIdProcessor]]) so the gate
+    * and the configured pipeline cannot disagree on a prediction. A doc
+    * with NO profile-word hit has no row (the gate's left join coalesces
+    * to 'und'; the processor does the same).
+    */
+  private[graft] def langPredictionsFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val prof = profiles.toDF("plang", "w")
     val toks = docs.select($"doc_id", explode(split($"text", " ")).as("w"))
     val scores = toks.join(broadcast(prof), Seq("w"))
       .groupBy($"doc_id", $"plang").agg(count(lit(1)).as("score"))
     val wArg = Window.partitionBy($"doc_id").orderBy($"score".desc, $"plang")
-    val predicted = scores.withColumn("rn", row_number().over(wArg))
+    scores.withColumn("rn", row_number().over(wArg))
       .filter($"rn" === 1).select($"doc_id", $"plang")
-    docs.join(predicted, Seq("doc_id"), "left_outer")
-      .select($"lang", coalesce($"plang", lit("und")).as("predicted"))
-      .groupBy($"lang", $"predicted").agg(count(lit(1)).as("n_docs"))
-      .orderBy($"lang", $"predicted")
   }
 
   /** C39 quality scoring: integer feature flags (length band, token count,
@@ -79,20 +90,34 @@ object TextStats extends QueryPack {
     */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .withColumn("ws", split($"text", " "))
-      .withColumn("n_tokens", size($"ws").cast("long"))
-      .withColumn("n_distinct", size(array_distinct($"ws")).cast("long"))
-      .withColumn("stop_cnt",
-        expr("cast(size(filter(ws, w -> w = 'the' or w = 'a')) as bigint)"))
-      .withColumn("score",
-        ($"n_chars".between(100, 400)).cast("int")
-          + ($"n_tokens" >= 20).cast("int")
-          + ($"n_distinct" * 2 >= $"n_tokens").cast("int")
-          + ($"stop_cnt" * 5 <= $"n_tokens").cast("int"))
+    withQualityScore(Tables.documents(spark, dir), $"text", $"n_chars")
       .select($"doc_id", $"n_tokens", $"n_distinct", $"stop_cnt", $"score")
       .orderBy($"doc_id")
   }
+
+  /** Append the additive quality features (`n_tokens`, `n_distinct`,
+    * `stop_cnt`, `score`) to any frame — the scoring core of
+    * [[qualityScore]], shared with the `quality_score` pipeline
+    * processor so the gate and a configured pipeline produce the same
+    * score by construction. `nChars` is caller-supplied: the gate
+    * trusts the fixture's `n_chars` column, the processor recomputes
+    * `length(text)`. Uses (and overwrites, then drops) a temp `ws`
+    * column; overwrites the four output names if present. Pure map —
+    * scan-rate at 100 TB, streaming-legal.
+    */
+  private[graft] def withQualityScore(df: DataFrame, text: Column,
+                                      nChars: Column): DataFrame =
+    df.withColumn("ws", split(text, " "))
+      .withColumn("n_tokens", size(col("ws")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("ws"))).cast("long"))
+      .withColumn("stop_cnt",
+        expr("cast(size(filter(ws, w -> w = 'the' or w = 'a')) as bigint)"))
+      .withColumn("score",
+        (nChars.between(100, 400)).cast("int")
+          + (col("n_tokens") >= 20).cast("int")
+          + (col("n_distinct") * 2 >= col("n_tokens")).cast("int")
+          + (col("stop_cnt") * 5 <= col("n_tokens")).cast("int"))
+      .drop("ws")
 
   /** Gopher/C4-style heuristic quality RULES (distinct from the additive
     * [[qualityScore]]): per-document hard filters of the kind production
@@ -109,25 +134,37 @@ object TextStats extends QueryPack {
     */
   def gopherRules(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .withColumn("ws", split($"text", " "))
-      .withColumn("n_words", size($"ws").cast("long"))
+    withGopherFlags(Tables.documents(spark, dir), $"text")
+      .select($"doc_id", $"n_words", $"mean_wlen", $"stop_cnt",
+              $"r_count", $"r_wlen", $"r_alpha", $"r_stop", $"passes")
+      .orderBy($"doc_id")
+  }
+
+  /** Append the Gopher rule flags (`n_words`, `sum_wlen`, `stop_cnt`,
+    * `alpha_cnt`, `mean_wlen`, `r_count`, `r_wlen`, `r_alpha`, `r_stop`,
+    * `passes`) to any frame — the rule core of [[gopherRules]], shared
+    * with the `gopher_filter` pipeline processor. Uses (and overwrites,
+    * then drops) a temp `ws` column; overwrites the output names if
+    * present. Pure map — scan-rate at 100 TB, streaming-legal.
+    */
+  private[graft] def withGopherFlags(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("ws", split(text, " "))
+      .withColumn("n_words", size(col("ws")).cast("long"))
       .withColumn("sum_wlen", expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))"))
       .withColumn("stop_cnt",
         expr("cast(size(filter(ws, w -> w = 'the' or w = 'a' or w = 'of')) as bigint)"))
       .withColumn("alpha_cnt",
         expr("cast(size(filter(ws, w -> w rlike '[a-z]')) as bigint)"))
-      .withColumn("mean_wlen", $"sum_wlen".cast("double") / $"n_words")
-      .withColumn("r_count", $"n_words".between(40L, 100000L))
+      .withColumn("mean_wlen", col("sum_wlen").cast("double") / col("n_words"))
+      .withColumn("r_count", col("n_words").between(40L, 100000L))
       .withColumn("r_wlen",
-        ($"sum_wlen" >= $"n_words" * 3) && ($"sum_wlen" <= $"n_words" * 10))
-      .withColumn("r_alpha", $"alpha_cnt" * 5 >= $"n_words" * 4)
-      .withColumn("r_stop", $"stop_cnt" >= 2)
-      .withColumn("passes", $"r_count" && $"r_wlen" && $"r_alpha" && $"r_stop")
-      .select($"doc_id", $"n_words", $"mean_wlen", $"stop_cnt",
-              $"r_count", $"r_wlen", $"r_alpha", $"r_stop", $"passes")
-      .orderBy($"doc_id")
-  }
+        (col("sum_wlen") >= col("n_words") * 3) &&
+        (col("sum_wlen") <= col("n_words") * 10))
+      .withColumn("r_alpha", col("alpha_cnt") * 5 >= col("n_words") * 4)
+      .withColumn("r_stop", col("stop_cnt") >= 2)
+      .withColumn("passes",
+        col("r_count") && col("r_wlen") && col("r_alpha") && col("r_stop"))
+      .drop("ws")
 
   /** Vocabulary construction: corpus-wide token frequencies, top-K by
     * (count desc, token asc) — the first step of any tokenizer/BPE
@@ -759,10 +796,17 @@ object TextStats extends QueryPack {
     * byte-identical redacted output. Patterns are RE2-safe so Spark
     * (Java regex) and DuckDB (RE2) agree.
     */
+  /** The gate-proven PII patterns, shared with the `pii_scrub` pipeline
+    * processor ([[graft.pipeline.PiiScrubProcessor]]). RE2-safe so Spark
+    * (Java regex) and DuckDB (RE2) agree.
+    */
+  private[graft] val PiiEmailPattern = "[a-z0-9]+@[a-z0-9.]+"
+  private[graft] val PiiPhonePattern = "555-[0-9]{4}"
+
   def piiScrub(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val email = "[a-z0-9]+@[a-z0-9.]+"
-    val phone = "555-[0-9]{4}"
+    val email = PiiEmailPattern
+    val phone = PiiPhonePattern
     Tables.documents(spark, dir)
       .withColumn("text2", concat($"text",
         when($"doc_id" % 7 === 0,

@@ -182,3 +182,139 @@ final class SpanCorruptProcessor(params: Conf) extends Transform {
   }
 }
 
+/** C37 MinHash+LSH near-duplicate removal as a pipeline stage, with
+  * PAIRWISE keep-smallest semantics: a document is dropped iff some
+  * near-duplicate (word-3-gram Jaccard ≥ 0.6, found through the
+  * gate-proven banded-LSH candidate join — bucketed, never all-pairs)
+  * exists with a SMALLER id. This is deliberately NOT transitive-cluster
+  * canonicalization: resolving clusters needs the iterative star
+  * contraction ([[graft.ops.llm.Dedup.dedupClusters]]), whose
+  * convergence loop runs driver-side actions — illegal inside a lazy
+  * pipeline fold (the Processor contract). Pairwise keep-smallest is the
+  * standard "keep the first occurrence of each detected duplicate pair"
+  * rule; a chain a~b~c where (a,c) is NOT itself a near-dup pair keeps
+  * only a under cluster semantics but drops b and c here too (each has a
+  * smaller partner), so the two rules differ only on docs whose ONLY
+  * smaller partners are indirect — run the cluster gate as a batch job
+  * when that distinction matters. Batch/foreachBatch-legal (aggregates
+  * inside); not for a bare streaming DF.
+  */
+final class NearDedupProcessor(params: Conf) extends Transform {
+  private val idCol   = params.str("id_column").getOrElse("doc_id")
+  private val textCol = params.str("text_column").getOrElse("text")
+  private val unknown = params.m.keySet -- Set("id_column", "text_column")
+  require(unknown.isEmpty,
+    s"near_dedup: unsupported params ${unknown.toSeq.sorted.mkString(", ")} " +
+    "(supported: id_column, text_column)")
+  def apply(df: DataFrame): DataFrame = {
+    // pairs come back (d1 < d2); every d2 has a smaller near-dup ⇒ drop
+    val drop = graft.ops.llm.Dedup.nearDupPairsFrom(
+        df.select(col(idCol).cast("long").as("doc_id"),
+                  col(textCol).as("text")))
+      .select(col("d2").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+}
+
+/** C39 PII scrubbing as a pipeline stage: redact emails and phone-shaped
+  * tokens in the text column (the gate-proven patterns of
+  * `llm_pii_scrub`) and append `n_pii_redacted` so downstream stages can
+  * census or quarantine. Pure per-row projection — streaming-legal,
+  * scan-rate at 100 TB.
+  */
+final class PiiScrubProcessor(params: Conf) extends Transform {
+  private val textCol = params.str("text_column").getOrElse("text")
+  private val unknown = params.m.keySet -- Set("text_column")
+  require(unknown.isEmpty,
+    s"pii_scrub: unsupported params ${unknown.toSeq.sorted.mkString(", ")} " +
+    "(supported: text_column)")
+  def apply(df: DataFrame): DataFrame = {
+    val email = graft.ops.llm.TextStats.PiiEmailPattern
+    val phone = graft.ops.llm.TextStats.PiiPhonePattern
+    df.withColumn("n_pii_redacted",
+        (size(regexp_extract_all(col(textCol), lit(email), lit(0)))
+          + size(regexp_extract_all(col(textCol), lit(phone), lit(0))))
+          .cast("long"))
+      .withColumn(textCol,
+        regexp_replace(regexp_replace(col(textCol), email, "<EMAIL>"),
+                       phone, "<PHONE>"))
+  }
+}
+
+/** C39 language identification as a pipeline stage: append
+  * `predicted_lang` via the gate-proven profile argmax
+  * ([[graft.ops.llm.TextStats.langPredictionsFrom]] — `und` when no
+  * profile word hits), optionally filtering to a configured keep-list.
+  * The prediction needs a per-doc aggregate + argmax window —
+  * batch/foreachBatch-legal.
+  */
+final class LangIdProcessor(params: Conf) extends Transform {
+  private val idCol   = params.str("id_column").getOrElse("doc_id")
+  private val textCol = params.str("text_column").getOrElse("text")
+  private val keep: Option[Set[String]] = params.opt("keep") match {
+    case Some(l: List[_]) => Some(l.map(_.toString).toSet)
+    case Some(other) => throw new IllegalArgumentException(
+      s"lang_id: 'keep' must be a list of language codes, got $other")
+    case None => None
+  }
+  private val unknown = params.m.keySet -- Set("id_column", "text_column", "keep")
+  require(unknown.isEmpty,
+    s"lang_id: unsupported params ${unknown.toSeq.sorted.mkString(", ")} " +
+    "(supported: id_column, text_column, keep)")
+  def apply(df: DataFrame): DataFrame = {
+    val pred = graft.ops.llm.TextStats.langPredictionsFrom(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      .select(col("doc_id").as(idCol), col("plang"))
+    val tagged = df.join(pred, Seq(idCol), "left_outer")
+      .withColumn("predicted_lang", coalesce(col("plang"), lit("und")))
+      .drop("plang")
+    keep.fold(tagged)(ks => tagged.where(col("predicted_lang").isin(ks.toSeq: _*)))
+  }
+}
+
+/** C39 additive quality scoring as a pipeline stage: append the
+  * gate-proven 0–4 score (`llm_quality_score`'s features, recomputing
+  * `n_chars` as `length(text)` since a pipeline input has no fixture
+  * column), optionally dropping documents under `min_score`. Appends /
+  * overwrites `n_tokens`, `n_distinct`, `stop_cnt`, `score`. Pure map —
+  * streaming-legal.
+  */
+final class QualityScoreProcessor(params: Conf) extends Transform {
+  private val textCol  = params.str("text_column").getOrElse("text")
+  private val minScore = params.str("min_score").map(_.toInt)
+  private val unknown  = params.m.keySet -- Set("text_column", "min_score")
+  require(unknown.isEmpty,
+    s"quality_score: unsupported params ${unknown.toSeq.sorted.mkString(", ")} " +
+    "(supported: text_column, min_score)")
+  def apply(df: DataFrame): DataFrame = {
+    val scored = graft.ops.llm.TextStats.withQualityScore(
+      df, col(textCol), length(col(textCol)).cast("long"))
+    minScore.fold(scored)(m => scored.where(col("score") >= m))
+  }
+}
+
+/** C39 Gopher-rule filtering as a pipeline stage: the gate-proven hard
+  * rules (`llm_gopher_rules` — word-count band, mean word length band,
+  * alphabetic-word fraction, stopword evidence). `mode: annotate`
+  * appends the per-rule booleans + `passes`; `mode: filter` (default)
+  * keeps passing rows and drops the working columns. Pure map —
+  * streaming-legal, scan-rate at 100 TB.
+  */
+final class GopherFilterProcessor(params: Conf) extends Transform {
+  private val textCol = params.str("text_column").getOrElse("text")
+  private val mode    = params.str("mode").getOrElse("filter")
+  require(Set("filter", "annotate")(mode),
+    s"gopher_filter: unknown mode '$mode' (supported: filter, annotate)")
+  private val unknown = params.m.keySet -- Set("text_column", "mode")
+  require(unknown.isEmpty,
+    s"gopher_filter: unsupported params ${unknown.toSeq.sorted.mkString(", ")} " +
+    "(supported: text_column, mode)")
+  def apply(df: DataFrame): DataFrame = {
+    val flagged = graft.ops.llm.TextStats.withGopherFlags(df, col(textCol))
+    if (mode == "annotate") flagged
+    else flagged.where(col("passes"))
+      .drop("n_words", "sum_wlen", "stop_cnt", "alpha_cnt", "mean_wlen",
+            "r_count", "r_wlen", "r_alpha", "r_stop", "passes")
+  }
+}
+

@@ -95,6 +95,11 @@ object ProcessorRegistry {
     "cdc_chunks"     -> ((_, p) => new CdcChunkProcessor(p)),
     "decontaminate"  -> ((_, p) => new DecontaminateProcessor(p)),
     "span_corrupt"   -> ((_, p) => new SpanCorruptProcessor(p)),
+    "near_dedup"     -> ((_, p) => new NearDedupProcessor(p)),
+    "pii_scrub"      -> ((_, p) => new PiiScrubProcessor(p)),
+    "lang_id"        -> ((_, p) => new LangIdProcessor(p)),
+    "quality_score"  -> ((_, p) => new QualityScoreProcessor(p)),
+    "gopher_filter"  -> ((_, p) => new GopherFilterProcessor(p)),
     // reference-style full class paths, translated
     "graft.pipeline.NoOpProcessor"           -> ((_, p) => new NoOpProcessor(p)),
     "graft.pipeline.UppercaseValueProcessor" -> ((_, p) => new UppercaseValueProcessor(p)),

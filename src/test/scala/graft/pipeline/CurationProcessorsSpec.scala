@@ -1,0 +1,155 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.config.Conf
+import org.apache.spark.sql.functions._
+
+/** The round-11 config-drivable curation processors (near_dedup,
+  * pii_scrub, lang_id, quality_score, gopher_filter): each wraps a
+  * gate-proven operator core shared with the oracle-verified query
+  * (TextStats/Dedup `private[graft]` from-frame entries), so these
+  * tests pin the PIPELINE contract — params, schema, filter semantics,
+  * pass-through of extra columns — not the operator math the gates
+  * already hash-match against DuckDB.
+  */
+class CurationProcessorsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def resolve(id: String, params: Map[String, Any] = Map.empty) =
+    ProcessorRegistry.resolve(spark, id, Conf(params))
+
+  // 20 distinct-ish tokens — long enough that a one-word tail edit keeps
+  // 3-gram Jaccard ≥ 0.6 (m = 18 shingles, inter = 15, union = 21 ⇒ 5/7)
+  private val baseText = (1 to 19).map(i => s"tok$i").mkString(" ")
+
+  test("near_dedup drops every doc with a smaller-id near-duplicate — " +
+       "exact copy AND one-word-tail variant — and keeps distinct docs " +
+       "with extra columns intact") {
+    val in = Seq(
+      (10L, baseText + " tail0", "keep"),
+      (11L, baseText + " tail0", "copy"),          // exact dup of 10
+      (12L, baseText + " CHANGED", "near"),        // near-dup of 10/11
+      (13L, (100 to 119).map(i => s"other$i").mkString(" "), "distinct"))
+      .toDF("doc_id", "text", "extra")
+    val out = resolve("near_dedup").process(in).get
+    assert(out.columns.toSeq === Seq("doc_id", "text", "extra"),
+      "pass-through schema")
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq ===
+      Seq(10L, 13L))
+    // the pairwise rule really came from the gate-proven pair pipeline:
+    // the variant pair (10,12) must be a verified near-dup pair
+    val pairs = graft.ops.llm.Dedup.nearDupPairsFrom(
+        in.select($"doc_id", $"text"))
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10L, 12L)), s"expected (10,12) in $pairs")
+  }
+
+  test("near_dedup honors id_column/text_column and rejects unknown params") {
+    val in = Seq((1L, baseText), (2L, baseText)).toDF("id", "body")
+    val out = resolve("near_dedup",
+      Map("id_column" -> "id", "text_column" -> "body")).process(in).get
+    assert(out.select("id").as[Long].collect().toSeq === Seq(1L))
+    val e = intercept[IllegalArgumentException] {
+      resolve("near_dedup", Map("txt" -> "body"))
+    }
+    assert(e.getMessage.contains("unsupported params"))
+  }
+
+  test("pii_scrub redacts the gate's email/phone patterns in place and " +
+       "counts the redactions") {
+    val in = Seq(
+      (1L, "reach me at alice9@mail.example.com or call 555-0142 now"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val out = resolve("pii_scrub").process(in).get
+      .orderBy($"doc_id")
+      .select($"text", $"n_pii_redacted").as[(String, Long)].collect()
+    assert(out(0)._1 === "reach me at <EMAIL> or call <PHONE> now")
+    assert(out(0)._2 === 2L)
+    assert(out(1) === (("no pii here at all", 0L)))
+  }
+
+  test("lang_id annotates the profile-argmax prediction ('und' when no " +
+       "profile word hits) and keep-list filters") {
+    val in = Seq(
+      (1L, "the a value of things"),       // en profile words
+      (2L, "data table row data"),         // de
+      (3L, "zzz qqq www")).toDF("doc_id", "text") // no hits -> und
+    val tagged = resolve("lang_id").process(in).get
+    assert(tagged.columns.toSeq === Seq("doc_id", "text", "predicted_lang"))
+    val preds = tagged.select($"doc_id", $"predicted_lang")
+      .as[(Long, String)].collect().toMap
+    assert(preds === Map(1L -> "en", 2L -> "de", 3L -> "und"))
+    val kept = resolve("lang_id", Map("keep" -> List("en")))
+      .process(in).get.select("doc_id").as[Long].collect().toSeq
+    assert(kept === Seq(1L))
+    // deterministic argmax tie-break: equal scores resolve to the
+    // alphabetically smaller language, exactly like the gate
+    val tie = Seq((9L, "the data")).toDF("doc_id", "text")
+    val t = resolve("lang_id").process(tie).get
+      .select("predicted_lang").as[String].head()
+    assert(t === "de")
+  }
+
+  test("quality_score appends the gate's additive 0-4 score (n_chars " +
+       "recomputed from the text column) and min_score filters") {
+    val good = (1 to 25).map(i => s"word$i").mkString(" ") // 25 distinct, >100 chars
+    val junk = "a a a a a"
+    val in = Seq((1L, good), (2L, junk)).toDF("doc_id", "text")
+    val scored = resolve("quality_score").process(in).get
+    val byDoc = scored.select($"doc_id", $"score")
+      .as[(Long, Int)].collect().toMap
+    assert(byDoc(1L) === 4, s"good doc: len=${good.length}")
+    assert(byDoc(2L) === 0)
+    val kept = resolve("quality_score", Map("min_score" -> "3"))
+      .process(in).get.select("doc_id").as[Long].collect().toSeq
+    assert(kept === Seq(1L))
+  }
+
+  test("gopher_filter: filter mode keeps passing docs and restores the " +
+       "input schema; annotate mode exposes the per-rule booleans") {
+    val pass = ((1 to 38).map(i => s"word$i") ++ Seq("the", "of", "the"))
+      .mkString(" ") // 41 words, mean wlen in [3,10], all alpha, 3 stopwords
+    val fail = "only nine short words here so it fails count"
+    val in = Seq((1L, pass, "x"), (2L, fail, "y"))
+      .toDF("doc_id", "text", "extra")
+    val filtered = resolve("gopher_filter").process(in).get
+    assert(filtered.columns.toSeq === Seq("doc_id", "text", "extra"),
+      "filter mode restores the input schema")
+    assert(filtered.select("doc_id").as[Long].collect().toSeq === Seq(1L))
+    val annotated = resolve("gopher_filter", Map("mode" -> "annotate"))
+      .process(in).get
+    val rows = annotated.select($"doc_id", $"passes", $"r_count")
+      .as[(Long, Boolean, Boolean)].collect()
+      .map { case (k, v, w) => k -> ((v, w)) }.toMap
+    assert(rows === Map(1L -> ((true, true)), 2L -> ((false, false))),
+      "annotate mode drops nothing and exposes the rule booleans")
+    val e = intercept[IllegalArgumentException] {
+      resolve("gopher_filter", Map("mode" -> "nonsense"))
+    }
+    assert(e.getMessage.contains("unknown mode"))
+  }
+
+  test("the curation processors compose in one YAML-style fold: " +
+       "gopher+quality gate, lang filter, pii scrub, near dedup") {
+    val goodBody = ((1 to 40).map(i => s"word$i") ++ Seq("the", "of"))
+      .mkString(" ")
+    val in = Seq(
+      (1L, goodBody + " the a value mail me bob1@x.example.com"),
+      (2L, goodBody + " the a value mail me bob1@x.example.com"), // dup of 1
+      (3L, "short junk"),                                         // fails gopher
+      (4L, goodBody + " data table row data table row"))          // de -> filtered
+      .toDF("doc_id", "text")
+    val chain = Seq(
+      resolve("gopher_filter"),
+      resolve("lang_id", Map("keep" -> List("en"))),
+      resolve("pii_scrub"),
+      resolve("near_dedup"))
+    val out = Pipeline.applyProcessors(in, chain).get
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L))
+    val survivor = out.head()
+    assert(!survivor.getAs[String]("text").contains("@"),
+      "pii scrub ran before dedup")
+    assert(survivor.getAs[Long]("n_pii_redacted") === 1L)
+  }
+}
