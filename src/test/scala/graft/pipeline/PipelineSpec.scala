@@ -244,6 +244,48 @@ class PipelineSpec extends SparkSpec {
       "the NFD recrawl must add no distinct chunk hash after NFC")
   }
 
+  test("r11 curation processors from ONE YAML: quality_score -> " +
+       "pii_scrub -> near_dedup over fixture docs with a planted PII " +
+       "email and a planted recrawl copy") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .where($"doc_id" < 10).select($"doc_id",
+        when($"doc_id" === 7L,
+          concat($"text", lit(" contact bob7@ex.example.org")))
+          .otherwise($"text").as("text"))
+    val inDir = tmpDir("pipe_cur11_in")
+    docs.unionByName(
+        docs.where($"doc_id" === 7L)
+          .select(($"doc_id" + 1000L).as("doc_id"), $"text"))
+      .write.mode("overwrite").parquet(inDir)
+    val out = tmpDir("pipe_cur11_out")
+    val yaml =
+      s"""app_name: "CurationProcessors"
+         |source:
+         |  type: "parquet"
+         |  config: {path: "$inDir"}
+         |processors:
+         |  - {name: "Score", class: "quality_score"}
+         |  - {name: "Pii", class: "pii_scrub"}
+         |  - {name: "NearDedup", class: "near_dedup"}
+         |sink:
+         |  type: "parquet"
+         |  config: {path: "$out", mode: "overwrite"}
+         |""".stripMargin
+    Pipeline.fromYamlString(spark, yaml, streaming = false).build().run()
+    val result = spark.read.parquet(out)
+    // the recrawl copy (exact near-dup of doc 7, larger id) is dropped
+    assert(result.select("doc_id").as[Long].collect().sorted.toSeq ===
+      (0L to 9L))
+    val d7 = result.where($"doc_id" === 7L).head()
+    assert(d7.getAs[String]("text").endsWith(" contact <EMAIL>"))
+    assert(d7.getAs[Long]("n_pii_redacted") === 1L)
+    assert(result.where($"doc_id" =!= 7L)
+      .agg(sum($"n_pii_redacted")).head().getLong(0) === 0L)
+    // the quality annotation flowed through both later stages
+    assert(result.select("score").as[Int].collect().forall(s => s >= 0 && s <= 4))
+  }
+
   test("streaming curation: documents file-stream -> quality filter -> " +
        "foreach_batch parquet upsert (the full YAML path)") {
     val inDir = tmpDir("pipe_scur_in")
