@@ -79,6 +79,14 @@ object Bench {
       // wide MinHash signature aggregate: keep whole-stage codegen on
       // past the default 100-field limit (graft.ops.llm.Dedup).
       .config("spark.sql.codegen.maxFields", "220")
+      // the session-lived memoized pins (suffix index, span/winnow
+      // frames) stay resident for ~150 queries of the sweep; the
+      // protected-storage floor decides whether they squeeze execution
+      // memory (default 0.5) or spill to disk under pressure
+      // (MEMORY_AND_DISK localCheckpoint blocks are eviction-safe).
+      // Exposed for A/B: SPARK_GRAFT_STORAGE_FRACTION.
+      .config("spark.memory.storageFraction",
+        sys.env.getOrElse("SPARK_GRAFT_STORAGE_FRACTION", "0.5"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: run the flagship once so the first timed query doesn't absorb
