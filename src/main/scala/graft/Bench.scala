@@ -151,8 +151,14 @@ object Bench {
     // "regressions" a reader had to debunk by hand. Flag it in the
     // artifact so downstream tooling (and the regress guard below) can
     // mark the run suspect instead of crying wolf.
-    val contended = load0 >= 1.5
-    val env = s""""env":{"load_start":$load0,"load_end":$load1,"contended":$contended,""" +
+    // load_start >= 1.5: the host was busy before we began. load_end >=
+    // 4.0: something ELSE ramped up mid-run — the bench's own 32-thread
+    // tail measures 2.2-2.9 on a quiet host across every clean run, and
+    // the two observed mid-run contaminations (189.9s and 174.5s totals
+    // with 2-3x inflated suffix gates) both ended at load >= 5 from
+    // hypervisor steal bursts this guest cannot see coming.
+    val contended = load0 >= 1.5 || load1 >= 4.0
+    val env = s""""env":{"load_start":$load0,"load_end":$load1,"contended":$contended,"reps":$reps,""" +
       s""""mem_avail_start_mb":$mem0,"mem_avail_end_mb":$mem1,""" +
       // the one-time cold SuffixIndex build the medians exclude (rep 1
       // absorbs it) — published in the artifact so the accounting is

@@ -321,7 +321,11 @@ class PipelineSpec extends SparkSpec {
     // the property that lets one YAML serve both modes: a stateless
     // processor chain is a pure function of the input rows, so a
     // streaming replay over the same files must reproduce the batch
-    // output exactly — not just pass the same per-row predicates
+    // output exactly — not just pass the same per-row predicates.
+    // The chain deliberately includes every streaming-legal r11
+    // curation processor (pure maps: nfc_normalize, pii_scrub,
+    // quality_score, gopher_filter in annotate mode) so the Kappa law
+    // covers the whole map-only pipeline surface, not a toy pair
     val inDir = tmpDir("pipe_par_in")
     graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .write.mode("overwrite").parquet(inDir)
@@ -334,6 +338,10 @@ class PipelineSpec extends SparkSpec {
          |processors:
          |  - {name: "Quality", class: "quality_filter", params: {min_tokens: "20"}}
          |  - {name: "Stats", class: "token_stats"}
+         |  - {name: "Nfc", class: "nfc_normalize"}
+         |  - {name: "Pii", class: "pii_scrub"}
+         |  - {name: "Score", class: "quality_score"}
+         |  - {name: "Gopher", class: "gopher_filter", params: {mode: "annotate"}}
          |$sink""".stripMargin
     val outB = tmpDir("pipe_par_b")
     Pipeline.fromYamlString(spark, chainYaml(
