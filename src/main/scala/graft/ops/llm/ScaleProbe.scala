@@ -694,6 +694,30 @@ object ScaleProbe {
       val (rec, cand, s) = timedRecall(m, np)
       println(f"[scale-probe] ivf-recall mult=$m%-3d nprobe=$np recall@10=$rec%.3f mean_cand=$cand%.0f time=$s%.2fs")
     }
+
+    // Directed PageRank at multiplied graph (the one graph-family gate
+    // without a scale row): a deterministic low→high hashed-pair graph
+    // (same oriented-DAG shape as the gate's co-occurrence projection —
+    // maximal vertices are genuine dangling nodes) scaled in BOTH nodes
+    // and edges. Cost model under test: T fixed iterations × (one edge
+    // join + one node aggregate) over the hoisted degree-weighted edge
+    // frame + one conditional scan-aggregate for the dangling mass —
+    // time should grow ≈ linearly in edges, iterations constant.
+    def timedPr(m: Int): (Long, Long, Double) = {
+      val n = 4000L * m
+      val e = spark.range(12000L * m).select(
+          pmod($"id" * 2654435761L, lit(n)).as("a"),
+          pmod($"id" * 7919L + 13L, lit(n)).as("b"))
+        .where($"a" < $"b").distinct()
+      val t0 = System.nanoTime()
+      val top = graft.ops.Graph.pagerankDirectedFrom(e)
+        .agg(sum($"r"), count(lit(1))).head()
+      (e.count(), top.getLong(1), (System.nanoTime() - t0) / 1e9)
+    }
+    probeMults("pagerank-directed", timedPr(1)).foreach { m =>
+      val (ne, nTop, s) = timedPr(m)
+      println(f"[scale-probe] pagerank-directed mult=$m%-3d edges=$ne%-8d top=$nTop time=$s%.2fs")
+    }
     spark.stop()
   }
 }
