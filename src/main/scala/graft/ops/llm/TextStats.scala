@@ -147,6 +147,28 @@ object TextStats extends QueryPack {
     * then drops) a temp `ws` column; overwrites the output names if
     * present. Pure map — scan-rate at 100 TB, streaming-legal.
     */
+  /** The Gopher conjunction as ONE nameless boolean expression — the
+    * `gopher_filter` processor's filter mode uses this instead of
+    * [[withGopherFlags]] so a pure row filter cannot clobber input
+    * columns that collide with the working names (`stop_cnt` is also
+    * emitted by the quality-score stage, `ws` by both helpers).
+    * Semantics are pinned equal to `withGopherFlags("passes")` by
+    * CurationProcessorsSpec (filter rows == annotate.where(passes)).
+    */
+  private[graft] def gopherPasses(text: Column): Column = {
+    val ws = split(text, " ")
+    val nWords = size(ws).cast("long")
+    val sumWlen = aggregate(ws, lit(0L),
+      (acc, w) => acc + length(w).cast("long"))
+    val stopCnt = size(filter(ws,
+      w => w === "the" || w === "a" || w === "of")).cast("long")
+    val alphaCnt = size(filter(ws, w => w.rlike("[a-z]"))).cast("long")
+    nWords.between(40L, 100000L) &&
+      (sumWlen >= nWords * 3) && (sumWlen <= nWords * 10) &&
+      (alphaCnt * 5 >= nWords * 4) &&
+      (stopCnt >= 2)
+  }
+
   private[graft] def withGopherFlags(df: DataFrame, text: Column): DataFrame =
     df.withColumn("ws", split(text, " "))
       .withColumn("n_words", size(col("ws")).cast("long"))

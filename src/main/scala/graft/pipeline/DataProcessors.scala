@@ -207,6 +207,21 @@ final class NearDedupProcessor(params: Conf) extends Transform {
     s"near_dedup: unsupported params ${unknown.toSeq.sorted.mkString(", ")} " +
     "(supported: id_column, text_column)")
   def apply(df: DataFrame): DataFrame = {
+    // fail FAST on a non-integral id column: cast("long") would turn
+    // every id to null, the d1 < d2 candidate filter would drop
+    // everything, and the processor would silently keep all duplicates
+    // (a no-op dedup is worse than an error). String-keyed corpora
+    // should pre-assign numeric ids (monotonically_increasing_id or a
+    // select_expr stage) so "keep the smaller id" is well-defined.
+    val idType = df.schema(idCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType)(idType),
+      s"near_dedup: id_column '$idCol' must be an integral type for " +
+      s"keep-smallest semantics, got ${idType.simpleString} — assign a " +
+      "numeric id upstream (e.g. a select_expr stage)")
     // pairs come back (d1 < d2); every d2 has a smaller near-dup ⇒ drop
     val drop = graft.ops.llm.Dedup.nearDupPairsFrom(
         df.select(col(idCol).cast("long").as("doc_id"),
@@ -231,13 +246,16 @@ final class PiiScrubProcessor(params: Conf) extends Transform {
   def apply(df: DataFrame): DataFrame = {
     val email = graft.ops.llm.TextStats.PiiEmailPattern
     val phone = graft.ops.llm.TextStats.PiiPhonePattern
+    // the phone census runs on the EMAIL-REDACTED text, mirroring the
+    // sequential replacements below, so n_pii_redacted equals the
+    // redactions actually applied even when the two patterns overlap
+    // in the raw text (an email consuming digits a phone match wanted)
+    val afterEmail = regexp_replace(col(textCol), email, "<EMAIL>")
     df.withColumn("n_pii_redacted",
         (size(regexp_extract_all(col(textCol), lit(email), lit(0)))
-          + size(regexp_extract_all(col(textCol), lit(phone), lit(0))))
+          + size(regexp_extract_all(afterEmail, lit(phone), lit(0))))
           .cast("long"))
-      .withColumn(textCol,
-        regexp_replace(regexp_replace(col(textCol), email, "<EMAIL>"),
-                       phone, "<PHONE>"))
+      .withColumn(textCol, regexp_replace(afterEmail, phone, "<PHONE>"))
   }
 }
 
@@ -262,12 +280,15 @@ final class LangIdProcessor(params: Conf) extends Transform {
     s"lang_id: unsupported params ${unknown.toSeq.sorted.mkString(", ")} " +
     "(supported: id_column, text_column, keep)")
   def apply(df: DataFrame): DataFrame = {
+    // reserved internal name: joining "plang" directly is ambiguous the
+    // moment the input carries its own plang column (a prior labeler)
     val pred = graft.ops.llm.TextStats.langPredictionsFrom(
         df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
-      .select(col("doc_id").as(idCol), col("plang"))
+      .select(col("doc_id").as(idCol), col("plang").as("__graft_plang"))
     val tagged = df.join(pred, Seq(idCol), "left_outer")
-      .withColumn("predicted_lang", coalesce(col("plang"), lit("und")))
-      .drop("plang")
+      .withColumn("predicted_lang",
+        coalesce(col("__graft_plang"), lit("und")))
+      .drop("__graft_plang")
     keep.fold(tagged)(ks => tagged.where(col("predicted_lang").isin(ks.toSeq: _*)))
   }
 }
@@ -309,12 +330,14 @@ final class GopherFilterProcessor(params: Conf) extends Transform {
   require(unknown.isEmpty,
     s"gopher_filter: unsupported params ${unknown.toSeq.sorted.mkString(", ")} " +
     "(supported: text_column, mode)")
-  def apply(df: DataFrame): DataFrame = {
-    val flagged = graft.ops.llm.TextStats.withGopherFlags(df, col(textCol))
-    if (mode == "annotate") flagged
-    else flagged.where(col("passes"))
-      .drop("n_words", "sum_wlen", "stop_cnt", "alpha_cnt", "mean_wlen",
-            "r_count", "r_wlen", "r_alpha", "r_stop", "passes")
-  }
+  def apply(df: DataFrame): DataFrame =
+    // filter mode is a pure row predicate built WITHOUT materializing
+    // the working columns, so input columns colliding with the rule
+    // names (stop_cnt from a quality_score stage, a user's n_words)
+    // survive untouched; annotate mode deliberately writes/overwrites
+    // the rule names — that is its contract
+    if (mode == "annotate")
+      graft.ops.llm.TextStats.withGopherFlags(df, col(textCol))
+    else df.where(graft.ops.llm.TextStats.gopherPasses(col(textCol)))
 }
 

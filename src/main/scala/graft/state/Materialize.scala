@@ -130,15 +130,31 @@ object Materialize {
     * surface without revisiting that contract.
     */
   private[graft] def clearSessionCaches(): Unit = {
+    // Snapshot the retained ids BEFORE the cache clears, and sweep only
+    // the snapshot: ids a racing pinRetained registers during/after the
+    // clears are never swept, so a computeIfAbsent entry installing
+    // mid-reset keeps live pins (if its entry got cleared instead, the
+    // orphaned pins are collected by the NEXT reset — a one-cycle leak,
+    // not a poison). Deliberately NOT serialized with retainLock: the
+    // cache clears contend on computeIfAbsent bin locks whose mapping
+    // functions take retainLock inside pinRetained — holding it here
+    // would deadlock. Residual (documented) window: a mapping that
+    // finished its pinRetained before the snapshot but installs its
+    // entry after that cache's clear serves swept blocks — impossible
+    // in this private API's sequential test usage, and the reason it
+    // must not be promoted to a public surface as-is.
+    val snapshot = {
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, org.apache.spark.SparkContext)]
+      val it = retained.entrySet().iterator()
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf
+    }
     sessionCaches.forEach(_.apply())
-    val it = retained.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val sc = e.getValue
+    snapshot.foreach { case (id, sc) =>
       if (!sc.isStopped)
-        sc.getPersistentRDDs.get(e.getKey)
-          .foreach(_.unpersist(blocking = false))
-      it.remove()
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
+      retained.remove(id)
     }
   }
 

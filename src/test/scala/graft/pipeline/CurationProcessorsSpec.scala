@@ -130,6 +130,64 @@ class CurationProcessorsSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown mode"))
   }
 
+  test("near_dedup fails FAST on a non-integral id column instead of " +
+       "silently no-op'ing (cast-to-null would keep every duplicate)") {
+    val in = Seq(("u1", baseText), ("u2", baseText)).toDF("id", "body")
+    val e = intercept[IllegalArgumentException] {
+      resolve("near_dedup", Map("id_column" -> "id", "text_column" -> "body"))
+        .process(in)
+    }
+    assert(e.getMessage.contains("must be an integral type"))
+  }
+
+  test("pii_scrub's count equals the redactions actually applied when " +
+       "email and phone matches overlap in the raw text") {
+    // the email match consumes '555-0123@x.org'... the phone pattern
+    // matched the raw text but NOT the post-email text — the count must
+    // reflect the sequential replacement, not two independent censuses
+    val in = Seq((1L, "ref 555-0123@x.org end")).toDF("doc_id", "text")
+    val row = resolve("pii_scrub").process(in).get.head()
+    val scrubbed = row.getAs[String]("text")
+    val n = row.getAs[Long]("n_pii_redacted")
+    val applied = "<EMAIL>|<PHONE>".r.findAllIn(scrubbed).length
+    assert(n === applied, s"count $n vs applied $applied in '$scrubbed'")
+  }
+
+  test("lang_id tolerates an input that already carries a plang column " +
+       "(prior labeler) without an ambiguous-reference failure") {
+    val in = Seq((1L, "the a value", "stale")).toDF("doc_id", "text", "plang")
+    val out = resolve("lang_id").process(in).get
+    assert(out.select("predicted_lang").as[String].head() === "en")
+    assert(out.select("plang").as[String].head() === "stale",
+      "the user's own plang column passes through untouched")
+  }
+
+  test("gopher_filter filter mode is a pure predicate: input columns " +
+       "colliding with the rule names survive, and the kept set equals " +
+       "annotate-mode rows where passes") {
+    val pass = ((1 to 38).map(i => s"word$i") ++ Seq("the", "of", "the"))
+      .mkString(" ")
+    val fail = "only nine short words here so it fails count"
+    // stop_cnt planted on the INPUT — the quality_score stage emits this
+    // exact name; filter mode previously clobbered-then-dropped it
+    val in = Seq((1L, pass, 99L), (2L, fail, 98L))
+      .toDF("doc_id", "text", "stop_cnt")
+    val filtered = resolve("gopher_filter").process(in).get
+    assert(filtered.columns.toSeq === Seq("doc_id", "text", "stop_cnt"))
+    assert(filtered.select($"doc_id", $"stop_cnt").as[(Long, Long)]
+      .collect().toSeq === Seq((1L, 99L)),
+      "the input's own stop_cnt survives filter mode")
+    // predicate/annotation equivalence on a mixed corpus (drop the
+    // planted column so annotate's stop_cnt write is collision-free)
+    val plain = in.select($"doc_id", $"text")
+    val viaFilter = resolve("gopher_filter").process(plain).get
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val viaFlags = resolve("gopher_filter", Map("mode" -> "annotate"))
+      .process(plain).get.where($"passes")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaFilter === viaFlags)
+  }
+
   test("the curation processors compose in one YAML-style fold: " +
        "gopher+quality gate, lang filter, pii scrub, near dedup") {
     val goodBody = ((1 to 40).map(i => s"word$i") ++ Seq("the", "of"))
