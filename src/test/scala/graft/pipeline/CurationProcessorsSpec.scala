@@ -188,6 +188,45 @@ class CurationProcessorsSpec extends SparkSpec {
     assert(viaFilter === viaFlags)
   }
 
+  test("near_dedup law (seeded fuzz): exact copies are ALWAYS dropped " +
+       "(identical MinHash signatures collide in every band) and every " +
+       "drop is SOUND — a smaller-id partner with true 3-gram Jaccard " +
+       ">= 0.6 exists, checked by an independent driver computation") {
+    // completeness for NEAR (non-exact) pairs is probabilistic by design
+    // (32 bands × 4 rows misses a 0.6-Jaccard pair ~1.2% of the time —
+    // the standard LSH trade), so the law asserts the two properties
+    // that ARE deterministic: exact-copy recall and drop soundness
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val vocab = (1 to 40).map(i => s"w$i")
+    def doc() = (1 to 8 + rnd.nextInt(20))
+      .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0 until 12).map(i => (i.toLong, doc()))
+    val copies = base.take(4).map { case (id, t) => (id + 100L, t) }
+    val all = base ++ copies
+    val kept = resolve("near_dedup").process(all.toDF("doc_id", "text"))
+      .get.select("doc_id").as[Long].collect().toSet
+    val dropped = all.map(_._1).toSet -- kept
+    assert(copies.map(_._1).toSet.subsetOf(dropped),
+      "an exact copy must always be detected and dropped")
+    def grams(t: String): Set[Seq[String]] = {
+      val ws = t.split(" ").toSeq
+      if (ws.size < 3) Set.empty else ws.sliding(3).map(_.toSeq).toSet
+    }
+    val byId = all.toMap
+    dropped.foreach { d =>
+      val gd = grams(byId(d))
+      val sound = all.exists { case (o, t) =>
+        o < d && {
+          val go = grams(t)
+          val i = gd.intersect(go).size
+          val u = gd.union(go).size
+          u > 0 && i * 5 >= u * 3
+        }
+      }
+      assert(sound, s"doc $d dropped without a smaller true near-dup partner")
+    }
+  }
+
   test("the curation processors compose in one YAML-style fold: " +
        "gopher+quality gate, lang filter, pii scrub, near dedup") {
     val goodBody = ((1 to 40).map(i => s"word$i") ++ Seq("the", "of"))
