@@ -140,53 +140,65 @@ object TextStats extends QueryPack {
       .orderBy($"doc_id")
   }
 
-  /** Append the Gopher rule flags (`n_words`, `sum_wlen`, `stop_cnt`,
-    * `alpha_cnt`, `mean_wlen`, `r_count`, `r_wlen`, `r_alpha`, `r_stop`,
-    * `passes`) to any frame — the rule core of [[gopherRules]], shared
-    * with the `gopher_filter` pipeline processor. Uses (and overwrites,
-    * then drops) a temp `ws` column; overwrites the output names if
-    * present. Pure map — scan-rate at 100 TB, streaming-legal.
-    */
+  // ---- Gopher rule building blocks: every threshold and the stopword
+  // list exists exactly ONCE, composed by both the annotating helper and
+  // the nameless conjunction — a future rule tweak cannot silently make
+  // the gate, the filter mode, and the annotate mode disagree ----
+  private def gopherFeatures(text: Column): (Column, Column, Column, Column) = {
+    val ws = split(text, " ")
+    (size(ws).cast("long"),
+     aggregate(ws, lit(0L), (acc, w) => acc + length(w).cast("long")),
+     size(filter(ws, w => w === "the" || w === "a" || w === "of")).cast("long"),
+     size(filter(ws, w => w.rlike("[a-z]"))).cast("long"))
+  }
+  private def gopherRuleFlags(nWords: Column, sumWlen: Column,
+      stopCnt: Column, alphaCnt: Column): (Column, Column, Column, Column) =
+    (nWords.between(40L, 100000L),
+     (sumWlen >= nWords * 3) && (sumWlen <= nWords * 10),
+     alphaCnt * 5 >= nWords * 4,
+     stopCnt >= 2)
+
   /** The Gopher conjunction as ONE nameless boolean expression — the
     * `gopher_filter` processor's filter mode uses this instead of
     * [[withGopherFlags]] so a pure row filter cannot clobber input
     * columns that collide with the working names (`stop_cnt` is also
-    * emitted by the quality-score stage, `ws` by both helpers).
-    * Semantics are pinned equal to `withGopherFlags("passes")` by
-    * CurationProcessorsSpec (filter rows == annotate.where(passes)).
+    * emitted by the quality-score stage, `ws` by the annotating helper).
+    * Built from the SAME rule blocks as [[withGopherFlags]]; the
+    * equivalence is additionally pinned by CurationProcessorsSpec
+    * (filter rows == annotate.where(passes)).
     */
   private[graft] def gopherPasses(text: Column): Column = {
-    val ws = split(text, " ")
-    val nWords = size(ws).cast("long")
-    val sumWlen = aggregate(ws, lit(0L),
-      (acc, w) => acc + length(w).cast("long"))
-    val stopCnt = size(filter(ws,
-      w => w === "the" || w === "a" || w === "of")).cast("long")
-    val alphaCnt = size(filter(ws, w => w.rlike("[a-z]"))).cast("long")
-    nWords.between(40L, 100000L) &&
-      (sumWlen >= nWords * 3) && (sumWlen <= nWords * 10) &&
-      (alphaCnt * 5 >= nWords * 4) &&
-      (stopCnt >= 2)
+    val (nWords, sumWlen, stopCnt, alphaCnt) = gopherFeatures(text)
+    val (rCount, rWlen, rAlpha, rStop) =
+      gopherRuleFlags(nWords, sumWlen, stopCnt, alphaCnt)
+    rCount && rWlen && rAlpha && rStop
   }
 
-  private[graft] def withGopherFlags(df: DataFrame, text: Column): DataFrame =
-    df.withColumn("ws", split(text, " "))
-      .withColumn("n_words", size(col("ws")).cast("long"))
-      .withColumn("sum_wlen", expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))"))
-      .withColumn("stop_cnt",
-        expr("cast(size(filter(ws, w -> w = 'the' or w = 'a' or w = 'of')) as bigint)"))
-      .withColumn("alpha_cnt",
-        expr("cast(size(filter(ws, w -> w rlike '[a-z]')) as bigint)"))
+  /** Append the Gopher rule flags (`n_words`, `sum_wlen`, `stop_cnt`,
+    * `alpha_cnt`, `mean_wlen`, `r_count`, `r_wlen`, `r_alpha`, `r_stop`,
+    * `passes`) to any frame — the rule core of [[gopherRules]], shared
+    * with the `gopher_filter` pipeline processor's annotate mode.
+    * Overwrites the output names if present. Pure map — scan-rate at
+    * 100 TB, streaming-legal.
+    */
+  private[graft] def withGopherFlags(df: DataFrame, text: Column): DataFrame = {
+    val (nWords, sumWlen, stopCnt, alphaCnt) = gopherFeatures(text)
+    val flagged = df
+      .withColumn("n_words", nWords)
+      .withColumn("sum_wlen", sumWlen)
+      .withColumn("stop_cnt", stopCnt)
+      .withColumn("alpha_cnt", alphaCnt)
       .withColumn("mean_wlen", col("sum_wlen").cast("double") / col("n_words"))
-      .withColumn("r_count", col("n_words").between(40L, 100000L))
-      .withColumn("r_wlen",
-        (col("sum_wlen") >= col("n_words") * 3) &&
-        (col("sum_wlen") <= col("n_words") * 10))
-      .withColumn("r_alpha", col("alpha_cnt") * 5 >= col("n_words") * 4)
-      .withColumn("r_stop", col("stop_cnt") >= 2)
+    val (rCount, rWlen, rAlpha, rStop) = gopherRuleFlags(
+      col("n_words"), col("sum_wlen"), col("stop_cnt"), col("alpha_cnt"))
+    flagged
+      .withColumn("r_count", rCount)
+      .withColumn("r_wlen", rWlen)
+      .withColumn("r_alpha", rAlpha)
+      .withColumn("r_stop", rStop)
       .withColumn("passes",
         col("r_count") && col("r_wlen") && col("r_alpha") && col("r_stop"))
-      .drop("ws")
+  }
 
   /** Vocabulary construction: corpus-wide token frequencies, top-K by
     * (count desc, token asc) — the first step of any tokenizer/BPE

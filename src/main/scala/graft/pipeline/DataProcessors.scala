@@ -213,12 +213,18 @@ final class NearDedupProcessor(params: Conf) extends Transform {
     // (a no-op dedup is worse than an error). String-keyed corpora
     // should pre-assign numeric ids (monotonically_increasing_id or a
     // select_expr stage) so "keep the smaller id" is well-defined.
-    val idType = df.schema(idCol).dataType
-    require(Set[org.apache.spark.sql.types.DataType](
-        org.apache.spark.sql.types.ByteType,
-        org.apache.spark.sql.types.ShortType,
-        org.apache.spark.sql.types.IntegerType,
-        org.apache.spark.sql.types.LongType)(idType),
+    // Resolved through the ANALYZER (not a raw StructType lookup) so
+    // case-mismatched configs keep working under the session's default
+    // case-insensitive resolution, and a missing column still raises
+    // the standard AnalysisException naming candidates.
+    import org.apache.spark.sql.types._
+    val idType = df.select(col(idCol)).schema.head.dataType
+    val integral = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType if d.scale == 0 => true // exact long cast
+      case _ => false
+    }
+    require(integral,
       s"near_dedup: id_column '$idCol' must be an integral type for " +
       s"keep-smallest semantics, got ${idType.simpleString} — assign a " +
       "numeric id upstream (e.g. a select_expr stage)")

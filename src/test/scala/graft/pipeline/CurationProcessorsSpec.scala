@@ -140,6 +140,21 @@ class CurationProcessorsSpec extends SparkSpec {
     assert(e.getMessage.contains("must be an integral type"))
   }
 
+  test("near_dedup accepts decimal(p,0) ids (exact long cast — the JDBC " +
+       "BIGINT mapping) and case-mismatched id_column configs (analyzer " +
+       "resolution, not a raw schema lookup)") {
+    val in = Seq((java.math.BigDecimal.valueOf(1L), baseText),
+                 (java.math.BigDecimal.valueOf(2L), baseText))
+      .toDF("doc_id", "text")
+      .select($"doc_id".cast("decimal(20,0)"), $"text")
+    val out = resolve("near_dedup").process(in).get
+    assert(out.count() === 1L, "decimal(20,0) ids dedup normally")
+    val mixed = Seq((1L, baseText), (2L, baseText)).toDF("DocId", "text")
+    val out2 = resolve("near_dedup", Map("id_column" -> "docid"))
+      .process(mixed).get
+    assert(out2.count() === 1L, "case-insensitive id resolution")
+  }
+
   test("pii_scrub's count equals the redactions actually applied when " +
        "email and phone matches overlap in the raw text") {
     // the email match consumes '555-0123@x.org'... the phone pattern
