@@ -152,12 +152,14 @@ object Bench {
     // artifact so downstream tooling (and the regress guard below) can
     // mark the run suspect instead of crying wolf.
     // load_start >= 1.5: the host was busy before we began. load_end >=
-    // 4.0: something ELSE ramped up mid-run — the bench's own 32-thread
-    // tail measures 2.2-2.9 on a quiet host across every clean run, and
-    // the two observed mid-run contaminations (189.9s and 174.5s totals
-    // with 2-3x inflated suffix gates) both ended at load >= 5 from
-    // hypervisor steal bursts this guest cannot see coming.
-    val contended = load0 >= 1.5 || load1 >= 4.0
+    // 4.5: something ELSE ramped up mid-run — the bench's own tail
+    // measures 1.8-4.1 on clean runs (4.1 on the FASTEST run of round
+    // 11, which an earlier 4.0 threshold false-positived), while the
+    // two observed mid-run contaminations (189.9s and 174.5s totals
+    // with 2-3x inflated suffix gates) both ended at load >= 5.4 from
+    // hypervisor steal bursts this guest cannot see coming — 4.5
+    // splits the two observed distributions.
+    val contended = load0 >= 1.5 || load1 >= 4.5
     val env = s""""env":{"load_start":$load0,"load_end":$load1,"contended":$contended,"reps":$reps,""" +
       s""""mem_avail_start_mb":$mem0,"mem_avail_end_mb":$mem1,""" +
       // the one-time cold SuffixIndex build the medians exclude (rep 1
@@ -187,7 +189,9 @@ object Bench {
       // automatic per-query regression guard vs the latest committed
       // BENCH_r{N}.json (VERDICT r9 #8: run it in the round flow, not by
       // hand) — writes BENCH_REGRESS.md and prints one loud line
-      try regressGuard(results.toMap, contended, load0)
+      try regressGuard(results.toMap, contended,
+        if (load0 >= 1.5) f"load_start $load0%.2f >= 1.5"
+        else f"load_end $load1%.2f >= 4.5")
       catch { case e: Throwable =>
         System.err.println(s"[bench-regress] guard failed: ${e.getMessage}")
       }
@@ -211,7 +215,7 @@ object Bench {
     * regressed = ≥1.5× slower on the comparable set.
     */
   private def regressGuard(current: Map[String, Double], contended: Boolean,
-                           loadStart: Double): Unit = {
+                           contendReason: String): Unit = {
     val dir = Paths.get(".")
     val pat = raw"BENCH_r(\d+)\.json".r
     var best: Option[(Int, java.nio.file.Path)] = None
@@ -269,7 +273,10 @@ object Bench {
       val suspect = if (contended) " — CONTENDED HOST" else ""
       md ++= s"# BENCH_REGRESS — this run vs BENCH_r$round.json (factor 1.5)$suspect\n\n"
       if (contended)
-        md ++= f"**CONTENDED RUN (load_start $loadStart%.2f >= 1.5)**: times are " +
+        // name the ACTUAL trigger: a load_end-triggered flag previously
+        // printed the load_start explanation, sending a reader to debunk
+        // the wrong condition
+        md ++= f"**CONTENDED RUN ($contendReason)**: times are " +
           "not comparable to a clean-host snapshot; any 'regressed' rows below " +
           "are SUSPECT-HOST, not code verdicts (VERDICT r10 #6 — a load-1.74 " +
           "driver run flagged two phantom regressions the clean run contradicted).\n\n"
