@@ -66,9 +66,47 @@ object Bench {
         .getOrElse(-1L)
     } catch { case _: Throwable => -1L }
 
+  /** Cumulative hypervisor-steal ticks: field 8 (0-based, after the
+    * "cpu" label) of /proc/stat's aggregate `cpu` line — the DIRECT
+    * measurement of the contamination mechanism loadavg can only proxy
+    * (VERDICT r11 #2: both discarded r11 sweeps were diagnosed by
+    * /proc/stat steal deltas, ~990 stolen CPU-s, yet the artifact
+    * recorded only loadavg). -1 if unreadable (non-Linux, masked /proc).
+    */
+  private def stealTicks(): Long =
+    try {
+      val f = Files.readAllLines(Paths.get("/proc/stat")).get(0).trim.split("\\s+")
+      if (f.length > 8 && f(0) == "cpu") f(8).toLong else -1L
+    } catch { case _: Throwable => -1L }
+
+  /** CONTENDED-RUN rule, one place (threshold provenance: COVERAGE.md
+    * "bench contention thresholds"). Governance: threshold changes land
+    * in their OWN commit, never alongside a run they reclassify
+    * (precedent a36404f, where the 4.0→4.5 load_end move and the run it
+    * re-flagged shared a commit and the derived field had to be
+    * hand-recomputed).
+    *  - load_start ≥ 1.5: host busy before we began (clean starts run
+    *    0.1–0.9).
+    *  - load_end ≥ 4.5: something ELSE ramped mid-run — our own clean
+    *    tail measures 1.8–4.1 (4.1 on the FASTEST r11 run, which a 4.0
+    *    cut false-positived); both observed contaminations ended ≥ 5.4.
+    *  - steal ≥ 0.25 cores avg: direct hypervisor-steal measurement;
+    *    clean runs measure ~0 steal/s, the contaminated sweeps burst to
+    *    multiple stolen cores. PROVISIONAL (r12-introduced, calibrated
+    *    on the r11 forensics only) — the raw steal_cpu_s is in the
+    *    artifact so the cut can be recalibrated against accumulated
+    *    clean/contaminated samples.
+    */
+  private val LoadStartCut  = 1.5
+  private val LoadEndCut    = 4.5
+  private val StealCoresCut = 0.25
+  private val ContendedRule =
+    s"load_start>=$LoadStartCut|load_end>=$LoadEndCut|steal_cores_avg>=$StealCoresCut"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val (load0, mem0) = (loadAvg(), memAvailMb())
+    val (load0, mem0, steal0) = (loadAvg(), memAvailMb(), stealTicks())
+    val wall0 = System.nanoTime()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -144,23 +182,34 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val (load1, mem1) = (loadAvg(), memAvailMb())
-    // Self-annotate contention (VERDICT r10 #6): snapshots are only
-    // comparable below load 1.5 (the repo's own bar, memory + COVERAGE);
-    // a loaded driver run previously produced two phantom >=1.5x
-    // "regressions" a reader had to debunk by hand. Flag it in the
-    // artifact so downstream tooling (and the regress guard below) can
-    // mark the run suspect instead of crying wolf.
-    // load_start >= 1.5: the host was busy before we began. load_end >=
-    // 4.5: something ELSE ramped up mid-run — the bench's own tail
-    // measures 1.8-4.1 on clean runs (4.1 on the FASTEST run of round
-    // 11, which an earlier 4.0 threshold false-positived), while the
-    // two observed mid-run contaminations (189.9s and 174.5s totals
-    // with 2-3x inflated suffix gates) both ended at load >= 5.4 from
-    // hypervisor steal bursts this guest cannot see coming — 4.5
-    // splits the two observed distributions.
-    val contended = load0 >= 1.5 || load1 >= 4.5
-    val env = s""""env":{"load_start":$load0,"load_end":$load1,"contended":$contended,"reps":$reps,""" +
+    val (load1, mem1, steal1) = (loadAvg(), memAvailMb(), stealTicks())
+    val wallS = (System.nanoTime() - wall0) / 1e9
+    // steal ticks are USER_HZ (100/s on every mainstream Linux build —
+    // the kernel ABI exposes /proc/stat in fixed 100 Hz jiffies
+    // regardless of CONFIG_HZ); cumulative across all CPUs, so the
+    // delta over the run IS stolen cpu-seconds
+    val stealCpuS  = if (steal0 >= 0 && steal1 >= 0) (steal1 - steal0) / 100.0 else -1.0
+    val stealCores = if (stealCpuS >= 0 && wallS > 0) stealCpuS / wallS else -1.0
+    // Self-annotate contention (VERDICT r10 #6 + r11 #2): snapshots are
+    // only comparable on a quiet host; a loaded driver run previously
+    // produced phantom >=1.5x "regressions" a reader had to debunk by
+    // hand. The rule (and its provenance) lives at the *Cut constants
+    // above; the raw trigger values AND which trigger fired are emitted
+    // alongside the boolean (ADVICE r11) so a threshold recalibration
+    // can re-derive the flag from the artifact instead of hand-editing.
+    val triggers = Seq(
+      (load0 >= LoadStartCut,
+        f"load_start $load0%.2f >= $LoadStartCut"),
+      (load1 >= LoadEndCut,
+        f"load_end $load1%.2f >= $LoadEndCut"),
+      (stealCores >= StealCoresCut,
+        f"steal $stealCpuS%.0f cpu-s = $stealCores%.2f cores avg >= $StealCoresCut")
+    ).collect { case (true, msg) => msg }
+    val contended = triggers.nonEmpty
+    val contendReason = triggers.mkString("; ")
+    val env = s""""env":{"load_start":$load0,"load_end":$load1,"contended":$contended,""" +
+      s""""contended_trigger":"${contendReason}","contended_rule":"$ContendedRule",""" +
+      s""""steal_cpu_s":$stealCpuS,"steal_cores_avg":$stealCores,"reps":$reps,""" +
       s""""mem_avail_start_mb":$mem0,"mem_avail_end_mb":$mem1,""" +
       // the one-time cold SuffixIndex build the medians exclude (rep 1
       // absorbs it) — published in the artifact so the accounting is
@@ -189,9 +238,7 @@ object Bench {
       // automatic per-query regression guard vs the latest committed
       // BENCH_r{N}.json (VERDICT r9 #8: run it in the round flow, not by
       // hand) — writes BENCH_REGRESS.md and prints one loud line
-      try regressGuard(results.toMap, contended,
-        if (load0 >= 1.5) f"load_start $load0%.2f >= 1.5"
-        else f"load_end $load1%.2f >= 4.5")
+      try regressGuard(results.toMap, contended, contendReason)
       catch { case e: Throwable =>
         System.err.println(s"[bench-regress] guard failed: ${e.getMessage}")
       }
@@ -208,28 +255,103 @@ object Bench {
     spark.stop()
   }
 
-  /** Compare this run's medians against the newest committed
-    * `BENCH_r{N}.json` (factor-1.5 alarm, mirroring
+  /** A chosen regression baseline: `cleanCertified` = the snapshot is
+    * certified non-contended (explicit `contended: false`, or loads
+    * below the cuts when the flag predates r11); false means every
+    * candidate was contended and the newest was used under protest.
+    */
+  private[graft] final case class BaselinePick(
+      round: Int, path: java.nio.file.Path, cleanCertified: Boolean)
+
+  /** Was this committed snapshot's run contended? Reads the explicit
+    * `contended` flag (r11+), else derives it from the recorded loads
+    * under the current rule (pre-r11 snapshots), checking parsed.env /
+    * top-level env / the raw stdout tail. None = no run-condition data
+    * at all (r01–r04 scrape failures) — not certifiable as clean.
+    */
+  private[graft] def snapshotContended(json: String): Option[Boolean] = {
+    val node =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      catch { case _: Throwable => return None }
+    if (node == null) return None
+    val envNode = {
+      val parsed = node.get("parsed")
+      val fromParsed =
+        if (parsed != null && parsed.isObject) parsed.get("env") else null
+      if (fromParsed != null && fromParsed.isObject) fromParsed
+      else node.get("env")
+    }
+    def fromLoads(ls: Double, le: Double) =
+      ls >= LoadStartCut || le >= LoadEndCut
+    if (envNode != null && envNode.isObject) {
+      val c = envNode.get("contended")
+      if (c != null && c.isBoolean) Some(c.asBoolean())
+      else (Option(envNode.get("load_start")).map(_.asDouble(-1)),
+            Option(envNode.get("load_end")).map(_.asDouble(-1))) match {
+        case (Some(a), Some(b)) if a >= 0 && b >= 0 => Some(fromLoads(a, b))
+        case _ => None
+      }
+    } else {
+      val tail = Option(node.get("tail")).map(_.asText("")).getOrElse("")
+      raw""""contended":(true|false)""".r.findFirstMatchIn(tail) match {
+        case Some(m) => Some(m.group(1).toBoolean)
+        case None =>
+          val num = (key: String) =>
+            (raw""""$key":(-?\d+(?:\.\d+)?)""").r
+              .findFirstMatchIn(tail).map(_.group(1).toDouble)
+          (num("load_start"), num("load_end")) match {
+            case (Some(a), Some(b)) => Some(fromLoads(a, b))
+            case _ => None
+          }
+      }
+    }
+  }
+
+  /** Newest CLEAN baseline snapshot in `dir` (VERDICT r11 #1: the guard
+    * previously diffed against the newest `BENCH_r{N}.json`
+    * unconditionally — and r11's is self-flagged contended, ~20%
+    * inflated, so r12 would have seen phantom improvements and masked
+    * regressions up to ~1.8×). Candidates are `BENCH_r{N}.json` (driver
+    * snapshots) and `BENCH_clean_r{N}.json` (clean-host runs adopted by
+    * commit when the driver's own run was contended); within a round the
+    * clean artifact wins, across rounds newest-certified-clean wins.
+    * Falls back to the newest candidate (flagged `cleanCertified=false`)
+    * only when NO candidate certifies clean.
+    */
+  private[graft] def pickBaseline(dir: java.nio.file.Path): Option[BaselinePick] = {
+    val pat = raw"BENCH_(clean_)?r(\d+)\.json".r
+    import scala.jdk.CollectionConverters._
+    var cands = List.empty[(Int, Boolean, java.nio.file.Path)]
+    // close the directory stream (ADVICE r10: Files.list leaks the fd
+    // when only its iterator is consumed)
+    val listing = java.nio.file.Files.list(dir)
+    try listing.iterator().asScala.foreach { p =>
+      p.getFileName.toString match {
+        case pat(cleanTag, n) => cands ::= ((n.toInt, cleanTag != null, p))
+        case _ => ()
+      }
+    } finally listing.close()
+    val ordered = cands.sortBy { case (r, cleanFile, _) => (-r, !cleanFile) }
+    ordered.collectFirst {
+      case (r, _, p)
+        if snapshotContended(
+          try Files.readString(p) catch { case _: Throwable => "" }
+        ).contains(false) => BaselinePick(r, p, cleanCertified = true)
+    }.orElse(ordered.headOption.map { case (r, _, p) =>
+      BaselinePick(r, p, cleanCertified = false)
+    })
+  }
+
+  /** Compare this run's medians against the newest committed CLEAN
+    * baseline snapshot (factor-1.5 alarm, mirroring
     * `tools/bench_regress.py`), write the `BENCH_REGRESS.md` artifact,
     * and print a one-line verdict. Broken = ran before, failed now;
     * regressed = ≥1.5× slower on the comparable set.
     */
   private def regressGuard(current: Map[String, Double], contended: Boolean,
                            contendReason: String): Unit = {
-    val dir = Paths.get(".")
-    val pat = raw"BENCH_r(\d+)\.json".r
-    var best: Option[(Int, java.nio.file.Path)] = None
     import scala.jdk.CollectionConverters._
-    // close the directory stream (ADVICE r10: Files.list leaks the fd
-    // when only its iterator is consumed)
-    val listing = java.nio.file.Files.list(dir)
-    try listing.iterator().asScala.foreach { p =>
-      p.getFileName.toString match {
-        case pat(n) if best.forall(_._1 < n.toInt) => best = Some((n.toInt, p))
-        case _ => ()
-      }
-    } finally listing.close()
-    best.foreach { case (round, path) =>
+    pickBaseline(Paths.get(".")).foreach { case BaselinePick(round, path, cleanBase) =>
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val node = mapper.readTree(Files.readString(path))
       // the driver's BENCH_r{N}.json wraps the bench line under
@@ -256,7 +378,8 @@ object Bench {
             .findAllMatchIn(tail)
             .map(m => m.group(1) -> m.group(2).toDouble)
             .filterNot(m => Set("value", "load_start", "load_end",
-              "baseline_s", "suffix_index_cold_s", "span_frame_cold_s")
+              "baseline_s", "suffix_index_cold_s", "span_frame_cold_s",
+              "steal_cpu_s", "steal_cores_avg")
               .contains(m._1)).toMap
         }
       }
@@ -271,7 +394,19 @@ object Bench {
       def row(k: String) = f"| $k | ${old(k)}%.2f | ${current(k)}%.2f | ${current(k) / old(k)}%.2fx |"
       val md = new StringBuilder
       val suspect = if (contended) " — CONTENDED HOST" else ""
-      md ++= s"# BENCH_REGRESS — this run vs BENCH_r$round.json (factor 1.5)$suspect\n\n"
+      // name the baseline ROUND AND FILE (VERDICT r11 #1): a reader must
+      // see which snapshot the ratios divide by, and whether it was
+      // certified clean or a contended last resort
+      val baseName = path.getFileName.toString
+      val baseKind =
+        if (cleanBase) "certified clean"
+        else "CONTENDED — no clean candidate existed; ratios inflated"
+      md ++= s"# BENCH_REGRESS — this run vs $baseName (round $round baseline, $baseKind; factor 1.5)$suspect\n\n"
+      if (!cleanBase)
+        md ++= "**CONTENDED BASELINE**: every committed snapshot was " +
+          "flagged/derived contended, so the newest was used under " +
+          "protest — 'improved' rows below may be phantom (the baseline " +
+          "was slow, not the code fast) and real regressions may hide.\n\n"
       if (contended)
         // name the ACTUAL trigger: a load_end-triggered flag previously
         // printed the load_start explanation, sending a reader to debunk
@@ -296,7 +431,9 @@ object Bench {
       }
       Files.writeString(Paths.get("BENCH_REGRESS.md"), md.toString)
       val flag = if (contended) " [CONTENDED: regressions suspect-host]" else ""
-      println(s"[bench-regress] vs r$round: ${shared.size} comparable, " +
+      val baseFlag = if (cleanBase) "" else " [CONTENDED BASELINE]"
+      println(s"[bench-regress] vs $baseName (r$round$baseFlag): " +
+        s"${shared.size} comparable, " +
         s"${broken.size} broken, ${regressed.size} regressed >=1.5x, " +
         s"${improved.size} improved >=1.5x -> BENCH_REGRESS.md$flag")
     }

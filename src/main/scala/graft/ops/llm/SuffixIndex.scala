@@ -163,6 +163,30 @@ object SuffixIndex {
     (out, nDistinct)
   }
 
+  /** Shared guarded ingestion for pack8-seeded suffix ranking — the
+    * global build here AND the per-doc `TextStats.suffixRanks` path
+    * (ADVICE r11: the per-doc path lacked the guard and mis-ranked
+    * NUL-bearing docs silently). Projects (doc_id, text, len) with
+    * empty docs dropped and the NUL (0x00) contract ENFORCED: the
+    * pack-seed's past-end sentinel IS byte 0, so a suffix containing
+    * NUL would tie with its NUL-free prefix and the doubling fixed
+    * point would freeze them as equal — wrong ranks with no error. Any
+    * NUL-bearing document fails loudly at ingestion instead. One
+    * contains() per document, map-side, negligible next to the per-byte
+    * explode it guards.
+    */
+  private[llm] def guardedBase(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id",
+        when(expr("contains(text, chr(0))"), expr(
+          "raise_error('suffix ranking: NUL (0x00) byte in text of doc_id ' " +
+            "|| doc_id || ' — NUL collides with the past-end sentinel; " +
+            "strip or escape it before indexing')"))
+          .otherwise($"text").as("text"),
+        octet_length($"text").as("len"))
+      .where($"len" > 0)
+  }
+
   /** Builds the index from a (doc_id, text) frame. See object Scaladoc;
     * the algorithm is round 8's `suffixRanksGlobal` with the per-round
     * frames collected instead of discarded.
@@ -195,22 +219,7 @@ object SuffixIndex {
     // exact-substring dedup at scale indexes (Lee et al. 2022 operate
     // on byte/token streams), and it keeps every hot expression on
     // UTF8String.getByte — the only O(1) access the format offers.
-    // NUL (0x00) guard (ADVICE r10): the pack-seed's past-end sentinel IS
-    // byte 0, so a suffix containing NUL would tie with its NUL-free
-    // prefix and the fixed-point exit would freeze them as equal — wrong
-    // ranks with no error. The contract (PackBytes8 Scaladoc: "real text
-    // corpora contain no NUL") is now ENFORCED at ingestion: any
-    // NUL-bearing document fails the build loudly instead of silently
-    // mis-ranking. One contains() per document, map-side, negligible next
-    // to the per-byte explode it guards.
-    val base = docs.select($"doc_id",
-        when(expr("contains(text, chr(0))"), expr(
-          "raise_error('SuffixIndex: NUL (0x00) byte in text of doc_id ' " +
-            "|| doc_id || ' — NUL collides with the past-end sentinel; " +
-            "strip or escape it before indexing')"))
-          .otherwise($"text").as("text"),
-        octet_length($"text").as("len"))
-      .where($"len" > 0)
+    val base = guardedBase(docs)
     // one corpus scan: pin the per-doc lengths, derive the scalar
     // aggregates from the pinned frame instead of a second scan
     val lens = base.select($"doc_id", $"len")

@@ -600,8 +600,10 @@ object TextStats extends QueryPack {
     // On the ASCII gate fixture (doc_id < 100, verified all-ASCII at
     // sf0.01/sf0.1) bytes ≡ chars, so the naive DuckDB char-sort oracle
     // is unchanged.
-    val base = docs.select($"doc_id", $"text", octet_length($"text").as("len"))
-      .where($"len" > 0)
+    // shared guarded ingestion (ADVICE r11): same raise_error-on-NUL
+    // contract as the global SuffixIndex build — pack8's past-end
+    // sentinel is byte 0, so NUL-bearing docs would mis-rank silently
+    val base = SuffixIndex.guardedBase(docs)
     val maxLen = base.agg(max($"len")).head().getInt(0)
     // round 0: rank = the first 7 suffix bytes packed order-preserving
     // into one long (any order-preserving, prefix-injective initial rank

@@ -198,6 +198,15 @@ final class SpanCorruptProcessor(params: Conf) extends Transform {
   * smaller partners are indirect — run the cluster gate as a batch job
   * when that distinction matters. Batch/foreachBatch-legal (aggregates
   * inside); not for a bare streaming DF.
+  *
+  * PRECONDITION: ids must be UNIQUE. Rows sharing an id never form a
+  * pair (the d1 < d2 candidate filter excludes equal ids, so same-id
+  * exact copies would all survive), and different texts under one id
+  * would have their shingles merged into a single MinHash signature,
+  * skewing Jaccard for that id. The precondition is enforced LAZILY
+  * (a per-id count stitched into the consumed plan raises at execution
+  * time) because the Processor contract forbids driver-side actions in
+  * the pipeline fold — the job fails loudly instead of no-op-deduping.
   */
 final class NearDedupProcessor(params: Conf) extends Transform {
   private val idCol   = params.str("id_column").getOrElse("doc_id")
@@ -221,17 +230,39 @@ final class NearDedupProcessor(params: Conf) extends Transform {
     val idType = df.select(col(idCol)).schema.head.dataType
     val integral = idType match {
       case ByteType | ShortType | IntegerType | LongType => true
-      case d: DecimalType if d.scale == 0 => true // exact long cast
+      // precision ≤ 18 keeps every value inside Long range; decimal(20,0)
+      // (the unsigned-BIGINT JDBC mapping) can exceed it, and cast("long")
+      // nulls those ids SILENTLY — dropping them from the pair join and
+      // keeping their duplicates, the exact no-op failure this guard
+      // exists to prevent
+      case d: DecimalType if d.scale == 0 && d.precision <= 18 => true
       case _ => false
     }
     require(integral,
       s"near_dedup: id_column '$idCol' must be an integral type for " +
       s"keep-smallest semantics, got ${idType.simpleString} — assign a " +
       "numeric id upstream (e.g. a select_expr stage)")
+    // LAZY unique-id guard (see scaladoc): a per-id count over the
+    // pair-build input raises at execution time when any id repeats.
+    // The count window shuffles on doc_id — the same key the shingle
+    // aggregation inside nearDupPairsFrom groups by — so at scale the
+    // guard rides the partitioning the LSH build needs anyway instead
+    // of adding an extra driver action the Processor contract forbids.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val keyed = df.select(col(idCol).cast("long").as("doc_id"),
+                          col(textCol).as("text"))
+    val guarded = keyed
+      .withColumn("_id_cnt", count(lit(1)).over(w))
+      .withColumn("doc_id",
+        when(col("_id_cnt") > 1,
+          raise_error(concat(lit(s"near_dedup: id_column '$idCol' must be " +
+            "unique (same-id rows never pair under d1 < d2 keep-smallest " +
+            "and their shingles would merge into one signature); duplicate " +
+            "id: "), col("doc_id"))))
+        .otherwise(col("doc_id")))
+      .drop("_id_cnt")
     // pairs come back (d1 < d2); every d2 has a smaller near-dup ⇒ drop
-    val drop = graft.ops.llm.Dedup.nearDupPairsFrom(
-        df.select(col(idCol).cast("long").as("doc_id"),
-                  col(textCol).as("text")))
+    val drop = graft.ops.llm.Dedup.nearDupPairsFrom(guarded)
       .select(col("d2").as(idCol)).distinct()
     df.join(drop, Seq(idCol), "left_anti")
   }

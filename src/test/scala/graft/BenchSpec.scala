@@ -42,4 +42,96 @@ class BenchSpec extends AnyFunSuite {
     val line = Bench.compactLine(Seq("q1" -> 1.0), 1.0, """/weird"dir\path""")
     assert(line.endsWith("\"sf\":\"/weird\\\"dir\\\\path\"}"), line)
   }
+
+  // --- baseline picker (VERDICT r11 #1: the regress guard must skip
+  // contended snapshots instead of diffing the newest unconditionally) ---
+
+  private def snap(contended: Option[Boolean],
+                   loads: Option[(Double, Double)] = None): String = {
+    val env = (contended, loads) match {
+      case (Some(c), _) =>
+        s""""env":{"load_start":0.5,"load_end":1.0,"contended":$c,"reps":3}"""
+      case (None, Some((ls, le))) => // pre-r11 shape: loads, no flag
+        s""""env":{"load_start":$ls,"load_end":$le,"reps":3}"""
+      case _ => "\"env\":{}"
+    }
+    s"""{"parsed":{"metric":"total","value":100.0,$env,"queries":{"q1":1.0}}}"""
+  }
+
+  private def withDir(files: Map[String, String])(
+      f: java.nio.file.Path => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("benchspec")
+    try {
+      files.foreach { case (name, body) =>
+        java.nio.file.Files.writeString(dir.resolve(name), body)
+      }
+      f(dir)
+    } finally {
+      files.keys.foreach(n =>
+        java.nio.file.Files.deleteIfExists(dir.resolve(n)))
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+
+  test("picker skips a contended newest snapshot for the older clean one") {
+    withDir(Map(
+      "BENCH_r11.json" -> snap(Some(true)),
+      "BENCH_r10.json" -> snap(Some(false)))) { dir =>
+      val pick = Bench.pickBaseline(dir).get
+      assert(pick.round === 10)
+      assert(pick.cleanCertified)
+      assert(pick.path.getFileName.toString === "BENCH_r10.json")
+    }
+  }
+
+  test("picker prefers the clean-adopted artifact within the same round") {
+    withDir(Map(
+      "BENCH_r11.json"       -> snap(Some(true)),
+      "BENCH_clean_r11.json" -> snap(Some(false)),
+      "BENCH_r10.json"       -> snap(Some(false)))) { dir =>
+      val pick = Bench.pickBaseline(dir).get
+      assert(pick.round === 11)
+      assert(pick.cleanCertified)
+      assert(pick.path.getFileName.toString === "BENCH_clean_r11.json")
+    }
+  }
+
+  test("pre-r11 snapshot without a flag derives contention from its loads") {
+    // r10-shaped: no contended field; load_start 1.74 >= 1.5 ⇒ contended,
+    // so the clean r9 wins
+    withDir(Map(
+      "BENCH_r10.json" -> snap(None, Some((1.74, 2.35))),
+      "BENCH_r09.json" -> snap(None, Some((0.3, 1.2))))) { dir =>
+      val pick = Bench.pickBaseline(dir).get
+      assert(pick.round === 9)
+      assert(pick.cleanCertified)
+    }
+  }
+
+  test("all-contended falls back to the newest, flagged uncertified") {
+    withDir(Map(
+      "BENCH_r11.json" -> snap(Some(true)),
+      "BENCH_r10.json" -> snap(None, Some((1.74, 2.35))))) { dir =>
+      val pick = Bench.pickBaseline(dir).get
+      assert(pick.round === 11)
+      assert(!pick.cleanCertified)
+    }
+  }
+
+  test("snapshotContended reads flag, derives from loads, recovers from tail") {
+    assert(Bench.snapshotContended(snap(Some(true))) === Some(true))
+    assert(Bench.snapshotContended(snap(Some(false))) === Some(false))
+    assert(Bench.snapshotContended(snap(None, Some((3.0, 1.0)))) === Some(true))
+    assert(Bench.snapshotContended(snap(None, Some((0.2, 1.0)))) === Some(false))
+    // tail-only (driver scrape failed): explicit flag wins
+    val tailFlag = """{"parsed":null,"tail":"...\"contended\":true,..."}"""
+    assert(Bench.snapshotContended(tailFlag) === Some(true))
+    // tail-only, pre-flag shape: derive from the loads in the fragment
+    val tailLoads =
+      """{"parsed":null,"tail":"\"load_start\":0.11,\"load_end\":0.9,"}"""
+    assert(Bench.snapshotContended(tailLoads) === Some(false))
+    // nothing recoverable: not certifiable
+    assert(Bench.snapshotContended("""{"parsed":null,"tail":"junk"}""") === None)
+    assert(Bench.snapshotContended("not json at all") === None)
+  }
 }

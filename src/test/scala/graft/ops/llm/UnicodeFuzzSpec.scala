@@ -211,6 +211,19 @@ class UnicodeFuzzSpec extends SparkSpec {
       s"expected the NUL ingestion guard to fire, got: ${ex.getMessage}")
   }
 
+  test("NUL bytes are rejected by the PER-DOC suffixRanks path too " +
+       "(ADVICE r11: it shares the pack8 sentinel but lacked the guard)") {
+    val corpus = Seq((0L, "clean ascii doc"), (1L, "has a \u0000 nul byte"))
+    val ex = intercept[Exception] {
+      TextStats.suffixRanks(corpus.toDF("doc_id", "text")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("NUL")),
+      s"expected the shared ingestion guard to fire, got: ${ex.getMessage}")
+  }
+
   for (seed <- Seq(11L, 42L, 2026L)) {
     test(s"seed $seed: global byte suffix ranks on a random multilingual " +
          "corpus match the naive byte-array sort") {

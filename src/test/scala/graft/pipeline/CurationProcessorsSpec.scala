@@ -140,19 +140,46 @@ class CurationProcessorsSpec extends SparkSpec {
     assert(e.getMessage.contains("must be an integral type"))
   }
 
-  test("near_dedup accepts decimal(p,0) ids (exact long cast — the JDBC " +
-       "BIGINT mapping) and case-mismatched id_column configs (analyzer " +
-       "resolution, not a raw schema lookup)") {
+  test("near_dedup accepts decimal(p<=18,0) ids (exact long cast) and " +
+       "case-mismatched id_column configs (analyzer resolution, not a " +
+       "raw schema lookup)") {
     val in = Seq((java.math.BigDecimal.valueOf(1L), baseText),
                  (java.math.BigDecimal.valueOf(2L), baseText))
       .toDF("doc_id", "text")
-      .select($"doc_id".cast("decimal(20,0)"), $"text")
+      .select($"doc_id".cast("decimal(18,0)"), $"text")
     val out = resolve("near_dedup").process(in).get
-    assert(out.count() === 1L, "decimal(20,0) ids dedup normally")
+    assert(out.count() === 1L, "decimal(18,0) ids dedup normally")
     val mixed = Seq((1L, baseText), (2L, baseText)).toDF("DocId", "text")
     val out2 = resolve("near_dedup", Map("id_column" -> "docid"))
       .process(mixed).get
     assert(out2.count() === 1L, "case-insensitive id resolution")
+  }
+
+  test("near_dedup rejects decimal(p>18,0) ids — the unsigned-BIGINT " +
+       "JDBC mapping can exceed Long and cast('long') nulls those ids " +
+       "SILENTLY, re-creating the no-op dedup the guard exists to stop " +
+       "(ADVICE r11)") {
+    val in = Seq((java.math.BigDecimal.valueOf(1L), baseText),
+                 (java.math.BigDecimal.valueOf(2L), baseText))
+      .toDF("doc_id", "text")
+      .select($"doc_id".cast("decimal(20,0)"), $"text")
+    val e = intercept[IllegalArgumentException] {
+      resolve("near_dedup").process(in)
+    }
+    assert(e.getMessage.contains("must be an integral type"))
+  }
+
+  test("near_dedup fails LOUDLY at execution on duplicate ids (same-id " +
+       "rows never pair under d1 < d2 and merged shingles skew Jaccard " +
+       "— ADVICE r11)") {
+    val in = Seq((1L, baseText), (1L, baseText), (2L, "unrelated short doc"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      resolve("near_dedup").process(in).get.count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("must be unique")), msgs(e).mkString("; "))
   }
 
   test("pii_scrub's count equals the redactions actually applied when " +
