@@ -296,14 +296,34 @@ object Graph extends QueryPack {
     */
   def triangleSummary(spark: SparkSession, eRaw: DataFrame): DataFrame = {
     import spark.implicits._
-    // The edge list feeds degree counting, the orientation joins, and the
-    // edge census; the oriented list feeds all THREE wedge-join sides.
-    // The static plan re-derives each from the raw pair self-join per
-    // consumer (49 exchanges, zero ReusedExchange nodes); checkpointing
-    // both pins the materialize-once shape a 100 TB triangle job needs
-    // rather than relying on AQE's runtime exchange reuse to find it
-    // (measured neutral at sf0.1 — AQE was recovering it — but reuse
-    // across an AQE re-plan boundary is not guaranteed at scale).
+    val (e, deg, oriented) = degreeOriented(spark, eRaw)
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+            $"e1.src" === $"e2.src" && $"e1.kdst" < $"e2.kdst")
+      .select($"e1.dst".as("v"), $"e2.dst".as("w"))
+      .join(oriented.as("e3"), $"v" === $"e3.src" && $"w" === $"e3.dst", "left_semi")
+    val nv = deg.agg(count(lit(1)).as("n_vertices"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    val nt = tri.agg(count(lit(1)).as("n_triangles"))
+    nv.crossJoin(ne).crossJoin(nt)
+  }
+
+  /** Shared degree + (degree,id)-oriented edge build for the triangle
+    * family — the summary's wedge join and the scale census must measure
+    * the SAME orientation or the census predicts a different join.
+    *
+    * The edge list feeds degree counting, the orientation joins, and the
+    * edge census; the oriented list feeds all THREE wedge-join sides.
+    * The static plan re-derives each from the raw pair self-join per
+    * consumer (49 exchanges, zero ReusedExchange nodes); checkpointing
+    * both pins the materialize-once shape a 100 TB triangle job needs
+    * rather than relying on AQE's runtime exchange reuse to find it
+    * (measured neutral at sf0.1 — AQE was recovering it — but reuse
+    * across an AQE re-plan boundary is not guaranteed at scale).
+    */
+  private def degreeOriented(spark: SparkSession, eRaw: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
     val e = eRaw.transform(graft.state.Materialize.pin)
     val deg = e.select($"a".as("v")).union(e.select($"b".as("v")))
       .groupBy($"v").agg(count(lit(1)).as("deg"))
@@ -319,15 +339,34 @@ object Graph extends QueryPack {
         when(ka < kb, kb).otherwise(ka).as("kdst"))
       .withColumn("dst", $"kdst.i")
       .transform(graft.state.Materialize.pin)
-    val tri = oriented.as("e1")
-      .join(oriented.as("e2"),
-            $"e1.src" === $"e2.src" && $"e1.kdst" < $"e2.kdst")
-      .select($"e1.dst".as("v"), $"e2.dst".as("w"))
-      .join(oriented.as("e3"), $"v" === $"e3.src" && $"w" === $"e3.dst", "left_semi")
-    val nv = deg.agg(count(lit(1)).as("n_vertices"))
-    val ne = e.agg(count(lit(1)).as("n_edges"))
-    val nt = tri.agg(count(lit(1)).as("n_triangles"))
-    nv.crossJoin(ne).crossJoin(nt)
+    (e, deg, oriented)
+  }
+
+  /** Degree/wedge census of the oriented triangle build — the scale
+    * telemetry behind the ScaleProbe `triangles` section (VERDICT r11
+    * #3). The wedge join's fanout is EXACTLY `Σ_src C(out_deg, 2)` over
+    * the (degree,id)-oriented list — counted here from the out-degree
+    * census WITHOUT building the join — next to the naive neighbor-pair
+    * bound `Σ_v C(deg, 2)` a hub vertex explodes. One row:
+    * `max_raw_deg` (the hub the generator planted), `max_out_deg` (what
+    * the orientation reduced it to — bounded by ~√(2m) because a vertex
+    * keeps an out-edge only toward HIGHER-degree endpoints),
+    * `n_wedges` (the oriented join's exact row count), and
+    * `naive_pair_bound` (what a per-neighbor-pair enumeration would
+    * build). Orientation holds at scale iff n_wedges tracks m^1.5 while
+    * naive_pair_bound grows with the hub's square.
+    */
+  def triangleWedgeCensus(spark: SparkSession, eRaw: DataFrame): DataFrame = {
+    import spark.implicits._
+    val (_, deg, oriented) = degreeOriented(spark, eRaw)
+    val rawSide = deg.agg(
+      max($"deg").as("max_raw_deg"),
+      expr("sum(deg * (deg - 1) DIV 2)").as("naive_pair_bound"))
+    val outSide = oriented.groupBy($"src").agg(count(lit(1)).as("d"))
+      .agg(max($"d").as("max_out_deg"),
+           expr("sum(d * (d - 1) DIV 2)").as("n_wedges"))
+    rawSide.crossJoin(outSide)
+      .select($"max_raw_deg", $"max_out_deg", $"n_wedges", $"naive_pair_bound")
   }
 
   /** Recursive CTE hierarchy walk through the `spark.sql` ENTRY PATH —

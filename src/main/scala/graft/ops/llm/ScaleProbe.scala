@@ -723,6 +723,50 @@ object ScaleProbe {
       val (ne, nTop, s) = timedPr(m)
       println(f"[scale-probe] pagerank-directed mult=$m%-3d edges=$ne%-8d top=$nTop time=$s%.2fs")
     }
+
+    // graph_triangles (VERDICT r11 #3): the oriented wedge join bounds
+    // work by Σ_src C(out_deg,2), but that bound is skew-sensitive — a
+    // power-law hub could explode the wedge frame if orientation failed
+    // to demote it. The generator PLANTS the hub: targets are drawn with
+    // density ∝ t^(-2/3) (the u³ map), so vertex ~0 accumulates raw
+    // degree ∝ m^(2/3) while sources stay uniform. Telemetry per rung:
+    // max raw degree (the hub), max ORIENTED out-degree (what the
+    // (degree,id) order reduced it to — the hub outranks every neighbor,
+    // so its edges all point TOWARD it and its out-degree collapses),
+    // n_wedges = the join's exact fanout counted from the out-degree
+    // census, and the naive per-neighbor-pair bound Σ C(deg,2) the hub
+    // explodes. Posture holds iff n_wedges stays near-linear in edges
+    // (≤ m^1.5) while naive_pair_bound grows with the hub's square.
+    def timedTri(m: Int): (Long, Long, Long, Long, Long, Long, Double) = {
+      val n = 2000L * m
+      // ... plus a consecutive-id path lattice (i, i+1), (i, i+2) that
+      // plants ≈n real triangles, so the closure semi-join probes a
+      // non-empty result at every rung (the skewed part alone closes
+      // almost no wedge)
+      val lattice = spark.range(n - 2).select($"id".as("x"), ($"id" + 1).as("y"))
+        .union(spark.range(n - 2).select($"id".as("x"), ($"id" + 2).as("y")))
+      val e = spark.range(6000L * m).select(
+          pmod($"id" * 2654435761L, lit(n)).as("x"),
+          (pow(pmod($"id" * 7919L + 13L, lit(n)).cast("double") / n, 3.0) * n)
+            .cast("long").as("y"))
+        .union(lattice)
+        .where($"x" =!= $"y")
+        .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
+        .distinct()
+      val ne = e.count()
+      val cen = graft.ops.Graph.triangleWedgeCensus(spark, e).head()
+      val t0 = System.nanoTime()
+      val row = graft.ops.Graph.triangleSummary(spark, e).head()
+      val s = (System.nanoTime() - t0) / 1e9
+      (ne, cen.getLong(0), cen.getLong(1), cen.getLong(2), cen.getLong(3),
+        row.getLong(2), s)
+    }
+    probeMults("triangles", timedTri(1)).foreach { m =>
+      val (ne, rawMax, outMax, wedges, naive, tri, s) = timedTri(m)
+      println(f"[scale-probe] triangles mult=$m%-3d edges=$ne%-7d " +
+        f"max_raw_deg=$rawMax%-5d max_out_deg=$outMax%-4d wedges=$wedges%-8d " +
+        f"naive_pair_bound=$naive%-9d triangles=$tri%-7d time=$s%.2fs")
+    }
     spark.stop()
   }
 }

@@ -54,6 +54,32 @@ class GraphSpec extends SparkSpec {
     assert(count(es)._3 === naiveTriangles(es))
   }
 
+  test("triangleWedgeCensus matches a driver-side replica of the " +
+       "(degree,id) orientation — wedges, out-degree max, naive bound " +
+       "(the scale probe's telemetry must predict the join it measures)") {
+    var s = 777L
+    def nxt(n: Long): Long = { s = (s * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; s % n }
+    // hub-skewed: half the edges touch vertex 0
+    val es = (Seq.fill(60)((0L, 1 + nxt(24))) ++
+              Seq.fill(60)((1 + nxt(24), 1 + nxt(24))))
+      .filter { case (x, y) => x != y }
+      .map { case (x, y) => (math.min(x, y), math.max(x, y)) }.distinct
+    val deg = es.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+      .map { case (v, o) => v -> o.size.toLong }
+    // orient each edge toward the larger (degree, id) key
+    val keyOrd = Ordering.Tuple2[Long, Long]
+    val outDeg = es.groupBy { case (x, y) =>
+      if (keyOrd.lt((deg(x), x), (deg(y), y))) x else y
+    }.map { case (src, o) => src -> o.size.toLong }
+    val expWedges = outDeg.values.map(d => d * (d - 1) / 2).sum
+    val expNaive  = deg.values.map(d => d * (d - 1) / 2).sum
+    val r = Graph.triangleWedgeCensus(spark, edgeDf(es)).head
+    assert(r.getLong(0) === deg.values.max, "max_raw_deg")
+    assert(r.getLong(1) === outDeg.values.max, "max_out_deg")
+    assert(r.getLong(2) === expWedges, "n_wedges")
+    assert(r.getLong(3) === expNaive, "naive_pair_bound")
+  }
+
   test("starComponents: adversarial long chain, cycle, star and forest " +
        "all match a driver-side union-find (the chain is the shape that " +
        "bound the retired min-label propagation to its diameter)") {
