@@ -1070,13 +1070,18 @@ object Dedup extends QueryPack {
     */
   private[llm] val IvfCells = 4
 
+  /** Embedding dimensionality the IVF quantizer (and hence every
+    * embedding-family operator) is built for — the fixture's dimension.
+    */
+  private[graft] val IvfDim = 64
+
   /** The IVF coarse-quantizer centroids: K × 64 md5-derived components in
     * [−1, 1) — the same deterministic-plane trick as [[Similarity]]'s LSH
     * hyperplanes, so any engine (or a re-run on any cluster) builds the
     * identical quantizer. O(K·dim) driver work; no corpus data involved.
     */
   private lazy val ivfCentroids: Array[Array[Double]] =
-    Array.tabulate(IvfCells, 64) { (c, d) =>
+    Array.tabulate(IvfCells, IvfDim) { (c, d) =>
       CrossHash.hex60Jvm(s"ivf_${c}_$d").toDouble / 576460752303423488.0 - 1.0
     }
 
@@ -1177,43 +1182,66 @@ object Dedup extends QueryPack {
     val corpus = Similarity.corpus(spark, dir)
     val pairs = embeddingPairsCached(spark, dir, thr = 0.45, sameCellOnly = true)
       .select($"i".as("d1"), $"j".as("d2"))
-    val labels = starComponents(pairs)
-      .select($"doc".as("vec_id"), $"lab")
-    val cnorm = ivfCentroids.map(w => math.sqrt(w.map(x => x * x).sum))
-    // cos to the vector's OWN cell centroid, as one CASE over the K
-    // centroid literals — same fold order as the oracle's list_reduce
-    val cosC = (0 until IvfCells).foldLeft(when(lit(false), lit(0.0))) {
-      (w, c) =>
-        w.when($"cell" === c,
-          call_function("graft_dot", $"v", typedlit(ivfCentroids(c).toSeq)) /
-            ($"nrm" * lit(cnorm(c))))
-    }.otherwise(lit(Double.NaN))
-    // broadcast the LABEL side explicitly: it is the pair-connected
-    // subset (tiny by construction) but arrives as a checkpointed RDD
-    // with no stats, so at test SF Catalyst instead broadcasts the
-    // corpus side (parquet stats look small) — a corpus-sized build at
-    // 100 TB. The hint pins the only join shape that scales.
-    val members = withIvfCell(corpus)
-      .join(broadcast(labels), Seq("vec_id"))
-      .withColumn("cos_c", cosC)
-    val byLab = org.apache.spark.sql.expressions.Window
-      .partitionBy($"lab").orderBy($"cos_c", $"vec_id")
-    members
-      .withColumn("rn", row_number().over(byLab))
-      .withColumn("n_members", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"lab")))
+    semDedupMembers(corpus, pairs)
       .where($"rn" === 1)
       .select($"lab".as("cluster_rep"), $"n_members".cast("long").as("n_members"),
         $"vec_id".as("keep_vec_id"))
       .orderBy($"cluster_rep")
   }
 
+  /** [[semDedup]]'s member resolution over any `(vec_id, v, nrm)` corpus
+    * and `(d1, d2)` same-cell pair frame — factored so the gate and the
+    * YAML `sem_dedup` processor run the IDENTICAL cluster/keep machinery
+    * (VERDICT r11 #4: pipeline and query surfaces must not diverge).
+    * One row per PAIR-CONNECTED member: (vec_id, lab, cos_c, rn,
+    * n_members); `rn = 1` is the SemDeDup keep policy — the member LEAST
+    * similar to its own cell centroid survives (Abbas et al. 2023), ties
+    * to the lowest id. Unconnected vectors don't appear (inner join);
+    * callers keep them implicitly.
+    */
+  private[graft] def semDedupMembers(corpus: DataFrame, pairs: DataFrame): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val labels = starComponents(pairs)
+      .select($"doc".as("vec_id"), $"lab")
+    // broadcast the LABEL side explicitly: it is the pair-connected
+    // subset (tiny by construction) but arrives as a checkpointed RDD
+    // with no stats, so at test SF Catalyst instead broadcasts the
+    // corpus side (parquet stats look small) — a corpus-sized build at
+    // 100 TB. The hint pins the only join shape that scales.
+    val members = withCellCentroidCos(corpus)
+      .join(broadcast(labels), Seq("vec_id"))
+    val byLab = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lab").orderBy($"cos_c", $"vec_id")
+    members
+      .withColumn("rn", row_number().over(byLab))
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"lab")))
+  }
+
+  /** IVF cell assignment + cosine to the vector's OWN cell centroid
+    * (`cos_c`), as one CASE over the K centroid literals — the same fold
+    * order as the oracle's list_reduce, so the keep-policy ordering is
+    * engine-independent. The SemDeDup keep quantity, shared by the
+    * cluster gate ([[semDedupMembers]]) and the pairwise YAML processor.
+    */
+  private[graft] def withCellCentroidCos(corpus: DataFrame): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val cnorm = ivfCentroids.map(w => math.sqrt(w.map(x => x * x).sum))
+    val cosC = (0 until IvfCells).foldLeft(when(lit(false), lit(0.0))) {
+      (w, c) =>
+        w.when($"cell" === c,
+          call_function("graft_dot", $"v", typedlit(ivfCentroids(c).toSeq)) /
+            ($"nrm" * lit(cnorm(c))))
+    }.otherwise(lit(Double.NaN))
+    withIvfCell(corpus).withColumn("cos_c", cosC)
+  }
+
   /** The cell-shuffle pair engine behind [[dedupEmbedding]], over any
     * `(vec_id, v, nrm)` corpus — factored out so the scale probe
     * ([[ScaleProbe]]) can drive it with multiplied corpora.
     */
-  private[ops] def embeddingPairs(corpus: DataFrame, thr: Double,
-                                  sameCellOnly: Boolean = false): DataFrame = {
+  private[graft] def embeddingPairs(corpus: DataFrame, thr: Double,
+                                    sameCellOnly: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = spark.sparkContext.broadcast(ivfCentroids)

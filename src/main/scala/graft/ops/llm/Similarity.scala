@@ -77,6 +77,34 @@ object Similarity extends QueryPack {
       .orderBy($"q_id", $"rk")
   }
 
+  /** C38 annotate-top-k over ANY `(vec_id, v, nrm)` corpus — the YAML
+    * `ann_topk` processor core: each vector's k most-similar OTHER
+    * vectors within its own IVF cell. Candidates come from the SAME
+    * cell-shuffle pair engine the dedup gates verify
+    * ([[Dedup.embeddingPairs]], sameCellOnly — candidate volume
+    * O(n²/K) spread over K cells, never the full n² brute force; the
+    * standard IVF recall trade: a cross-cell neighbor is missed); the
+    * annotation is one symmetric union + rank window + sorted collect.
+    * Output: `(vec_id, topk: array<struct<rk, n_id, sim>>)` with rk
+    * 1..k by sim desc, ties to the lowest n_id — the array order is
+    * deterministic (sorted by rk), so downstream exact compares hold.
+    * Vectors with no same-cell neighbor ≥ thr don't appear; callers
+    * left-join and coalesce to the empty array.
+    */
+  private[graft] def annTopKWithin(corpus: DataFrame, k: Int,
+                                   thr: Double): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val pairs = Dedup.embeddingPairs(corpus, thr, sameCellOnly = true)
+    val sym = pairs.select($"i".as("vec_id"), $"j".as("n_id"), $"cos_sim")
+      .union(pairs.select($"j".as("vec_id"), $"i".as("n_id"), $"cos_sim"))
+    val w = Window.partitionBy($"vec_id").orderBy($"cos_sim".desc, $"n_id")
+    sym.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
+      .groupBy($"vec_id")
+      .agg(sort_array(collect_list(
+        struct($"rk", $"n_id", $"cos_sim".as("sim")))).as("topk"))
+  }
+
   /** Contrastive HARD-NEGATIVE mining — the label-constrained form of
     * [[annCosineTopK]] and the pair-construction step of embedding-model
     * training (DPR/SimCSE-style): for each query vector, the top-5 most

@@ -216,55 +216,217 @@ final class NearDedupProcessor(params: Conf) extends Transform {
     s"near_dedup: unsupported params ${unknown.toSeq.sorted.mkString(", ")} " +
     "(supported: id_column, text_column)")
   def apply(df: DataFrame): DataFrame = {
-    // fail FAST on a non-integral id column: cast("long") would turn
-    // every id to null, the d1 < d2 candidate filter would drop
-    // everything, and the processor would silently keep all duplicates
-    // (a no-op dedup is worse than an error). String-keyed corpora
-    // should pre-assign numeric ids (monotonically_increasing_id or a
-    // select_expr stage) so "keep the smaller id" is well-defined.
-    // Resolved through the ANALYZER (not a raw StructType lookup) so
-    // case-mismatched configs keep working under the session's default
-    // case-insensitive resolution, and a missing column still raises
-    // the standard AnalysisException naming candidates.
-    import org.apache.spark.sql.types._
-    val idType = df.select(col(idCol)).schema.head.dataType
-    val integral = idType match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      // precision ≤ 18 keeps every value inside Long range; decimal(20,0)
-      // (the unsigned-BIGINT JDBC mapping) can exceed it, and cast("long")
-      // nulls those ids SILENTLY — dropping them from the pair join and
-      // keeping their duplicates, the exact no-op failure this guard
-      // exists to prevent
-      case d: DecimalType if d.scale == 0 && d.precision <= 18 => true
-      case _ => false
-    }
-    require(integral,
-      s"near_dedup: id_column '$idCol' must be an integral type for " +
-      s"keep-smallest semantics, got ${idType.simpleString} — assign a " +
-      "numeric id upstream (e.g. a select_expr stage)")
-    // LAZY unique-id guard (see scaladoc): a per-id count over the
-    // pair-build input raises at execution time when any id repeats.
-    // The count window shuffles on doc_id — the same key the shingle
-    // aggregation inside nearDupPairsFrom groups by — so at scale the
-    // guard rides the partitioning the LSH build needs anyway instead
-    // of adding an extra driver action the Processor contract forbids.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    IdGuards.requireIntegral(df, idCol, "near_dedup")
     val keyed = df.select(col(idCol).cast("long").as("doc_id"),
                           col(textCol).as("text"))
-    val guarded = keyed
-      .withColumn("_id_cnt", count(lit(1)).over(w))
-      .withColumn("doc_id",
-        when(col("_id_cnt") > 1,
-          raise_error(concat(lit(s"near_dedup: id_column '$idCol' must be " +
-            "unique (same-id rows never pair under d1 < d2 keep-smallest " +
-            "and their shingles would merge into one signature); duplicate " +
-            "id: "), col("doc_id"))))
-        .otherwise(col("doc_id")))
-      .drop("_id_cnt")
+    // the count window shuffles on doc_id — the same key the shingle
+    // aggregation inside nearDupPairsFrom groups by — so at scale the
+    // guard rides the partitioning the LSH build needs anyway
+    val guarded = IdGuards.uniqueGuarded(keyed, "doc_id", idCol, "near_dedup",
+      "same-id rows never pair under d1 < d2 keep-smallest and their " +
+      "shingles would merge into one signature")
     // pairs come back (d1 < d2); every d2 has a smaller near-dup ⇒ drop
     val drop = graft.ops.llm.Dedup.nearDupPairsFrom(guarded)
       .select(col("d2").as(idCol)).distinct()
     df.join(drop, Seq(idCol), "left_anti")
+  }
+}
+
+/** Shared fail-fast/lazy guards for the id-keyed dedup/annotate
+  * processors — one spelling of the two preconditions every pairing
+  * operator has (near_dedup, sem_dedup, ann_topk).
+  */
+private[pipeline] object IdGuards {
+  import org.apache.spark.sql.types._
+
+  /** Fail FAST on a non-integral id column: cast("long") would turn
+    * every id to null, pair candidate filters would drop everything,
+    * and the processor would silently keep all duplicates (a no-op
+    * dedup is worse than an error). String-keyed corpora should
+    * pre-assign numeric ids (monotonically_increasing_id or a
+    * select_expr stage) so id-ordered keep policies are well-defined.
+    * Resolved through the ANALYZER (not a raw StructType lookup) so
+    * case-mismatched configs keep working under the session's default
+    * case-insensitive resolution, and a missing column still raises
+    * the standard AnalysisException naming candidates. Decimal needs
+    * precision ≤ 18: decimal(20,0) (the unsigned-BIGINT JDBC mapping)
+    * can exceed Long and cast("long") nulls those ids SILENTLY.
+    */
+  def requireIntegral(df: DataFrame, idCol: String, op: String): Unit = {
+    val idType = df.select(col(idCol)).schema.head.dataType
+    val integral = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType if d.scale == 0 && d.precision <= 18 => true
+      case _ => false
+    }
+    require(integral,
+      s"$op: id_column '$idCol' must be an integral type for " +
+      s"id-keyed pair semantics, got ${idType.simpleString} — assign a " +
+      "numeric id upstream (e.g. a select_expr stage)")
+  }
+
+  /** LAZY unique-id guard: a per-id count over the pair-build input,
+    * stitched into the consumed plan, raises at EXECUTION time when any
+    * id repeats — the Processor contract forbids driver-side actions in
+    * the pipeline fold, so the job fails loudly instead of silently
+    * mis-pairing. `keyCol` is the already-cast long key column of
+    * `keyed`; `idCol`/`op` name the user-facing config in the error.
+    */
+  def uniqueGuarded(keyed: DataFrame, keyCol: String, idCol: String,
+                    op: String, why: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+    keyed
+      .withColumn("_id_cnt", count(lit(1)).over(w))
+      .withColumn(keyCol,
+        when(col("_id_cnt") > 1,
+          raise_error(concat(
+            lit(s"$op: id_column '$idCol' must be unique ($why); " +
+              "duplicate id: "), col(keyCol))))
+        .otherwise(col(keyCol)))
+      .drop("_id_cnt")
+  }
+}
+
+/** Shared embedding ingestion for the pipeline's C37/C38 stages:
+  * normalizes any `(id, embedding)` frame to the `(vec_id, v, nrm)`
+  * corpus shape the gate-proven cores consume, with all three
+  * preconditions enforced — integral unique ids (IdGuards) and the IVF
+  * quantizer's dimensionality (a wrong-dimension vector would index past
+  * the centroid array in the cell-assignment loop; guarded lazily with
+  * raise_error, same posture as the id guards).
+  */
+private[pipeline] object EmbeddingStage {
+  def corpusFrom(df: DataFrame, idCol: String, embCol: String,
+                 op: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    IdGuards.requireIntegral(df, idCol, op)
+    val dim = graft.ops.llm.Dedup.IvfDim
+    val keyed = df.select(col(idCol).cast("long").as("vec_id"),
+        transform(col(embCol), x => x.cast("double")).as("v"))
+    IdGuards.uniqueGuarded(keyed, "vec_id", idCol, op,
+        "same-id rows never pair and the annotate window would merge " +
+        "two rows' neighbor sets")
+      .withColumn("v",
+        when(size(col("v")) =!= dim, raise_error(concat(
+          lit(s"$op: embedding_column '$embCol' must be $dim-dimensional " +
+            "(the IVF quantizer's dimension); got dim "),
+          size(col("v")).cast("string"), lit(" for id "), col("vec_id"))))
+        .otherwise(col("v")))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+  }
+}
+
+/** C37/C38 SemDeDup-style SEMANTIC deduplication as a pipeline stage
+  * (Abbas et al. 2023), with PAIRWISE keep semantics: for every same-cell
+  * embedding pair with cosine ≥ threshold (found through the gate-proven
+  * IVF cell-shuffle pair engine — bucketed, never all-pairs), the member
+  * MORE similar to its own cell centroid is dropped — the paper's
+  * keep-least-redundant policy applied per pair, ties to the higher id.
+  * Like [[NearDedupProcessor]], this is deliberately NOT
+  * transitive-cluster canonicalization: resolving clusters needs the
+  * iterative star contraction whose convergence loop runs driver-side
+  * actions — illegal inside a lazy pipeline fold (the Processor
+  * contract). The two rules agree everywhere except docs whose only
+  * "better" partners are indirect (see cluster-posture.md); run the
+  * `llm_semdedup` gate as a batch job when cluster-exact reps matter.
+  * The keep QUANTITY (cos to own-cell centroid, `withCellCentroidCos`)
+  * and the pair engine are the gate's own cores, so the two surfaces
+  * cannot diverge. Batch/foreachBatch-legal; not for a bare streaming DF.
+  *
+  * PRECONDITIONS (enforced by [[EmbeddingStage]]): unique integral ids;
+  * embeddings of the quantizer's dimension.
+  */
+final class SemDedupProcessor(params: Conf) extends Transform {
+  private val idCol  = params.str("id_column").getOrElse("vec_id")
+  private val embCol = params.str("embedding_column").getOrElse("embedding")
+  private val thr: Double = params.str("threshold").map { s =>
+    val t =
+      try s.toDouble
+      catch { case _: NumberFormatException => throw new IllegalArgumentException(
+        s"sem_dedup: threshold must be a number in [-1, 1], got '$s'") }
+    require(t >= -1.0 && t <= 1.0,
+      s"sem_dedup: threshold must be in [-1, 1], got $t")
+    t
+  }.getOrElse(0.45)
+  private val unknown =
+    params.m.keySet -- Set("id_column", "embedding_column", "threshold")
+  require(unknown.isEmpty,
+    s"sem_dedup: unsupported params ${unknown.toSeq.sorted.mkString(", ")} " +
+    "(supported: id_column, embedding_column, threshold)")
+  def apply(df: DataFrame): DataFrame = {
+    val corpus = EmbeddingStage.corpusFrom(df, idCol, embCol, "sem_dedup")
+    val ann = graft.ops.llm.Dedup.withCellCentroidCos(corpus)
+      .select(col("vec_id"), col("cos_c"))
+    val pairs = graft.ops.llm.Dedup
+      .embeddingPairs(corpus, thr, sameCellOnly = true)
+      .select(col("i"), col("j"))
+    // pairs are tiny by construction (verified near-dups only) but come
+    // out of flatMapGroups with no stats — hint broadcast so the
+    // centroid-cos joins stay corpus-scan-shaped at 100 TB instead of
+    // shuffling the corpus twice
+    val withCi = broadcast(pairs)
+      .join(ann.select(col("vec_id").as("i"), col("cos_c").as("ci")), "i")
+    val ranked = withCi.hint("broadcast")
+      .join(ann.select(col("vec_id").as("j"), col("cos_c").as("cj")), "j")
+    // drop the pair member whose (cos_c, id) sorts HIGHER — keep the
+    // least-centroid-similar, ties to the lowest id (the gate's window
+    // order exactly)
+    val drop = ranked.select(
+        when(struct(col("ci"), col("i")) < struct(col("cj"), col("j")),
+          col("j")).otherwise(col("i")).as(idCol))
+      .distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+}
+
+/** C38 ANN annotate-top-k as a pipeline stage: appends to every row its
+  * k most-similar OTHER rows within the same IVF cell, as a
+  * deterministic rk-sorted `array<struct<rk, n_id, sim>>` (the
+  * [[graft.ops.llm.Similarity.annTopKWithin]] core — same cell-shuffle
+  * candidate engine as the dedup gates; the standard IVF recall trade:
+  * a cross-cell neighbor is missed). Rows with no same-cell neighbor ≥
+  * threshold get an EMPTY array, not null — visible to the next stage.
+  * Batch/foreachBatch-legal (window + aggregate inside).
+  *
+  * PRECONDITIONS (enforced by [[EmbeddingStage]]): unique integral ids;
+  * embeddings of the quantizer's dimension.
+  */
+final class AnnTopKProcessor(params: Conf) extends Transform {
+  private val idCol  = params.str("id_column").getOrElse("vec_id")
+  private val embCol = params.str("embedding_column").getOrElse("embedding")
+  private val outCol = params.str("output_column").getOrElse("ann_topk")
+  private val k: Int = params.str("k").map { s =>
+    val v =
+      try s.toInt
+      catch { case _: NumberFormatException => throw new IllegalArgumentException(
+        s"ann_topk: k must be a positive integer, got '$s'") }
+    require(v >= 1, s"ann_topk: k must be >= 1, got $v")
+    v
+  }.getOrElse(5)
+  private val thr: Double = params.str("threshold").map { s =>
+    val t =
+      try s.toDouble
+      catch { case _: NumberFormatException => throw new IllegalArgumentException(
+        s"ann_topk: threshold must be a number in [-1, 1], got '$s'") }
+    require(t >= -1.0 && t <= 1.0,
+      s"ann_topk: threshold must be in [-1, 1], got $t")
+    t
+  }.getOrElse(-1.0) // no similarity floor: all same-cell candidates rank
+  private val unknown = params.m.keySet --
+    Set("id_column", "embedding_column", "output_column", "k", "threshold")
+  require(unknown.isEmpty,
+    s"ann_topk: unsupported params ${unknown.toSeq.sorted.mkString(", ")} " +
+    "(supported: id_column, embedding_column, output_column, k, threshold)")
+  def apply(df: DataFrame): DataFrame = {
+    require(!df.columns.exists(_.equalsIgnoreCase(outCol)),
+      s"ann_topk: output_column '$outCol' already exists in the input — " +
+      "pick another name (silent overwrite would hide the input column)")
+    val corpus = EmbeddingStage.corpusFrom(df, idCol, embCol, "ann_topk")
+    val topk = graft.ops.llm.Similarity.annTopKWithin(corpus, k, thr)
+    df.join(topk.select(col("vec_id").as(idCol), col("topk").as(outCol)),
+        Seq(idCol), "left_outer")
+      .withColumn(outCol, coalesce(col(outCol),
+        array().cast("array<struct<rk:bigint,n_id:bigint,sim:double>>")))
   }
 }
 

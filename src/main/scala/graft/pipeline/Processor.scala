@@ -100,6 +100,8 @@ object ProcessorRegistry {
     "lang_id"        -> ((_, p) => new LangIdProcessor(p)),
     "quality_score"  -> ((_, p) => new QualityScoreProcessor(p)),
     "gopher_filter"  -> ((_, p) => new GopherFilterProcessor(p)),
+    "sem_dedup"      -> ((_, p) => new SemDedupProcessor(p)),
+    "ann_topk"       -> ((_, p) => new AnnTopKProcessor(p)),
     // reference-style full class paths, translated
     "graft.pipeline.NoOpProcessor"           -> ((_, p) => new NoOpProcessor(p)),
     "graft.pipeline.UppercaseValueProcessor" -> ((_, p) => new UppercaseValueProcessor(p)),

@@ -291,4 +291,124 @@ class CurationProcessorsSpec extends SparkSpec {
       "pii scrub ran before dedup")
     assert(survivor.getAs[Long]("n_pii_redacted") === 1L)
   }
+
+  // --- r12 embedding-family processors (VERDICT r11 #4) ---
+
+  /** 64-dim unit-ish vector with the given (index, value) components. */
+  private def vec(xs: (Int, Double)*): Array[Double] = {
+    val a = Array.fill(64)(0.0)
+    xs.foreach { case (i, v) => a(i) = v }
+    a
+  }
+
+  test("sem_dedup drops the MORE-centroid-similar member of each " +
+       "semantic pair (exact copy: the tie goes against the higher id), " +
+       "keeps isolated vectors, and passes extra columns through") {
+    val va = Array.tabulate(64)(i => math.sin(i + 1.0))
+    val vd = Array.tabulate(64)(i => math.cos(3.0 * i))
+    val in = Seq((1L, va, "keep"), (2L, va, "dup"), (7L, vd, "iso"))
+      .toDF("vec_id", "embedding", "tag")
+    val out = resolve("sem_dedup", Map("threshold" -> "0.95")).process(in).get
+    assert(out.select("vec_id").as[Long].collect().sorted.toSeq === Seq(1L, 7L))
+    assert(out.columns.toSeq === Seq("vec_id", "embedding", "tag"))
+  }
+
+  test("sem_dedup validates params fail-fast: threshold bounds and " +
+       "format, unknown params, non-integral id") {
+    val e1 = intercept[IllegalArgumentException] {
+      resolve("sem_dedup", Map("threshold" -> "1.5"))
+    }
+    assert(e1.getMessage.contains("[-1, 1]"))
+    val e2 = intercept[IllegalArgumentException] {
+      resolve("sem_dedup", Map("threshold" -> "high"))
+    }
+    assert(e2.getMessage.contains("must be a number"))
+    val e3 = intercept[IllegalArgumentException] {
+      resolve("sem_dedup", Map("thresh" -> "0.5"))
+    }
+    assert(e3.getMessage.contains("unsupported params"))
+    val in = Seq(("k1", vec(0 -> 1.0))).toDF("vec_id", "embedding")
+    val e4 = intercept[IllegalArgumentException] {
+      resolve("sem_dedup").process(in)
+    }
+    assert(e4.getMessage.contains("integral"))
+  }
+
+  test("sem_dedup raises LOUDLY at execution on a wrong-dimension " +
+       "embedding (the quantizer's cell loop would index past the " +
+       "centroid array) and on duplicate ids") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val short = Seq((1L, Array(1.0, 2.0)), (2L, Array(1.0, 2.0)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[Exception] {
+      resolve("sem_dedup").process(short).get.count()
+    }
+    assert(msgs(e1).exists(_.contains("64-dimensional")), msgs(e1).mkString(";"))
+    val dup = Seq((1L, vec(0 -> 1.0)), (1L, vec(1 -> 1.0)))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[Exception] {
+      resolve("sem_dedup").process(dup).get.count()
+    }
+    assert(msgs(e2).exists(_.contains("must be unique")), msgs(e2).mkString(";"))
+  }
+
+  test("ann_topk annotates each row with its rk-sorted same-cell " +
+       "neighbors above the threshold; no-neighbor rows get an EMPTY " +
+       "array, and k truncates") {
+    // a=(e0), b=(e0+0.01 e1), c=(e0+0.1 e1): sims a·b 0.99995 > c·b
+    // 0.99598 > c·a 0.99504; d=(e1) is below the 0.9 floor vs all
+    val in = Seq(
+      (1L, vec(0 -> 1.0)),
+      (2L, vec(0 -> 1.0, 1 -> 0.01)),
+      (3L, vec(0 -> 1.0, 1 -> 0.1)),
+      (9L, vec(1 -> 1.0)))
+      .toDF("vec_id", "embedding")
+    val out = resolve("ann_topk",
+        Map("k" -> "2", "threshold" -> "0.9")).process(in).get
+    val got = out.select($"vec_id",
+        expr("transform(ann_topk, x -> x.n_id)").as("ids"),
+        expr("transform(ann_topk, x -> x.sim)").as("sims"))
+      .as[(Long, Seq[Long], Seq[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L)._1 === Seq(2L, 3L))
+    assert(got(2L)._1 === Seq(1L, 3L))
+    assert(got(3L)._1 === Seq(2L, 1L))
+    assert(got(9L)._1 === Seq.empty, "below-threshold row gets empty array")
+    // sims descend within each row's array (rk order)
+    got.values.foreach { case (_, sims) =>
+      assert(sims === sims.sorted.reverse)
+    }
+    val k1 = resolve("ann_topk",
+        Map("k" -> "1", "threshold" -> "0.9")).process(in).get
+      .where($"vec_id" === 1L)
+      .select(expr("transform(ann_topk, x -> x.n_id)")).as[Seq[Long]].head()
+    assert(k1 === Seq(2L), "k=1 truncates to the single best neighbor")
+  }
+
+  test("ann_topk validates params fail-fast: k format and floor, " +
+       "threshold bounds, unknown params, output-column collision") {
+    val e1 = intercept[IllegalArgumentException] {
+      resolve("ann_topk", Map("k" -> "0"))
+    }
+    assert(e1.getMessage.contains("k must be >= 1"))
+    val e2 = intercept[IllegalArgumentException] {
+      resolve("ann_topk", Map("k" -> "many"))
+    }
+    assert(e2.getMessage.contains("positive integer"))
+    val e3 = intercept[IllegalArgumentException] {
+      resolve("ann_topk", Map("threshold" -> "-2"))
+    }
+    assert(e3.getMessage.contains("[-1, 1]"))
+    val e4 = intercept[IllegalArgumentException] {
+      resolve("ann_topk", Map("topk" -> "3"))
+    }
+    assert(e4.getMessage.contains("unsupported params"))
+    val in = Seq((1L, vec(0 -> 1.0), "x"))
+      .toDF("vec_id", "embedding", "ANN_TOPK")
+    val e5 = intercept[IllegalArgumentException] {
+      resolve("ann_topk").process(in)
+    }
+    assert(e5.getMessage.contains("already exists"))
+  }
 }

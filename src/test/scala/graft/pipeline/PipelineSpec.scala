@@ -286,6 +286,60 @@ class PipelineSpec extends SparkSpec {
     assert(result.select("score").as[Int].collect().forall(s => s >= 0 && s <= 4))
   }
 
+  test("r12 embedding processors from ONE YAML: ann_topk -> sem_dedup " +
+       "over fixture embeddings with a planted semantic duplicate " +
+       "(VERDICT r11 #4 — the SemDeDup stage of a curation funnel " +
+       "driven by config, not library calls)") {
+    import org.apache.spark.sql.functions._
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // plant: an exact embedding copy of vec 3 under id 1003 — at
+    // threshold 0.95 the fixture's natural pairs stay below the floor,
+    // so the planted pair is the only semantic duplicate
+    val inDir = tmpDir("pipe_emb_in")
+    embs.unionByName(
+        embs.where($"vec_id" === 3L)
+          .select(($"vec_id" + 1000L).as("vec_id"), $"embedding", $"label"))
+      .write.mode("overwrite").parquet(inDir)
+    val out = tmpDir("pipe_emb_out")
+    val yaml =
+      s"""app_name: "EmbeddingCuration"
+         |source:
+         |  type: "parquet"
+         |  config: {path: "$inDir"}
+         |processors:
+         |  - name: "Ann"
+         |    class: "ann_topk"
+         |    params: {k: "3", threshold: "0.95"}
+         |  - name: "SemDedup"
+         |    class: "sem_dedup"
+         |    params: {threshold: "0.95"}
+         |sink:
+         |  type: "parquet"
+         |  config: {path: "$out", mode: "overwrite"}
+         |""".stripMargin
+    Pipeline.fromYamlString(spark, yaml, streaming = false).build().run()
+    val result = spark.read.parquet(out)
+    val inIds = spark.read.parquet(inDir).select("vec_id").as[Long].collect().toSet
+    val outIds = result.select("vec_id").as[Long].collect().toSet
+    // the planted copy (exact duplicate, tie on centroid-cos, higher id)
+    // is the ONLY drop; the original survives
+    assert(outIds === inIds - 1003L)
+    // the ann annotation ran BEFORE dedup, so vec 3 still names its
+    // (now-dropped) twin as nearest neighbor with sim 1.0 — the
+    // annotate-then-filter order a training pipeline uses to keep
+    // provenance of what was removed
+    val d3 = result.where($"vec_id" === 3L)
+      .select(expr("transform(ann_topk, x -> x.n_id)").as("ids"),
+              expr("transform(ann_topk, x -> x.sim)").as("sims"))
+      .as[(Seq[Long], Seq[Double])].head()
+    assert(d3._1 === Seq(1003L))
+    assert(math.abs(d3._2.head - 1.0) < 1e-12)
+    // every other row is below the floor: empty arrays, none null
+    assert(result.where(col("ann_topk").isNull).count() === 0L)
+    assert(result.where($"vec_id" =!= 3L && size(col("ann_topk")) =!= 0)
+      .count() === 0L)
+  }
+
   test("streaming curation: documents file-stream -> quality filter -> " +
        "foreach_batch parquet upsert (the full YAML path)") {
     val inDir = tmpDir("pipe_scur_in")
