@@ -254,7 +254,10 @@ object ScaleProbe {
     // otherwise pay a full corpus scan and funnel EVERY later section's
     // tasks through these atomics for data nobody reads), and removed
     // again right after the weak sections so it doesn't outlive them
-    val weakEnabled = Seq("weak-winnow", "weak-spans")
+    // the reusable weak-scaling harness (VERDICT r11 #8): adding an
+    // operator = one tag here + one weakScale(...) line below
+    val weakTags = Seq("weak-winnow", "weak-spans", "weak-tfidf")
+    val weakEnabled = weakTags
       .exists(n => onlySections.forall(_.contains(n)))
     val wsListener = new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
@@ -326,6 +329,10 @@ object ScaleProbe {
         .agg(sum($"n_fps"), sum(length($"fp_head"))).collect(),
       control = true)
     weakScale("spans", c => Dedup.substringSpansFrom(c).count())
+    // tf-idf (VERDICT r11 #8 done-criterion): two token-keyed shuffles
+    // whose key space (vocab) does not grow with the multiplier —
+    // per-task cpu/MB should be flat when per-task input is held
+    weakScale("tfidf", c => Ranking.tfidfFrom(c).count())
     if (weakEnabled) spark.sparkContext.removeSparkListener(wsListener)
 
     // End-to-end curation funnel at multiplied corpus: duplication makes
