@@ -296,8 +296,13 @@ object Bench {
       raw""""contended":(true|false)""".r.findFirstMatchIn(tail) match {
         case Some(m) => Some(m.group(1).toBoolean)
         case None =>
+          // trailing delimiter lookahead, same contract as the query
+          // scraper above (ADVICE r10): the tail's END boundary can cut
+          // a number mid-token ("load_end":4.74 → "load_end":4), and a
+          // truncated load read below the cut would mis-certify a
+          // contended snapshot as the clean baseline
           val num = (key: String) =>
-            (raw""""$key":(-?\d+(?:\.\d+)?)""").r
+            (raw""""$key":(-?\d+(?:\.\d+)?)(?=[,}])""").r
               .findFirstMatchIn(tail).map(_.group(1).toDouble)
           (num("load_start"), num("load_end")) match {
             case (Some(a), Some(b)) => Some(fromLoads(a, b))

@@ -1208,8 +1208,12 @@ object Dedup extends QueryPack {
     // with no stats, so at test SF Catalyst instead broadcasts the
     // corpus side (parquet stats look small) — a corpus-sized build at
     // 100 TB. The hint pins the only join shape that scales.
-    val members = withCellCentroidCos(corpus)
+    // cos_c is computed AFTER the join (self-review r12): Catalyst has
+    // no rule to defer a pre-join projection, so computing it before
+    // would pay a 64-dim dot + divide for every UNMATCHED corpus row.
+    val members = withIvfCell(corpus)
       .join(broadcast(labels), Seq("vec_id"))
+      .withColumn("cos_c", centroidCosCol)
     val byLab = org.apache.spark.sql.expressions.Window
       .partitionBy($"lab").orderBy($"cos_c", $"vec_id")
     members
@@ -1218,33 +1222,55 @@ object Dedup extends QueryPack {
         org.apache.spark.sql.expressions.Window.partitionBy($"lab")))
   }
 
-  /** IVF cell assignment + cosine to the vector's OWN cell centroid
-    * (`cos_c`), as one CASE over the K centroid literals — the same fold
-    * order as the oracle's list_reduce, so the keep-policy ordering is
-    * engine-independent. The SemDeDup keep quantity, shared by the
-    * cluster gate ([[semDedupMembers]]) and the pairwise YAML processor.
+  /** Cosine to the vector's OWN cell centroid, as one CASE over the K
+    * centroid literals — the same fold order as the oracle's
+    * list_reduce, so the keep-policy ordering is engine-independent.
+    * Requires `cell`, `v`, `nrm` columns ([[withIvfCell]] shape). A
+    * COLUMN, not a frame transform, so callers apply it AFTER their
+    * pair/label join and pay the 64-dim dot only for matched rows. The
+    * SemDeDup keep quantity, shared by the cluster gate
+    * ([[semDedupMembers]]) and the pairwise YAML processor.
     */
-  private[graft] def withCellCentroidCos(corpus: DataFrame): DataFrame = {
-    import corpus.sparkSession.implicits._
-    val cnorm = ivfCentroids.map(w => math.sqrt(w.map(x => x * x).sum))
-    val cosC = (0 until IvfCells).foldLeft(when(lit(false), lit(0.0))) {
+  /** Centroid L2 norms, one expression shared (by spelling) with the
+    * executor-side recompute in [[embeddingPairs]]' withCentroidCos
+    * branch — same fold, same doubles.
+    */
+  private lazy val ivfCentroidNorms: Array[Double] =
+    ivfCentroids.map(w => math.sqrt(w.map(x => x * x).sum))
+
+  private[graft] def centroidCosCol: Column = {
+    val cnorm = ivfCentroidNorms
+    (0 until IvfCells).foldLeft(when(lit(false), lit(0.0))) {
       (w, c) =>
-        w.when($"cell" === c,
-          call_function("graft_dot", $"v", typedlit(ivfCentroids(c).toSeq)) /
-            ($"nrm" * lit(cnorm(c))))
+        w.when(col("cell") === c,
+          call_function("graft_dot", col("v"), typedlit(ivfCentroids(c).toSeq)) /
+            (col("nrm") * lit(cnorm(c))))
     }.otherwise(lit(Double.NaN))
-    withIvfCell(corpus).withColumn("cos_c", cosC)
   }
+
 
   /** The cell-shuffle pair engine behind [[dedupEmbedding]], over any
     * `(vec_id, v, nrm)` corpus — factored out so the scale probe
     * ([[ScaleProbe]]) can drive it with multiplied corpora.
+    *
+    * `withCentroidCos = true` additionally emits each member's cosine to
+    * its OWN cell centroid (`ci`, `cj`) — the SemDeDup keep quantity —
+    * computed inside the verify loop with the IDENTICAL operation
+    * sequence as [[centroidCosCol]] (strict left-to-right dot, division
+    * by nrm × the shared [[ivfCentroidNorms]] constant), so the values
+    * are bit-equal to the SQL spelling. This lets the `sem_dedup`
+    * processor decide pair losers from ONE pair-engine execution —
+    * without it, any lazy DAG that re-joins pairs back to a cos_c
+    * annotation re-executes the O(n²/K) verify reduce per reference
+    * (self-review r12: the first cut re-executed it 5×).
     */
   private[graft] def embeddingPairs(corpus: DataFrame, thr: Double,
-                                    sameCellOnly: Boolean = false): DataFrame = {
+                                    sameCellOnly: Boolean = false,
+                                    withCentroidCos: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = spark.sparkContext.broadcast(ivfCentroids)
+    val wantCc = withCentroidCos
     val n = corpus.select($"vec_id", $"v", $"nrm")
       .toDF("_1", "_2", "_3").as[(Long, Array[Double], Double)]
     // Cell assignment + replication to each cell pair (lo ≤ hi) that
@@ -1277,11 +1303,30 @@ object Dedup extends QueryPack {
         }
       }
     }
-    keyed.groupByKey(_._1).flatMapGroups { (key, rows) =>
-      val k = cents.value.length
+    val raw = keyed.groupByKey(_._1).flatMapGroups { (key, rows) =>
+      val cs = cents.value
+      val k = cs.length
       val diag = key / k == key % k
       val arr = rows.map(_._2).toArray.sortBy(_._1)
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      // per-member centroid cos, computed ONCE per group member (a
+      // member can appear in many pairs); the norms constant re-derives
+      // on the executor from the same broadcast centroids with the same
+      // expression as the driver-side ivfCentroidNorms — identical
+      // doubles
+      val ccArr: Array[Double] =
+        if (!wantCc) null
+        else {
+          val cn = cs.map(w => math.sqrt(w.map(x => x * x).sum))
+          arr.map { case (_, c, v, nrm) =>
+            val w = cs(c)
+            var acc = 0.0
+            var d = 0
+            while (d < v.length) { acc += v(d) * w(d); d += 1 }
+            acc / (nrm * cn(c))
+          }
+        }
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Double, Double, Double)]
       var i = 0
       while (i < arr.length) {
         val (ia, ca, va, na) = arr(i)
@@ -1295,14 +1340,18 @@ object Dedup extends QueryPack {
             var d = 0
             while (d < va.length) { acc += va(d) * vb(d); d += 1 }
             val cos = acc / (na * nb)
-            if (cos >= thr) out += ((ia, ib, cos))
+            if (cos >= thr)
+              out += ((ia, ib, cos,
+                if (wantCc) ccArr(i) else 0.0,
+                if (wantCc) ccArr(j) else 0.0))
           }
           j += 1
         }
         i += 1
       }
       out.iterator
-    }.toDF("i", "j", "cos_sim")
+    }.toDF("i", "j", "cos_sim", "ci", "cj")
+    if (withCentroidCos) raw else raw.drop("ci", "cj")
   }
 
   /** The IVF coarse quantizer as a GATED query: per-cell histogram of the
@@ -1334,7 +1383,7 @@ object Dedup extends QueryPack {
         call_function("graft_dot", col("v"), typedlit(ivfCentroids(c).toSeq)))
     }
 
-  private[llm] def withIvfCell(df: DataFrame): DataFrame = {
+  private[graft] def withIvfCell(df: DataFrame): DataFrame = {
     val withDots = withIvfDots(df)
     // argmax with >= chains = lowest cell index wins ties, same CASE
     // shape as the oracle

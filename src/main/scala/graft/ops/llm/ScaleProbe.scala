@@ -762,6 +762,14 @@ object ScaleProbe {
         .distinct()
       val ne = e.count()
       val cen = graft.ops.Graph.triangleWedgeCensus(spark, e).head()
+      // the census ran its own degree+orientation build and pinned it;
+      // sweep those blocks before the timed window so the summary's
+      // fresh build isn't contending block storage with stale pins
+      // (the probeMults section-start sweep contract, applied mid-rung)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => graft.state.Materialize.isRetained(id) }
+        .values.foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
       val row = graft.ops.Graph.triangleSummary(spark, e).head()
       val s = (System.nanoTime() - t0) / 1e9

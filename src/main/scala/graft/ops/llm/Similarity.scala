@@ -95,8 +95,15 @@ object Similarity extends QueryPack {
                                    thr: Double): DataFrame = {
     import corpus.sparkSession.implicits._
     val pairs = Dedup.embeddingPairs(corpus, thr, sameCellOnly = true)
-    val sym = pairs.select($"i".as("vec_id"), $"j".as("n_id"), $"cos_sim")
-      .union(pairs.select($"j".as("vec_id"), $"i".as("n_id"), $"cos_sim"))
+    // symmetrize via ONE explode, not a self-union: union references the
+    // pair frame twice, and ReuseExchange dedups only the shuffle write —
+    // the O(n²/K) pairwise-cosine reduce inside embeddingPairs would
+    // execute twice (self-review r12)
+    val sym = pairs.select(explode(array(
+        struct($"i".as("vec_id"), $"j".as("n_id"), $"cos_sim"),
+        struct($"j".as("vec_id"), $"i".as("n_id"), $"cos_sim"))).as("p"))
+      .select($"p.vec_id".as("vec_id"), $"p.n_id".as("n_id"),
+              $"p.cos_sim".as("cos_sim"))
     val w = Window.partitionBy($"vec_id").orderBy($"cos_sim".desc, $"n_id")
     sym.withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= k)

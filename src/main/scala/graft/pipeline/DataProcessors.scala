@@ -278,7 +278,15 @@ private[pipeline] object IdGuards {
     keyed
       .withColumn("_id_cnt", count(lit(1)).over(w))
       .withColumn(keyCol,
-        when(col("_id_cnt") > 1,
+        // null check FIRST: a null id breaks id-keyed pair semantics
+        // just as silently as a duplicate (it never joins, so its row
+        // always survives dedup), and checking it here also keeps the
+        // duplicate-id message non-null (concat propagates null)
+        when(col(keyCol).isNull,
+          raise_error(lit(s"$op: id_column '$idCol' must not be null " +
+            "(a null id never pairs, so its duplicates would silently " +
+            "survive)")))
+        .when(col("_id_cnt") > 1,
           raise_error(concat(
             lit(s"$op: id_column '$idCol' must be unique ($why); " +
               "duplicate id: "), col(keyCol))))
@@ -307,10 +315,15 @@ private[pipeline] object EmbeddingStage {
         "same-id rows never pair and the annotate window would merge " +
         "two rows' neighbor sets")
       .withColumn("v",
-        when(size(col("v")) =!= dim, raise_error(concat(
+        // isNull must be checked explicitly: size(null) is null, and
+        // null =!= dim is null — a null embedding would silently skip
+        // the guard and flow a null row into the pair engine's
+        // non-nullable decode (self-review r12)
+        when(col("v").isNull || size(col("v")) =!= dim, raise_error(concat(
           lit(s"$op: embedding_column '$embCol' must be $dim-dimensional " +
             "(the IVF quantizer's dimension); got dim "),
-          size(col("v")).cast("string"), lit(" for id "), col("vec_id"))))
+          coalesce(size(col("v")).cast("string"), lit("null")),
+          lit(" for id "), col("vec_id").cast("string"))))
         .otherwise(col("v")))
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
   }
@@ -329,9 +342,11 @@ private[pipeline] object EmbeddingStage {
   * contract). The two rules agree everywhere except docs whose only
   * "better" partners are indirect (see cluster-posture.md); run the
   * `llm_semdedup` gate as a batch job when cluster-exact reps matter.
-  * The keep QUANTITY (cos to own-cell centroid, `withCellCentroidCos`)
-  * and the pair engine are the gate's own cores, so the two surfaces
-  * cannot diverge. Batch/foreachBatch-legal; not for a bare streaming DF.
+  * The keep QUANTITY (cos to own-cell centroid — the pair engine's
+  * `withCentroidCos` emission, bit-equal to the gate's `centroidCosCol`
+  * spelling) and the pair engine are the gate's own cores, so the two
+  * surfaces cannot diverge. Batch/foreachBatch-legal; not for a bare
+  * streaming DF.
   *
   * PRECONDITIONS (enforced by [[EmbeddingStage]]): unique integral ids;
   * embeddings of the quantizer's dimension.
@@ -355,23 +370,17 @@ final class SemDedupProcessor(params: Conf) extends Transform {
     "(supported: id_column, embedding_column, threshold)")
   def apply(df: DataFrame): DataFrame = {
     val corpus = EmbeddingStage.corpusFrom(df, idCol, embCol, "sem_dedup")
-    val ann = graft.ops.llm.Dedup.withCellCentroidCos(corpus)
-      .select(col("vec_id"), col("cos_c"))
+    // ONE pair-engine execution: the engine emits each member's
+    // centroid-cos (ci/cj — bit-equal to the gate's SQL spelling)
+    // alongside the pair, so no lazy re-join back to a cos_c annotation
+    // is needed (a DAG that re-references the pair frame re-executes
+    // the O(n²/K) verify reduce per reference — self-review r12)
     val pairs = graft.ops.llm.Dedup
-      .embeddingPairs(corpus, thr, sameCellOnly = true)
-      .select(col("i"), col("j"))
-    // pairs are tiny by construction (verified near-dups only) but come
-    // out of flatMapGroups with no stats — hint broadcast so the
-    // centroid-cos joins stay corpus-scan-shaped at 100 TB instead of
-    // shuffling the corpus twice
-    val withCi = broadcast(pairs)
-      .join(ann.select(col("vec_id").as("i"), col("cos_c").as("ci")), "i")
-    val ranked = withCi.hint("broadcast")
-      .join(ann.select(col("vec_id").as("j"), col("cos_c").as("cj")), "j")
+      .embeddingPairs(corpus, thr, sameCellOnly = true, withCentroidCos = true)
     // drop the pair member whose (cos_c, id) sorts HIGHER — keep the
     // least-centroid-similar, ties to the lowest id (the gate's window
     // order exactly)
-    val drop = ranked.select(
+    val drop = pairs.select(
         when(struct(col("ci"), col("i")) < struct(col("cj"), col("j")),
           col("j")).otherwise(col("i")).as(idCol))
       .distinct()

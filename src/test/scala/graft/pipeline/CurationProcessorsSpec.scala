@@ -351,6 +351,52 @@ class CurationProcessorsSpec extends SparkSpec {
       resolve("sem_dedup").process(dup).get.count()
     }
     assert(msgs(e2).exists(_.contains("must be unique")), msgs(e2).mkString(";"))
+    // null embedding: size(null) is null, so without the explicit isNull
+    // the guard would silently pass the row through (self-review r12)
+    val nullEmb = Seq((1L, vec(0 -> 1.0)), (2L, null))
+      .toDF("vec_id", "embedding")
+    // consume the annotation column: a bare count() lets Catalyst
+    // eliminate the left-outer join entirely (the aggregated right side
+    // has provably unique keys), so the lazy guard would never run —
+    // the guard contract is "fires when the stage's output is consumed"
+    val e3 = intercept[Exception] {
+      resolve("ann_topk").process(nullEmb).get.select(col("ann_topk")).collect()
+    }
+    assert(msgs(e3).exists(_.contains("64-dimensional")), msgs(e3).mkString(";"))
+    // null id: never pairs, so its duplicates would silently survive
+    val nullId = Seq((java.lang.Long.valueOf(1L), vec(0 -> 1.0)),
+                     (null.asInstanceOf[java.lang.Long], vec(1 -> 1.0)))
+      .toDF("vec_id", "embedding")
+    val e4 = intercept[Exception] {
+      resolve("sem_dedup").process(nullId).get.count()
+    }
+    assert(msgs(e4).exists(_.contains("must not be null")), msgs(e4).mkString(";"))
+  }
+
+  test("the pair engine's withCentroidCos emission is BIT-EQUAL to the " +
+       "gate's SQL centroidCosCol spelling (the keep policy must order " +
+       "identically on both surfaces)") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 12).map { i =>
+        (i.toLong, Array.fill(64)(rnd.nextDouble() - 0.3))
+      }.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    val pairs = graft.ops.llm.Dedup
+      .embeddingPairs(corpus, thr = -1.0, sameCellOnly = true,
+        withCentroidCos = true)
+      .select($"i", $"j", $"ci", $"cj").collect()
+    assert(pairs.nonEmpty, "fixture must produce same-cell pairs")
+    val sqlCos = graft.ops.llm.Dedup.withIvfCell(corpus)
+      .withColumn("cos_c", graft.ops.llm.Dedup.centroidCosCol)
+      .select($"vec_id", $"cos_c").as[(Long, Double)].collect().toMap
+    pairs.foreach { r =>
+      assert(r.getDouble(2) === sqlCos(r.getLong(0)),
+        s"ci for ${r.getLong(0)} drifted from the SQL spelling")
+      assert(r.getDouble(3) === sqlCos(r.getLong(1)),
+        s"cj for ${r.getLong(1)} drifted from the SQL spelling")
+    }
   }
 
   test("ann_topk annotates each row with its rk-sorted same-cell " +
