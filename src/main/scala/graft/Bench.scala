@@ -337,12 +337,21 @@ object Bench {
       }
     } finally listing.close()
     val ordered = cands.sortBy { case (r, cleanFile, _) => (-r, !cleanFile) }
-    ordered.collectFirst {
-      case (r, _, p)
-        if snapshotContended(
-          try Files.readString(p) catch { case _: Throwable => "" }
-        ).contains(false) => BaselinePick(r, p, cleanCertified = true)
-    }.orElse(ordered.headOption.map { case (r, _, p) =>
+    def certify(p: java.nio.file.Path): Option[Boolean] =
+      snapshotContended(
+        try Files.readString(p) catch { case _: Throwable => "" })
+    val certified = ordered.map { case (r, _, p) => (r, p, certify(p)) }
+    certified.collectFirst {
+      case (r, p, Some(false)) => BaselinePick(r, p, cleanCertified = true)
+    }.orElse(
+      // all-contended fallback: prefer the newest snapshot that at least
+      // PARSED (a corrupt/truncated newest file would make regressGuard's
+      // own read throw and skip the report entirely, when an older
+      // readable candidate could still produce the under-protest diff)
+      certified.collectFirst {
+        case (r, p, Some(_)) => BaselinePick(r, p, cleanCertified = false)
+      }
+    ).orElse(certified.headOption.map { case (r, p, _) =>
       BaselinePick(r, p, cleanCertified = false)
     })
   }

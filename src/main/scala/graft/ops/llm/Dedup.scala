@@ -1222,6 +1222,13 @@ object Dedup extends QueryPack {
         org.apache.spark.sql.expressions.Window.partitionBy($"lab")))
   }
 
+  /** Centroid L2 norms, one expression shared (by spelling) with the
+    * executor-side recompute in [[embeddingPairs]]' withCentroidCos
+    * branch — same fold, same doubles.
+    */
+  private lazy val ivfCentroidNorms: Array[Double] =
+    ivfCentroids.map(w => math.sqrt(w.map(x => x * x).sum))
+
   /** Cosine to the vector's OWN cell centroid, as one CASE over the K
     * centroid literals — the same fold order as the oracle's
     * list_reduce, so the keep-policy ordering is engine-independent.
@@ -1231,13 +1238,6 @@ object Dedup extends QueryPack {
     * SemDeDup keep quantity, shared by the cluster gate
     * ([[semDedupMembers]]) and the pairwise YAML processor.
     */
-  /** Centroid L2 norms, one expression shared (by spelling) with the
-    * executor-side recompute in [[embeddingPairs]]' withCentroidCos
-    * branch — same fold, same doubles.
-    */
-  private lazy val ivfCentroidNorms: Array[Double] =
-    ivfCentroids.map(w => math.sqrt(w.map(x => x * x).sum))
-
   private[graft] def centroidCosCol: Column = {
     val cnorm = ivfCentroidNorms
     (0 until IvfCells).foldLeft(when(lit(false), lit(0.0))) {

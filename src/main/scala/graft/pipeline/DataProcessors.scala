@@ -222,7 +222,8 @@ final class NearDedupProcessor(params: Conf) extends Transform {
     // the count window shuffles on doc_id — the same key the shingle
     // aggregation inside nearDupPairsFrom groups by — so at scale the
     // guard rides the partitioning the LSH build needs anyway
-    val guarded = IdGuards.uniqueGuarded(keyed, "doc_id", idCol, "near_dedup",
+    val guarded = IdGuards.uniqueGuarded(keyed, "doc_id", "text", idCol,
+      "near_dedup",
       "same-id rows never pair under d1 < d2 keep-smallest and their " +
       "shingles would merge into one signature")
     // pairs come back (d1 < d2); every d2 has a smaller near-dup ⇒ drop
@@ -267,17 +268,27 @@ private[pipeline] object IdGuards {
 
   /** LAZY unique-id guard: a per-id count over the pair-build input,
     * stitched into the consumed plan, raises at EXECUTION time when any
-    * id repeats — the Processor contract forbids driver-side actions in
-    * the pipeline fold, so the job fails loudly instead of silently
-    * mis-pairing. `keyCol` is the already-cast long key column of
-    * `keyed`; `idCol`/`op` name the user-facing config in the error.
+    * id repeats or is null — the Processor contract forbids driver-side
+    * actions in the pipeline fold, so the job fails loudly instead of
+    * silently mis-pairing. `keyCol` is the already-cast long key column
+    * of `keyed`; `idCol`/`op` name the user-facing config in the error.
+    *
+    * The raise is wrapped around the PAYLOAD column (`payloadCol` — the
+    * text/embedding the downstream operator actually consumes), not the
+    * key: a guard on the key alone is severable — Catalyst pushes
+    * payload-only predicates (e.g. the shingle builder's minimum-token
+    * filter) below the guard projection, discarding guilty rows before
+    * their key is ever evaluated and silently skipping the raise
+    * (self-review r12 pass 2). Substituted into ANY predicate or
+    * expression over the payload, the guard travels with it — a guilty
+    * row throws wherever its payload is first touched.
     */
-  def uniqueGuarded(keyed: DataFrame, keyCol: String, idCol: String,
-                    op: String, why: String): DataFrame = {
+  def uniqueGuarded(keyed: DataFrame, keyCol: String, payloadCol: String,
+                    idCol: String, op: String, why: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
     keyed
       .withColumn("_id_cnt", count(lit(1)).over(w))
-      .withColumn(keyCol,
+      .withColumn(payloadCol,
         // null check FIRST: a null id breaks id-keyed pair semantics
         // just as silently as a duplicate (it never joins, so its row
         // always survives dedup), and checking it here also keeps the
@@ -290,7 +301,7 @@ private[pipeline] object IdGuards {
           raise_error(concat(
             lit(s"$op: id_column '$idCol' must be unique ($why); " +
               "duplicate id: "), col(keyCol))))
-        .otherwise(col(keyCol)))
+        .otherwise(col(payloadCol)))
       .drop("_id_cnt")
   }
 }
@@ -311,19 +322,25 @@ private[pipeline] object EmbeddingStage {
     val dim = graft.ops.llm.Dedup.IvfDim
     val keyed = df.select(col(idCol).cast("long").as("vec_id"),
         transform(col(embCol), x => x.cast("double")).as("v"))
-    IdGuards.uniqueGuarded(keyed, "vec_id", idCol, op,
+    IdGuards.uniqueGuarded(keyed, "vec_id", "v", idCol, op,
         "same-id rows never pair and the annotate window would merge " +
         "two rows' neighbor sets")
       .withColumn("v",
         // isNull must be checked explicitly: size(null) is null, and
         // null =!= dim is null — a null embedding would silently skip
         // the guard and flow a null row into the pair engine's
-        // non-nullable decode (self-review r12)
-        when(col("v").isNull || size(col("v")) =!= dim, raise_error(concat(
-          lit(s"$op: embedding_column '$embCol' must be $dim-dimensional " +
-            "(the IVF quantizer's dimension); got dim "),
-          coalesce(size(col("v")).cast("string"), lit("null")),
-          lit(" for id "), col("vec_id").cast("string"))))
+        // non-nullable decode (self-review r12). A null ELEMENT inside
+        // a correctly-sized array is just as hostile: it would pass the
+        // size check, fold into nrm as a skipped term, and die in the
+        // Dataset decode with an error naming no id or column (pass 2).
+        when(col("v").isNull || size(col("v")) =!= dim ||
+             exists(col("v"), x => x.isNull),
+          raise_error(concat(
+            lit(s"$op: embedding_column '$embCol' must be a $dim-" +
+              "dimensional array with no null elements (the IVF " +
+              "quantizer's contract); got dim "),
+            coalesce(size(col("v")).cast("string"), lit("null")),
+            lit(" for id "), col("vec_id").cast("string"))))
         .otherwise(col("v")))
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
   }

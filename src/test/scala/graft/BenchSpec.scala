@@ -118,6 +118,18 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
+  test("all-contended fallback prefers the newest PARSEABLE snapshot " +
+       "over a corrupt newer one (a truncated file would make the " +
+       "guard's own read throw and skip the report entirely)") {
+    withDir(Map(
+      "BENCH_r12.json" -> "{\"parsed\": trunca",
+      "BENCH_r11.json" -> snap(Some(true)))) { dir =>
+      val pick = Bench.pickBaseline(dir).get
+      assert(pick.round === 11)
+      assert(!pick.cleanCertified)
+    }
+  }
+
   test("snapshotContended reads flag, derives from loads, recovers from tail") {
     assert(Bench.snapshotContended(snap(Some(true))) === Some(true))
     assert(Bench.snapshotContended(snap(Some(false))) === Some(false))

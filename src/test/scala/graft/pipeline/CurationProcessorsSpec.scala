@@ -371,6 +371,31 @@ class CurationProcessorsSpec extends SparkSpec {
       resolve("sem_dedup").process(nullId).get.count()
     }
     assert(msgs(e4).exists(_.contains("must not be null")), msgs(e4).mkString(";"))
+    // null ELEMENT inside a correctly-sized embedding: passes a
+    // size-only check, folds into nrm as a skipped term, and would die
+    // in the pair engine's decode naming no id (self-review r12 pass 2)
+    val withNullElem = vec(0 -> 1.0).map(java.lang.Double.valueOf)
+    withNullElem(7) = null
+    val nullElem = Seq((1L, vec(0 -> 1.0).map(java.lang.Double.valueOf)),
+                       (2L, withNullElem)).toDF("vec_id", "embedding")
+    val e5 = intercept[Exception] {
+      resolve("sem_dedup").process(nullElem).get.count()
+    }
+    assert(msgs(e5).exists(_.contains("no null elements")), msgs(e5).mkString(";"))
+  }
+
+  test("near_dedup's duplicate-id guard fires even when the guilty docs " +
+       "are too short to shingle — the raise rides the TEXT column, so " +
+       "the shingle builder's minimum-token filter cannot be pushed " +
+       "below it (self-review r12 pass 2)") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val in = Seq((1L, "hi"), (1L, "hi"), (2L, baseText))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      resolve("near_dedup").process(in).get.count()
+    }
+    assert(msgs(e).exists(_.contains("must be unique")), msgs(e).mkString(";"))
   }
 
   test("the pair engine's withCentroidCos emission is BIT-EQUAL to the " +
