@@ -417,10 +417,12 @@ object Bench {
         else "CONTENDED — no clean candidate existed; ratios inflated"
       md ++= s"# BENCH_REGRESS — this run vs $baseName (round $round baseline, $baseKind; factor 1.5)$suspect\n\n"
       if (!cleanBase)
-        md ++= "**CONTENDED BASELINE**: every committed snapshot was " +
-          "flagged/derived contended, so the newest was used under " +
-          "protest — 'improved' rows below may be phantom (the baseline " +
-          "was slow, not the code fast) and real regressions may hide.\n\n"
+        md ++= "**CONTENDED BASELINE**: no committed snapshot certified " +
+          "clean (each was flagged/derived contended, or carried no " +
+          "run-condition data to certify), so the newest usable one was " +
+          "taken under protest — 'improved' rows below may be phantom " +
+          "(the baseline was slow, not the code fast) and real " +
+          "regressions may hide.\n\n"
       if (contended)
         // name the ACTUAL trigger: a load_end-triggered flag previously
         // printed the load_start explanation, sending a reader to debunk

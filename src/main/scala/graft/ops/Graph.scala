@@ -359,12 +359,16 @@ object Graph extends QueryPack {
   def triangleWedgeCensus(spark: SparkSession, eRaw: DataFrame): DataFrame = {
     import spark.implicits._
     val (_, deg, oriented) = degreeOriented(spark, eRaw)
+    // coalesce to zeros on an empty edge frame (max/sum over zero rows
+    // yield nulls; sibling triangleSummary's counts yield 0s — callers'
+    // head().getLong must not NPE on a degenerate graph)
     val rawSide = deg.agg(
-      max($"deg").as("max_raw_deg"),
-      expr("sum(deg * (deg - 1) DIV 2)").as("naive_pair_bound"))
+      coalesce(max($"deg"), lit(0L)).as("max_raw_deg"),
+      coalesce(expr("sum(deg * (deg - 1) DIV 2)"), lit(0L))
+        .as("naive_pair_bound"))
     val outSide = oriented.groupBy($"src").agg(count(lit(1)).as("d"))
-      .agg(max($"d").as("max_out_deg"),
-           expr("sum(d * (d - 1) DIV 2)").as("n_wedges"))
+      .agg(coalesce(max($"d"), lit(0L)).as("max_out_deg"),
+           coalesce(expr("sum(d * (d - 1) DIV 2)"), lit(0L)).as("n_wedges"))
     rawSide.crossJoin(outSide)
       .select($"max_raw_deg", $"max_out_deg", $"n_wedges", $"naive_pair_bound")
   }

@@ -41,18 +41,22 @@ object ScaleProbe {
     // sections are skipped with them.
     val onlySections = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Debris sweep (the Bench between-queries contract): pinned
+    // (localCheckpoint) frames from earlier sections/sub-steps otherwise
+    // occupy block storage and contaminate later timings — measured:
+    // suffix-array-global at 10× read 179s with the winnow-pairs
+    // section's 2+ GiB of pins resident vs 88s swept. Retained
+    // (session-cache) pins are exempt, as in Bench. ONE spelling,
+    // shared by the section-start sweep and any mid-rung sweep.
+    def sweepDebris(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => graft.state.Materialize.isRetained(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
     def probeMults(name: String, warmup: => Any): Seq[Int] =
       if (onlySections.forall(_.contains(name))) {
-        // Per-section debris sweep (the Bench between-queries contract):
-        // pinned (localCheckpoint) frames from earlier sections otherwise
-        // occupy block storage and contaminate later sections' times —
-        // measured: suffix-array-global at 10× read 179s with the
-        // winnow-pairs section's 2+ GiB of pins resident vs 88s swept.
-        // Retained (session-cache) pins are exempt, as in Bench.
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs
-          .filterNot { case (id, _) => graft.state.Materialize.isRetained(id) }
-          .values.foreach(_.unpersist(blocking = false))
+        sweepDebris()
         warmup; Seq(1, mult).distinct
       } else Seq.empty
     val base = Similarity.corpus(spark, sfDir).select($"vec_id", $"v", $"nrm")
@@ -765,11 +769,7 @@ object ScaleProbe {
       // the census ran its own degree+orientation build and pinned it;
       // sweep those blocks before the timed window so the summary's
       // fresh build isn't contending block storage with stale pins
-      // (the probeMults section-start sweep contract, applied mid-rung)
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs
-        .filterNot { case (id, _) => graft.state.Materialize.isRetained(id) }
-        .values.foreach(_.unpersist(blocking = false))
+      sweepDebris()
       val t0 = System.nanoTime()
       val row = graft.ops.Graph.triangleSummary(spark, e).head()
       val s = (System.nanoTime() - t0) / 1e9

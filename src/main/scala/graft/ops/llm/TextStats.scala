@@ -604,7 +604,14 @@ object TextStats extends QueryPack {
     // contract as the global SuffixIndex build — pack8's past-end
     // sentinel is byte 0, so NUL-bearing docs would mis-rank silently
     val base = SuffixIndex.guardedBase(docs)
-    val maxLen = base.agg(max($"len")).head().getInt(0)
+    val maxLenRow = base.agg(max($"len")).head()
+    // all-empty corpus: zero rows survive the len > 0 filter and max()
+    // is null — return the empty (doc_id, r, sa_pos) frame instead of
+    // NPE'ing on getInt (self-review r12 pass 3)
+    if (maxLenRow.isNullAt(0))
+      return base.select($"doc_id", lit(0L).as("r"), lit(0L).as("sa_pos"))
+        .where(lit(false))
+    val maxLen = maxLenRow.getInt(0)
     // round 0: rank = the first 7 suffix bytes packed order-preserving
     // into one long (any order-preserving, prefix-injective initial rank
     // works; graft_pack8's past-end-as-0 gives shorter-prefix-sorts-first

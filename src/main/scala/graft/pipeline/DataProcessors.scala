@@ -219,9 +219,6 @@ final class NearDedupProcessor(params: Conf) extends Transform {
     IdGuards.requireIntegral(df, idCol, "near_dedup")
     val keyed = df.select(col(idCol).cast("long").as("doc_id"),
                           col(textCol).as("text"))
-    // the count window shuffles on doc_id — the same key the shingle
-    // aggregation inside nearDupPairsFrom groups by — so at scale the
-    // guard rides the partitioning the LSH build needs anyway
     val guarded = IdGuards.uniqueGuarded(keyed, "doc_id", "text", idCol,
       "near_dedup",
       "same-id rows never pair under d1 < d2 keep-smallest and their " +
@@ -266,43 +263,55 @@ private[pipeline] object IdGuards {
       "numeric id upstream (e.g. a select_expr stage)")
   }
 
-  /** LAZY unique-id guard: a per-id count over the pair-build input,
-    * stitched into the consumed plan, raises at EXECUTION time when any
-    * id repeats or is null — the Processor contract forbids driver-side
-    * actions in the pipeline fold, so the job fails loudly instead of
-    * silently mis-pairing. `keyCol` is the already-cast long key column
-    * of `keyed`; `idCol`/`op` name the user-facing config in the error.
+  /** LAZY unique-id guard: a duplicate-id census over an ID-ONLY
+    * projection, broadcast-joined back and stitched into the payload,
+    * raises at EXECUTION time when any id repeats or is null — the
+    * Processor contract forbids driver-side actions in the pipeline
+    * fold, so the job fails loudly instead of silently mis-pairing.
+    * `keyCol` is the already-cast long key column of `keyed`;
+    * `idCol`/`op` name the user-facing config in the error.
     *
-    * The raise is wrapped around the PAYLOAD column (`payloadCol` — the
-    * text/embedding the downstream operator actually consumes), not the
-    * key: a guard on the key alone is severable — Catalyst pushes
-    * payload-only predicates (e.g. the shingle builder's minimum-token
-    * filter) below the guard projection, discarding guilty rows before
-    * their key is ever evaluated and silently skipping the raise
-    * (self-review r12 pass 2). Substituted into ANY predicate or
-    * expression over the payload, the guard travels with it — a guilty
-    * row throws wherever its payload is first touched.
+    * Two scale/severability properties, both load-bearing:
+    *  - The census shuffles 8-byte id rows with map-side partial
+    *    aggregation, NOT the payload: a count window keyed on the id
+    *    (the first cut) shipped every text/embedding corpus-wide for a
+    *    partitioning no downstream consumer reuses (self-review r12
+    *    pass 3). The guilty-id set is empty in the healthy case, so the
+    *    broadcast is ~free.
+    *  - The raise is wrapped around the PAYLOAD column (`payloadCol` —
+    *    the text/embedding the downstream operator actually consumes),
+    *    not the key: a guard on the key alone is severable — Catalyst
+    *    pushes payload-only predicates (e.g. the shingle builder's
+    *    minimum-token filter) below the guard projection, discarding
+    *    guilty rows before their key is evaluated and silently skipping
+    *    the raise (pass 2). Substituted into ANY expression over the
+    *    payload, the guard travels with it, and because the payload now
+    *    references the join's `_guilty` output, no predicate can be
+    *    pushed below the census join either.
     */
   def uniqueGuarded(keyed: DataFrame, keyCol: String, payloadCol: String,
                     idCol: String, op: String, why: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+    val guilty = keyed.select(col(keyCol))
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
+      .where(col("_n") > 1)
+      .select(col(keyCol), lit(true).as("_guilty"))
     keyed
-      .withColumn("_id_cnt", count(lit(1)).over(w))
+      .join(broadcast(guilty), Seq(keyCol), "left_outer")
       .withColumn(payloadCol,
-        // null check FIRST: a null id breaks id-keyed pair semantics
-        // just as silently as a duplicate (it never joins, so its row
-        // always survives dedup), and checking it here also keeps the
-        // duplicate-id message non-null (concat propagates null)
+        // null check FIRST (a null key never matches the census join,
+        // so it needs its own branch): a null id breaks id-keyed pair
+        // semantics just as silently as a duplicate — it never pairs,
+        // so its row always survives dedup
         when(col(keyCol).isNull,
           raise_error(lit(s"$op: id_column '$idCol' must not be null " +
             "(a null id never pairs, so its duplicates would silently " +
             "survive)")))
-        .when(col("_id_cnt") > 1,
+        .when(col("_guilty"),
           raise_error(concat(
             lit(s"$op: id_column '$idCol' must be unique ($why); " +
               "duplicate id: "), col(keyCol))))
         .otherwise(col(payloadCol)))
-      .drop("_id_cnt")
+      .drop("_guilty")
   }
 }
 
