@@ -37,6 +37,60 @@ class EmbeddingDedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall collapsed — quantizer drift?")
   }
 
+  test("annTopKWithin == driver-side same-cell brute-force top-k " +
+       "(pruning-only annotate: every reported neighbor is the true " +
+       "same-cell rank with a bit-identical cosine; global recall@5 " +
+       "reported for COVERAGE)") {
+    val corpus = Similarity.corpus(spark, dir)
+    val k = 5
+    val got = Similarity.annTopKWithin(corpus, k, thr = -1.0)
+      .select($"vec_id", $"topk").collect()
+      .map { r =>
+        r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getLong(1), x.getDouble(2)))
+      }.toMap
+    // driver replica: the COLLECTED (v, nrm) pairs (no spelling drift on
+    // nrm) + the engine's own cell assignment + a left-to-right dot —
+    // the identical IEEE sequence as the verify loop, so sims must be
+    // BIT-equal, not approximately equal
+    val vecs = corpus.select($"vec_id", $"v", $"nrm")
+      .as[(Long, Array[Double], Double)].collect()
+    val cellOf = Dedup.withIvfCell(corpus)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val expected = vecs.map { case (id, v, nrm) =>
+      val tops = vecs
+        .filter { case (o, _, _) => o != id && cellOf(o) == cellOf(id) }
+        .map { case (o, vo, no) => (o, dot(v, vo) / (nrm * no)) }
+        .sortBy { case (o, c) => (-c, o) }
+        .take(k).toSeq
+      id -> tops
+    }.toMap
+    expected.foreach { case (id, tops) =>
+      assert(got.getOrElse(id, Seq.empty) === tops,
+        s"vec $id: annotate drifted from the same-cell brute force")
+    }
+    // measured global recall@5 vs the CELL-UNRESTRICTED brute force —
+    // the single-probe IVF trade, reported per round (ivf-recall probe
+    // precedent); floored loosely: a collapse means quantizer breakage,
+    // not fixture drift
+    val globalTop = vecs.map { case (id, v, nrm) =>
+      id -> vecs.filter(_._1 != id)
+        .map { case (o, vo, no) => (o, dot(v, vo) / (nrm * no)) }
+        .sortBy { case (o, c) => (-c, o) }.take(k).map(_._1).toSet
+    }.toMap
+    val hits = globalTop.toSeq.map { case (id, trueSet) =>
+      got.getOrElse(id, Seq.empty).map(_._1).toSet.intersect(trueSet).size
+    }.sum
+    val recall = hits.toDouble / (globalTop.size * k)
+    info(f"ann_topk same-cell recall@5 vs global brute force: $recall%.3f")
+    assert(recall >= 0.2, s"recall $recall collapsed — quantizer drift?")
+  }
+
   test("semDedup clusters are exactly the connected components of the " +
        "approx pair graph: rep = component min, n_members = component " +
        "size, survivor a member — one survivor per component") {
