@@ -398,6 +398,26 @@ class CurationProcessorsSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("must be unique")), msgs(e).mkString(";"))
   }
 
+  test("sem_dedup and ann_topk plans execute the pair-engine reduce " +
+       "exactly ONCE (plan pin for the self-review r12 finding: lazy " +
+       "DAG sharing re-executes flatMapGroups per reference — the first " +
+       "sem_dedup cut ran it 5x)") {
+    val in = (0L until 8L).map { i =>
+        (i, Array.tabulate(64)(d => math.sin(i * 64 + d + 1.0)))
+      }.toDF("vec_id", "embedding")
+    // count on the plan STRING: AdaptiveSparkPlanExec hides its input
+    // plan from TreeNode.collect, so a node-type collect sees 0 nodes
+    def nMapGroups(df: org.apache.spark.sql.DataFrame): Int =
+      raw"\bMapGroups\b".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    val sem = resolve("sem_dedup").process(in).get
+    assert(nMapGroups(sem) === 1,
+      s"sem_dedup plan must contain exactly one MapGroups:\n${sem.queryExecution.executedPlan}")
+    val ann = resolve("ann_topk").process(in).get
+    assert(nMapGroups(ann) === 1,
+      s"ann_topk plan must contain exactly one MapGroups:\n${ann.queryExecution.executedPlan}")
+  }
+
   test("the pair engine's withCentroidCos emission is BIT-EQUAL to the " +
        "gate's SQL centroidCosCol spelling (the keep policy must order " +
        "identically on both surfaces)") {
