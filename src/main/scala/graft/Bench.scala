@@ -207,6 +207,15 @@ object Bench {
     ).collect { case (true, msg) => msg }
     val contended = triggers.nonEmpty
     val contendReason = triggers.mkString("; ")
+    // the COMPACT twin line (stdout, 1800-char budget) carries a slim
+    // env — the r12 trigger/rule/steal-avg/mem fields would displace
+    // ~5 more query entries from the driver's scrape window, shrinking
+    // the comparable set a tail-scrape regressGuard can recover
+    // (self-review r12 pass 4); BENCH.json keeps the full env
+    val envSlim =
+      s""""env":{"load_start":$load0,"load_end":$load1,""" +
+      s""""contended":$contended,"steal_cpu_s":$stealCpuS,"reps":$reps},""" +
+      s""""baseline_s":$BaselineSeconds,"baseline_round":$BaselineRound"""
     val env = s""""env":{"load_start":$load0,"load_end":$load1,"contended":$contended,""" +
       s""""contended_trigger":"${contendReason}","contended_rule":"$ContendedRule",""" +
       s""""steal_cpu_s":$stealCpuS,"steal_cores_avg":$stealCores,"reps":$reps,""" +
@@ -251,7 +260,7 @@ object Bench {
     // compact twin — same schema, 2-decimal values — sized to fit the
     // window with the trailing "[success] ..." sbt line accounted for.
     // Slowest queries are kept first if the full map still doesn't fit.
-    println(compactLine(results, total, sfDir, env = env))
+    println(compactLine(results, total, sfDir, env = envSlim))
     spark.stop()
   }
 

@@ -1303,55 +1303,74 @@ object Dedup extends QueryPack {
         }
       }
     }
-    val raw = keyed.groupByKey(_._1).flatMapGroups { (key, rows) =>
-      val cs = cents.value
-      val k = cs.length
-      val diag = key / k == key % k
-      val arr = rows.map(_._2).toArray.sortBy(_._1)
-      // per-member centroid cos, computed ONCE per group member (a
-      // member can appear in many pairs); the norms constant re-derives
-      // on the executor from the same broadcast centroids with the same
-      // expression as the driver-side ivfCentroidNorms — identical
-      // doubles
-      val ccArr: Array[Double] =
-        if (!wantCc) null
-        else {
-          val cn = cs.map(w => math.sqrt(w.map(x => x * x).sum))
-          arr.map { case (_, c, v, nrm) =>
-            val w = cs(c)
-            var acc = 0.0
-            var d = 0
-            while (d < v.length) { acc += v(d) * w(d); d += 1 }
-            acc / (nrm * cn(c))
-          }
-        }
-      val out = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, Long, Double, Double, Double)]
+    // ONE verify-loop spelling for both output shapes, as a captured
+    // function VALUE (serialized by value into the task closures; a
+    // module method reference would drag the enclosing object into
+    // task serialization). emit receives group-array INDICES so the
+    // centroid-cos path can index its per-member ccArr.
+    // each pair verifies in ONE group: same-cell pairs on the diagonal
+    // key, cross-cell pairs on their (lo, hi) key.
+    val verify: (Array[(Long, Int, Array[Double], Double)], Boolean,
+                 (Int, Int, Double) => Unit) => Unit = (arr, diag, emit) => {
       var i = 0
       while (i < arr.length) {
-        val (ia, ca, va, na) = arr(i)
+        val (_, ca, va, na) = arr(i)
         var j = i + 1
         while (j < arr.length) {
-          val (ib, cb, vb, nb) = arr(j)
-          // each pair verifies in ONE group: same-cell pairs on the
-          // diagonal key, cross-cell pairs on their (lo, hi) key
+          val (_, cb, vb, nb) = arr(j)
           if (if (diag) ca == cb else ca != cb) {
             var acc = 0.0
             var d = 0
             while (d < va.length) { acc += va(d) * vb(d); d += 1 }
             val cos = acc / (na * nb)
-            if (cos >= thr)
-              out += ((ia, ib, cos,
-                if (wantCc) ccArr(i) else 0.0,
-                if (wantCc) ccArr(j) else 0.0))
+            if (cos >= thr) emit(i, j, cos)
           }
           j += 1
         }
         i += 1
       }
-      out.iterator
-    }.toDF("i", "j", "cos_sim", "ci", "cj")
-    if (withCentroidCos) raw else raw.drop("ci", "cj")
+    }
+    // two encoder shapes, not one widened-and-dropped tuple: the
+    // default path is the O(n²/K) hot core under every gate, cached
+    // pair frame, and scale probe — it must not pay per-pair widening
+    // and serialization of two dead doubles (self-review r12 pass 4)
+    if (!wantCc)
+      keyed.groupByKey(_._1).flatMapGroups { (key, rows) =>
+        val k = cents.value.length
+        val diag = key / k == key % k
+        val arr = rows.map(_._2).toArray.sortBy(_._1)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Double)]
+        verify(arr, diag,
+          (i, j, cos) => out += ((arr(i)._1, arr(j)._1, cos)))
+        out.iterator
+      }.toDF("i", "j", "cos_sim")
+    else
+      keyed.groupByKey(_._1).flatMapGroups { (key, rows) =>
+        val cs = cents.value
+        val k = cs.length
+        val diag = key / k == key % k
+        val arr = rows.map(_._2).toArray.sortBy(_._1)
+        // per-member centroid cos, computed ONCE per group member (a
+        // member can appear in many pairs); the norms constant
+        // re-derives on the executor from the same broadcast centroids
+        // with the same expression as the driver-side ivfCentroidNorms
+        // — identical doubles
+        val cn = cs.map(w => math.sqrt(w.map(x => x * x).sum))
+        val ccArr: Array[Double] = arr.map { case (_, c, v, nrm) =>
+          val w = cs(c)
+          var acc = 0.0
+          var d = 0
+          while (d < v.length) { acc += v(d) * w(d); d += 1 }
+          acc / (nrm * cn(c))
+        }
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Double, Double, Double)]
+        verify(arr, diag,
+          (i, j, cos) =>
+            out += ((arr(i)._1, arr(j)._1, cos, ccArr(i), ccArr(j))))
+        out.iterator
+      }.toDF("i", "j", "cos_sim", "ci", "cj")
   }
 
   /** The IVF coarse quantizer as a GATED query: per-cell histogram of the

@@ -217,10 +217,21 @@ final class NearDedupProcessor(params: Conf) extends Transform {
     "(supported: id_column, text_column)")
   def apply(df: DataFrame): DataFrame = {
     IdGuards.requireIntegral(df, idCol, "near_dedup")
-    val keyed = df.select(col(idCol).cast("long").as("doc_id"),
+    // plain ANSI cast, deliberately NOT try_cast: under ANSI (the
+    // Spark 4 default) an out-of-Long-range id throws CAST_OVERFLOW at
+    // ANY evaluation of the key — including the isnotnull constraints
+    // the optimizer infers from downstream joins — so the failure is
+    // loud everywhere. try_cast was tried and is WORSE: its null key is
+    // silently pruned by those same inferred not-null filters, pushed
+    // below the guard projection, before the payload-riding raise can
+    // fire (measured, self-review r12 pass 4). The guard's overflow
+    // branch remains as defense-in-depth for non-ANSI sessions, where
+    // cast nulls silently.
+    val keyed = df.select(col(idCol).as("_raw_id"),
+                          col(idCol).cast("long").as("doc_id"),
                           col(textCol).as("text"))
-    val guarded = IdGuards.uniqueGuarded(keyed, "doc_id", "text", idCol,
-      "near_dedup",
+    val guarded = IdGuards.uniqueGuarded(keyed, "doc_id", "_raw_id", "text",
+      idCol, "near_dedup",
       "same-id rows never pair under d1 < d2 keep-smallest and their " +
       "shingles would merge into one signature")
     // pairs come back (d1 < d2); every d2 has a smaller near-dup ⇒ drop
@@ -254,7 +265,14 @@ private[pipeline] object IdGuards {
     val idType = df.select(col(idCol)).schema.head.dataType
     val integral = idType match {
       case ByteType | ShortType | IntegerType | LongType => true
-      case d: DecimalType if d.scale == 0 && d.precision <= 18 => true
+      // any exact-integer decimal is accepted — including decimal(19,0),
+      // the standard Oracle NUMBER(19)/JDBC key mapping whose values are
+      // ordinarily plain longs (self-review r12 pass 4: a p<=18 cut
+      // rejected those columns wholesale). The overflow hazard (a value
+      // beyond Long range nulls under cast('long') and silently skips
+      // the pair join) is caught LAZILY per-row instead: uniqueGuarded
+      // raises on any non-null id whose long cast nulled.
+      case d: DecimalType if d.scale == 0 => true
       case _ => false
     }
     require(integral,
@@ -289,12 +307,21 @@ private[pipeline] object IdGuards {
     *    references the join's `_guilty` output, no predicate can be
     *    pushed below the census join either.
     */
-  def uniqueGuarded(keyed: DataFrame, keyCol: String, payloadCol: String,
+  def uniqueGuarded(keyed: DataFrame, keyCol: String, rawCol: String,
+                    payloadCol: String,
                     idCol: String, op: String, why: String): DataFrame = {
+    // any non-empty subset of the guilty set suffices to fail the job
+    // (its rows raise wherever their payload is consumed), so LIMIT the
+    // census before broadcasting: in the realistic guilty case — an
+    // accidental self-union where every id repeats — an unbounded
+    // guilty set would be ~half the corpus and the failure mode would
+    // become a driver OOM/broadcast-limit error instead of the designed
+    // raise naming a duplicate id (self-review r12 pass 4)
     val guilty = keyed.select(col(keyCol))
       .groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
       .where(col("_n") > 1)
       .select(col(keyCol), lit(true).as("_guilty"))
+      .limit(1000)
     keyed
       .join(broadcast(guilty), Seq(keyCol), "left_outer")
       .withColumn(payloadCol,
@@ -302,17 +329,55 @@ private[pipeline] object IdGuards {
         // so it needs its own branch): a null id breaks id-keyed pair
         // semantics just as silently as a duplicate — it never pairs,
         // so its row always survives dedup
-        when(col(keyCol).isNull,
+        when(col(rawCol).isNull,
           raise_error(lit(s"$op: id_column '$idCol' must not be null " +
             "(a null id never pairs, so its duplicates would silently " +
             "survive)")))
+        // Long-overflow check: a decimal id beyond Long range nulls
+        // under cast('long') — without this branch it would silently
+        // drop out of the pair join and keep its duplicates, the exact
+        // no-op the guards exist to prevent
+        .when(col(keyCol).isNull,
+          raise_error(concat(
+            lit(s"$op: id_column '$idCol' value exceeds Long range " +
+              "(cast('long') nulls it, silently skipping the pair " +
+              "join): "), col(rawCol).cast("string"))))
         .when(col("_guilty"),
           raise_error(concat(
             lit(s"$op: id_column '$idCol' must be unique ($why); " +
               "duplicate id: "), col(keyCol))))
         .otherwise(col(payloadCol)))
-      .drop("_guilty")
+      .drop("_guilty", rawCol)
   }
+}
+
+/** Shared typed-param parsing for the embedding processors — one
+  * spelling of the bounds and messages (sem_dedup and ann_topk first
+  * carried verbatim copies; self-review r12 pass 4).
+  */
+private[pipeline] object EmbeddingParams {
+  def threshold(params: Conf, op: String, default: Double): Double =
+    params.str("threshold").map { s =>
+      val t =
+        try s.toDouble
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$op: threshold must be a number in [-1, 1], got '$s'") }
+      require(t >= -1.0 && t <= 1.0,
+        s"$op: threshold must be in [-1, 1], got $t")
+      t
+    }.getOrElse(default)
+
+  def positiveInt(params: Conf, op: String, key: String, default: Int): Int =
+    params.str(key).map { s =>
+      val v =
+        try s.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$op: $key must be a positive integer, got '$s'") }
+      require(v >= 1, s"$op: $key must be >= 1, got $v")
+      v
+    }.getOrElse(default)
 }
 
 /** Shared embedding ingestion for the pipeline's C37/C38 stages:
@@ -329,9 +394,13 @@ private[pipeline] object EmbeddingStage {
     graft.functions.GraftFunctions.register(df.sparkSession)
     IdGuards.requireIntegral(df, idCol, op)
     val dim = graft.ops.llm.Dedup.IvfDim
-    val keyed = df.select(col(idCol).cast("long").as("vec_id"),
+    // plain ANSI cast, NOT try_cast: see NearDedupProcessor — ANSI's
+    // CAST_OVERFLOW fires at any key evaluation, while try_cast's null
+    // is silently pruned by inferred not-null join filters
+    val keyed = df.select(col(idCol).as("_raw_id"),
+        col(idCol).cast("long").as("vec_id"),
         transform(col(embCol), x => x.cast("double")).as("v"))
-    IdGuards.uniqueGuarded(keyed, "vec_id", "v", idCol, op,
+    IdGuards.uniqueGuarded(keyed, "vec_id", "_raw_id", "v", idCol, op,
         "same-id rows never pair and the annotate window would merge " +
         "two rows' neighbor sets")
       .withColumn("v",
@@ -380,15 +449,7 @@ private[pipeline] object EmbeddingStage {
 final class SemDedupProcessor(params: Conf) extends Transform {
   private val idCol  = params.str("id_column").getOrElse("vec_id")
   private val embCol = params.str("embedding_column").getOrElse("embedding")
-  private val thr: Double = params.str("threshold").map { s =>
-    val t =
-      try s.toDouble
-      catch { case _: NumberFormatException => throw new IllegalArgumentException(
-        s"sem_dedup: threshold must be a number in [-1, 1], got '$s'") }
-    require(t >= -1.0 && t <= 1.0,
-      s"sem_dedup: threshold must be in [-1, 1], got $t")
-    t
-  }.getOrElse(0.45)
+  private val thr: Double = EmbeddingParams.threshold(params, "sem_dedup", 0.45)
   private val unknown =
     params.m.keySet -- Set("id_column", "embedding_column", "threshold")
   require(unknown.isEmpty,
@@ -430,23 +491,9 @@ final class AnnTopKProcessor(params: Conf) extends Transform {
   private val idCol  = params.str("id_column").getOrElse("vec_id")
   private val embCol = params.str("embedding_column").getOrElse("embedding")
   private val outCol = params.str("output_column").getOrElse("ann_topk")
-  private val k: Int = params.str("k").map { s =>
-    val v =
-      try s.toInt
-      catch { case _: NumberFormatException => throw new IllegalArgumentException(
-        s"ann_topk: k must be a positive integer, got '$s'") }
-    require(v >= 1, s"ann_topk: k must be >= 1, got $v")
-    v
-  }.getOrElse(5)
-  private val thr: Double = params.str("threshold").map { s =>
-    val t =
-      try s.toDouble
-      catch { case _: NumberFormatException => throw new IllegalArgumentException(
-        s"ann_topk: threshold must be a number in [-1, 1], got '$s'") }
-    require(t >= -1.0 && t <= 1.0,
-      s"ann_topk: threshold must be in [-1, 1], got $t")
-    t
-  }.getOrElse(-1.0) // no similarity floor: all same-cell candidates rank
+  private val k: Int = EmbeddingParams.positiveInt(params, "ann_topk", "k", 5)
+  // default -1.0 = no similarity floor: all same-cell candidates rank
+  private val thr: Double = EmbeddingParams.threshold(params, "ann_topk", -1.0)
   private val unknown = params.m.keySet --
     Set("id_column", "embedding_column", "output_column", "k", "threshold")
   require(unknown.isEmpty,

@@ -155,18 +155,33 @@ class CurationProcessorsSpec extends SparkSpec {
     assert(out2.count() === 1L, "case-insensitive id resolution")
   }
 
-  test("near_dedup rejects decimal(p>18,0) ids — the unsigned-BIGINT " +
-       "JDBC mapping can exceed Long and cast('long') nulls those ids " +
-       "SILENTLY, re-creating the no-op dedup the guard exists to stop " +
-       "(ADVICE r11)") {
+  test("near_dedup accepts decimal(p>18,0) ids with in-range values " +
+       "(the Oracle NUMBER(19)/unsigned-BIGINT JDBC mappings) but " +
+       "raises LOUDLY at execution on a value beyond Long range — " +
+       "cast('long') would null it and silently keep its duplicates " +
+       "(ADVICE r11 + self-review r12 pass 4)") {
     val in = Seq((java.math.BigDecimal.valueOf(1L), baseText),
                  (java.math.BigDecimal.valueOf(2L), baseText))
       .toDF("doc_id", "text")
       .select($"doc_id".cast("decimal(20,0)"), $"text")
-    val e = intercept[IllegalArgumentException] {
-      resolve("near_dedup").process(in)
+    assert(resolve("near_dedup").process(in).get.count() === 1L,
+      "in-range decimal(20,0) ids dedup normally")
+    val over = Seq((new java.math.BigDecimal("9300000000000000000"), baseText),
+                   (java.math.BigDecimal.valueOf(2L), baseText))
+      .toDF("doc_id", "text")
+      .select($"doc_id".cast("decimal(20,0)"), $"text")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception] {
+      resolve("near_dedup").process(over).get.count()
     }
-    assert(e.getMessage.contains("must be an integral type"))
+    // under ANSI (Spark 4 default) the cast itself throws CAST_OVERFLOW
+    // at any key evaluation; the guard's "exceeds Long range" branch is
+    // the non-ANSI defense-in-depth — either way, LOUD, never a silent
+    // no-op dedup
+    assert(msgs(e).exists(m => m.contains("exceeds Long range") ||
+        m.contains("CAST_OVERFLOW") || m.contains("cannot be cast")),
+      msgs(e).mkString(";"))
   }
 
   test("near_dedup fails LOUDLY at execution on duplicate ids (same-id " +
