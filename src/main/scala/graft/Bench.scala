@@ -257,7 +257,9 @@ object Bench {
     // because (a) sbt's logger prefixed the line with "[info] " (fixed via
     // run/outputStrategy := StdoutOutput in build.sbt) and (b) at 79+
     // queries the full-precision line outgrew the window. So finish with a
-    // compact twin — same schema, 2-decimal values — sized to fit the
+    // compact twin — same top-level schema but a SLIM env (no
+    // trigger/rule/steal-avg/mem fields — those live only in
+    // BENCH.json) and 2-decimal values — sized to fit the
     // window with the trailing "[success] ..." sbt line accounted for.
     // Slowest queries are kept first if the full map still doesn't fit.
     println(compactLine(results, total, sfDir, env = envSlim))

@@ -257,9 +257,11 @@ private[pipeline] object IdGuards {
     * Resolved through the ANALYZER (not a raw StructType lookup) so
     * case-mismatched configs keep working under the session's default
     * case-insensitive resolution, and a missing column still raises
-    * the standard AnalysisException naming candidates. Decimal needs
-    * precision ≤ 18: decimal(20,0) (the unsigned-BIGINT JDBC mapping)
-    * can exceed Long and cast("long") nulls those ids SILENTLY.
+    * the standard AnalysisException naming candidates. Any exact-
+    * integer decimal(p,0) is accepted — a value beyond Long range
+    * fails LOUDLY per-row instead (ANSI CAST_OVERFLOW at any key
+    * evaluation, or [[uniqueGuarded]]'s overflow branch in non-ANSI
+    * sessions), never a silent null-key no-op.
     */
   def requireIntegral(df: DataFrame, idCol: String, op: String): Unit = {
     val idType = df.select(col(idCol)).schema.head.dataType
@@ -317,36 +319,50 @@ private[pipeline] object IdGuards {
     // guilty set would be ~half the corpus and the failure mode would
     // become a driver OOM/broadcast-limit error instead of the designed
     // raise naming a duplicate id (self-review r12 pass 4)
-    val guilty = keyed.select(col(keyCol))
+    // null check FIRST (a null key never matches the census join, so
+    // it needs its own branch): a null id breaks id-keyed pair
+    // semantics just as silently as a duplicate — it never pairs, so
+    // its row always survives dedup. The Long-overflow branch covers
+    // non-ANSI sessions where cast('long') nulls an out-of-range
+    // decimal silently (under ANSI the cast itself throws
+    // CAST_OVERFLOW at any key evaluation first).
+    def nullOrOverflowRaise(orElse: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column =
+      when(col(rawCol).isNull,
+        raise_error(lit(s"$op: id_column '$idCol' must not be null " +
+          "(a null id never pairs, so its duplicates would silently " +
+          "survive)")))
+      .when(col(keyCol).isNull,
+        raise_error(concat(
+          lit(s"$op: id_column '$idCol' value exceeds Long range " +
+            "(cast('long') nulls it, silently skipping the pair " +
+            "join): "), col(rawCol).cast("string"))))
+      .otherwise(orElse)
+    // the null/overflow raise rides the KEY as well as the payload
+    // (self-review r12 pass 5): a consuming plan that is pure SQL
+    // (near_dedup's shingle pipeline) INFERS isnotnull(key) from its
+    // join/inequality conditions and pushes it below the payload
+    // projection — pruning the guilty row before its payload raise can
+    // fire. With the raise substituted into the key's own definition,
+    // evaluating that inferred filter IS the raise. Residual (by
+    // design): a row pruned by a payload-only predicate before any key
+    // evaluation — e.g. a null-id doc too short to shingle — escapes
+    // both raises, but such a row cannot participate in pairing at all.
+    val keyGuarded = keyed.withColumn(keyCol, nullOrOverflowRaise(col(keyCol)))
+    val guilty = keyGuarded.select(col(keyCol))
       .groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
       .where(col("_n") > 1)
       .select(col(keyCol), lit(true).as("_guilty"))
       .limit(1000)
-    keyed
+    keyGuarded
       .join(broadcast(guilty), Seq(keyCol), "left_outer")
       .withColumn(payloadCol,
-        // null check FIRST (a null key never matches the census join,
-        // so it needs its own branch): a null id breaks id-keyed pair
-        // semantics just as silently as a duplicate — it never pairs,
-        // so its row always survives dedup
-        when(col(rawCol).isNull,
-          raise_error(lit(s"$op: id_column '$idCol' must not be null " +
-            "(a null id never pairs, so its duplicates would silently " +
-            "survive)")))
-        // Long-overflow check: a decimal id beyond Long range nulls
-        // under cast('long') — without this branch it would silently
-        // drop out of the pair join and keep its duplicates, the exact
-        // no-op the guards exist to prevent
-        .when(col(keyCol).isNull,
-          raise_error(concat(
-            lit(s"$op: id_column '$idCol' value exceeds Long range " +
-              "(cast('long') nulls it, silently skipping the pair " +
-              "join): "), col(rawCol).cast("string"))))
-        .when(col("_guilty"),
-          raise_error(concat(
-            lit(s"$op: id_column '$idCol' must be unique ($why); " +
-              "duplicate id: "), col(keyCol))))
-        .otherwise(col(payloadCol)))
+        nullOrOverflowRaise(
+          when(col("_guilty"),
+            raise_error(concat(
+              lit(s"$op: id_column '$idCol' must be unique ($why); " +
+                "duplicate id: "), col(keyCol))))
+          .otherwise(col(payloadCol))))
       .drop("_guilty", rawCol)
   }
 }

@@ -399,6 +399,23 @@ class CurationProcessorsSpec extends SparkSpec {
     assert(msgs(e5).exists(_.contains("no null elements")), msgs(e5).mkString(";"))
   }
 
+  test("near_dedup raises LOUDLY on null ids even though its consuming " +
+       "plan is pure SQL — the inferred isnotnull(doc_id) filters that " +
+       "prune null keys below the payload guard now EVALUATE the raise, " +
+       "because it rides the key's own definition (self-review r12 " +
+       "pass 5)") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val in = Seq((java.lang.Long.valueOf(10L), baseText + " a"),
+                 (null.asInstanceOf[java.lang.Long], baseText + " b"),
+                 (null.asInstanceOf[java.lang.Long], baseText + " b"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      resolve("near_dedup").process(in).get.count()
+    }
+    assert(msgs(e).exists(_.contains("must not be null")), msgs(e).mkString(";"))
+  }
+
   test("near_dedup's duplicate-id guard fires even when the guilty docs " +
        "are too short to shingle — the raise rides the TEXT column, so " +
        "the shingle builder's minimum-token filter cannot be pushed " +
