@@ -1068,7 +1068,7 @@ object Dedup extends QueryPack {
     * production scale K grows so a cell (≈ corpus/K vectors) fits one
     * executor task.
     */
-  private[llm] val IvfCells = 4
+  private[graft] val IvfCells = 4
 
   /** Embedding dimensionality the IVF quantizer (and hence every
     * embedding-family operator) is built for — the fixture's dimension.
@@ -1371,6 +1371,136 @@ object Dedup extends QueryPack {
             out += ((arr(i)._1, arr(j)._1, cos, ccArr(i), ccArr(j))))
         out.iterator
       }.toDF("i", "j", "cos_sim", "ci", "cj")
+  }
+
+  /** The DIRECTED multi-probe candidate engine behind `nprobe >= 2`
+    * annotate/dedup ([[Similarity.annTopKWithin]], the YAML `ann_topk`
+    * and `sem_dedup` processors — VERDICT r12 #1): each vector is a
+    * CANDIDATE in its own (argmax) cell and a QUERY in its top-`nprobe`
+    * cells by centroid dot (dot DESC, cell ASC — the identical probe
+    * order, dots included, as [[Similarity.annIvfMultiProbe]]'s
+    * declarative spelling, so candidate sets are bit-identical to the
+    * gate). ONE `groupByKey.flatMapGroups` keyed on the cell id: a group
+    * holds the cell's residents plus its incoming probes; the tight
+    * verify loop computes each group-local pair's cosine ONCE
+    * (left-to-right — the [[embeddingPairs]] IEEE sequence) and emits
+    * the directed edge (q_id, n_id, cos_sim ≥ thr) for each side that
+    * is a RESIDENT of the group's cell. A vector resides in exactly one
+    * cell, so every directed edge materializes exactly once; two
+    * query-only members sharing a foreign probe cell skip the dot
+    * entirely.
+    *
+    * `nprobe = 1` degenerates to the SYMMETRIZED same-cell pair set of
+    * [[embeddingPairs]](sameCellOnly) with bit-identical cosines
+    * (law-tested); callers keep routing 1 through that engine so the
+    * default path's plan shape (and its pinned-once caching) is
+    * untouched.
+    *
+    * `withCentroidCos = true` appends each endpoint's cosine to its OWN
+    * cell centroid (`cq`, `cn`) — the SemDeDup keep quantity, the same
+    * per-member recompute as [[embeddingPairs]]' withCentroidCos branch
+    * (identical doubles), computed once per group member.
+    *
+    * Scale shape: shuffle volume is nprobe × corpus (each vector ships
+    * to nprobe cells); group width is cell occupancy × nprobe ≈
+    * n·nprobe/K, so executor memory stays cell-bounded and the pairwise
+    * work is O(nprobe·n²/K) spread over K groups — the standard
+    * multi-probe cost, never the n² brute force. No driver
+    * materialization anywhere.
+    */
+  private[graft] def embeddingProbeEdges(corpus: DataFrame, thr: Double,
+                                         nprobe: Int,
+                                         withCentroidCos: Boolean = false): DataFrame = {
+    require(nprobe >= 1 && nprobe <= IvfCells,
+      s"nprobe must be in [1, $IvfCells] (the quantizer's cell count), got $nprobe")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = spark.sparkContext.broadcast(ivfCentroids)
+    val np = nprobe
+    val n = corpus.select($"vec_id", $"v", $"nrm")
+      .toDF("_1", "_2", "_3").as[(Long, Array[Double], Double)]
+    // (groupCell, (id, ownCell, v, nrm)): one copy per probed cell; a
+    // member is a RESIDENT (candidate) of the group iff ownCell == key.
+    // ownCell is probe rank 1 — the argmax with lowest-cell ties, the
+    // same total order (dot DESC, cell ASC) as withIvfCell's >= chains.
+    val keyed = n.mapPartitions { it =>
+      val cs = cents.value
+      val k = cs.length
+      it.flatMap { case (id, v, nrm) =>
+        val dots = new Array[Double](k)
+        var c = 0
+        while (c < k) {
+          val w = cs(c)
+          var acc = 0.0
+          var d = 0
+          while (d < v.length) { acc += v(d) * w(d); d += 1 }
+          dots(c) = acc
+          c += 1
+        }
+        val order = (0 until k).sortBy(c => (-dots(c), c))
+        val own = order.head
+        order.iterator.take(np).map(g => (g, (id, own, v, nrm)))
+      }
+    }
+    // shared pair loop: cos computed once per group-local pair; emit
+    // receives array indices + the cosine, and the caller adds one
+    // directed edge per resident endpoint
+    val pairLoop: (Array[(Long, Int, Array[Double], Double)], Int,
+                   (Int, Int, Double) => Unit) => Unit = (arr, key, emit) => {
+      var i = 0
+      while (i < arr.length) {
+        val (_, ci_, vi, ni) = arr(i)
+        var j = i + 1
+        while (j < arr.length) {
+          val (_, cj_, vj, nj) = arr(j)
+          if (ci_ == key || cj_ == key) { // at least one resident
+            var acc = 0.0
+            var d = 0
+            while (d < vi.length) { acc += vi(d) * vj(d); d += 1 }
+            val cos = acc / (ni * nj)
+            if (cos >= thr) emit(i, j, cos)
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    if (!withCentroidCos)
+      keyed.groupByKey(_._1).flatMapGroups { (key, rows) =>
+        val arr = rows.map(_._2).toArray.sortBy(_._1)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Double)]
+        pairLoop(arr, key, (i, j, cos) => {
+          if (arr(j)._2 == key) out += ((arr(i)._1, arr(j)._1, cos))
+          if (arr(i)._2 == key) out += ((arr(j)._1, arr(i)._1, cos))
+        })
+        out.iterator
+      }.toDF("q_id", "n_id", "cos_sim")
+    else
+      keyed.groupByKey(_._1).flatMapGroups { (key, rows) =>
+        val cs = cents.value
+        val arr = rows.map(_._2).toArray.sortBy(_._1)
+        // per-member OWN-cell centroid cos (not the group's cell): the
+        // keep policy compares each member to its own quantizer cell,
+        // and a probing member's own cell differs from the group key
+        val cn = cs.map(w => math.sqrt(w.map(x => x * x).sum))
+        val ccArr: Array[Double] = arr.map { case (_, c, v, nrm) =>
+          val w = cs(c)
+          var acc = 0.0
+          var d = 0
+          while (d < v.length) { acc += v(d) * w(d); d += 1 }
+          acc / (nrm * cn(c))
+        }
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Double, Double, Double)]
+        pairLoop(arr, key, (i, j, cos) => {
+          if (arr(j)._2 == key)
+            out += ((arr(i)._1, arr(j)._1, cos, ccArr(i), ccArr(j)))
+          if (arr(i)._2 == key)
+            out += ((arr(j)._1, arr(i)._1, cos, ccArr(j), ccArr(i)))
+        })
+        out.iterator
+      }.toDF("q_id", "n_id", "cos_sim", "cq", "cn")
   }
 
   /** The IVF coarse quantizer as a GATED query: per-cell histogram of the

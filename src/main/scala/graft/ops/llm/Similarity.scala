@@ -90,20 +90,33 @@ object Similarity extends QueryPack {
     * deterministic (sorted by rk), so downstream exact compares hold.
     * Vectors with no same-cell neighbor ≥ thr don't appear; callers
     * left-join and coalesce to the empty array.
+    *
+    * `nprobe >= 2` (VERDICT r12 #1) widens each row's QUERY side to its
+    * top-nprobe cells by centroid dot via the directed
+    * [[Dedup.embeddingProbeEdges]] engine — the annotate form of
+    * [[annIvfMultiProbe]]'s recall fix (probe order and cosines
+    * bit-identical to that gate), still exactly one flatMapGroups
+    * reduce. nprobe = 1 keeps the symmetric pair engine untouched (the
+    * two are law-tested equal at 1).
     */
   private[graft] def annTopKWithin(corpus: DataFrame, k: Int,
-                                   thr: Double): DataFrame = {
+                                   thr: Double, nprobe: Int = 1): DataFrame = {
     import corpus.sparkSession.implicits._
-    val pairs = Dedup.embeddingPairs(corpus, thr, sameCellOnly = true)
-    // symmetrize via ONE explode, not a self-union: union references the
-    // pair frame twice, and ReuseExchange dedups only the shuffle write —
-    // the O(n²/K) pairwise-cosine reduce inside embeddingPairs would
-    // execute twice (self-review r12)
-    val sym = pairs.select(explode(array(
-        struct($"i".as("vec_id"), $"j".as("n_id"), $"cos_sim"),
-        struct($"j".as("vec_id"), $"i".as("n_id"), $"cos_sim"))).as("p"))
-      .select($"p.vec_id".as("vec_id"), $"p.n_id".as("n_id"),
-              $"p.cos_sim".as("cos_sim"))
+    val sym = if (nprobe >= 2)
+      Dedup.embeddingProbeEdges(corpus, thr, nprobe)
+        .select($"q_id".as("vec_id"), $"n_id", $"cos_sim")
+    else {
+      val pairs = Dedup.embeddingPairs(corpus, thr, sameCellOnly = true)
+      // symmetrize via ONE explode, not a self-union: union references the
+      // pair frame twice, and ReuseExchange dedups only the shuffle write —
+      // the O(n²/K) pairwise-cosine reduce inside embeddingPairs would
+      // execute twice (self-review r12)
+      pairs.select(explode(array(
+          struct($"i".as("vec_id"), $"j".as("n_id"), $"cos_sim"),
+          struct($"j".as("vec_id"), $"i".as("n_id"), $"cos_sim"))).as("p"))
+        .select($"p.vec_id".as("vec_id"), $"p.n_id".as("n_id"),
+                $"p.cos_sim".as("cos_sim"))
+    }
     val w = Window.partitionBy($"vec_id").orderBy($"cos_sim".desc, $"n_id")
     sym.withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= k)
@@ -898,6 +911,29 @@ object Similarity extends QueryPack {
       .orderBy($"q_id", $"rk")
   }
 
+  /** C38 multi-probe ANN ANNOTATE — the corpus-wide form of
+    * [[annIvfMultiProbe]] and the gate behind the YAML `ann_topk`
+    * processor's `nprobe` knob (VERDICT r12 #1): EVERY vector is a
+    * query probing its top-2 cells, candidates are the probed cells'
+    * residents, top-3 by (sim DESC, n_id) — one directed
+    * [[Dedup.embeddingProbeEdges]] pass, exploded back to rows so the
+    * oracle can replay it. No similarity floor (−∞, like the oracle's
+    * un-filtered candidate rank), so the gate checks the full ranking,
+    * not a threshold artifact. The oracle rebuilds the md5 quantizer,
+    * the probe selection (dot DESC, cell ASC, rank ≤ 2), and the
+    * left-to-right dot chain in SQL — candidate sets, sims, and ranks
+    * are bit-identical.
+    */
+  def annAnnotateMultiProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    annTopKWithin(corpus(spark, dir), k = 3,
+        thr = Double.NegativeInfinity, nprobe = 2)
+      .select($"vec_id", explode($"topk").as("t"))
+      .select($"vec_id", $"t.rk".as("rk"), $"t.n_id".as("n_id"),
+              $"t.sim".as("sim"))
+      .orderBy($"vec_id", $"rk")
+  }
+
   /** Recall@k instrumentation of the production IVF approximate search
     * (VERDICT r9 #7): the same probe-selection and candidate plumbing as
     * [[annIvf]] / [[annIvfMultiProbe]], parameterized by probe breadth,
@@ -1066,6 +1102,7 @@ object Similarity extends QueryPack {
     "llm_bq_topk"         -> (bqTopK _),
     "llm_diversify_topk"  -> (diversifyTopK _),
     "llm_ann_ivf_mp"      -> (annIvfMultiProbe _),
+    "llm_ann_annotate_mp" -> (annAnnotateMultiProbe _),
     "llm_mrl_recall"      -> (mrlRecall _),
     "llm_ann_cosine_topk" -> (annCosineTopK _),
     "llm_hard_negatives"  -> (hardNegatives _),
@@ -1149,6 +1186,41 @@ object Similarity extends QueryPack {
         |      FROM s)
         |SELECT q_id, rk, n_id, sim, n_cand
         |FROM r JOIN cnt USING (q_id) WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
+    // the annotate form: EVERY vector queries its top-2 probe cells —
+    // identical quantizer replay, probe selection, dot chain, and
+    // (sim DESC, n_id) rank as llm_ann_ivf_mp, rank <= 3 per vector
+    "llm_ann_annotate_mp" ->
+      """WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |            FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+        |      FROM v0),
+        |cent AS (SELECT c, list_transform(range(0, 64), d ->
+        |    ('0x' || substr(md5('ivf_' || c::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT::DOUBLE
+        |    / 576460752303423488.0 - 1.0) AS w
+        |  FROM range(0, 4) t(c)),
+        |dots AS (SELECT vec_id, c,
+        |    list_reduce(list_transform(range(1, 65), k -> v[k] * w[k]),
+        |                (a, b) -> a + b) AS dot
+        |  FROM n, cent),
+        |cl AS (SELECT vec_id, c AS cell FROM (
+        |    SELECT vec_id, c,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
+        |    FROM dots) WHERE rn = 1),
+        |nc AS (SELECT n.vec_id, n.v, n.nrm, cl.cell FROM n JOIN cl USING (vec_id)),
+        |qp AS (SELECT vec_id AS q_id, c AS probe_cell FROM (
+        |    SELECT vec_id, c,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
+        |    FROM dots) WHERE rn <= 2),
+        |s AS (SELECT qp.q_id, c.vec_id AS n_id,
+        |        list_reduce(list_transform(range(1, 65), k -> q.v[k] * c.v[k]),
+        |                    (x, y) -> x + y) / (q.nrm * c.nrm) AS sim
+        |      FROM qp JOIN n q ON q.vec_id = qp.q_id
+        |      JOIN nc c ON c.cell = qp.probe_cell AND c.vec_id <> qp.q_id)
+        |SELECT q_id AS vec_id, rk, n_id, sim FROM (
+        |  SELECT q_id, n_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)::BIGINT AS rk
+        |  FROM s) WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
     // same prefix-dim ladder, same bit-identical dot chain, same
     // (sim DESC, n_id) total order, integer recall
     "llm_mrl_recall" ->

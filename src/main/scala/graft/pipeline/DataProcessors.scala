@@ -394,6 +394,19 @@ private[pipeline] object EmbeddingParams {
       require(v >= 1, s"$op: $key must be >= 1, got $v")
       v
     }.getOrElse(default)
+
+  /** Probe breadth for the embedding stages: 1 (default, single-probe)
+    * to the quantizer's cell count (= exhaustive). Capped FAIL-FAST —
+    * a breadth beyond K would silently behave as exhaustive, hiding a
+    * config mistake.
+    */
+  def nprobe(params: Conf, op: String): Int = {
+    val v = positiveInt(params, op, "nprobe", 1)
+    require(v <= graft.ops.llm.Dedup.IvfCells,
+      s"$op: nprobe must be <= ${graft.ops.llm.Dedup.IvfCells} (the " +
+      s"quantizer's cell count; that breadth is already exhaustive), got $v")
+    v
+  }
 }
 
 /** Shared embedding ingestion for the pipeline's C37/C38 stages:
@@ -459,26 +472,46 @@ private[pipeline] object EmbeddingStage {
   * surfaces cannot diverge. Batch/foreachBatch-legal; not for a bare
   * streaming DF.
   *
+  * `nprobe` (default 1, max [[graft.ops.llm.Dedup.IvfCells]]) widens
+  * candidate generation to each vector's top-nprobe quantizer cells via
+  * the directed multi-probe engine
+  * ([[graft.ops.llm.Dedup.embeddingProbeEdges]]) — the recall fix for
+  * near-dup pairs straddling a cell boundary, at nprobe× shuffle cost.
+  * The drop policy is unchanged (it is direction-symmetric, so the
+  * directed edge set needs no normalization).
+  *
   * PRECONDITIONS (enforced by [[EmbeddingStage]]): unique integral ids;
-  * embeddings of the quantizer's dimension.
+  * embeddings of the quantizer's dimension. The guards are LAZY and ride
+  * the columns this stage itself consumes, so they always fire here (the
+  * anti-join evaluates every embedding).
   */
 final class SemDedupProcessor(params: Conf) extends Transform {
   private val idCol  = params.str("id_column").getOrElse("vec_id")
   private val embCol = params.str("embedding_column").getOrElse("embedding")
   private val thr: Double = EmbeddingParams.threshold(params, "sem_dedup", 0.45)
+  private val nprobe: Int = EmbeddingParams.nprobe(params, "sem_dedup")
   private val unknown =
-    params.m.keySet -- Set("id_column", "embedding_column", "threshold")
+    params.m.keySet -- Set("id_column", "embedding_column", "threshold", "nprobe")
   require(unknown.isEmpty,
     s"sem_dedup: unsupported params ${unknown.toSeq.sorted.mkString(", ")} " +
-    "(supported: id_column, embedding_column, threshold)")
+    "(supported: id_column, embedding_column, threshold, nprobe)")
   def apply(df: DataFrame): DataFrame = {
     val corpus = EmbeddingStage.corpusFrom(df, idCol, embCol, "sem_dedup")
     // ONE pair-engine execution: the engine emits each member's
     // centroid-cos (ci/cj — bit-equal to the gate's SQL spelling)
     // alongside the pair, so no lazy re-join back to a cos_c annotation
     // is needed (a DAG that re-references the pair frame re-executes
-    // the O(n²/K) verify reduce per reference — self-review r12)
-    val pairs = graft.ops.llm.Dedup
+    // the O(n²/K) verify reduce per reference — self-review r12).
+    // nprobe >= 2 swaps in the directed probe engine: a pair seen from
+    // both directions carries bit-identical (cos, cq, cn) — the own-cell
+    // centroid cos recompute is input-identical in every group — and the
+    // keep policy below is direction-symmetric, so the duplicate edge
+    // yields the same dropped id and the distinct() collapses it
+    val pairs = if (nprobe >= 2)
+      graft.ops.llm.Dedup
+        .embeddingProbeEdges(corpus, thr, nprobe, withCentroidCos = true)
+        .toDF("i", "j", "cos_sim", "ci", "cj")
+    else graft.ops.llm.Dedup
       .embeddingPairs(corpus, thr, sameCellOnly = true, withCentroidCos = true)
     // drop the pair member whose (cos_c, id) sorts HIGHER — keep the
     // least-centroid-similar, ties to the lowest id (the gate's window
@@ -492,16 +525,29 @@ final class SemDedupProcessor(params: Conf) extends Transform {
 }
 
 /** C38 ANN annotate-top-k as a pipeline stage: appends to every row its
-  * k most-similar OTHER rows within the same IVF cell, as a
+  * k most-similar OTHER rows within its probed IVF cells, as a
   * deterministic rk-sorted `array<struct<rk, n_id, sim>>` (the
   * [[graft.ops.llm.Similarity.annTopKWithin]] core — same cell-shuffle
-  * candidate engine as the dedup gates; the standard IVF recall trade:
-  * a cross-cell neighbor is missed). Rows with no same-cell neighbor ≥
-  * threshold get an EMPTY array, not null — visible to the next stage.
-  * Batch/foreachBatch-legal (window + aggregate inside).
+  * candidate engine as the dedup gates). Rows with no in-scope neighbor
+  * ≥ threshold get an EMPTY array, not null — visible to the next
+  * stage. Batch/foreachBatch-legal (window + aggregate inside).
+  *
+  * `nprobe` (default 1, max [[graft.ops.llm.Dedup.IvfCells]]) sets the
+  * probe breadth: 1 searches only each row's own cell (the single-probe
+  * IVF floor — a cross-cell neighbor is missed); `nprobe >= 2` widens
+  * each row's query to its top-nprobe cells by centroid dot — the
+  * `llm_ann_annotate_mp` gate's engine, the standard recall/cost knob
+  * (candidates scale ≈ nprobe×).
   *
   * PRECONDITIONS (enforced by [[EmbeddingStage]]): unique integral ids;
-  * embeddings of the quantizer's dimension.
+  * embeddings of the quantizer's dimension. The guards are LAZY — they
+  * are stitched into the joined-in `output_column` and fire when that
+  * column is CONSUMED. A downstream plan that never references
+  * `output_column` lets Catalyst eliminate the annotation join (its
+  * aggregated keys are provably unique), and no precondition is checked
+  * for the rows it would have covered — the loud-failure contract is
+  * "on consumption of the annotation", not "on any use of the stage's
+  * output" (ADVICE r12).
   */
 final class AnnTopKProcessor(params: Conf) extends Transform {
   private val idCol  = params.str("id_column").getOrElse("vec_id")
@@ -510,17 +556,20 @@ final class AnnTopKProcessor(params: Conf) extends Transform {
   private val k: Int = EmbeddingParams.positiveInt(params, "ann_topk", "k", 5)
   // default -1.0 = no similarity floor: all same-cell candidates rank
   private val thr: Double = EmbeddingParams.threshold(params, "ann_topk", -1.0)
+  private val nprobe: Int = EmbeddingParams.nprobe(params, "ann_topk")
   private val unknown = params.m.keySet --
-    Set("id_column", "embedding_column", "output_column", "k", "threshold")
+    Set("id_column", "embedding_column", "output_column", "k", "threshold",
+        "nprobe")
   require(unknown.isEmpty,
     s"ann_topk: unsupported params ${unknown.toSeq.sorted.mkString(", ")} " +
-    "(supported: id_column, embedding_column, output_column, k, threshold)")
+    "(supported: id_column, embedding_column, output_column, k, threshold, " +
+    "nprobe)")
   def apply(df: DataFrame): DataFrame = {
     require(!df.columns.exists(_.equalsIgnoreCase(outCol)),
       s"ann_topk: output_column '$outCol' already exists in the input — " +
       "pick another name (silent overwrite would hide the input column)")
     val corpus = EmbeddingStage.corpusFrom(df, idCol, embCol, "ann_topk")
-    val topk = graft.ops.llm.Similarity.annTopKWithin(corpus, k, thr)
+    val topk = graft.ops.llm.Similarity.annTopKWithin(corpus, k, thr, nprobe)
     df.join(topk.select(col("vec_id").as(idCol), col("topk").as(outCol)),
         Seq(idCol), "left_outer")
       .withColumn(outCol, coalesce(col(outCol),

@@ -91,6 +91,82 @@ class EmbeddingDedupSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall $recall collapsed — quantizer drift?")
   }
 
+  test("embeddingProbeEdges at nprobe=1 == the SYMMETRIZED same-cell " +
+       "pair set of embeddingPairs (bit-identical cosines) — the law " +
+       "that lets annTopKWithin keep the symmetric engine at 1") {
+    val corpus = Similarity.corpus(spark, dir)
+    val sym = Dedup.embeddingPairs(corpus, thr = 0.2, sameCellOnly = true)
+      .as[(Long, Long, Double)].collect()
+      .flatMap { case (i, j, c) => Seq((i, j, c), (j, i, c)) }.toSet
+    val directed = Dedup.embeddingProbeEdges(corpus, thr = 0.2, nprobe = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(directed === sym)
+  }
+
+  test("annTopKWithin nprobe=2 == driver-side brute force restricted to " +
+       "each query's top-2 probe cells (bit-identical sims), and its " +
+       "global recall@5 strictly improves on single-probe") {
+    val corpus = Similarity.corpus(spark, dir)
+    val k = 5
+    val got = Similarity.annTopKWithin(corpus, k, thr = -1.0, nprobe = 2)
+      .select($"vec_id", $"topk").collect()
+      .map { r =>
+        r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getLong(1), x.getDouble(2)))
+      }.toMap
+    val vecs = corpus.select($"vec_id", $"v", $"nrm")
+      .as[(Long, Array[Double], Double)].collect()
+    // driver replica of the quantizer: md5 centroids + left-to-right
+    // dots — the identical IEEE sequence, so probe sets cannot drift
+    val cents = Array.tabulate(4, 64) { (c, d) =>
+      CrossHash.hex60Jvm(s"ivf_${c}_$d").toDouble / 576460752303423488.0 - 1.0
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val probesOf = vecs.map { case (id, v, _) =>
+      id -> (0 until 4).sortBy(c => (-dot(v, cents(c)), c))
+    }.toMap
+    val cellOf = probesOf.map { case (id, o) => id -> o.head }
+    // engine probe order must equal the declarative withIvfCell argmax
+    val sqlCell = Dedup.withIvfCell(corpus)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    assert(cellOf === sqlCell, "probe rank 1 drifted from the argmax cell")
+    val expected = vecs.map { case (id, v, nrm) =>
+      val probed = probesOf(id).take(2).toSet
+      id -> vecs
+        .filter { case (o, _, _) => o != id && probed(cellOf(o)) }
+        .map { case (o, vo, no) => (o, dot(v, vo) / (nrm * no)) }
+        .sortBy { case (o, c) => (-c, o) }
+        .take(k).toSeq
+    }.toMap
+    expected.foreach { case (id, tops) =>
+      assert(got.getOrElse(id, Seq.empty) === tops,
+        s"vec $id: multi-probe annotate drifted from the probe-cell brute force")
+    }
+    // recall@5 vs the cell-unrestricted brute force: nprobe=2 must beat 1
+    val globalTop = vecs.map { case (id, v, nrm) =>
+      id -> vecs.filter(_._1 != id)
+        .map { case (o, vo, no) => (o, dot(v, vo) / (nrm * no)) }
+        .sortBy { case (o, c) => (-c, o) }.take(k).map(_._1).toSet
+    }.toMap
+    def recallOf(ann: Map[Long, Seq[(Long, Double)]]): Double =
+      globalTop.toSeq.map { case (id, t) =>
+        ann.getOrElse(id, Seq.empty).map(_._1).toSet.intersect(t).size
+      }.sum.toDouble / (globalTop.size * k)
+    val got1 = Similarity.annTopKWithin(corpus, k, thr = -1.0)
+      .select($"vec_id", $"topk").collect()
+      .map { r =>
+        r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getLong(1), x.getDouble(2)))
+      }.toMap
+    val (r1, r2) = (recallOf(got1), recallOf(got))
+    info(f"ann_topk global recall@5: nprobe=1 $r1%.3f -> nprobe=2 $r2%.3f")
+    assert(r2 > r1, s"nprobe=2 recall $r2 did not improve on single-probe $r1")
+  }
+
   test("semDedup clusters are exactly the connected components of the " +
        "approx pair graph: rep = component min, n_members = component " +
        "size, survivor a member — one survivor per component") {

@@ -509,6 +509,120 @@ class CurationProcessorsSpec extends SparkSpec {
     assert(k1 === Seq(2L), "k=1 truncates to the single best neighbor")
   }
 
+  // --- r13 nprobe (multi-probe) breadth knob (VERDICT r12 #1) ---
+
+  /** Cross-cell near-duplicate fixture: two vectors near the c0/c1 cell
+    * boundary, nudged to land in DIFFERENT argmax cells while keeping
+    * cosine ≈ 1 — the pair single-probe structurally cannot see. The
+    * centroids are rebuilt from the public md5 formula (the quantizer is
+    * deterministic by design); the cell split is ASSERTED, so quantizer
+    * drift fails loudly here instead of silently weakening the test.
+    */
+  private def crossCellPair(): (Array[Double], Array[Double]) = {
+    def hex60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val cents = Array.tabulate(2, 64) { (c, d) =>
+      hex60(s"ivf_${c}_$d").toDouble / 576460752303423488.0 - 1.0
+    }
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val (u0, u1) = (unit(cents(0)), unit(cents(1)))
+    val mid = Array.tabulate(64)(i => u0(i) + u1(i))
+    val a = Array.tabulate(64)(i => mid(i) + 0.05 * u0(i))
+    val b = Array.tabulate(64)(i => mid(i) + 0.05 * u1(i))
+    (a, b)
+  }
+
+  test("ann_topk nprobe=2 finds a cross-cell near-neighbor that the " +
+       "single-probe default structurally misses, through the same " +
+       "engine/guard cores") {
+    val (a, b) = crossCellPair()
+    val in = Seq((1L, a), (2L, b)).toDF("vec_id", "embedding")
+    // precondition of the scenario: the pair straddles a cell boundary
+    val cells = graft.ops.llm.Dedup.withIvfCell(
+        in.select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v")))
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    assert(cells(1L) !== cells(2L),
+      s"fixture must straddle a cell boundary, got $cells")
+    def ids(params: Map[String, Any]): Map[Long, Seq[Long]] =
+      resolve("ann_topk", params).process(in).get
+        .select($"vec_id", expr("transform(ann_topk, x -> x.n_id)").as("ids"))
+        .as[(Long, Seq[Long])].collect().toMap
+    val single = ids(Map("k" -> "3"))
+    assert(single(1L) === Seq.empty && single(2L) === Seq.empty,
+      "single-probe must miss the cross-cell pair (else the fixture is wrong)")
+    val multi = ids(Map("k" -> "3", "nprobe" -> "2"))
+    assert(multi(1L) === Seq(2L) && multi(2L) === Seq(1L),
+      s"nprobe=2 must recover the cross-cell neighbor, got $multi")
+  }
+
+  test("sem_dedup nprobe=2 drops one member of a cross-cell semantic " +
+       "duplicate pair that single-probe keeps intact") {
+    val (a, b) = crossCellPair()
+    val in = Seq((1L, a, "x"), (2L, b, "y")).toDF("vec_id", "embedding", "tag")
+    val single = resolve("sem_dedup", Map("threshold" -> "0.95"))
+      .process(in).get.select("vec_id").as[Long].collect().sorted.toSeq
+    assert(single === Seq(1L, 2L), "single-probe must keep both (cross-cell)")
+    val multi = resolve("sem_dedup", Map("threshold" -> "0.95", "nprobe" -> "2"))
+      .process(in).get.select("vec_id").as[Long].collect().sorted.toSeq
+    assert(multi.size === 1 && Seq(1L, 2L).contains(multi.head),
+      s"nprobe=2 must drop one member of the cross-cell pair, got $multi")
+  }
+
+  test("ann_topk at nprobe=2 matches the llm_ann_annotate_mp gate " +
+       "bit-exactly on the fixture corpus (the processor IS the gate's " +
+       "engine — VERDICT r12 #1 done-criterion), and the plans still " +
+       "execute exactly ONE MapGroups reduce per probe stage") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val ann = resolve("ann_topk",
+      Map("k" -> "3", "nprobe" -> "2")).process(emb).get
+    def nMapGroups(df: org.apache.spark.sql.DataFrame): Int =
+      raw"\bMapGroups\b".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    assert(nMapGroups(ann) === 1,
+      s"ann_topk nprobe=2 plan must contain exactly one MapGroups:\n${ann.queryExecution.executedPlan}")
+    val sem = resolve("sem_dedup", Map("nprobe" -> "2")).process(emb).get
+    assert(nMapGroups(sem) === 1,
+      s"sem_dedup nprobe=2 plan must contain exactly one MapGroups:\n${sem.queryExecution.executedPlan}")
+    val got = ann
+      .select($"vec_id", explode($"ann_topk").as("t"))
+      .select($"vec_id", $"t.rk", $"t.n_id", $"t.sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val gate = graft.ops.llm.Similarity.annAnnotateMultiProbe(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // default threshold -1.0 vs the gate's -inf floor: equality below
+    // also proves no fixture sim sits at/below -1 (where they'd differ)
+    assert(got === gate)
+  }
+
+  test("ann_topk and sem_dedup validate nprobe fail-fast: floor, cap at " +
+       "the quantizer's cell count, format") {
+    val e1 = intercept[IllegalArgumentException] {
+      resolve("ann_topk", Map("nprobe" -> "0"))
+    }
+    assert(e1.getMessage.contains("nprobe must be >= 1"))
+    val e2 = intercept[IllegalArgumentException] {
+      resolve("ann_topk", Map("nprobe" -> "5"))
+    }
+    assert(e2.getMessage.contains("nprobe must be <= 4"))
+    val e3 = intercept[IllegalArgumentException] {
+      resolve("sem_dedup", Map("nprobe" -> "two"))
+    }
+    assert(e3.getMessage.contains("positive integer"))
+    val e4 = intercept[IllegalArgumentException] {
+      resolve("sem_dedup", Map("nprobe" -> "5"))
+    }
+    assert(e4.getMessage.contains("already exhaustive"))
+  }
+
   test("ann_topk validates params fail-fast: k format and floor, " +
        "threshold bounds, unknown params, output-column collision") {
     val e1 = intercept[IllegalArgumentException] {
