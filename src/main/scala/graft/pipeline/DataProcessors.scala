@@ -207,14 +207,21 @@ final class SpanCorruptProcessor(params: Conf) extends Transform {
   * (a per-id count stitched into the consumed plan raises at execution
   * time) because the Processor contract forbids driver-side actions in
   * the pipeline fold — the job fails loudly instead of no-op-deduping.
+  * The census costs one extra id-only execution of the upstream plan
+  * per run (near-free on columnar sources; see
+  * [[IdGuards.uniqueGuarded]]); `assume_unique_ids: true` skips it for
+  * corpora whose id uniqueness is already guaranteed upstream —
+  * duplicate ids then silently mis-pair, the caller's contract.
   */
 final class NearDedupProcessor(params: Conf) extends Transform {
   private val idCol   = params.str("id_column").getOrElse("doc_id")
   private val textCol = params.str("text_column").getOrElse("text")
-  private val unknown = params.m.keySet -- Set("id_column", "text_column")
+  private val census  = !params.bool("assume_unique_ids", default = false)
+  private val unknown = params.m.keySet --
+    Set("id_column", "text_column", "assume_unique_ids")
   require(unknown.isEmpty,
     s"near_dedup: unsupported params ${unknown.toSeq.sorted.mkString(", ")} " +
-    "(supported: id_column, text_column)")
+    "(supported: id_column, text_column, assume_unique_ids)")
   def apply(df: DataFrame): DataFrame = {
     IdGuards.requireIntegral(df, idCol, "near_dedup")
     // plain ANSI cast, deliberately NOT try_cast: under ANSI (the
@@ -233,7 +240,7 @@ final class NearDedupProcessor(params: Conf) extends Transform {
     val guarded = IdGuards.uniqueGuarded(keyed, "doc_id", "_raw_id", "text",
       idCol, "near_dedup",
       "same-id rows never pair under d1 < d2 keep-smallest and their " +
-      "shingles would merge into one signature")
+      "shingles would merge into one signature", census)
     // pairs come back (d1 < d2); every d2 has a smaller near-dup ⇒ drop
     val drop = graft.ops.llm.Dedup.nearDupPairsFrom(guarded)
       .select(col("d2").as(idCol)).distinct()
@@ -308,10 +315,23 @@ private[pipeline] object IdGuards {
     *    payload, the guard travels with it, and because the payload now
     *    references the join's `_guilty` output, no predicate can be
     *    pushed below the census join either.
+    *
+    * COST (documented trade, ADVICE r12): the census is a second
+    * execution of the full upstream plan on every healthy run. The
+    * id-only projection makes it nearly free on columnar sources
+    * (parquet reads one column), but a non-columnar source or an
+    * expensive upstream stage pays a full re-execution per guarded
+    * processor. `census = false` (the processors' `assume_unique_ids`
+    * opt-out, for corpora whose id uniqueness is already guaranteed —
+    * e.g. a source primary key) skips the census join entirely while
+    * KEEPING the per-row null/overflow raises; duplicate ids are then
+    * the CALLER's contract and silently mis-pair, exactly the failure
+    * the census exists to prevent.
     */
   def uniqueGuarded(keyed: DataFrame, keyCol: String, rawCol: String,
                     payloadCol: String,
-                    idCol: String, op: String, why: String): DataFrame = {
+                    idCol: String, op: String, why: String,
+                    census: Boolean = true): DataFrame = {
     // any non-empty subset of the guilty set suffices to fail the job
     // (its rows raise wherever their payload is consumed), so LIMIT the
     // census before broadcasting: in the realistic guilty case — an
@@ -349,6 +369,10 @@ private[pipeline] object IdGuards {
     // evaluation — e.g. a null-id doc too short to shingle — escapes
     // both raises, but such a row cannot participate in pairing at all.
     val keyGuarded = keyed.withColumn(keyCol, nullOrOverflowRaise(col(keyCol)))
+    if (!census)
+      return keyGuarded
+        .withColumn(payloadCol, nullOrOverflowRaise(col(payloadCol)))
+        .drop(rawCol)
     val guilty = keyGuarded.select(col(keyCol))
       .groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
       .where(col("_n") > 1)
@@ -419,7 +443,7 @@ private[pipeline] object EmbeddingParams {
   */
 private[pipeline] object EmbeddingStage {
   def corpusFrom(df: DataFrame, idCol: String, embCol: String,
-                 op: String): DataFrame = {
+                 op: String, census: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     IdGuards.requireIntegral(df, idCol, op)
     val dim = graft.ops.llm.Dedup.IvfDim
@@ -431,7 +455,7 @@ private[pipeline] object EmbeddingStage {
         transform(col(embCol), x => x.cast("double")).as("v"))
     IdGuards.uniqueGuarded(keyed, "vec_id", "_raw_id", "v", idCol, op,
         "same-id rows never pair and the annotate window would merge " +
-        "two rows' neighbor sets")
+        "two rows' neighbor sets", census)
       .withColumn("v",
         // isNull must be checked explicitly: size(null) is null, and
         // null =!= dim is null — a null embedding would silently skip
@@ -450,6 +474,31 @@ private[pipeline] object EmbeddingStage {
             lit(" for id "), col("vec_id").cast("string"))))
         .otherwise(col("v")))
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+      // the norm guard closes the remaining silent-no-op class (ADVICE
+      // r12): an ALL-ZERO embedding (nrm = 0) yields NaN cosines and
+      // never pairs — exact zero-vector duplicates would all survive
+      // sem_dedup and get empty ann_topk arrays; NaN/Inf ELEMENTS pass
+      // the null-element check above but poison nrm to NaN/Inf, with
+      // the same silent outcome (sim = NaN never >= thr; finite/Inf =
+      // 0). nrm must be a POSITIVE FINITE double; NaN needs its OWN
+      // isnan branch because Spark SQL (like DuckDB) orders NaN
+      // GREATER than every other double — `NaN > 0` is TRUE under SQL
+      // semantics, not false as in IEEE/JVM, so `!(nrm > 0)` alone
+      // would silently pass a NaN norm. The raise rides nrm, which
+      // every pair-engine path decodes unconditionally (typed Dataset
+      // select of (vec_id, v, nrm)), so it cannot be severed by
+      // predicate pushdown.
+      .withColumn("nrm",
+        when(isnan(col("nrm")) || !(col("nrm") > 0.0) ||
+             col("nrm") === Double.PositiveInfinity,
+          raise_error(concat(
+            lit(s"$op: embedding_column '$embCol' must have a positive " +
+              "finite L2 norm (an all-zero or non-finite embedding " +
+              "yields NaN/zero cosines and silently never pairs); " +
+              "got nrm "),
+            col("nrm").cast("string"),
+            lit(" for id "), col("vec_id").cast("string"))))
+        .otherwise(col("nrm")))
   }
 }
 
@@ -490,13 +539,16 @@ final class SemDedupProcessor(params: Conf) extends Transform {
   private val embCol = params.str("embedding_column").getOrElse("embedding")
   private val thr: Double = EmbeddingParams.threshold(params, "sem_dedup", 0.45)
   private val nprobe: Int = EmbeddingParams.nprobe(params, "sem_dedup")
+  private val census = !params.bool("assume_unique_ids", default = false)
   private val unknown =
-    params.m.keySet -- Set("id_column", "embedding_column", "threshold", "nprobe")
+    params.m.keySet -- Set("id_column", "embedding_column", "threshold",
+      "nprobe", "assume_unique_ids")
   require(unknown.isEmpty,
     s"sem_dedup: unsupported params ${unknown.toSeq.sorted.mkString(", ")} " +
-    "(supported: id_column, embedding_column, threshold, nprobe)")
+    "(supported: id_column, embedding_column, threshold, nprobe, " +
+    "assume_unique_ids)")
   def apply(df: DataFrame): DataFrame = {
-    val corpus = EmbeddingStage.corpusFrom(df, idCol, embCol, "sem_dedup")
+    val corpus = EmbeddingStage.corpusFrom(df, idCol, embCol, "sem_dedup", census)
     // ONE pair-engine execution: the engine emits each member's
     // centroid-cos (ci/cj — bit-equal to the gate's SQL spelling)
     // alongside the pair, so no lazy re-join back to a cos_c annotation
@@ -557,18 +609,19 @@ final class AnnTopKProcessor(params: Conf) extends Transform {
   // default -1.0 = no similarity floor: all same-cell candidates rank
   private val thr: Double = EmbeddingParams.threshold(params, "ann_topk", -1.0)
   private val nprobe: Int = EmbeddingParams.nprobe(params, "ann_topk")
+  private val census = !params.bool("assume_unique_ids", default = false)
   private val unknown = params.m.keySet --
     Set("id_column", "embedding_column", "output_column", "k", "threshold",
-        "nprobe")
+        "nprobe", "assume_unique_ids")
   require(unknown.isEmpty,
     s"ann_topk: unsupported params ${unknown.toSeq.sorted.mkString(", ")} " +
     "(supported: id_column, embedding_column, output_column, k, threshold, " +
-    "nprobe)")
+    "nprobe, assume_unique_ids)")
   def apply(df: DataFrame): DataFrame = {
     require(!df.columns.exists(_.equalsIgnoreCase(outCol)),
       s"ann_topk: output_column '$outCol' already exists in the input — " +
       "pick another name (silent overwrite would hide the input column)")
-    val corpus = EmbeddingStage.corpusFrom(df, idCol, embCol, "ann_topk")
+    val corpus = EmbeddingStage.corpusFrom(df, idCol, embCol, "ann_topk", census)
     val topk = graft.ops.llm.Similarity.annTopKWithin(corpus, k, thr, nprobe)
     df.join(topk.select(col("vec_id").as(idCol), col("topk").as(outCol)),
         Seq(idCol), "left_outer")

@@ -509,6 +509,73 @@ class CurationProcessorsSpec extends SparkSpec {
     assert(k1 === Seq(2L), "k=1 truncates to the single best neighbor")
   }
 
+  test("embedding stages raise LOUDLY on an all-zero embedding (nrm = 0 " +
+       "=> NaN cosines, the row silently never pairs) and on NaN/Inf " +
+       "elements (they pass the null-element check but poison nrm) — " +
+       "ADVICE r12") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val zero = Seq((1L, vec(0 -> 1.0)), (2L, Array.fill(64)(0.0)),
+                   (3L, vec(0 -> 1.0)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[Exception] {
+      resolve("sem_dedup").process(zero).get.count()
+    }
+    assert(msgs(e1).exists(m => m.contains("positive finite") && m.contains("id 2")),
+      msgs(e1).mkString(";"))
+    val nan = Seq((1L, vec(0 -> 1.0)), (2L, vec(0 -> 1.0, 5 -> Double.NaN)))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[Exception] {
+      resolve("ann_topk").process(nan).get.select(col("ann_topk")).collect()
+    }
+    assert(msgs(e2).exists(_.contains("positive finite")), msgs(e2).mkString(";"))
+    val inf = Seq((1L, vec(0 -> 1.0)),
+                  (2L, vec(0 -> 1.0, 5 -> Double.PositiveInfinity)))
+      .toDF("vec_id", "embedding")
+    val e3 = intercept[Exception] {
+      resolve("sem_dedup").process(inf).get.count()
+    }
+    assert(msgs(e3).exists(_.contains("positive finite")), msgs(e3).mkString(";"))
+  }
+
+  test("assume_unique_ids skips the duplicate-id census (no second " +
+       "upstream execution; duplicate ids become the caller's contract) " +
+       "but KEEPS the per-row null-id raise, and the guarded default " +
+       "still matches it on healthy input — ADVICE r12 opt-out") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val healthy = Seq((10L, baseText + " a"), (11L, baseText + " a"),
+                      (20L, (100 to 119).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val trusted = resolve("near_dedup", Map("assume_unique_ids" -> "true"))
+      .process(healthy).get
+    assert(trusted.select("doc_id").as[Long].collect().sorted.toSeq ===
+      resolve("near_dedup").process(healthy).get
+        .select("doc_id").as[Long].collect().sorted.toSeq)
+    // the census aggregate is gone from the trusted plan
+    assert(!trusted.queryExecution.optimizedPlan.toString.contains("_guilty"),
+      s"census join must be skipped:\n${trusted.queryExecution.optimizedPlan}")
+    // duplicate ids do NOT raise under the opt-out (documented contract)
+    val dup = Seq((1L, baseText + " a"), (1L, baseText + " a"))
+      .toDF("doc_id", "text")
+    resolve("near_dedup", Map("assume_unique_ids" -> "true"))
+      .process(dup).get.count() // must not throw
+    // but a NULL id still raises — that guard is per-row, not a census
+    val nullId = Seq((java.lang.Long.valueOf(1L), baseText + " a"),
+                     (null.asInstanceOf[java.lang.Long], baseText + " b"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      resolve("near_dedup", Map("assume_unique_ids" -> "true"))
+        .process(nullId).get.count()
+    }
+    assert(msgs(e).exists(_.contains("must not be null")), msgs(e).mkString(";"))
+    // embedding stages expose the same knob
+    val emb = Seq((1L, vec(0 -> 1.0)), (1L, vec(0 -> 1.0)))
+      .toDF("vec_id", "embedding")
+    resolve("sem_dedup", Map("assume_unique_ids" -> "true"))
+      .process(emb).get.count() // duplicate ids tolerated by contract
+  }
+
   // --- r13 nprobe (multi-probe) breadth knob (VERDICT r12 #1) ---
 
   /** Cross-cell near-duplicate fixture: two vectors near the c0/c1 cell
