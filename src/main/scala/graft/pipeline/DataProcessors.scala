@@ -576,6 +576,80 @@ final class SemDedupProcessor(params: Conf) extends Transform {
   }
 }
 
+/** C37/C38 CLUSTER-EXACT SemDeDup as a BATCH-ONLY pipeline stage
+  * (VERDICT r12 #5): resolves the semantic-duplicate graph into
+  * connected components via the gate-proven iterative star contraction
+  * ([[graft.ops.llm.Dedup.starComponents]] — the `llm_semdedup` gate's
+  * machinery, shared through [[graft.ops.llm.Dedup.semDedupMembers]])
+  * and keeps ONE representative per cluster: the member least similar
+  * to its own cell centroid, ties to the lowest id (Abbas et al. 2023).
+  * Unconnected vectors always survive.
+  *
+  * This differs from [[SemDedupProcessor]] exactly on INDIRECT
+  * partners: a chain a~b~c where (a, c) is not itself a pair keeps one
+  * representative here but can keep BOTH endpoints under the pairwise
+  * rule (each pair only eliminates its own loser). Use `sem_dedup` when
+  * streaming-shaped laziness matters; use this when cluster-exact reps
+  * do.
+  *
+  * BATCH ONLY — enforced fail-fast on `df.isStreaming`: the star
+  * contraction's convergence loop runs DRIVER-SIDE ACTIONS (edge counts
+  * per round), which are illegal on an unbounded frame and break the
+  * lazy single-plan fold the streaming Processor contract promises. In
+  * a streaming job, run this inside a `foreach_batch` sink (each
+  * micro-batch is a bounded frame) or keep the pairwise `sem_dedup`.
+  * In a batch pipeline the extra eagerness is the documented price of
+  * transitive resolution (cluster-posture.md).
+  *
+  * `nprobe` widens candidate pair generation across cell boundaries
+  * (directed probe edges, normalized to undirected before
+  * contraction); `assume_unique_ids` skips the duplicate-id census
+  * (see [[IdGuards.uniqueGuarded]]).
+  *
+  * PRECONDITIONS (enforced by [[EmbeddingStage]]): unique integral ids;
+  * embeddings of the quantizer's dimension with positive finite norm.
+  */
+final class SemDedupClustersProcessor(params: Conf) extends Transform {
+  private val idCol  = params.str("id_column").getOrElse("vec_id")
+  private val embCol = params.str("embedding_column").getOrElse("embedding")
+  private val thr: Double =
+    EmbeddingParams.threshold(params, "sem_dedup_clusters", 0.45)
+  private val nprobe: Int = EmbeddingParams.nprobe(params, "sem_dedup_clusters")
+  private val census = !params.bool("assume_unique_ids", default = false)
+  private val unknown =
+    params.m.keySet -- Set("id_column", "embedding_column", "threshold",
+      "nprobe", "assume_unique_ids")
+  require(unknown.isEmpty,
+    s"sem_dedup_clusters: unsupported params ${unknown.toSeq.sorted.mkString(", ")} " +
+    "(supported: id_column, embedding_column, threshold, nprobe, " +
+    "assume_unique_ids)")
+  def apply(df: DataFrame): DataFrame = {
+    require(!df.isStreaming,
+      "sem_dedup_clusters is BATCH-ONLY: the star contraction's " +
+      "convergence loop runs driver-side actions, illegal on an " +
+      "unbounded frame — run it inside a foreach_batch sink, or use " +
+      "the pairwise sem_dedup processor for streaming pipelines")
+    val corpus =
+      EmbeddingStage.corpusFrom(df, idCol, embCol, "sem_dedup_clusters", census)
+    // undirected pair frame for the contraction: probe edges are
+    // directed (q probed n's cell; the reverse edge may not exist), so
+    // normalize to (least, greatest) — distinct() collapses the
+    // both-direction same-cell pairs
+    val pairs = if (nprobe >= 2)
+      graft.ops.llm.Dedup.embeddingProbeEdges(corpus, thr, nprobe)
+        .select(least(col("q_id"), col("n_id")).as("d1"),
+                greatest(col("q_id"), col("n_id")).as("d2"))
+        .distinct()
+    else graft.ops.llm.Dedup
+      .embeddingPairs(corpus, thr, sameCellOnly = true)
+      .select(col("i").as("d1"), col("j").as("d2"))
+    val drop = graft.ops.llm.Dedup.semDedupMembers(corpus, pairs)
+      .where(col("rn") > 1)
+      .select(col("vec_id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+}
+
 /** C38 ANN annotate-top-k as a pipeline stage: appends to every row its
   * k most-similar OTHER rows within its probed IVF cells, as a
   * deterministic rk-sorted `array<struct<rk, n_id, sim>>` (the

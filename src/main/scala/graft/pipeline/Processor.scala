@@ -101,6 +101,7 @@ object ProcessorRegistry {
     "quality_score"  -> ((_, p) => new QualityScoreProcessor(p)),
     "gopher_filter"  -> ((_, p) => new GopherFilterProcessor(p)),
     "sem_dedup"      -> ((_, p) => new SemDedupProcessor(p)),
+    "sem_dedup_clusters" -> ((_, p) => new SemDedupClustersProcessor(p)),
     "ann_topk"       -> ((_, p) => new AnnTopKProcessor(p)),
     // reference-style full class paths, translated
     "graft.pipeline.NoOpProcessor"           -> ((_, p) => new NoOpProcessor(p)),

@@ -578,33 +578,12 @@ class CurationProcessorsSpec extends SparkSpec {
 
   // --- r13 nprobe (multi-probe) breadth knob (VERDICT r12 #1) ---
 
-  /** Cross-cell near-duplicate fixture: two vectors near the c0/c1 cell
-    * boundary, nudged to land in DIFFERENT argmax cells while keeping
-    * cosine ≈ 1 — the pair single-probe structurally cannot see. The
-    * centroids are rebuilt from the public md5 formula (the quantizer is
-    * deterministic by design); the cell split is ASSERTED, so quantizer
-    * drift fails loudly here instead of silently weakening the test.
+  /** Cross-cell near-duplicate fixture ([[EmbeddingFixtures]]): the
+    * cell split is ASSERTED in each test, so quantizer drift fails
+    * loudly instead of silently weakening the test.
     */
-  private def crossCellPair(): (Array[Double], Array[Double]) = {
-    def hex60(s: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s.getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString.substring(0, 15)
-      java.lang.Long.parseLong(hex, 16)
-    }
-    val cents = Array.tabulate(2, 64) { (c, d) =>
-      hex60(s"ivf_${c}_$d").toDouble / 576460752303423488.0 - 1.0
-    }
-    def unit(v: Array[Double]): Array[Double] = {
-      val n = math.sqrt(v.map(x => x * x).sum)
-      v.map(_ / n)
-    }
-    val (u0, u1) = (unit(cents(0)), unit(cents(1)))
-    val mid = Array.tabulate(64)(i => u0(i) + u1(i))
-    val a = Array.tabulate(64)(i => mid(i) + 0.05 * u0(i))
-    val b = Array.tabulate(64)(i => mid(i) + 0.05 * u1(i))
-    (a, b)
-  }
+  private def crossCellPair(): (Array[Double], Array[Double]) =
+    EmbeddingFixtures.crossCellPair()
 
   test("ann_topk nprobe=2 finds a cross-cell near-neighbor that the " +
        "single-probe default structurally misses, through the same " +
@@ -688,6 +667,72 @@ class CurationProcessorsSpec extends SparkSpec {
       resolve("sem_dedup", Map("nprobe" -> "5"))
     }
     assert(e4.getMessage.contains("already exhaustive"))
+  }
+
+  // --- r13 cluster-exact semantic dedup, batch-only (VERDICT r12 #5) ---
+
+  test("sem_dedup_clusters keeps exactly ONE representative of an " +
+       "indirect-partner chain a~b~c where pairwise sem_dedup keeps " +
+       "BOTH endpoints — the configuration where the two rules differ") {
+    // cosθ = 0.9 => pair sims 0.9, indirect sim cos2θ = 0.62; thr 0.8
+    // makes (a,b),(b,c) pairs but NOT (a,c); b (on the centroid
+    // direction) is the most centroid-similar, so it loses both pairs
+    val (a, b, c) = EmbeddingFixtures.indirectChain(0.9)
+    val in = Seq((1L, a, "a"), (2L, b, "b"), (3L, c, "c"))
+      .toDF("vec_id", "embedding", "tag")
+    // precondition: all three share a cell (chain pairs are same-cell)
+    val cells = graft.ops.llm.Dedup.withIvfCell(
+        in.select($"vec_id",
+          expr("transform(embedding, x -> cast(x as double))").as("v")))
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    assert(cells.values.toSet.size === 1,
+      s"chain must live in one cell, got $cells")
+    val pairwise = resolve("sem_dedup", Map("threshold" -> "0.8"))
+      .process(in).get.select("vec_id").as[Long].collect().sorted.toSeq
+    assert(pairwise === Seq(1L, 3L),
+      "pairwise keeps both endpoints (b loses each of its pairs)")
+    val out = resolve("sem_dedup_clusters", Map("threshold" -> "0.8"))
+      .process(in).get
+    assert(out.columns.toSeq === Seq("vec_id", "embedding", "tag"),
+      "pass-through schema")
+    val cluster = out.select("vec_id").as[Long].collect().toSeq
+    assert(cluster.size === 1 && Set(1L, 3L).contains(cluster.head),
+      s"cluster-exact keeps ONE least-centroid-similar rep, got $cluster")
+  }
+
+  test("sem_dedup_clusters composes with nprobe: a cross-cell pair " +
+       "invisible to same-cell candidates is resolved at nprobe=2") {
+    val (a, b) = crossCellPair()
+    val in = Seq((1L, a), (2L, b)).toDF("vec_id", "embedding")
+    val single = resolve("sem_dedup_clusters", Map("threshold" -> "0.95"))
+      .process(in).get.select("vec_id").as[Long].collect().sorted.toSeq
+    assert(single === Seq(1L, 2L), "same-cell candidates miss the pair")
+    val multi = resolve("sem_dedup_clusters",
+        Map("threshold" -> "0.95", "nprobe" -> "2"))
+      .process(in).get.select("vec_id").as[Long].collect().toSeq
+    assert(multi.size === 1 && Set(1L, 2L).contains(multi.head),
+      s"nprobe=2 must resolve the cross-cell cluster, got $multi")
+  }
+
+  test("sem_dedup_clusters is BATCH-ONLY: fails fast on a streaming " +
+       "frame (the star contraction runs driver actions), and validates " +
+       "params like its pairwise sibling") {
+    val stream = spark.readStream.format("rate").load()
+      .selectExpr("value as vec_id",
+        "transform(sequence(1, 64), x -> cast(x as float)) as embedding")
+    val e = intercept[IllegalArgumentException] {
+      resolve("sem_dedup_clusters").process(stream)
+    }
+    assert(e.getMessage.contains("BATCH-ONLY"), e.getMessage)
+    assert(e.getMessage.contains("foreach_batch"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      resolve("sem_dedup_clusters", Map("thresh" -> "0.5"))
+    }
+    assert(e2.getMessage.contains("unsupported params"))
+    val e3 = intercept[IllegalArgumentException] {
+      resolve("sem_dedup_clusters", Map("nprobe" -> "9"))
+    }
+    assert(e3.getMessage.contains("already exhaustive"))
   }
 
   test("ann_topk validates params fail-fast: k format and floor, " +

@@ -340,6 +340,59 @@ class PipelineSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("r13 batch YAML: sem_dedup_clusters resolves a planted " +
+       "indirect-partner cluster to ONE representative where the " +
+       "pairwise sem_dedup YAML keeps both endpoints (VERDICT r12 #5 " +
+       "done-criterion)") {
+    import org.apache.spark.sql.functions._
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // plant an indirect chain a~b~c at ids 2001..2003: pair sims 0.97,
+    // indirect sim cos2θ ≈ 0.88 — at threshold 0.95 the chain's two
+    // pairs are the ONLY semantic duplicates (the fixture's natural
+    // pairs stay below the 0.95 floor, proven by the r12 e2e above)
+    val (a, b, c) = EmbeddingFixtures.indirectChain(0.97)
+    val chain = Seq((2001L, a.map(_.toFloat), 0L), (2002L, b.map(_.toFloat), 0L),
+                    (2003L, c.map(_.toFloat), 0L))
+      .toDF("vec_id", "embedding", "label")
+    val inDir = tmpDir("pipe_semc_in")
+    embs.select($"vec_id", $"embedding".cast("array<float>").as("embedding"),
+        $"label".cast("long").as("label"))
+      .unionByName(chain)
+      .write.mode("overwrite").parquet(inDir)
+    val inIds = spark.read.parquet(inDir).select("vec_id").as[Long].collect().toSet
+    def runYaml(clazz: String, out: String): Set[Long] = {
+      val yaml =
+        s"""app_name: "ClusterDedup"
+           |source:
+           |  type: "parquet"
+           |  config: {path: "$inDir"}
+           |processors:
+           |  - name: "Dedup"
+           |    class: "$clazz"
+           |    params: {threshold: "0.95"}
+           |sink:
+           |  type: "parquet"
+           |  config: {path: "$out", mode: "overwrite"}
+           |""".stripMargin
+      Pipeline.fromYamlString(spark, yaml, streaming = false).build().run()
+      spark.read.parquet(out).select("vec_id").as[Long].collect().toSet
+    }
+    val pairwise = runYaml("sem_dedup", tmpDir("pipe_semc_pw"))
+    val cluster  = runYaml("sem_dedup_clusters", tmpDir("pipe_semc_cl"))
+    // pairwise: b (2002, on the centroid direction = most redundant)
+    // loses both its pairs; the indirect endpoints both survive
+    assert(pairwise === inIds - 2002L)
+    // cluster-exact: the whole component {a,b,c} keeps ONE rep
+    val chainSurvivors = cluster.intersect(Set(2001L, 2002L, 2003L))
+    assert(chainSurvivors.size === 1 &&
+           Set(2001L, 2003L).contains(chainSurvivors.head),
+      s"cluster rule must keep one non-b rep, got $chainSurvivors")
+    // and nothing else moved: the two rules differ EXACTLY on the
+    // indirect endpoint the pairwise rule cannot eliminate
+    assert((pairwise -- cluster).subsetOf(Set(2001L, 2003L)))
+    assert(cluster.subsetOf(pairwise))
+  }
+
   test("streaming curation: documents file-stream -> quality filter -> " +
        "foreach_batch parquet upsert (the full YAML path)") {
     val inDir = tmpDir("pipe_scur_in")
