@@ -367,6 +367,57 @@ object Bench {
     })
   }
 
+  /** Per-query times out of a committed snapshot, in all four shapes
+    * the artifacts take (factored from [[regressGuard]] so the decode
+    * is unit-testable):
+    *  - the driver's BENCH_r{N}.json wraps the bench line under
+    *    "parsed"; BENCH.json / BENCH_clean_r{N}.json carry it directly;
+    *  - "queries" as the full name→time OBJECT (committed artifacts,
+    *    small scraped runs);
+    *  - "queries" as the POSITIONAL array (the r13 compact twin —
+    *    values by sorted query name): decoded by zipping
+    *    `currentNames`, but ONLY when the snapshot's `qsig` matches
+    *    [[namesSig]] of those names — the query set changes between
+    *    rounds, and zipping mismatched lists would silently mislabel
+    *    every time (undecodable-but-honest beats wrong);
+    *  - scrape-failed snapshots: recover name:time pairs from the raw
+    *    "tail" fragment by delimiter-anchored regex.
+    */
+  private[graft] def snapshotQueries(json: String,
+                                     currentNames: Seq[String]): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(json)
+    val parsed = node.get("parsed")
+    val holder =
+      if (parsed != null && parsed.isObject) parsed else node
+    val qs = holder.get("queries")
+    if (qs != null && qs.isObject)
+      qs.fieldNames().asScala.map(k => k -> qs.get(k).asDouble()).toMap
+    else if (qs != null && qs.isArray) {
+      val sig = Option(holder.get("qsig")).map(_.asText("")).getOrElse("")
+      if (qs.size == currentNames.size && sig == namesSig(currentNames))
+        currentNames.zipWithIndex
+          .map { case (n, i) => n -> qs.get(i).asDouble() }.toMap
+      else Map.empty
+    } else {
+      val tail = Option(node.get("tail")).map(_.asText("")).getOrElse("")
+      // the tail is the LAST 2000 chars of the driver's stdout scrape:
+      // its start boundary can cut a pair mid-token, so require each
+      // match to sit between JSON delimiters — a leading `{`/`,` proves
+      // the key wasn't truncated, a trailing `,`/`}` proves the number
+      // wasn't (ADVICE r10: a boundary fragment yielded a wrong old
+      // time and a spurious >=1.5x verdict)
+      raw"""[,{]"([A-Za-z0-9_]+)":(-?\d+\.\d+)(?=[,}])""".r
+        .findAllMatchIn(tail)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filterNot(m => Set("value", "load_start", "load_end",
+          "baseline_s", "suffix_index_cold_s", "span_frame_cold_s",
+          "steal_cpu_s", "steal_cores_avg")
+          .contains(m._1)).toMap
+    }
+  }
+
   /** Compare this run's medians against the newest committed CLEAN
     * baseline snapshot (factor-1.5 alarm, mirroring
     * `tools/bench_regress.py`), write the `BENCH_REGRESS.md` artifact,
@@ -375,39 +426,9 @@ object Bench {
     */
   private def regressGuard(current: Map[String, Double], contended: Boolean,
                            contendReason: String): Unit = {
-    import scala.jdk.CollectionConverters._
     pickBaseline(Paths.get(".")).foreach { case BaselinePick(round, path, cleanBase) =>
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val node = mapper.readTree(Files.readString(path))
-      // the driver's BENCH_r{N}.json wraps the bench line under
-      // "parsed"; when its stdout scrape failed, "parsed" is null and
-      // "tail" holds a (possibly truncated) fragment — recover pairs by
-      // regex, mirroring tools/bench_regress.py
-      val old: Map[String, Double] = {
-        val parsed = node.get("parsed")
-        val direct = node.get("queries")
-        val qs =
-          if (parsed != null && parsed.isObject) parsed.get("queries")
-          else direct
-        if (qs != null && qs.isObject)
-          qs.fieldNames().asScala.map(k => k -> qs.get(k).asDouble()).toMap
-        else {
-          val tail = Option(node.get("tail")).map(_.asText("")).getOrElse("")
-          // the tail is the LAST 2000 chars of the driver's stdout scrape:
-          // its start boundary can cut a pair mid-token, so require each
-          // match to sit between JSON delimiters — a leading `{`/`,` proves
-          // the key wasn't truncated, a trailing `,`/`}` proves the number
-          // wasn't (ADVICE r10: a boundary fragment yielded a wrong old
-          // time and a spurious >=1.5x verdict)
-          raw"""[,{]"([A-Za-z0-9_]+)":(-?\d+\.\d+)(?=[,}])""".r
-            .findAllMatchIn(tail)
-            .map(m => m.group(1) -> m.group(2).toDouble)
-            .filterNot(m => Set("value", "load_start", "load_end",
-              "baseline_s", "suffix_index_cold_s", "span_frame_cold_s",
-              "steal_cpu_s", "steal_cores_avg")
-              .contains(m._1)).toMap
-        }
-      }
+      val old: Map[String, Double] =
+        snapshotQueries(Files.readString(path), current.keySet.toSeq.sorted)
       val shared = old.keySet.intersect(current.keySet)
         .filter(k => old(k) > 0 && current(k) >= 0)
       val broken = old.keySet.intersect(current.keySet)
@@ -466,7 +487,34 @@ object Bench {
     }
   }
 
-  /** Render the results as a JSON line guaranteed ≤ `budget` chars. */
+  /** Signature of a query-name list — written next to the positional
+    * twin vector so a decoder can PROVE its own name list matches the
+    * one the vector was encoded against (the query set changes between
+    * rounds; zipping mismatched lists would silently mislabel every
+    * time). md5 of the sorted names, first 8 hex chars.
+    */
+  private[graft] def namesSig(sortedNames: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(sortedNames.mkString("\n").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 8)
+  }
+
+  /** Render the results as a JSON line guaranteed ≤ `budget` chars.
+    *
+    * Three forms, most informative that fits (VERDICT r12 #3: the
+    * 1800-char scrape window used to truncate the name→time map to
+    * ~65 of 251 entries — the full-name map is ~5.8k chars and can
+    * NEVER fit, so compression of the map was a dead end):
+    *  1. the full name→time object (small runs / focused sweeps);
+    *  2. the FULL vector as a positional array — values in seconds
+    *     (2 decimals) ordered by SORTED query name, self-described by
+    *     `"queries_key":"sorted_names"` and the [[namesSig]] signature
+    *     `"qsig"` a decoder validates against its own name list
+    *     (~1.3k chars at 251 queries — the whole vector survives the
+    *     scrape);
+    *  3. last resort (absurd query counts): the old slowest-first
+    *     truncated object with `queries_omitted`.
+    */
   private[graft] def compactLine(results: Seq[(String, Double)], total: Double,
                                  sfDir: String, budget: Int = 1800,
                                  env: String = ""): String = {
@@ -477,23 +525,34 @@ object Bench {
         // would make the line unparseable — the exact failure this
         // function exists to prevent
         "\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+    val envPart = if (env.nonEmpty) env + "," else ""
     def render(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + r2(v) }
         .mkString("{", ",", "}")
       val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      val envPart = if (env.nonEmpty) env + "," else ""
       s"""{"metric":"total","value":${r2(total)},"unit":"sec",$envPart"queries":$qs$omit,"sf":$sf}"""
+    }
+    def renderPositional(): String = {
+      val sorted = results.sortBy(_._1)
+      val qs = sorted.map(e => r2(e._2)).mkString("[", ",", "]")
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec",$envPart""" +
+        s""""queries_key":"sorted_names","qsig":"${namesSig(sorted.map(_._1))}",""" +
+        s""""queries":$qs,"sf":$sf}"""
     }
     val all = render(results, 0)
     if (all.length <= budget) all
     else {
-      // keep the slowest (the ones worth reading in a truncated view);
-      // full precision for every query is in BENCH.json regardless
-      val bySlow = results.sortBy(-_._2)
-      val keep = (results.size to 1 by -1).view
-        .map(n => render(bySlow.take(n).sortBy(_._1), results.size - n))
-        .find(_.length <= budget)
-      keep.getOrElse(render(Seq.empty, results.size))
+      val positional = renderPositional()
+      if (positional.length <= budget) positional
+      else {
+        // keep the slowest (the ones worth reading in a truncated view);
+        // full precision for every query is in BENCH.json regardless
+        val bySlow = results.sortBy(-_._2)
+        val keep = (results.size to 1 by -1).view
+          .map(n => render(bySlow.take(n).sortBy(_._1), results.size - n))
+          .find(_.length <= budget)
+        keep.getOrElse(render(Seq.empty, results.size))
+      }
     }
   }
 }

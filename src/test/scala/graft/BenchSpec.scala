@@ -18,9 +18,56 @@ class BenchSpec extends AnyFunSuite {
     assert(line.endsWith("\"sf\":0.1}"))
   }
 
-  test("truncated view keeps the slowest queries and reports the omission") {
-    val line = Bench.compactLine(many, many.map(_._2).sum, "/root/testdata/sf0.1")
+  test("a full-round-sized result set emits the FULL vector positionally " +
+       "(sorted names + qsig) within the budget, and snapshotQueries " +
+       "round-trips it exactly (VERDICT r12 #3: the name->time map is " +
+       "~5.8k chars at 251 queries and can never fit the 1800-char " +
+       "scrape window)") {
+    // 251 realistic-length names, realistic time spread
+    val full = (1 to 251).map(i =>
+      f"llm_realistic_query_name_$i%03d" -> (i * 0.041 % 7.3))
+    val line = Bench.compactLine(full, full.map(_._2).sum,
+      "/root/testdata/sf0.1",
+      env = """"env":{"load_start":0.41,"load_end":0.52,"contended":false,""" +
+        """"steal_cpu_s":0.03,"reps":3},"baseline_s":142.01,"baseline_round":10""")
+    assert(line.length <= 1800, s"len=${line.length}")
+    assert(line.contains("\"queries_key\":\"sorted_names\""))
+    assert(line.contains("\"qsig\":\""))
+    // decode as a driver-shaped snapshot: every one of the 251 entries
+    // comes back under its right name at 2-decimal precision
+    val snapshot = s"""{"parsed":$line}"""
+    val names = full.map(_._1).sorted
+    val decoded = Bench.snapshotQueries(snapshot, names)
+    assert(decoded.size === 251)
+    full.foreach { case (k, v) =>
+      assert(decoded(k) === math.round(v * 100) / 100.0, k)
+    }
+    // a decoder whose query set DIFFERS must refuse to zip (mislabeling
+    // every entry is worse than decoding nothing)
+    val drifted = ("new_query_name" +: names.tail).sorted
+    assert(Bench.snapshotQueries(snapshot, drifted) === Map.empty)
+    assert(Bench.snapshotQueries(snapshot, names.take(250)) === Map.empty)
+  }
+
+  test("snapshotQueries still reads the object form and the raw-tail " +
+       "fragment form of older snapshots") {
+    val obj = """{"parsed":{"queries":{"q_a":1.5,"q_b":0.25}}}"""
+    assert(Bench.snapshotQueries(obj, Seq("q_a", "q_b")) ===
+      Map("q_a" -> 1.5, "q_b" -> 0.25))
+    val direct = """{"queries":{"q_a":2.5}}"""
+    assert(Bench.snapshotQueries(direct, Seq("q_a")) === Map("q_a" -> 2.5))
+    val tail = """{"parsed":null,"tail":"ame_x\":9.99,\"q_c\":3.25,\"q_d\":0.75}"}"""
+    val got = Bench.snapshotQueries(tail, Seq.empty)
+    assert(got === Map("q_c" -> 3.25, "q_d" -> 0.75),
+      "boundary-cut pair must be dropped, clean pairs recovered")
+  }
+
+  test("truncated last-resort view keeps the slowest queries and reports " +
+       "the omission (forced by an absurdly small budget)") {
+    val line = Bench.compactLine(many, many.map(_._2).sum,
+      "/root/testdata/sf0.1", budget = 300)
     // slowest entry must survive truncation; fastest must be the one dropped
+    assert(line.length <= 300, s"len=${line.length}")
     assert(line.contains("query_with_a_long_name_120"))
     assert(!line.contains("\"query_with_a_long_name_001\""))
     assert(line.contains("\"queries_omitted\":"))
