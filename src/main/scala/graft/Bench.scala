@@ -375,16 +375,21 @@ object Bench {
     *  - "queries" as the full name→time OBJECT (committed artifacts,
     *    small scraped runs);
     *  - "queries" as the POSITIONAL array (the r13 compact twin —
-    *    values by sorted query name): decoded by zipping
-    *    `currentNames`, but ONLY when the snapshot's `qsig` matches
-    *    [[namesSig]] of those names — the query set changes between
-    *    rounds, and zipping mismatched lists would silently mislabel
-    *    every time (undecodable-but-honest beats wrong);
+    *    values by sorted query name): decoded by zipping a name list
+    *    that the snapshot's `qsig` VALIDATES ([[namesSig]]) — tried
+    *    against `currentNames` first, then against the name list of
+    *    every committed `CORRECTNESS_r{N}.json` in `dir` (the file
+    *    that records each round's exact query set). The query set
+    *    changes between rounds, and zipping a mismatched list would
+    *    silently mislabel every entry (undecodable-but-honest beats
+    *    wrong) — when no list validates, the snapshot's `top` object
+    *    (the slowest few, always name-keyed) is the comparable set;
     *  - scrape-failed snapshots: recover name:time pairs from the raw
     *    "tail" fragment by delimiter-anchored regex.
     */
-  private[graft] def snapshotQueries(json: String,
-                                     currentNames: Seq[String]): Map[String, Double] = {
+  private[graft] def snapshotQueries(json: String, currentNames: Seq[String],
+                                     dir: java.nio.file.Path = Paths.get("."))
+      : Map[String, Double] = {
     import scala.jdk.CollectionConverters._
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(json)
@@ -396,10 +401,32 @@ object Bench {
       qs.fieldNames().asScala.map(k => k -> qs.get(k).asDouble()).toMap
     else if (qs != null && qs.isArray) {
       val sig = Option(holder.get("qsig")).map(_.asText("")).getOrElse("")
-      if (qs.size == currentNames.size && sig == namesSig(currentNames))
-        currentNames.zipWithIndex
-          .map { case (n, i) => n -> qs.get(i).asDouble() }.toMap
-      else Map.empty
+      def tryNames(names: Seq[String]): Option[Map[String, Double]] =
+        if (qs.size == names.size && sig == namesSig(names))
+          Some(names.zipWithIndex
+            .map { case (n, i) => n -> qs.get(i).asDouble() }.toMap)
+        else None
+      def fromCorrectness: Option[Map[String, Double]] = {
+        val listing =
+          try java.nio.file.Files.list(dir)
+          catch { case _: Throwable => return None }
+        val files =
+          try listing.iterator().asScala.filter(_.getFileName.toString
+            .matches(raw"CORRECTNESS_r\d+\.json")).toList
+          finally listing.close()
+        files.sortBy(_.getFileName.toString).reverse.view.flatMap { p =>
+          try tryNames(mapper.readTree(Files.readString(p))
+            .fieldNames().asScala.toSeq.sorted)
+          catch { case _: Throwable => None }
+        }.headOption
+      }
+      def fromTop: Map[String, Double] = {
+        val top = holder.get("top")
+        if (top != null && top.isObject)
+          top.fieldNames().asScala.map(k => k -> top.get(k).asDouble()).toMap
+        else Map.empty
+      }
+      tryNames(currentNames).orElse(fromCorrectness).getOrElse(fromTop)
     } else {
       val tail = Option(node.get("tail")).map(_.asText("")).getOrElse("")
       // the tail is the LAST 2000 chars of the driver's stdout scrape:
@@ -535,9 +562,21 @@ object Bench {
     def renderPositional(): String = {
       val sorted = results.sortBy(_._1)
       val qs = sorted.map(e => r2(e._2)).mkString("[", ",", "]")
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec",$envPart""" +
-        s""""queries_key":"sorted_names","qsig":"${namesSig(sorted.map(_._1))}",""" +
-        s""""queries":$qs,"sf":$sf}"""
+      def withTop(topN: Int): String = {
+        // the slowest N as a NAMED object, filling whatever budget the
+        // vector leaves: the cross-round fallback for a decoder whose
+        // query set has drifted since this snapshot (a new gate lands
+        // every round, and a drifted set makes the positional zip
+        // unverifiable) — named entries compare across any two rounds
+        val top = results.sortBy(-_._2).take(topN).sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + r2(v) }
+          .mkString("{", ",", "}")
+        s"""{"metric":"total","value":${r2(total)},"unit":"sec",$envPart""" +
+          s""""queries_key":"sorted_names","qsig":"${namesSig(sorted.map(_._1))}",""" +
+          s""""top":$top,"queries":$qs,"sf":$sf}"""
+      }
+      (24 to 0 by -1).view.map(withTop).find(_.length <= budget)
+        .getOrElse(withTop(0))
     }
     val all = render(results, 0)
     if (all.length <= budget) all

@@ -8,7 +8,11 @@ package graft.ops.llm
   * sampling buckets) derives from this single definition so the
   * determinism-critical expression can never drift between queries.
   */
-private[ops] object CrossHash {
+// private[graft] (was private[ops]): the pipeline test fixtures rebuild
+// the quantizer centroids through THIS helper rather than a verbatim
+// copy of the md5-hex60 routine (self-review r13 pass 1 — two spellings
+// of the determinism-critical hash must not exist)
+private[graft] object CrossHash {
 
   /** Spark SQL expression string: hex60 of `inner` as BIGINT. */
   def hex60(inner: String): String =

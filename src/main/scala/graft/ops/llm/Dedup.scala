@@ -1075,6 +1075,24 @@ object Dedup extends QueryPack {
     */
   private[graft] val IvfDim = 64
 
+  /** ONE spelling of the strict LEFT-TO-RIGHT primitive dot fold — the
+    * IEEE-754 sequence every embedding engine path must share (the
+    * native `graft_dot` expression, DuckDB's `list_reduce`, the pair
+    * engines' verify loops, the quantizer's cell assignment): the
+    * bit-identity between the gates and the processors rests on all of
+    * them performing the identical addition chain, so the JVM loop
+    * exists exactly once (self-review r13 pass 1 — [[embeddingPairs]]
+    * and [[embeddingProbeEdges]] briefly carried verbatim copies). A
+    * function VALUE, not a method, so closures capture it by value
+    * instead of dragging the enclosing object into task serialization.
+    */
+  private val dotLR: (Array[Double], Array[Double]) => Double = (a, b) => {
+    var acc = 0.0
+    var d = 0
+    while (d < a.length) { acc += a(d) * b(d); d += 1 }
+    acc
+  }
+
   /** The IVF coarse-quantizer centroids: K × 64 md5-derived components in
     * [−1, 1) — the same deterministic-plane trick as [[Similarity]]'s LSH
     * hyperplanes, so any engine (or a re-run on any cluster) builds the
@@ -1271,6 +1289,7 @@ object Dedup extends QueryPack {
     import spark.implicits._
     val cents = spark.sparkContext.broadcast(ivfCentroids)
     val wantCc = withCentroidCos
+    val dot = dotLR
     val n = corpus.select($"vec_id", $"v", $"nrm")
       .toDF("_1", "_2", "_3").as[(Long, Array[Double], Double)]
     // Cell assignment + replication to each cell pair (lo ≤ hi) that
@@ -1287,10 +1306,7 @@ object Dedup extends QueryPack {
         var bestDot = Double.NegativeInfinity
         var c = 0
         while (c < k) {
-          val w = cs(c)
-          var acc = 0.0
-          var d = 0
-          while (d < v.length) { acc += v(d) * w(d); d += 1 }
+          val acc = dot(v, cs(c))
           if (acc > bestDot) { bestDot = acc; best = c }
           c += 1
         }
@@ -1319,10 +1335,7 @@ object Dedup extends QueryPack {
         while (j < arr.length) {
           val (_, cb, vb, nb) = arr(j)
           if (if (diag) ca == cb else ca != cb) {
-            var acc = 0.0
-            var d = 0
-            while (d < va.length) { acc += va(d) * vb(d); d += 1 }
-            val cos = acc / (na * nb)
+            val cos = dot(va, vb) / (na * nb)
             if (cos >= thr) emit(i, j, cos)
           }
           j += 1
@@ -1345,24 +1358,20 @@ object Dedup extends QueryPack {
           (i, j, cos) => out += ((arr(i)._1, arr(j)._1, cos)))
         out.iterator
       }.toDF("i", "j", "cos_sim")
-    else
+    else {
+      // per-member centroid cos is computed ONCE per group member (a
+      // member can appear in many pairs); the norms constant is the
+      // shared driver-side [[ivfCentroidNorms]], captured as a local
+      // val (serialized by value — no object dragging, no per-group
+      // recompute; self-review r13 pass 1)
+      val cnorms = ivfCentroidNorms
       keyed.groupByKey(_._1).flatMapGroups { (key, rows) =>
         val cs = cents.value
         val k = cs.length
         val diag = key / k == key % k
         val arr = rows.map(_._2).toArray.sortBy(_._1)
-        // per-member centroid cos, computed ONCE per group member (a
-        // member can appear in many pairs); the norms constant
-        // re-derives on the executor from the same broadcast centroids
-        // with the same expression as the driver-side ivfCentroidNorms
-        // — identical doubles
-        val cn = cs.map(w => math.sqrt(w.map(x => x * x).sum))
         val ccArr: Array[Double] = arr.map { case (_, c, v, nrm) =>
-          val w = cs(c)
-          var acc = 0.0
-          var d = 0
-          while (d < v.length) { acc += v(d) * w(d); d += 1 }
-          acc / (nrm * cn(c))
+          dot(v, cs(c)) / (nrm * cnorms(c))
         }
         val out = scala.collection.mutable.ArrayBuffer
           .empty[(Long, Long, Double, Double, Double)]
@@ -1371,6 +1380,7 @@ object Dedup extends QueryPack {
             out += ((arr(i)._1, arr(j)._1, cos, ccArr(i), ccArr(j))))
         out.iterator
       }.toDF("i", "j", "cos_sim", "ci", "cj")
+    }
   }
 
   /** The DIRECTED multi-probe candidate engine behind `nprobe >= 2`
@@ -1417,6 +1427,7 @@ object Dedup extends QueryPack {
     import spark.implicits._
     val cents = spark.sparkContext.broadcast(ivfCentroids)
     val np = nprobe
+    val dot = dotLR
     val n = corpus.select($"vec_id", $"v", $"nrm")
       .toDF("_1", "_2", "_3").as[(Long, Array[Double], Double)]
     // (groupCell, (id, ownCell, v, nrm)): one copy per probed cell; a
@@ -1427,24 +1438,16 @@ object Dedup extends QueryPack {
       val cs = cents.value
       val k = cs.length
       it.flatMap { case (id, v, nrm) =>
-        val dots = new Array[Double](k)
-        var c = 0
-        while (c < k) {
-          val w = cs(c)
-          var acc = 0.0
-          var d = 0
-          while (d < v.length) { acc += v(d) * w(d); d += 1 }
-          dots(c) = acc
-          c += 1
-        }
+        val dots = Array.tabulate(k)(c => dot(v, cs(c)))
         val order = (0 until k).sortBy(c => (-dots(c), c))
         val own = order.head
         order.iterator.take(np).map(g => (g, (id, own, v, nrm)))
       }
     }
-    // shared pair loop: cos computed once per group-local pair; emit
-    // receives array indices + the cosine, and the caller adds one
-    // directed edge per resident endpoint
+    // shared pair loop: cos computed once per group-local pair (the
+    // [[dotLR]] fold — the bit-identity spelling); emit receives array
+    // indices + the cosine, and the caller adds one directed edge per
+    // resident endpoint
     val pairLoop: (Array[(Long, Int, Array[Double], Double)], Int,
                    (Int, Int, Double) => Unit) => Unit = (arr, key, emit) => {
       var i = 0
@@ -1454,10 +1457,7 @@ object Dedup extends QueryPack {
         while (j < arr.length) {
           val (_, cj_, vj, nj) = arr(j)
           if (ci_ == key || cj_ == key) { // at least one resident
-            var acc = 0.0
-            var d = 0
-            while (d < vi.length) { acc += vi(d) * vj(d); d += 1 }
-            val cos = acc / (ni * nj)
+            val cos = dot(vi, vj) / (ni * nj)
             if (cos >= thr) emit(i, j, cos)
           }
           j += 1
@@ -1476,20 +1476,17 @@ object Dedup extends QueryPack {
         })
         out.iterator
       }.toDF("q_id", "n_id", "cos_sim")
-    else
+    else {
+      // per-member OWN-cell centroid cos (not the group's cell): the
+      // keep policy compares each member to its own quantizer cell,
+      // and a probing member's own cell differs from the group key;
+      // norms are the shared driver-side [[ivfCentroidNorms]] local
+      val cnorms = ivfCentroidNorms
       keyed.groupByKey(_._1).flatMapGroups { (key, rows) =>
         val cs = cents.value
         val arr = rows.map(_._2).toArray.sortBy(_._1)
-        // per-member OWN-cell centroid cos (not the group's cell): the
-        // keep policy compares each member to its own quantizer cell,
-        // and a probing member's own cell differs from the group key
-        val cn = cs.map(w => math.sqrt(w.map(x => x * x).sum))
         val ccArr: Array[Double] = arr.map { case (_, c, v, nrm) =>
-          val w = cs(c)
-          var acc = 0.0
-          var d = 0
-          while (d < v.length) { acc += v(d) * w(d); d += 1 }
-          acc / (nrm * cn(c))
+          dot(v, cs(c)) / (nrm * cnorms(c))
         }
         val out = scala.collection.mutable.ArrayBuffer
           .empty[(Long, Long, Double, Double, Double)]
@@ -1501,6 +1498,7 @@ object Dedup extends QueryPack {
         })
         out.iterator
       }.toDF("q_id", "n_id", "cos_sim", "cq", "cn")
+    }
   }
 
   /** The IVF coarse quantizer as a GATED query: per-cell histogram of the

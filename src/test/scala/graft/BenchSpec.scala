@@ -42,11 +42,44 @@ class BenchSpec extends AnyFunSuite {
     full.foreach { case (k, v) =>
       assert(decoded(k) === math.round(v * 100) / 100.0, k)
     }
-    // a decoder whose query set DIFFERS must refuse to zip (mislabeling
-    // every entry is worse than decoding nothing)
+    // a decoder whose query set DIFFERS must refuse the positional zip
+    // (mislabeling every entry is worse than decoding nothing) and fall
+    // back to the snapshot's named `top` object — the slowest entries,
+    // comparable across any two rounds
     val drifted = ("new_query_name" +: names.tail).sorted
-    assert(Bench.snapshotQueries(snapshot, drifted) === Map.empty)
-    assert(Bench.snapshotQueries(snapshot, names.take(250)) === Map.empty)
+    val fallback = Bench.snapshotQueries(snapshot, drifted)
+    assert(fallback.nonEmpty && fallback.size < 251)
+    val slowest = full.sortBy(-_._2).take(fallback.size).map(_._1).toSet
+    assert(fallback.keySet === slowest,
+      "fallback must carry the SLOWEST queries, name-keyed")
+    fallback.foreach { case (k, v) =>
+      assert(v === math.round(full.toMap.apply(k) * 100) / 100.0, k)
+    }
+  }
+
+  test("the positional vector decodes through a committed " +
+       "CORRECTNESS_r{N}.json name list when the CURRENT query set has " +
+       "drifted (the file records each round's exact set, so the sig " +
+       "validates the zip even across rounds)") {
+    val full = (1 to 40).map(i => f"q_name_$i%02d" -> (i * 0.11))
+    val line = Bench.compactLine(full, full.map(_._2).sum,
+      "/root/testdata/sf0.1",
+      // force the positional form despite the small set: tiny budget
+      // still above the positional render, below the full object
+      budget = 700)
+    assert(line.contains("\"queries\":["), line)
+    val snapshot = s"""{"parsed":$line}"""
+    val names = full.map(_._1).sorted
+    val drifted = ("zz_new_gate" +: names).sorted
+    val correctness = names.map(n => s""""$n":{"rows_match":true}""")
+      .mkString("{", ",", "}")
+    withDir(Map("CORRECTNESS_r99.json" -> correctness)) { dir =>
+      val decoded = Bench.snapshotQueries(snapshot, drifted, dir)
+      assert(decoded.size === 40)
+      full.foreach { case (k, v) =>
+        assert(decoded(k) === math.round(v * 100) / 100.0, k)
+      }
+    }
   }
 
   test("snapshotQueries still reads the object form and the raw-tail " +

@@ -6,17 +6,14 @@ package graft.pipeline
   */
 object EmbeddingFixtures {
 
-  private def hex60(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString.substring(0, 15)
-    java.lang.Long.parseLong(hex, 16)
-  }
-
-  /** IVF centroid c, rebuilt from the public md5 formula. */
+  /** IVF centroid c, rebuilt from the public md5 formula through the
+    * engine's ONE hash spelling (CrossHash.hex60Jvm — a second verbatim
+    * copy of the routine here could drift; self-review r13 pass 1).
+    */
   def centroid(c: Int): Array[Double] =
     Array.tabulate(64)(d =>
-      hex60(s"ivf_${c}_$d").toDouble / 576460752303423488.0 - 1.0)
+      graft.ops.llm.CrossHash.hex60Jvm(s"ivf_${c}_$d").toDouble /
+        576460752303423488.0 - 1.0)
 
   def unit(v: Array[Double]): Array[Double] = {
     val n = math.sqrt(v.map(x => x * x).sum)

@@ -13,7 +13,30 @@ are reported informationally, never flagged.
 Caveat: cross-round comparisons before round 3 measured single shots, not
 medians — treat a first run against an r1/r2 file as directional only.
 """
-import sys, json, re
+import sys, json, re, glob, hashlib, os
+
+def names_sig(sorted_names):
+    """Mirror of Bench.namesSig: md5 of '\n'.join(sorted names), 8 hex."""
+    return hashlib.md5("\n".join(sorted_names).encode()).hexdigest()[:8]
+
+def decode_positional(data):
+    """Decode the r13 compact twin's positional 'queries' vector (values
+    by SORTED query name, validated by the qsig signature) by trying the
+    name list of every committed CORRECTNESS_r{N}.json — the file that
+    records each round's exact query set. Falls back to the snapshot's
+    'top' named object (the slowest few, always name-keyed), never to a
+    blind zip (mislabeling every entry is worse than fewer entries)."""
+    vec, sig = data.get("queries"), data.get("qsig", "")
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")),
+                       reverse=True):
+        try:
+            names = sorted(json.load(open(path)).keys())
+        except Exception:
+            continue
+        if len(names) == len(vec) and names_sig(names) == sig:
+            return dict(zip(names, vec))
+    return dict(data.get("top", {}))
 
 def load(path):
     with open(path) as f:
@@ -30,7 +53,10 @@ def load(path):
                                data.get("tail", ""))
             data = {"queries": {k: float(v) for k, v in pairs
                                 if k not in ("value",)}}
-    return {k: v for k, v in data.get("queries", {}).items() if v >= 0}
+    qs = data.get("queries", {})
+    if isinstance(qs, list):  # r13 positional compact twin
+        qs = decode_positional(data)
+    return {k: v for k, v in qs.items() if v >= 0}
 
 def main():
     argv = sys.argv[1:]
