@@ -1240,9 +1240,12 @@ object Dedup extends QueryPack {
         org.apache.spark.sql.expressions.Window.partitionBy($"lab")))
   }
 
-  /** Centroid L2 norms, one expression shared (by spelling) with the
-    * executor-side recompute in [[embeddingPairs]]' withCentroidCos
-    * branch — same fold, same doubles.
+  /** Centroid L2 norms — the ONE constant every centroid-cos consumer
+    * shares: [[centroidCosCol]] embeds it as literals, and the pair
+    * engines' withCentroidCos branches capture it as a local val into
+    * their task closures (r13: the former executor-side recompute was
+    * removed so exactly one spelling exists — same doubles either way,
+    * but one definition can't drift).
     */
   private lazy val ivfCentroidNorms: Array[Double] =
     ivfCentroids.map(w => math.sqrt(w.map(x => x * x).sum))

@@ -216,7 +216,8 @@ final class SpanCorruptProcessor(params: Conf) extends Transform {
 final class NearDedupProcessor(params: Conf) extends Transform {
   private val idCol   = params.str("id_column").getOrElse("doc_id")
   private val textCol = params.str("text_column").getOrElse("text")
-  private val census  = !params.bool("assume_unique_ids", default = false)
+  private val census  =
+    !EmbeddingParams.boolFlag(params, "near_dedup", "assume_unique_ids")
   private val unknown = params.m.keySet --
     Set("id_column", "text_column", "assume_unique_ids")
   require(unknown.isEmpty,
@@ -408,6 +409,19 @@ private[pipeline] object EmbeddingParams {
       t
     }.getOrElse(default)
 
+  /** Named fail-fast boolean: Conf.bool's bare String.toBoolean throws
+    * 'For input string: "yes"' with no op or param name — every other
+    * knob in this file names both (self-review r13 pass 2).
+    */
+  def boolFlag(params: Conf, op: String, key: String): Boolean =
+    params.str(key).map(_.toLowerCase) match {
+      case Some("true")  => true
+      case Some("false") => false
+      case None          => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"$op: $key must be true or false, got '$other'")
+    }
+
   def positiveInt(params: Conf, op: String, key: String, default: Int): Int =
     params.str(key).map { s =>
       val v =
@@ -539,7 +553,8 @@ final class SemDedupProcessor(params: Conf) extends Transform {
   private val embCol = params.str("embedding_column").getOrElse("embedding")
   private val thr: Double = EmbeddingParams.threshold(params, "sem_dedup", 0.45)
   private val nprobe: Int = EmbeddingParams.nprobe(params, "sem_dedup")
-  private val census = !params.bool("assume_unique_ids", default = false)
+  private val census =
+    !EmbeddingParams.boolFlag(params, "sem_dedup", "assume_unique_ids")
   private val unknown =
     params.m.keySet -- Set("id_column", "embedding_column", "threshold",
       "nprobe", "assume_unique_ids")
@@ -615,7 +630,8 @@ final class SemDedupClustersProcessor(params: Conf) extends Transform {
   private val thr: Double =
     EmbeddingParams.threshold(params, "sem_dedup_clusters", 0.45)
   private val nprobe: Int = EmbeddingParams.nprobe(params, "sem_dedup_clusters")
-  private val census = !params.bool("assume_unique_ids", default = false)
+  private val census =
+    !EmbeddingParams.boolFlag(params, "sem_dedup_clusters", "assume_unique_ids")
   private val unknown =
     params.m.keySet -- Set("id_column", "embedding_column", "threshold",
       "nprobe", "assume_unique_ids")
@@ -680,10 +696,16 @@ final class AnnTopKProcessor(params: Conf) extends Transform {
   private val embCol = params.str("embedding_column").getOrElse("embedding")
   private val outCol = params.str("output_column").getOrElse("ann_topk")
   private val k: Int = EmbeddingParams.positiveInt(params, "ann_topk", "k", 5)
-  // default -1.0 = no similarity floor: all same-cell candidates rank
-  private val thr: Double = EmbeddingParams.threshold(params, "ann_topk", -1.0)
+  // default = NO similarity floor (−∞, the llm_ann_annotate_mp gate's
+  // spelling): all candidates rank. A −1.0 default is NOT equivalent —
+  // IEEE rounding can place a near-antipodal cosine one ulp below −1.0,
+  // which `cos >= -1.0` silently drops while the gate ranks it
+  // (self-review r13 pass 2); user-supplied floors stay bounded [−1, 1]
+  private val thr: Double =
+    EmbeddingParams.threshold(params, "ann_topk", Double.NegativeInfinity)
   private val nprobe: Int = EmbeddingParams.nprobe(params, "ann_topk")
-  private val census = !params.bool("assume_unique_ids", default = false)
+  private val census =
+    !EmbeddingParams.boolFlag(params, "ann_topk", "assume_unique_ids")
   private val unknown = params.m.keySet --
     Set("id_column", "embedding_column", "output_column", "k", "threshold",
         "nprobe", "assume_unique_ids")

@@ -574,6 +574,13 @@ class CurationProcessorsSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     resolve("sem_dedup", Map("assume_unique_ids" -> "true"))
       .process(emb).get.count() // duplicate ids tolerated by contract
+    // an invalid value fails fast NAMING op and param (Conf.bool's bare
+    // String.toBoolean said only "For input string" — r13 pass 2)
+    val eBad = intercept[IllegalArgumentException] {
+      resolve("sem_dedup", Map("assume_unique_ids" -> "yes"))
+    }
+    assert(eBad.getMessage.contains(
+      "sem_dedup: assume_unique_ids must be true or false"), eBad.getMessage)
   }
 
   // --- r13 nprobe (multi-probe) breadth knob (VERDICT r12 #1) ---
@@ -644,8 +651,9 @@ class CurationProcessorsSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSet
     val gate = graft.ops.llm.Similarity.annAnnotateMultiProbe(spark, dir)
       .as[(Long, Long, Long, Double)].collect().toSet
-    // default threshold -1.0 vs the gate's -inf floor: equality below
-    // also proves no fixture sim sits at/below -1 (where they'd differ)
+    // the processor's default threshold IS the gate's -inf floor
+    // (self-review r13 pass 2: a -1.0 default could drop a cosine that
+    // IEEE-rounds one ulp below -1.0 while the gate ranks it)
     assert(got === gate)
   }
 

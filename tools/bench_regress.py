@@ -28,8 +28,14 @@ def decode_positional(data):
     blind zip (mislabeling every entry is worse than fewer entries)."""
     vec, sig = data.get("queries"), data.get("qsig", "")
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # newest ROUND first by the extracted number (lexicographic name
+    # order puts r9 before r13; the sig keeps any order correct, but
+    # the newest round is the likely match)
+    def round_no(p):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")),
-                       reverse=True):
+                       key=round_no, reverse=True):
         try:
             names = sorted(json.load(open(path)).keys())
         except Exception:
