@@ -386,10 +386,18 @@ object Bench {
     *    (the slowest few, always name-keyed) is the comparable set;
     *  - scrape-failed snapshots: recover name:time pairs from the raw
     *    "tail" fragment by delimiter-anchored regex.
+    *
+    * Returns the decoded map plus an optional DEGRADED-DECODE note: a
+    * positional vector that fell back to the `top` object silently
+    * shrinks the comparable set from ~251 to ≤24, and a
+    * BENCH_REGRESS.md reading "24 comparable, 0 regressed" must say
+    * WHY it is small or a regression in the other ~227 hides behind a
+    * clean-looking report (self-review r13 pass 3 — the no-silent-caps
+    * rule).
     */
   private[graft] def snapshotQueries(json: String, currentNames: Seq[String],
                                      dir: java.nio.file.Path = Paths.get("."))
-      : Map[String, Double] = {
+      : (Map[String, Double], Option[String]) = {
     import scala.jdk.CollectionConverters._
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(json)
@@ -398,7 +406,7 @@ object Bench {
       if (parsed != null && parsed.isObject) parsed else node
     val qs = holder.get("queries")
     if (qs != null && qs.isObject)
-      qs.fieldNames().asScala.map(k => k -> qs.get(k).asDouble()).toMap
+      (qs.fieldNames().asScala.map(k => k -> qs.get(k).asDouble()).toMap, None)
     else if (qs != null && qs.isArray) {
       val sig = Option(holder.get("qsig")).map(_.asText("")).getOrElse("")
       def tryNames(names: Seq[String]): Option[Map[String, Double]] =
@@ -428,13 +436,19 @@ object Bench {
           catch { case _: Throwable => None }
         }.headOption
       }
-      def fromTop: Map[String, Double] = {
+      def fromTop: (Map[String, Double], Option[String]) = {
         val top = holder.get("top")
-        if (top != null && top.isObject)
-          top.fieldNames().asScala.map(k => k -> top.get(k).asDouble()).toMap
-        else Map.empty
+        val m =
+          if (top != null && top.isObject)
+            top.fieldNames().asScala.map(k => k -> top.get(k).asDouble()).toMap
+          else Map.empty[String, Double]
+        (m, Some(s"baseline positional vector (${qs.size} entries, " +
+          s"qsig $sig) UNDECODABLE — query set drifted and no committed " +
+          s"CORRECTNESS_r{N}.json name list matched; compared only the " +
+          s"${m.size} slowest named entries"))
       }
-      tryNames(currentNames).orElse(fromCorrectness).getOrElse(fromTop)
+      tryNames(currentNames).orElse(fromCorrectness).map((_, None))
+        .getOrElse(fromTop)
     } else {
       val tail = Option(node.get("tail")).map(_.asText("")).getOrElse("")
       // the tail is the LAST 2000 chars of the driver's stdout scrape:
@@ -443,13 +457,13 @@ object Bench {
       // the key wasn't truncated, a trailing `,`/`}` proves the number
       // wasn't (ADVICE r10: a boundary fragment yielded a wrong old
       // time and a spurious >=1.5x verdict)
-      raw"""[,{]"([A-Za-z0-9_]+)":(-?\d+\.\d+)(?=[,}])""".r
+      (raw"""[,{]"([A-Za-z0-9_]+)":(-?\d+\.\d+)(?=[,}])""".r
         .findAllMatchIn(tail)
         .map(m => m.group(1) -> m.group(2).toDouble)
         .filterNot(m => Set("value", "load_start", "load_end",
           "baseline_s", "suffix_index_cold_s", "span_frame_cold_s",
           "steal_cpu_s", "steal_cores_avg")
-          .contains(m._1)).toMap
+          .contains(m._1)).toMap, None)
     }
   }
 
@@ -462,7 +476,7 @@ object Bench {
   private def regressGuard(current: Map[String, Double], contended: Boolean,
                            contendReason: String): Unit = {
     pickBaseline(Paths.get(".")).foreach { case BaselinePick(round, path, cleanBase) =>
-      val old: Map[String, Double] =
+      val (old, decodeNote) =
         snapshotQueries(Files.readString(path), current.keySet.toSeq.sorted)
       val shared = old.keySet.intersect(current.keySet)
         .filter(k => old(k) > 0 && current(k) >= 0)
@@ -490,6 +504,9 @@ object Bench {
         if (cleanBase) "certified clean"
         else "CONTENDED — no clean candidate existed; ratios inflated"
       md ++= s"# BENCH_REGRESS — this run vs $baseName (round $round baseline, $baseKind; factor 1.5)$suspect\n\n"
+      decodeNote.foreach(n => md ++= s"**DEGRADED BASELINE DECODE**: $n — " +
+        "a small comparable set below is a DECODE limitation, not a " +
+        "small run; regressions outside it are unchecked.\n\n")
       if (!cleanBase)
         md ++= "**CONTENDED BASELINE**: no committed snapshot certified " +
           "clean (each was flagged/derived contended, or carried no " +
@@ -522,7 +539,8 @@ object Bench {
       Files.writeString(Paths.get("BENCH_REGRESS.md"), md.toString)
       val flag = if (contended) " [CONTENDED: regressions suspect-host]" else ""
       val baseFlag = if (cleanBase) "" else " [CONTENDED BASELINE]"
-      println(s"[bench-regress] vs $baseName (r$round$baseFlag): " +
+      val decodeFlag = if (decodeNote.isDefined) " [DEGRADED DECODE]" else ""
+      println(s"[bench-regress] vs $baseName (r$round$baseFlag)$decodeFlag: " +
         s"${shared.size} comparable, " +
         s"${broken.size} broken, ${regressed.size} regressed >=1.5x, " +
         s"${improved.size} improved >=1.5x -> BENCH_REGRESS.md$flag")

@@ -19,6 +19,16 @@ import org.apache.spark.sql.functions._
   * mult=100 without paying the quadratic sections' 100× cost.
   */
 object ScaleProbe {
+  /** Replica id-offset used by EVERY corpus-multiplication helper AND
+    * re-derived arithmetically by the weak-suffix decorrelation
+    * (`doc_id div ReplicaStride` selects the vowel permutation) — one
+    * constant, or the translate() replica index silently stops tracking
+    * the replica number and the ladder reverts to the correlated
+    * duplicated input (self-review r13 pass 3). Safe while every
+    * fixture's base ids stay below it (max doc_id 4999 at sf0.1).
+    */
+  private val ReplicaStride = 1000000L
+
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -62,7 +72,7 @@ object ScaleProbe {
     val base = Similarity.corpus(spark, sfDir).select($"vec_id", $"v", $"nrm")
     def timed(m: Int): (Long, Double) = {
       val corpus = (0 until m)
-        .map(i => base.select(($"vec_id" + lit(i * 1000000L)).as("vec_id"), $"v", $"nrm"))
+        .map(i => base.select(($"vec_id" + lit(i * ReplicaStride)).as("vec_id"), $"v", $"nrm"))
         .reduce(_ union _)
       val t0 = System.nanoTime()
       val nPairs = Dedup.embeddingPairs(corpus, thr = 0.45).count()
@@ -81,7 +91,7 @@ object ScaleProbe {
     val docs = graft.Tables.documents(spark, sfDir).select($"doc_id", $"text")
     def timedPara(m: Int): (Long, Double) = {
       val corpus = (0 until m)
-        .map(i => docs.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"), $"text"))
+        .map(i => docs.select(($"doc_id" + lit(i * ReplicaStride)).as("doc_id"), $"text"))
         .reduce(_ union _)
       val t0 = System.nanoTime()
       val kept = Dedup.paraDedupFrom(corpus)
@@ -99,7 +109,7 @@ object ScaleProbe {
     // scale ≈linearly — the aggregates' key spaces (vocab, vocab²) do not
     // grow with the multiplier.
     def corpusM(m: Int) = (0 until m)
-      .map(i => docs.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"), $"text"))
+      .map(i => docs.select(($"doc_id" + lit(i * ReplicaStride)).as("doc_id"), $"text"))
       .reduce(_ union _)
     def timedRank(m: Int): (Long, Double, Double) = {
       val c = corpusM(m)
@@ -124,7 +134,7 @@ object ScaleProbe {
     val docsL = graft.Tables.documents(spark, sfDir)
       .select($"doc_id", $"text", $"lang")
     def corpusL(m: Int) = (0 until m)
-      .map(i => docsL.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"),
+      .map(i => docsL.select(($"doc_id" + lit(i * ReplicaStride)).as("doc_id"),
                              $"text", $"lang"))
       .reduce(_ union _)
     def timedCuration(m: Int): (Double, Double, Double, Double) = {
@@ -367,7 +377,7 @@ object ScaleProbe {
     weakScale("suffix", { c =>
       SuffixIndex.build(c.select($"doc_id",
         expr(s"""translate(text, 'aeiou', element_at(array($vowelPerms),
-                 cast(doc_id div 1000000 as int) % 64 + 1))""").as("text")))
+                 cast(doc_id div $ReplicaStride as int) % 64 + 1))""").as("text")))
       sweepDebris()
     })
     if (weakEnabled) spark.sparkContext.removeSparkListener(wsListener)
@@ -381,7 +391,7 @@ object ScaleProbe {
       .select($"doc_id", $"lang", $"text", $"n_chars")
     def timedFunnel(m: Int): (Long, Double) = {
       val c = (0 until m)
-        .map(i => docsF.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"),
+        .map(i => docsF.select(($"doc_id" + lit(i * ReplicaStride)).as("doc_id"),
                                $"lang", $"text", $"n_chars"))
         .reduce(_ union _)
       val t0 = System.nanoTime()
@@ -438,7 +448,7 @@ object ScaleProbe {
         for (copy <- 0 until m; s <- slices) {
           val t0 = System.nanoTime()
           // shifted ids = new crawl keys, same text = same chunk hashes
-          in.addData(s.toSeq.map { case (id, t) => (id + copy * 1000000L, t) }: _*)
+          in.addData(s.toSeq.map { case (id, t) => (id + copy * ReplicaStride, t) }: _*)
           q.processAllAvailable()
           walls += (System.nanoTime() - t0) / 1e9
         }
@@ -468,7 +478,7 @@ object ScaleProbe {
     // should grow ≈linearly with the multiplier.
     def timedPq(m: Int): (Long, Double) = {
       val c = (0 until m)
-        .map(i => base.select(($"vec_id" + lit(i * 1000000L)).as("vec_id"),
+        .map(i => base.select(($"vec_id" + lit(i * ReplicaStride)).as("vec_id"),
                               $"v", $"nrm"))
         .reduce(_ union _)
       val t0 = System.nanoTime()
@@ -487,7 +497,7 @@ object ScaleProbe {
     // ≈linearly with the multiplier.
     def timedRp(m: Int): (Long, Double) = {
       val c = (0 until m)
-        .map(i => base.select(($"vec_id" + lit(i * 1000000L)).as("vec_id"),
+        .map(i => base.select(($"vec_id" + lit(i * ReplicaStride)).as("vec_id"),
                               $"v", $"nrm"))
         .reduce(_ union _)
       val t0 = System.nanoTime()
@@ -525,7 +535,7 @@ object ScaleProbe {
       .select($"doc_id", $"source", $"lang")
     def timedUrl(m: Int): (Long, Double) = {
       val c = (0 until m)
-        .map(i => docsU.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"),
+        .map(i => docsU.select(($"doc_id" + lit(i * ReplicaStride)).as("doc_id"),
                                $"source", $"lang"))
         .reduce(_ union _)
       val t0 = System.nanoTime()
@@ -646,7 +656,7 @@ object ScaleProbe {
     // and the 10% batch share keeps both sides growing together.
     def timedIvfAdd(m: Int): (Long, Double) = {
       val c = (0 until m)
-        .map(i => base.select(($"vec_id" + lit(i * 1000000L)).as("vec_id"),
+        .map(i => base.select(($"vec_id" + lit(i * ReplicaStride)).as("vec_id"),
                               $"v", $"nrm"))
         .reduce(_ union _)
       val t0 = System.nanoTime()
@@ -670,7 +680,7 @@ object ScaleProbe {
           expr("transform(embedding, x -> cast(x as double))").as("v"))
         .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
       val c = (0 until m)
-        .map(i => labeled.select(($"vec_id" + lit(i * 1000000L)).as("vec_id"),
+        .map(i => labeled.select(($"vec_id" + lit(i * ReplicaStride)).as("vec_id"),
                                  $"label", $"v", $"nrm"))
         .reduce(_ union _)
       val t0 = System.nanoTime()
@@ -726,7 +736,7 @@ object ScaleProbe {
     // read 1.000 — the section's self-check.
     def timedRecall(m: Int, nprobe: Int): (Double, Double, Double) = {
       val c = (0 until m)
-        .map(i => base.select(($"vec_id" + lit(i * 1000000L)).as("vec_id"), $"v", $"nrm"))
+        .map(i => base.select(($"vec_id" + lit(i * ReplicaStride)).as("vec_id"), $"v", $"nrm"))
         .reduce(_ union _)
       val t0 = System.nanoTime()
       val r = Similarity.ivfRecallProbe(c, k = 10, nprobe = nprobe)

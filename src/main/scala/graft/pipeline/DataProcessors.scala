@@ -645,8 +645,16 @@ final class SemDedupClustersProcessor(params: Conf) extends Transform {
       "convergence loop runs driver-side actions, illegal on an " +
       "unbounded frame — run it inside a foreach_batch sink, or use " +
       "the pairwise sem_dedup processor for streaming pipelines")
-    val corpus =
-      EmbeddingStage.corpusFrom(df, idCol, embCol, "sem_dedup_clusters", census)
+    // pin the guarded corpus ONCE: this processor is already eager
+    // (starComponents runs driver actions), and both the pair frame and
+    // the semDedupMembers join consume the corpus — unpinned, each
+    // consumer re-executes the full upstream plan AND its duplicate-id
+    // census (itself a second upstream scan), ~4 upstream executions
+    // for one stage (self-review r13 pass 3). Pinning also fires the
+    // lazy guards here, which for a batch-only stage is strictly better
+    // (loud at the stage, not at the sink).
+    val corpus = graft.state.Materialize.pin(
+      EmbeddingStage.corpusFrom(df, idCol, embCol, "sem_dedup_clusters", census))
     // undirected pair frame for the contraction: probe edges are
     // directed (q probed n's cell; the reverse edge may not exist), so
     // normalize to (least, greatest) — distinct() collapses the

@@ -37,7 +37,8 @@ class BenchSpec extends AnyFunSuite {
     // comes back under its right name at 2-decimal precision
     val snapshot = s"""{"parsed":$line}"""
     val names = full.map(_._1).sorted
-    val decoded = Bench.snapshotQueries(snapshot, names)
+    val (decoded, note) = Bench.snapshotQueries(snapshot, names)
+    assert(note.isEmpty, "full positional decode must carry no degraded-decode note")
     assert(decoded.size === 251)
     full.foreach { case (k, v) =>
       assert(decoded(k) === math.round(v * 100) / 100.0, k)
@@ -47,8 +48,10 @@ class BenchSpec extends AnyFunSuite {
     // back to the snapshot's named `top` object — the slowest entries,
     // comparable across any two rounds
     val drifted = ("new_query_name" +: names.tail).sorted
-    val fallback = Bench.snapshotQueries(snapshot, drifted)
+    val (fallback, fnote) = Bench.snapshotQueries(snapshot, drifted)
     assert(fallback.nonEmpty && fallback.size < 251)
+    assert(fnote.exists(_.contains("UNDECODABLE")),
+      "top-N fallback must carry the loud degraded-decode note")
     val slowest = full.sortBy(-_._2).take(fallback.size).map(_._1).toSet
     assert(fallback.keySet === slowest,
       "fallback must carry the SLOWEST queries, name-keyed")
@@ -74,7 +77,8 @@ class BenchSpec extends AnyFunSuite {
     val correctness = names.map(n => s""""$n":{"rows_match":true}""")
       .mkString("{", ",", "}")
     withDir(Map("CORRECTNESS_r99.json" -> correctness)) { dir =>
-      val decoded = Bench.snapshotQueries(snapshot, drifted, dir)
+      val (decoded, note) = Bench.snapshotQueries(snapshot, drifted, dir)
+      assert(note.isEmpty, "CORRECTNESS-list decode is full, not degraded")
       assert(decoded.size === 40)
       full.foreach { case (k, v) =>
         assert(decoded(k) === math.round(v * 100) / 100.0, k)
@@ -85,12 +89,12 @@ class BenchSpec extends AnyFunSuite {
   test("snapshotQueries still reads the object form and the raw-tail " +
        "fragment form of older snapshots") {
     val obj = """{"parsed":{"queries":{"q_a":1.5,"q_b":0.25}}}"""
-    assert(Bench.snapshotQueries(obj, Seq("q_a", "q_b")) ===
+    assert(Bench.snapshotQueries(obj, Seq("q_a", "q_b"))._1 ===
       Map("q_a" -> 1.5, "q_b" -> 0.25))
     val direct = """{"queries":{"q_a":2.5}}"""
-    assert(Bench.snapshotQueries(direct, Seq("q_a")) === Map("q_a" -> 2.5))
+    assert(Bench.snapshotQueries(direct, Seq("q_a"))._1 === Map("q_a" -> 2.5))
     val tail = """{"parsed":null,"tail":"ame_x\":9.99,\"q_c\":3.25,\"q_d\":0.75}"}"""
-    val got = Bench.snapshotQueries(tail, Seq.empty)
+    val got = Bench.snapshotQueries(tail, Seq.empty)._1
     assert(got === Map("q_c" -> 3.25, "q_d" -> 0.75),
       "boundary-cut pair must be dropped, clean pairs recovered")
   }

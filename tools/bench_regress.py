@@ -55,10 +55,20 @@ def load(path):
         if isinstance(data["parsed"], dict):
             data = data["parsed"]
         else:
-            pairs = re.findall(r'"([A-Za-z0-9_]+)":(-?\d+\.\d+)',
+            # mirror Bench.snapshotQueries' tail decode exactly: anchor
+            # each pair between JSON delimiters (a tail boundary can cut
+            # a number mid-token — an unanchored match decodes a WRONG
+            # old time, the ADVICE-r10 spurious-verdict class) and
+            # exclude every non-query numeric field the compact twin
+            # carries (slim-env keys would otherwise decode as phantom
+            # queries and report as BROKEN later)
+            pairs = re.findall(r'[,{]"([A-Za-z0-9_]+)":(-?\d+\.\d+)(?=[,}])',
                                data.get("tail", ""))
+            skip = {"value", "load_start", "load_end", "baseline_s",
+                    "suffix_index_cold_s", "span_frame_cold_s",
+                    "steal_cpu_s", "steal_cores_avg"}
             data = {"queries": {k: float(v) for k, v in pairs
-                                if k not in ("value",)}}
+                                if k not in skip}}
     qs = data.get("queries", {})
     if isinstance(qs, list):  # r13 positional compact twin
         qs = decode_positional(data)
