@@ -462,7 +462,7 @@ object Bench {
         .map(m => m.group(1) -> m.group(2).toDouble)
         .filterNot(m => Set("value", "load_start", "load_end",
           "baseline_s", "suffix_index_cold_s", "span_frame_cold_s",
-          "steal_cpu_s", "steal_cores_avg")
+          "steal_cpu_s", "steal_cores_avg", "sf")
           .contains(m._1)).toMap, None)
     }
   }
@@ -522,7 +522,15 @@ object Bench {
           "not comparable to a clean-host snapshot; any 'regressed' rows below " +
           "are SUSPECT-HOST, not code verdicts (VERDICT r10 #6 — a load-1.74 " +
           "driver run flagged two phantom regressions the clean run contradicted).\n\n"
-      md ++= s"Comparable queries: ${shared.size}; broken: ${broken.size}; "
+      // disclose the verdict floor (self-review r13 pass 4 — the same
+      // silent-cap class as the decode note): "251 comparable, 0
+      // regressed" must not read as "all 251 checked at 1.5x" when
+      // most sat under the 0.5s floor
+      val belowFloor = shared.size - floored.size
+      md ++= s"Comparable queries: ${shared.size} "
+      md ++= s"($belowFloor below the 0.5s verdict floor — " +
+        s"ratio verdicts cover the ${floored.size} at/above it); "
+      md ++= s"broken: ${broken.size}; "
       md ++= s"regressed >=1.5x: ${regressed.size}; improved >=1.5x: ${improved.size}.\n\n"
       if (broken.nonEmpty)
         md ++= broken.mkString("Broken (ran before, failed now): ", ", ", "\n\n")

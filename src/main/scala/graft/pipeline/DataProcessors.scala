@@ -653,8 +653,11 @@ final class SemDedupClustersProcessor(params: Conf) extends Transform {
     // for one stage (self-review r13 pass 3). Pinning also fires the
     // lazy guards here, which for a batch-only stage is strictly better
     // (loud at the stage, not at the sink).
+    val sc = df.sparkSession.sparkContext
+    val pinsBefore = sc.getPersistentRDDs.keySet
     val corpus = graft.state.Materialize.pin(
       EmbeddingStage.corpusFrom(df, idCol, embCol, "sem_dedup_clusters", census))
+    val corpusPins = sc.getPersistentRDDs.keySet -- pinsBefore
     // undirected pair frame for the contraction: probe edges are
     // directed (q probed n's cell; the reverse edge may not exist), so
     // normalize to (least, greatest) — distinct() collapses the
@@ -667,9 +670,21 @@ final class SemDedupClustersProcessor(params: Conf) extends Transform {
     else graft.ops.llm.Dedup
       .embeddingPairs(corpus, thr, sameCellOnly = true)
       .select(col("i").as("d1"), col("j").as("d2"))
-    val drop = graft.ops.llm.Dedup.semDedupMembers(corpus, pairs)
-      .where(col("rn") > 1)
-      .select(col("vec_id").as(idCol))
+    // pin the (tiny) drop set eagerly, then RELEASE the corpus-sized pin
+    // by id (self-review r13 pass 4): inside a foreach_batch sink this
+    // processor runs once per micro-batch, and an unreleased
+    // localCheckpoint pin per batch accumulates in executor storage
+    // until driver GC happens to trigger ContextCleaner. The drop pin is
+    // lineage-truncated (self-contained blocks), so the corpus release
+    // cannot invalidate it; residual per-invocation pins are the
+    // dropped-id set and the contraction's pair-connected edge frame —
+    // both bounded by duplicate volume, not the corpus.
+    val drop = graft.state.Materialize.pin(
+      graft.ops.llm.Dedup.semDedupMembers(corpus, pairs)
+        .where(col("rn") > 1)
+        .select(col("vec_id").as(idCol)))
+    corpusPins.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     df.join(drop, Seq(idCol), "left_anti")
   }
 }

@@ -42,7 +42,12 @@ def decode_positional(data):
             continue
         if len(names) == len(vec) and names_sig(names) == sig:
             return dict(zip(names, vec))
-    return dict(data.get("top", {}))
+    top = dict(data.get("top", {}))
+    print(f"WARNING: positional vector ({len(vec)} entries, qsig {sig}) "
+          f"UNDECODABLE — no committed CORRECTNESS_r{{N}}.json name list "
+          f"matched; comparing only the {len(top)} slowest named entries "
+          f"(regressions outside them are UNCHECKED)", file=sys.stderr)
+    return top
 
 def load(path):
     with open(path) as f:
@@ -66,7 +71,7 @@ def load(path):
                                data.get("tail", ""))
             skip = {"value", "load_start", "load_end", "baseline_s",
                     "suffix_index_cold_s", "span_frame_cold_s",
-                    "steal_cpu_s", "steal_cores_avg"}
+                    "steal_cpu_s", "steal_cores_avg", "sf"}
             data = {"queries": {k: float(v) for k, v in pairs
                                 if k not in skip}}
     qs = data.get("queries", {})
