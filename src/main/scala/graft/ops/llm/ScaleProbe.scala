@@ -289,6 +289,19 @@ object ScaleProbe {
     val docBytes =
       if (weakEnabled) docs.agg(sum(octet_length($"text"))).as[Long].collect().head
       else 0L
+    // the weak-suffix decorrelation re-derives the replica index as
+    // `doc_id div ReplicaStride`; base ids at/above the stride would
+    // silently mix vowel permutations WITHIN a replica and revert the
+    // ladder toward the adversarial duplicated input (the group-width
+    // blowup the COVERAGE row documents) — assert the documented
+    // invariant instead of trusting the fixture (self-review r13 pass 5)
+    if (weakEnabled) {
+      val maxId = docs.agg(max($"doc_id")).as[Long].collect().head
+      require(maxId < ReplicaStride,
+        s"weak-scaling fixture's max doc_id $maxId >= ReplicaStride " +
+        s"$ReplicaStride: replica ids would collide and the vowel-perm " +
+        "decorrelation would silently break")
+    }
     def weakScale(tag: String, run: org.apache.spark.sql.DataFrame => Unit,
                   control: Boolean = false): Unit = {
       // parts = m pins per-task input at the FULL base corpus (~1.4 MB of

@@ -652,40 +652,39 @@ final class SemDedupClustersProcessor(params: Conf) extends Transform {
     // census (itself a second upstream scan), ~4 upstream executions
     // for one stage (self-review r13 pass 3). Pinning also fires the
     // lazy guards here, which for a batch-only stage is strictly better
-    // (loud at the stage, not at the sink).
-    val sc = df.sparkSession.sparkContext
-    val pinsBefore = sc.getPersistentRDDs.keySet
-    val corpus = graft.state.Materialize.pin(
+    // (loud at the stage, not at the sink). pinScoped (pass 5): the
+    // corpus-sized pin is RELEASED in the finally — inside a
+    // foreach_batch sink this stage runs once per micro-batch, and an
+    // unreleased pin per batch (or per failed retry) accumulates in
+    // executor storage / reliable checkpoint files; the release walks
+    // this pin's own lineage only, so concurrent session pins are
+    // untouched. Residual per-invocation pins are the dropped-id set
+    // and the contraction's pair-connected edge frame — bounded by
+    // duplicate volume, not the corpus.
+    val (corpus, releaseCorpus) = graft.state.Materialize.pinScoped(
       EmbeddingStage.corpusFrom(df, idCol, embCol, "sem_dedup_clusters", census))
-    val corpusPins = sc.getPersistentRDDs.keySet -- pinsBefore
-    // undirected pair frame for the contraction: probe edges are
-    // directed (q probed n's cell; the reverse edge may not exist), so
-    // normalize to (least, greatest) — distinct() collapses the
-    // both-direction same-cell pairs
-    val pairs = if (nprobe >= 2)
-      graft.ops.llm.Dedup.embeddingProbeEdges(corpus, thr, nprobe)
-        .select(least(col("q_id"), col("n_id")).as("d1"),
-                greatest(col("q_id"), col("n_id")).as("d2"))
-        .distinct()
-    else graft.ops.llm.Dedup
-      .embeddingPairs(corpus, thr, sameCellOnly = true)
-      .select(col("i").as("d1"), col("j").as("d2"))
-    // pin the (tiny) drop set eagerly, then RELEASE the corpus-sized pin
-    // by id (self-review r13 pass 4): inside a foreach_batch sink this
-    // processor runs once per micro-batch, and an unreleased
-    // localCheckpoint pin per batch accumulates in executor storage
-    // until driver GC happens to trigger ContextCleaner. The drop pin is
-    // lineage-truncated (self-contained blocks), so the corpus release
-    // cannot invalidate it; residual per-invocation pins are the
-    // dropped-id set and the contraction's pair-connected edge frame —
-    // both bounded by duplicate volume, not the corpus.
-    val drop = graft.state.Materialize.pin(
-      graft.ops.llm.Dedup.semDedupMembers(corpus, pairs)
-        .where(col("rn") > 1)
-        .select(col("vec_id").as(idCol)))
-    corpusPins.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-    df.join(drop, Seq(idCol), "left_anti")
+    try {
+      // undirected pair frame for the contraction: probe edges are
+      // directed (q probed n's cell; the reverse edge may not exist), so
+      // normalize to (least, greatest) — distinct() collapses the
+      // both-direction same-cell pairs
+      val pairs = if (nprobe >= 2)
+        graft.ops.llm.Dedup.embeddingProbeEdges(corpus, thr, nprobe)
+          .select(least(col("q_id"), col("n_id")).as("d1"),
+                  greatest(col("q_id"), col("n_id")).as("d2"))
+          .distinct()
+      else graft.ops.llm.Dedup
+        .embeddingPairs(corpus, thr, sameCellOnly = true)
+        .select(col("i").as("d1"), col("j").as("d2"))
+      // the (tiny) drop set pins eagerly BEFORE the corpus release: its
+      // blocks are lineage-truncated and self-contained, so the final
+      // anti-join consumes only the drop pin and the raw input
+      val drop = graft.state.Materialize.pin(
+        graft.ops.llm.Dedup.semDedupMembers(corpus, pairs)
+          .where(col("rn") > 1)
+          .select(col("vec_id").as(idCol)))
+      df.join(drop, Seq(idCol), "left_anti")
+    } finally releaseCorpus()
   }
 }
 

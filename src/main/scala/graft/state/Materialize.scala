@@ -158,6 +158,44 @@ object Materialize {
     }
   }
 
+  /** [[pin]] plus a targeted RELEASE handle, for pins scoped to one
+    * eager computation (self-review r13 pass 5: a caller-side
+    * `getPersistentRDDs` keyset diff races every concurrent pin in the
+    * session and would unpersist a foreign lineage-truncated frame —
+    * dead blocks, the exact failure the retained-pin machinery
+    * prevents). The release walks the pinned frame's OWN lineage only:
+    * it unpersists the first persisted ancestors (the localCheckpoint
+    * blocks) and, in reliable mode, deletes the checkpoint FILES —
+    * ContextCleaner does not (`cleanCheckpoints` defaults false), so a
+    * per-micro-batch caller would otherwise grow shared storage without
+    * bound. Caller contract: release ONLY after every consumer of the
+    * pinned frame has fully materialized (a released localCheckpoint
+    * cannot recompute); safe in a `finally` — failures between pin and
+    * release must not leak a corpus-sized pin per retry.
+    */
+  def pinScoped(df: DataFrame): (DataFrame, () => Unit) = {
+    val pinned = pin(df)
+    val release: () => Unit = { () =>
+      val sc = pinned.sparkSession.sparkContext
+      def walk(r: org.apache.spark.rdd.RDD[_]): Unit = {
+        val persisted =
+          r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
+        if (persisted) r.unpersist(blocking = false)
+        val ckpt = r.getCheckpointFile
+        ckpt.foreach { p =>
+          try {
+            val hp = new org.apache.hadoop.fs.Path(p)
+            hp.getFileSystem(sc.hadoopConfiguration).delete(hp, true)
+          } catch { case _: Throwable => () }
+        }
+        if (!persisted && ckpt.isEmpty)
+          r.dependencies.foreach(d => walk(d.rdd))
+      }
+      if (!sc.isStopped) walk(pinned.rdd)
+    }
+    (pinned, release)
+  }
+
   def pin(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.get(ModeKey, "local") match {

@@ -40,6 +40,57 @@ class MaterializeSpec extends SparkSpec {
     }
   }
 
+  test("pinScoped releases EXACTLY its own pin: the pinned frame's " +
+       "blocks leave persistent storage on release, a concurrently " +
+       "pinned frame's blocks survive, and the released handle is safe " +
+       "to call with other pins live (self-review r13 pass 5 — a " +
+       "keyset-diff release would have swept the bystander)") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // a bystander pin created in the same window
+    val bystander = Materialize.pin(
+      spark.range(1000).select($"id", ($"id" * 2).as("x")))
+    val (scoped, release) = Materialize.pinScoped(
+      spark.range(5000).select($"id", ($"id" % 7).as("y")))
+    assert(scoped.count() === 5000L)
+    val pinnedIds = sc.getPersistentRDDs.keySet -- before
+    assert(pinnedIds.size >= 2, "both pins must be registered")
+    release()
+    val after = sc.getPersistentRDDs.keySet -- before
+    assert(after.size === pinnedIds.size - 1,
+      s"release must drop exactly one pin (before=$pinnedIds after=$after)")
+    // the bystander still answers from its (lineage-truncated) blocks
+    assert(bystander.count() === 1000L)
+    // releasing twice is a safe no-op
+    release()
+    assert(bystander.count() === 1000L)
+  }
+
+  test("pinScoped under reliable mode deletes the checkpoint files on " +
+       "release (ContextCleaner does not; a per-micro-batch caller " +
+       "would grow shared storage without bound)") {
+    import spark.implicits._
+    withMode("reliable") {
+      val (scoped, release) = Materialize.pinScoped(
+        spark.range(100).select($"id"))
+      assert(scoped.count() === 100L)
+      val ckptDir = spark.sparkContext.getCheckpointDir.get
+      def ckptFiles(): Long =
+        java.nio.file.Files.walk(java.nio.file.Paths.get(
+            new java.net.URI(ckptDir).getPath match {
+              case "" | null => ckptDir.stripPrefix("file:")
+              case p => p
+            }))
+          .filter(java.nio.file.Files.isRegularFile(_)).count()
+      val withPin = ckptFiles()
+      assert(withPin > 0, "reliable pin must have written checkpoint files")
+      release()
+      assert(ckptFiles() < withPin,
+        "release must delete the pin's checkpoint files")
+    }
+  }
+
   test("unknown materialize mode fails fast") {
     // a memo-cache hit would serve the already-pinned frame and never
     // reach the mode dispatch — force the MISS

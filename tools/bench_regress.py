@@ -19,14 +19,19 @@ def names_sig(sorted_names):
     """Mirror of Bench.namesSig: md5 of '\n'.join(sorted names), 8 hex."""
     return hashlib.md5("\n".join(sorted_names).encode()).hexdigest()[:8]
 
-def decode_positional(data):
+def decode_positional(data, other_names=None):
     """Decode the r13 compact twin's positional 'queries' vector (values
-    by SORTED query name, validated by the qsig signature) by trying the
-    name list of every committed CORRECTNESS_r{N}.json — the file that
-    records each round's exact query set. Falls back to the snapshot's
-    'top' named object (the slowest few, always name-keyed), never to a
-    blind zip (mislabeling every entry is worse than fewer entries)."""
+    by SORTED query name, validated by the qsig signature) by trying
+    the OTHER snapshot's name list first (it is usually the same round
+    +- one gate), then the name list of every committed
+    CORRECTNESS_r{N}.json — the file that records each round's exact
+    query set. Falls back to the snapshot's 'top' named object (the
+    slowest few, always name-keyed), never to a blind zip (mislabeling
+    every entry is worse than fewer entries)."""
     vec, sig = data.get("queries"), data.get("qsig", "")
+    if other_names and len(other_names) == len(vec) \
+            and names_sig(other_names) == sig:
+        return dict(zip(other_names, vec))
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     # newest ROUND first by the extracted number (lexicographic name
     # order puts r9 before r13; the sig keeps any order correct, but
@@ -74,9 +79,16 @@ def load(path):
                     "steal_cpu_s", "steal_cores_avg", "sf"}
             data = {"queries": {k: float(v) for k, v in pairs
                                 if k not in skip}}
+    return data
+
+def queries_of(data, other):
+    """Per-query map of a normalized snapshot; a positional vector may
+    decode through the OTHER snapshot's name list (sig-validated)."""
     qs = data.get("queries", {})
     if isinstance(qs, list):  # r13 positional compact twin
-        qs = decode_positional(data)
+        oq = other.get("queries", {}) if other else {}
+        other_names = sorted(oq.keys()) if isinstance(oq, dict) and oq else None
+        qs = decode_positional(data, other_names)
     return {k: v for k, v in qs.items() if v >= 0}
 
 def main():
@@ -93,7 +105,8 @@ def main():
             min_sec = float(argv[i + 1]); i += 2
         else:
             args.append(a); i += 1
-    prior, new = load(args[0]), load(args[1])
+    prior_raw, new_raw = load(args[0]), load(args[1])
+    prior, new = queries_of(prior_raw, new_raw), queries_of(new_raw, prior_raw)
     flagged, improved, added, broken = [], [], [], []
     # a query that PASSED before but now fails (-1, filtered by load) or
     # vanished entirely is the worst regression — never drop it silently
