@@ -69,7 +69,26 @@ object ScaleProbe {
         sweepDebris()
         warmup; Seq(1, mult).distinct
       } else Seq.empty
+    // EVERY corpusM-style helper relies on `id + i*ReplicaStride` being
+    // collision-free and the weak-suffix decorrelation re-derives the
+    // replica index as `id div ReplicaStride` — both need ids in
+    // [0, stride): a NEGATIVE id wraps into the previous replica's
+    // index space (e.g. -5 + stride div stride = 0, reusing replica 0's
+    // vowel perm AND colliding with a legal base id), and an id at the
+    // stride collides outright. One guard for every section, on both
+    // id-keyed fixtures, instead of trusting fixture regeneration
+    // (self-review r13 passes 5+6); two tiny agg jobs per probe run.
+    def requireIdsInStride(df: org.apache.spark.sql.DataFrame,
+                           idCol: String, what: String): Unit = {
+      val r = df.agg(min(col(idCol)), max(col(idCol))).head()
+      val (lo, hi) = (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)
+      require(lo >= 0 && hi < ReplicaStride,
+        s"$what ids [$lo, $hi] outside [0, $ReplicaStride): replica id " +
+        "spaces would collide and the vowel-perm decorrelation would " +
+        "silently break")
+    }
     val base = Similarity.corpus(spark, sfDir).select($"vec_id", $"v", $"nrm")
+    requireIdsInStride(base, "vec_id", s"$sfDir embeddings")
     def timed(m: Int): (Long, Double) = {
       val corpus = (0 until m)
         .map(i => base.select(($"vec_id" + lit(i * ReplicaStride)).as("vec_id"), $"v", $"nrm"))
@@ -89,6 +108,7 @@ object ScaleProbe {
     // hot segment values whose window groups grow linearly with the
     // multiplier (the "viral paragraph" skew case from the Scaladoc).
     val docs = graft.Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    requireIdsInStride(docs, "doc_id", s"$sfDir documents")
     def timedPara(m: Int): (Long, Double) = {
       val corpus = (0 until m)
         .map(i => docs.select(($"doc_id" + lit(i * ReplicaStride)).as("doc_id"), $"text"))
@@ -289,19 +309,6 @@ object ScaleProbe {
     val docBytes =
       if (weakEnabled) docs.agg(sum(octet_length($"text"))).as[Long].collect().head
       else 0L
-    // the weak-suffix decorrelation re-derives the replica index as
-    // `doc_id div ReplicaStride`; base ids at/above the stride would
-    // silently mix vowel permutations WITHIN a replica and revert the
-    // ladder toward the adversarial duplicated input (the group-width
-    // blowup the COVERAGE row documents) — assert the documented
-    // invariant instead of trusting the fixture (self-review r13 pass 5)
-    if (weakEnabled) {
-      val maxId = docs.agg(max($"doc_id")).as[Long].collect().head
-      require(maxId < ReplicaStride,
-        s"weak-scaling fixture's max doc_id $maxId >= ReplicaStride " +
-        s"$ReplicaStride: replica ids would collide and the vowel-perm " +
-        "decorrelation would silently break")
-    }
     def weakScale(tag: String, run: org.apache.spark.sql.DataFrame => Unit,
                   control: Boolean = false): Unit = {
       // parts = m pins per-task input at the FULL base corpus (~1.4 MB of

@@ -660,7 +660,15 @@ final class SemDedupClustersProcessor(params: Conf) extends Transform {
     // this pin's own lineage only, so concurrent session pins are
     // untouched. Residual per-invocation pins are the dropped-id set
     // and the contraction's pair-connected edge frame — bounded by
-    // duplicate volume, not the corpus.
+    // duplicate volume, not the corpus; they outlive this method (the
+    // sink consumes the drop pin), so they are reclaimed by
+    // ContextCleaner, NOT released here. Reliable-mode caveat: their
+    // checkpoint FILES are duplicate-volume-sized per invocation and
+    // ContextCleaner does not delete those — a long-running
+    // foreach_batch loop under materialize=reliable should set
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true (or run
+    // the stage under materialize=local), documented limitation
+    // (self-review r13 pass 6).
     val (corpus, releaseCorpus) = graft.state.Materialize.pinScoped(
       EmbeddingStage.corpusFrom(df, idCol, embCol, "sem_dedup_clusters", census))
     try {

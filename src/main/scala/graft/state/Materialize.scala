@@ -183,10 +183,20 @@ object Materialize {
         if (persisted) r.unpersist(blocking = false)
         val ckpt = r.getCheckpointFile
         ckpt.foreach { p =>
+          // NonFatal only, and LOUD on failure: a silent swallow here
+          // re-opens the unbounded checkpoint-file growth this release
+          // exists to close (a permissions change on the object store
+          // would otherwise "succeed" every batch while deleting
+          // nothing), and eating an InterruptedException would lose the
+          // thread's cancellation (self-review r13 pass 6)
           try {
             val hp = new org.apache.hadoop.fs.Path(p)
             hp.getFileSystem(sc.hadoopConfiguration).delete(hp, true)
-          } catch { case _: Throwable => () }
+          } catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[materialize] pinScoped release failed to delete " +
+              s"checkpoint files at $p: $e — files LEAK until cleaned")
+          }
         }
         if (!persisted && ckpt.isEmpty)
           r.dependencies.foreach(d => walk(d.rdd))

@@ -130,7 +130,10 @@ def main():
         print(f"improved  {q}: {p:.2f}s -> {t:.2f}s")
     if added:
         print(f"new queries ({len(added)}): {', '.join(added)}")
-    tp = sum(prior.values())
+    # SHARED totals on both sides: prior's sum previously included
+    # queries broken/missing in the new round, reporting their loss as
+    # a phantom improvement on a line labeled "shared-query"
+    tp = sum(v for k, v in prior.items() if k in new)
     tn = sum(v for k, v in new.items() if k in prior)
     print(f"== shared-query total {tp:.1f}s -> {tn:.1f}s; "
           f"{len(broken)} broken, {len(flagged)} regressed (> {factor}x), "
