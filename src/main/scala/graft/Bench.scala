@@ -457,13 +457,20 @@ object Bench {
       // the key wasn't truncated, a trailing `,`/`}` proves the number
       // wasn't (ADVICE r10: a boundary fragment yielded a wrong old
       // time and a spurious >=1.5x verdict)
-      (raw"""[,{]"([A-Za-z0-9_]+)":(-?\d+\.\d+)(?=[,}])""".r
+      val recovered = raw"""[,{]"([A-Za-z0-9_]+)":(-?\d+\.\d+)(?=[,}])""".r
         .findAllMatchIn(tail)
         .map(m => m.group(1) -> m.group(2).toDouble)
         .filterNot(m => Set("value", "load_start", "load_end",
           "baseline_s", "suffix_index_cold_s", "span_frame_cold_s",
           "steal_cpu_s", "steal_cores_avg", "sf")
-          .contains(m._1)).toMap, None)
+          .contains(m._1)).toMap
+      // This path recovers ONLY the pairs that survived the last-2000-char
+      // scrape window — a silently shrunken comparable set is the exact
+      // disclosure gap the decodeNote machinery closes for the positional
+      // fallback (advisor r13): say so, so BENCH_REGRESS.md's banner fires.
+      (recovered, Some(s"scrape-failed baseline: ${recovered.size} pairs " +
+        "recovered from a truncated 2000-char tail fragment; regressions " +
+        "in queries outside them are UNCHECKED"))
     }
   }
 

@@ -1421,6 +1421,26 @@ object Dedup extends QueryPack {
     * multi-probe cost, never the n² brute force. No driver
     * materialization anywhere.
     */
+  /** Probe-order comparator for [[embeddingProbeEdges]]: cell `a`
+    * before cell `b` under (dot DESC, cell ASC) with SQL DOUBLE
+    * semantics — NaN above every value, `-0.0 == 0.0`. Scala's
+    * `sortBy(c => (-dots(c), c))` total ordering differs on both
+    * (`-0.0 < 0.0`, NaN displaced by negation), so a corpus with an
+    * exact ±0.0 centroid-dot tie could assign `ownCell` differently
+    * from [[withIvfCell]]'s `>=`-chain argmax (advisor r13). Strict
+    * weak order: the NaN branch keeps transitivity, the IEEE `!=`
+    * branch makes ±0.0 a tie broken by cell index — exactly the
+    * declarative spelling's rank.
+    */
+  private[graft] def probeBefore(dots: Array[Double])(a: Int, b: Int): Boolean = {
+    val (da, db) = (dots(a), dots(b))
+    val aNaN = java.lang.Double.isNaN(da)
+    val bNaN = java.lang.Double.isNaN(db)
+    if (aNaN != bNaN) aNaN               // SQL: NaN sorts above all
+    else if (!aNaN && da != db) da > db  // IEEE !=: -0.0 ties 0.0
+    else a < b                           // dot tie -> cell ASC
+  }
+
   private[graft] def embeddingProbeEdges(corpus: DataFrame, thr: Double,
                                          nprobe: Int,
                                          withCentroidCos: Boolean = false): DataFrame = {
@@ -1437,12 +1457,18 @@ object Dedup extends QueryPack {
     // member is a RESIDENT (candidate) of the group iff ownCell == key.
     // ownCell is probe rank 1 — the argmax with lowest-cell ties, the
     // same total order (dot DESC, cell ASC) as withIvfCell's >= chains.
+    // The order must use SQL double semantics (NaN greatest, -0.0 ==
+    // 0.0), NOT Scala's TotalOrdering via sortBy on negated doubles
+    // (-0.0 < 0.0 there): a corpus with an exact ±0.0 centroid-dot tie
+    // would otherwise assign ownCell differently from the declarative
+    // quantizer and break the asserted bit-identity (advisor r13 —
+    // unreachable with the md5 fixture centroids, but load-bearing).
     val keyed = n.mapPartitions { it =>
       val cs = cents.value
       val k = cs.length
       it.flatMap { case (id, v, nrm) =>
         val dots = Array.tabulate(k)(c => dot(v, cs(c)))
-        val order = (0 until k).sortBy(c => (-dots(c), c))
+        val order = (0 until k).sortWith(probeBefore(dots))
         val own = order.head
         order.iterator.take(np).map(g => (g, (id, own, v, nrm)))
       }

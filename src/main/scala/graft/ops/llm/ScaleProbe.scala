@@ -29,6 +29,11 @@ object ScaleProbe {
     */
   private val ReplicaStride = 1000000L
 
+  /** Largest replica count the weak-scaling ladder reaches. The suffix
+    * row's vowel-perm decorrelation must have at least this many distinct
+    * permutations or replicas silently share one (advisor r13). */
+  private val WeakLadderMax = 64
+
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -81,6 +86,10 @@ object ScaleProbe {
     def requireIdsInStride(df: org.apache.spark.sql.DataFrame,
                            idCol: String, what: String): Unit = {
       val r = df.agg(min(col(idCol)), max(col(idCol))).head()
+      // min/max of an EMPTY frame are SQL nulls; getAs[Number].longValue
+      // would NPE with no diagnostic (advisor r13) — name the real problem.
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        s"$what fixture is empty: no $idCol values to replicate")
       val (lo, hi) = (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)
       require(lo >= 0 && hi < ReplicaStride,
         s"$what ids [$lo, $hi] outside [0, $ReplicaStride): replica id " +
@@ -316,7 +325,7 @@ object ScaleProbe {
       // per-task work dwarfs scheduling); rungs below 16 under-fill the
       // host's threads, which is irrelevant to the verdict metric
       // (aggregate task seconds per MB, thread-count-independent)
-      val ladder = Seq(4, 16, 64).map(m => (m, m, "weak"))
+      val ladder = Seq(4, 16, WeakLadderMax).map(m => (m, m, "weak"))
       // control rung: the SAME data as a weak rung forced through ONE
       // partition — the strong-scaling saturated shape. Expected: spill
       // appears and task_sec/MB grows, demonstrating the mechanism the
@@ -392,12 +401,22 @@ object ScaleProbe {
     // recovery is identical-key sort runs amortizing. That worst case
     // is recorded in COVERAGE; the weak-scaling verdict below is on
     // independent-content replicas, weak scaling's actual premise.
-    val vowelPerms = "aeiou".permutations.take(64).toSeq
-      .map(p => s"'$p'").mkString(", ")
+    // All 5! = 120 vowel permutations: a replica index ≥ the distinct-perm
+    // count would silently SHARE a permutation with replica i-120, quietly
+    // reintroducing the cross-replica tie groups the salt exists to remove
+    // (advisor r13 — the old take(64) % 64 capped at the ladder max with no
+    // headroom or disclosure). 120 covers the weak ladder's hard-coded max
+    // rung (64); the require keeps the cap loud if a future ladder exceeds it.
+    val vowelPermSeq = "aeiou".permutations.toSeq
+    require(WeakLadderMax <= vowelPermSeq.size,
+      s"weak-suffix decorrelation has ${vowelPermSeq.size} distinct vowel " +
+      s"permutations but the weak ladder reaches $WeakLadderMax replicas: " +
+      "replicas would share permutations and cross-replica ties would reappear")
+    val vowelPerms = vowelPermSeq.map(p => s"'$p'").mkString(", ")
     weakScale("suffix", { c =>
       SuffixIndex.build(c.select($"doc_id",
         expr(s"""translate(text, 'aeiou', element_at(array($vowelPerms),
-                 cast(doc_id div $ReplicaStride as int) % 64 + 1))""").as("text")))
+                 cast(doc_id div $ReplicaStride as int) % ${vowelPermSeq.size} + 1))""").as("text")))
       sweepDebris()
     })
     if (weakEnabled) spark.sparkContext.removeSparkListener(wsListener)

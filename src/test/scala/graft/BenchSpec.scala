@@ -94,9 +94,15 @@ class BenchSpec extends AnyFunSuite {
     val direct = """{"queries":{"q_a":2.5}}"""
     assert(Bench.snapshotQueries(direct, Seq("q_a"))._1 === Map("q_a" -> 2.5))
     val tail = """{"parsed":null,"tail":"ame_x\":9.99,\"q_c\":3.25,\"q_d\":0.75}"}"""
-    val got = Bench.snapshotQueries(tail, Seq.empty)._1
+    val (got, tnote) = Bench.snapshotQueries(tail, Seq.empty)
     assert(got === Map("q_c" -> 3.25, "q_d" -> 0.75),
       "boundary-cut pair must be dropped, clean pairs recovered")
+    // the tail branch recovers only whatever survives the 2000-char
+    // scrape window — it must say so like the positional fallback does,
+    // or BENCH_REGRESS.md reports a silently shrunken comparable set
+    // (ADVICE r13)
+    assert(tnote.exists(n => n.contains("UNCHECKED") && n.contains("2")),
+      s"tail decode must carry a loud degraded-decode note, got $tnote")
   }
 
   test("truncated last-resort view keeps the slowest queries and reports " +

@@ -103,6 +103,25 @@ class EmbeddingDedupSpec extends SparkSpec {
     assert(directed === sym)
   }
 
+  test("probeBefore ranks with SQL double semantics: ±0.0 centroid-dot " +
+       "ties break by cell ASC (not Scala's -0.0 < 0.0) and NaN sorts " +
+       "above every value — the ownCell bit-identity invariant (ADVICE r13)") {
+    // cells: 0 -> -0.0, 1 -> 0.0, 2 -> 1.0, 3 -> NaN.
+    val dots = Array(-0.0, 0.0, 1.0, Double.NaN)
+    val order = dots.indices.sortWith(Dedup.probeBefore(dots))
+    // SQL rank (dot DESC, cell ASC): NaN first, then 1.0, then the
+    // ±0.0 TIE in cell order — 0 before 1. Scala's TotalOrdering via
+    // sortBy(-dots) would put cell 1 (0.0) before cell 0 (-0.0).
+    assert(order === Seq(3, 2, 0, 1))
+    // plain values keep the obvious rank, ties by cell
+    val plain = Array(2.0, 5.0, 2.0)
+    assert(plain.indices.sortWith(Dedup.probeBefore(plain)) === Seq(1, 0, 2))
+    // argmax (order.head) matches the >=-chain argmax spelling used by
+    // withIvfCell under Spark SQL comparison semantics on the tie case
+    val tied = Array(0.0, -0.0)
+    assert(tied.indices.sortWith(Dedup.probeBefore(tied)).head === 0)
+  }
+
   test("annTopKWithin nprobe=2 == driver-side brute force restricted to " +
        "each query's top-2 probe cells (bit-identical sims), and its " +
        "global recall@5 strictly improves on single-probe") {

@@ -77,8 +77,15 @@ def load(path):
             skip = {"value", "load_start", "load_end", "baseline_s",
                     "suffix_index_cold_s", "span_frame_cold_s",
                     "steal_cpu_s", "steal_cores_avg", "sf"}
-            data = {"queries": {k: float(v) for k, v in pairs
-                                if k not in skip}}
+            qs = {k: float(v) for k, v in pairs if k not in skip}
+            # the tail window is the scrape's last 2000 chars: pairs
+            # outside it are simply gone — disclose the shrunken set
+            # (same note the Scala decoder emits; ADVICE r13)
+            print(f"WARNING: scrape-failed snapshot {path}: {len(qs)} "
+                  f"pairs recovered from a truncated tail fragment; "
+                  f"regressions outside them are UNCHECKED",
+                  file=sys.stderr)
+            data = {"queries": qs}
     return data
 
 def queries_of(data, other):
