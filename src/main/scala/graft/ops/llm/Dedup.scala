@@ -995,9 +995,15 @@ object Dedup extends QueryPack {
       .transform(graft.state.Materialize.pin)
     val nEdges = e.count()
     val localMax = spark.conf.get(CcLocalEdgeMaxKey, "200000").toLong
-    if (nEdges <= localMax)
-      return starComponentsLocal(
-        e.select($"u", $"v").as[(Long, Long)].collect(), spark)
+    if (nEdges <= localMax) {
+      val collected = e.select($"u", $"v").as[(Long, Long)].collect()
+      // the edge pin is DEAD once collected — release it (blocks, and in
+      // reliable mode its checkpoint FILES, which ContextCleaner never
+      // deletes; a foreach_batch caller would otherwise accrue one edge
+      // frame per micro-batch — VERDICT r13 #3)
+      graft.state.Materialize.releasePinned(e)
+      return starComponentsLocal(collected, spark)
+    }
     // vertex domain = vertices incident to ≥1 NON-self edge (derived from
     // the filtered frame `e`, not the raw pairs): a vertex appearing only
     // in self-pairs is not part of the pair graph, on BOTH paths — the
@@ -1007,6 +1013,8 @@ object Dedup extends QueryPack {
     val verts = e.select($"u").union(e.select($"v".as("u")))
       .distinct().transform(graft.state.Materialize.pin)
     val nVerts = verts.count()
+    // only the COUNT is consumed downstream — the vertex pin is dead now
+    graft.state.Materialize.releasePinned(verts)
     // canonical set fingerprint — orientation-free, order-free
     def fp(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)),
@@ -1047,6 +1055,10 @@ object Dedup extends QueryPack {
         converged = fp(largeStar(next)) == prev
       }
       prev = fpS
+      // `next` is pinned (eager in both modes), so the prior round's
+      // edge pin is superseded — release it, or an R-round contraction
+      // leaves R dead pins (and R checkpoint-file sets in reliable mode)
+      graft.state.Materialize.releasePinned(e)
       e = next
       round += 1
       if (dbg) println(s"[star-components] round $round fp=$fpS")
@@ -1060,6 +1072,8 @@ object Dedup extends QueryPack {
     val covered = out.count()
     require(covered == nVerts,
       s"star contraction lost vertices: $covered labels for $nVerts vertices")
+    // `out` is materialized — the converged edge frame is superseded too
+    graft.state.Materialize.releasePinned(e)
     out
   }
 
@@ -1217,9 +1231,24 @@ object Dedup extends QueryPack {
     * to the lowest id. Unconnected vectors don't appear (inner join);
     * callers keep them implicitly.
     */
-  private[graft] def semDedupMembers(corpus: DataFrame, pairs: DataFrame): DataFrame = {
+  private[graft] def semDedupMembers(corpus: DataFrame, pairs: DataFrame): DataFrame =
+    semDedupMembersScoped(corpus, pairs)._1
+
+  /** [[semDedupMembers]] plus a release handle for the component-label
+    * pin it consumes (the `starComponents` result — the one internal
+    * pin that must outlive this method because the returned frame joins
+    * it lazily). A per-micro-batch caller that EAGERLY materializes the
+    * members frame (the `sem_dedup_clusters` processor pins its drop
+    * set) calls the release right after, so reliable-mode checkpoint
+    * files stay bounded across a foreach_batch loop (VERDICT r13 #3);
+    * the once-per-session gate path uses the plain overload and lets
+    * the label pin live.
+    */
+  private[graft] def semDedupMembersScoped(corpus: DataFrame, pairs: DataFrame)
+      : (DataFrame, () => Unit) = {
     import corpus.sparkSession.implicits._
-    val labels = starComponents(pairs)
+    val componentLabels = starComponents(pairs)
+    val labels = componentLabels
       .select($"doc".as("vec_id"), $"lab")
     // broadcast the LABEL side explicitly: it is the pair-connected
     // subset (tiny by construction) but arrives as a checkpointed RDD
@@ -1234,10 +1263,11 @@ object Dedup extends QueryPack {
       .withColumn("cos_c", centroidCosCol)
     val byLab = org.apache.spark.sql.expressions.Window
       .partitionBy($"lab").orderBy($"cos_c", $"vec_id")
-    members
+    val out = members
       .withColumn("rn", row_number().over(byLab))
       .withColumn("n_members", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy($"lab")))
+    (out, () => graft.state.Materialize.releasePinned(componentLabels))
   }
 
   /** Centroid L2 norms — the ONE constant every centroid-cos consumer

@@ -175,35 +175,46 @@ object Materialize {
     */
   def pinScoped(df: DataFrame): (DataFrame, () => Unit) = {
     val pinned = pin(df)
-    val release: () => Unit = { () =>
-      val sc = pinned.sparkSession.sparkContext
-      def walk(r: org.apache.spark.rdd.RDD[_]): Unit = {
-        val persisted =
-          r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
-        if (persisted) r.unpersist(blocking = false)
-        val ckpt = r.getCheckpointFile
-        ckpt.foreach { p =>
-          // NonFatal only, and LOUD on failure: a silent swallow here
-          // re-opens the unbounded checkpoint-file growth this release
-          // exists to close (a permissions change on the object store
-          // would otherwise "succeed" every batch while deleting
-          // nothing), and eating an InterruptedException would lose the
-          // thread's cancellation (self-review r13 pass 6)
-          try {
-            val hp = new org.apache.hadoop.fs.Path(p)
-            hp.getFileSystem(sc.hadoopConfiguration).delete(hp, true)
-          } catch { case scala.util.control.NonFatal(e) =>
-            System.err.println(
-              s"[materialize] pinScoped release failed to delete " +
-              s"checkpoint files at $p: $e — files LEAK until cleaned")
-          }
+    (pinned, () => releasePinned(pinned))
+  }
+
+  /** The release half of [[pinScoped]], callable directly on a frame
+    * produced by [[pin]] whose every consumer has fully materialized:
+    * walks the frame's OWN lineage to its first persisted ancestors,
+    * unpersists them, and in reliable mode deletes their checkpoint
+    * FILES. Exposed separately (round 14) so iterative builders like
+    * `starComponents` can free SUPERSEDED round pins as soon as the
+    * next round is pinned — without it, a foreach_batch caller under
+    * `materialize=reliable` accrues one set of round-pin files per
+    * micro-batch that ContextCleaner never deletes.
+    */
+  def releasePinned(df: DataFrame): Unit = {
+    val sc = df.sparkSession.sparkContext
+    def walk(r: org.apache.spark.rdd.RDD[_]): Unit = {
+      val persisted =
+        r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
+      if (persisted) r.unpersist(blocking = false)
+      val ckpt = r.getCheckpointFile
+      ckpt.foreach { p =>
+        // NonFatal only, and LOUD on failure: a silent swallow here
+        // re-opens the unbounded checkpoint-file growth this release
+        // exists to close (a permissions change on the object store
+        // would otherwise "succeed" every batch while deleting
+        // nothing), and eating an InterruptedException would lose the
+        // thread's cancellation (self-review r13 pass 6)
+        try {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(sc.hadoopConfiguration).delete(hp, true)
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[materialize] pin release failed to delete " +
+            s"checkpoint files at $p: $e — files LEAK until cleaned")
         }
-        if (!persisted && ckpt.isEmpty)
-          r.dependencies.foreach(d => walk(d.rdd))
       }
-      if (!sc.isStopped) walk(pinned.rdd)
+      if (!persisted && ckpt.isEmpty)
+        r.dependencies.foreach(d => walk(d.rdd))
     }
-    (pinned, release)
+    if (!sc.isStopped) walk(df.rdd)
   }
 
   def pin(df: DataFrame): DataFrame = {

@@ -509,6 +509,51 @@ class CurationProcessorsSpec extends SparkSpec {
     assert(k1 === Seq(2L), "k=1 truncates to the single best neighbor")
   }
 
+  test("ann_topk PROCESSOR recall ladder on the fixture (VERDICT r13 " +
+       "#5): recall@5 vs the cell-unrestricted brute force is strictly " +
+       "monotone over nprobe 1 -> 2 -> 4 and EXACTLY 1.0 at nprobe = " +
+       "IvfCells (all cells probed = exhaustive) — the numbers a YAML " +
+       "user chooses breadth on") {
+    val embs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val k = 5
+    // ground truth: driver-side global brute-force top-5 by
+    // (cos DESC, n_id ASC) — the same tie order as the engine
+    val vecs = embs.select($"vec_id",
+        $"embedding".cast("array<double>").as("v"))
+      .as[(Long, Array[Double])].collect()
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val truth: Map[Long, Set[Long]] = vecs.map { case (q, vq) =>
+      q -> vecs.filter(_._1 != q)
+        .map { case (n, vn) => (n, dot(vq, vn) / (nrm(q) * nrm(n))) }
+        .sortBy { case (n, c) => (-c, n) }.take(k).map(_._1).toSet
+    }.toMap
+    def recallAt(np: Int): Double = {
+      val got = resolve("ann_topk",
+          Map("k" -> k.toString, "nprobe" -> np.toString))
+        .process(embs).get
+        .select($"vec_id", expr("transform(ann_topk, x -> x.n_id)").as("ids"))
+        .as[(Long, Seq[Long])].collect()
+      val hits = got.map { case (q, ids) =>
+        ids.toSet.intersect(truth(q)).size
+      }.sum
+      hits.toDouble / (truth.size * k)
+    }
+    val ladder = Seq(1, 2, 4).map(np => np -> recallAt(np))
+    info("ann_topk processor recall@5 ladder: " +
+      ladder.map { case (np, r) => f"nprobe=$np $r%.3f" }.mkString(" -> "))
+    val Seq(r1, r2, r4) = ladder.map(_._2)
+    assert(r1 < r2 && r2 < r4,
+      s"recall must be strictly monotone in probe breadth, got $ladder")
+    assert(r4 === 1.0,
+      s"nprobe = IvfCells probes every cell — exhaustive, recall 1.0; got $r4")
+  }
+
   test("embedding stages raise LOUDLY on an all-zero embedding (nrm = 0 " +
        "=> NaN cosines, the row silently never pairs) and on NaN/Inf " +
        "elements (they pass the null-element check but poison nrm) — " +

@@ -87,6 +87,59 @@ class ReliableFaultSpec extends SparkSpec {
       "executor block is dropped — its pins live in checkpoint storage")
   }
 
+  test("sem_dedup_clusters under materialize=reliable holds the " +
+       "checkpoint-dir file count FLAT across a foreach_batch-style " +
+       "loop — one batch's drop-pin residual, not one per batch " +
+       "(VERDICT r13 #3)") {
+    import spark.implicits._
+    // the exact per-micro-batch shape of a foreach_batch sink: the
+    // registry processor applied to a bounded frame, output fully
+    // materialized (the sink), repeated N times sequentially
+    val embs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id",
+        $"embedding".cast("array<float>").as("embedding"))
+    val proc = new graft.pipeline.SemDedupClustersProcessor(
+      graft.config.Conf(Map("threshold" -> "0.45")))
+    val sc = spark.sparkContext
+    val ckDir = tmpDir("relspec_ck")
+    sc.setCheckpointDir(ckDir)
+    def ckptFiles(): Int = {
+      val root = java.nio.file.Paths.get(ckDir)
+      if (!java.nio.file.Files.exists(root)) 0
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try s.filter(java.nio.file.Files.isRegularFile(_)).count().toInt
+        finally s.close()
+      }
+    }
+    val prev = spark.conf.getOption(Materialize.ModeKey)
+    spark.conf.set(Materialize.ModeKey, "reliable")
+    val settled =
+      try (1 to 5).map { _ => val n = proc(embs).count(); (n, ckptFiles()) }
+      finally prev match {
+        case Some(v) => spark.conf.set(Materialize.ModeKey, v)
+        case None    => spark.conf.unset(Materialize.ModeKey)
+      }
+    // semantics unchanged across batches (same input, same survivors)
+    assert(settled.map(_._1).distinct.size === 1 && settled.head._1 > 0)
+    val counts = settled.map(_._2)
+    info(s"settled checkpoint-file counts after each of 5 batches: " +
+      s"${counts.mkString(", ")} (pre-round-14: grew by the per-batch " +
+      "residual every batch)")
+    // BOUNDED: after every batch the dir holds exactly the current
+    // drop pin's files (the one residual the next invocation frees) —
+    // the pre-round-14 behavior retained 4 checkpoint file-sets per
+    // batch (corpus via failed-release paths aside: edge pin, label
+    // pin, drop pin) and this count grew linearly with the loop length
+    assert(counts.distinct.size === 1,
+      s"checkpoint files must stay flat across sequential invocations " +
+      s"(one batch's residual), got $counts")
+    assert(counts.head > 0,
+      "the retained drop pin must actually live in checkpoint storage " +
+      s"(zero files means the reliable path was not exercised), got $counts")
+  }
+
   test("local mode fails loudly on the same block loss (truncated " +
        "lineage is not recomputable — the documented trade-off)") {
     val ex = intercept[Exception] { buildDropConsume("local") }
