@@ -26,8 +26,8 @@ object Graph extends QueryPack {
     * graph into ~200 components with one 482-vertex giant — the
     * structure connected-components and hop-profile work exists for.
     */
-  private def edgesAt(spark: SparkSession, dir: String,
-                      minQty: Int): DataFrame = {
+  private[ops] def edgesAt(spark: SparkSession, dir: String,
+                           minQty: Int): DataFrame = {
     import spark.implicits._
     val pairs = Tables.lineitem(spark, dir)
       .where($"l_quantity" > minQty)
@@ -93,9 +93,15 @@ object Graph extends QueryPack {
     * The oracle replays every iteration as an unrolled CTE generated
     * from the SAME [[PrIters]] constant.
     */
-  def pagerankQ(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val e = edgesAt(spark, dir, 45)
+  def pagerankQ(spark: SparkSession, dir: String): DataFrame =
+    pagerankFrom(edgesAt(spark, dir, 45))
+
+  /** [[pagerankQ]] over any undirected `(a, b)` edge frame — exposed
+    * (like [[pagerankDirectedFrom]]) so the weak-scaling probe can
+    * drive it with replicated disjoint graphs (VERDICT r13 #6).
+    */
+  private[ops] def pagerankFrom(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
     val u = e.select($"a".as("w1"), $"b".as("w2"))
       .union(e.select($"b".as("w1"), $"a".as("w2")))
       .transform(graft.state.Materialize.pin)
@@ -103,16 +109,24 @@ object Graph extends QueryPack {
     // source's out-degree once and pin, instead of re-joining u ⋈ outw
     // inside all PrIters iterations (r11 — one pinned frame replaces T
     // edge-shuffle joins; per-iteration work drops to one join + one agg)
-    val uw = u.join(u.groupBy($"w1").agg(count(lit(1)).as("out_w")), "w1")
+    // degree, rank, and contribution frames are all VERTEX-sized —
+    // corpus-scale, never broadcastable at 100 TB. AQE flips these
+    // joins to broadcast while the fixture sits under the threshold,
+    // which the r14 weak-scaling probe measured as super-linear cpu
+    // growth (per-task build ∝ graph size); SHUFFLE_HASH pins the
+    // node-key shuffle shape whose per-task build is one partition.
+    val uw = u.join(
+        u.groupBy($"w1").agg(count(lit(1)).as("out_w")).hint("SHUFFLE_HASH"),
+        "w1")
       .transform(graft.state.Materialize.pin)
     val nodes = u.select($"w1".as("node")).distinct()
       .transform(graft.state.Materialize.pin)
     def step(prev: DataFrame): DataFrame = {
       val contrib = uw
-        .join(prev.withColumnRenamed("node", "w1"), "w1")
+        .join(prev.withColumnRenamed("node", "w1").hint("SHUFFLE_HASH"), "w1")
         .select($"w2".as("node"), expr("r div out_w").as("c"))
         .groupBy($"node").agg(sum($"c").as("incoming"))
-      nodes.join(contrib, Seq("node"), "left")
+      nodes.join(contrib.hint("SHUFFLE_HASH"), Seq("node"), "left")
         .select($"node",
           (lit(150000L) +
            expr("(850 * coalesce(incoming, 0L)) div 1000")).as("r"))
@@ -126,9 +140,24 @@ object Graph extends QueryPack {
     // its per-iteration dangling-mass broadcast evaluates eagerly, so an
     // unpinned prev-chain re-executes once per remaining iteration —
     // measured 3.7s -> 6.4s at cadence 5).
+    //
+    // Conf-escapable cadence (r14): a deeper chain is one job whose
+    // in-flight shuffle working set spans that many iterations of edge
+    // contributions. The r14 weak-scaling probe measured the undirected
+    // row's per-edge cpu growing ~2.5x from 4 to 64 disjoint replicas
+    // and RULED OUT this knob as the cause (cadence 2 re-probe grew the
+    // same) along with partition count (64 replicas at 16 vs 64 parts
+    // within 15%) — residual unattributed, recorded in COVERAGE. The
+    // knob stays because the trade is real and host-dependent: pick the
+    // cadence on measurement; results are bit-identical at any value
+    // (law-tested in GraphSpec).
+    val cadence = e.sparkSession.conf
+      .get("spark.graft.pagerank.pinCadence", "5").toInt
+    require(cadence >= 1 && cadence <= PrIters,
+      s"spark.graft.pagerank.pinCadence must be in [1, $PrIters], got $cadence")
     for (i <- 1 to PrIters) {
       r = step(r)
-      if (i % 5 == 0) r = r.transform(graft.state.Materialize.pin)
+      if (i % cadence == 0) r = r.transform(graft.state.Materialize.pin)
     }
     r.orderBy($"r".desc, $"node").limit(50)
   }
@@ -180,8 +209,11 @@ object Graph extends QueryPack {
     val outw = ed.groupBy($"w1").agg(count(lit(1)).as("out_w"))
     // loop-invariant degree join hoisted out of all PrIters iterations
     // (r11, same as the undirected form): per-iteration work drops to
-    // one rank join + one aggregate over the pinned weighted edges
-    val edw = ed.join(outw, "w1")
+    // one rank join + one aggregate over the pinned weighted edges.
+    // SHUFFLE_HASH pins on every vertex-sized side (r14): see
+    // pagerankFrom — AQE broadcasts them under the fixture threshold,
+    // super-linear per-task build at scale.
+    val edw = ed.join(outw.hint("SHUFFLE_HASH"), "w1")
       .transform(graft.state.Materialize.pin)
     val nodes = ed.select($"w1".as("node"))
       .union(ed.select($"w2".as("node"))).distinct()
@@ -194,19 +226,20 @@ object Graph extends QueryPack {
     // frame (r11 — 10 iterations drop 10 join stages; same arithmetic,
     // dm = Σ r over out-degree-0 nodes, bit-identical to the oracle)
     val nodesF = nodes
-      .join(outw.select($"w1".as("node"), lit(1L).as("has_out")),
+      .join(outw.select($"w1".as("node"), lit(1L).as("has_out"))
+              .hint("SHUFFLE_HASH"),
             Seq("node"), "left")
       .select($"node", coalesce($"has_out", lit(0L)).as("has_out"))
       .transform(graft.state.Materialize.pin)
     def step(prev: DataFrame): DataFrame = {
       val contrib = edw
-        .join(prev.select($"node".as("w1"), $"r"), "w1")
+        .join(prev.select($"node".as("w1"), $"r").hint("SHUFFLE_HASH"), "w1")
         .select($"w2".as("node"), expr("r div out_w").as("c"))
         .groupBy($"node").agg(sum($"c").as("incoming"))
       val share = prev
         .agg(coalesce(sum(when($"has_out" === 0L, $"r")), lit(0L)).as("dm"))
         .select(expr(s"dm div ${n}L").as("ds"))
-      nodesF.join(contrib, Seq("node"), "left")
+      nodesF.join(contrib.hint("SHUFFLE_HASH"), Seq("node"), "left")
         .crossJoin(broadcast(share))
         .select($"node", $"has_out",
           (lit(150000L) +
@@ -257,9 +290,14 @@ object Graph extends QueryPack {
       .transform(graft.state.Materialize.pin)
     var frontier = visited
     for (lvl <- 1 to K) {
+      // the visited set is corpus-scale by hop K on a real ego-net —
+      // SHUFFLE_HASH keeps the anti-join off the broadcast path (r14);
+      // the frontier ⋈ adjacency join is left UNPINNED on purpose: a
+      // small frontier against the full adjacency list is exactly where
+      // a broadcast is right, and AQE sizes it per level
       val nxt = frontier.join(u, Seq("v"))
         .select($"w".as("v")).distinct()
-        .join(visited, Seq("v"), "left_anti")
+        .join(visited.hint("SHUFFLE_HASH"), Seq("v"), "left_anti")
         .withColumn("lvl", lit(lvl.toLong))
         .transform(graft.state.Materialize.pin)
       // visited is a union of ALREADY-pinned level frames — re-pinning
@@ -297,11 +335,22 @@ object Graph extends QueryPack {
   def triangleSummary(spark: SparkSession, eRaw: DataFrame): DataFrame = {
     import spark.implicits._
     val (e, deg, oriented) = degreeOriented(spark, eRaw)
+    // SHUFFLE_HASH-pin every side that scales with the CORPUS (r14): the
+    // wedge and closing joins build against the full oriented edge list,
+    // and AQE happily broadcasts it while the graph sits under the
+    // threshold — per-task build cost then grows with the graph and the
+    // r14 weak-scaling probe measured the resulting m² cpu (3.2 -> 18.6
+    // cpu_sec/MB over 4 -> 64 disjoint replicas). The pinned shape
+    // shuffles on the join key instead: per-task build = one partition
+    // of the edges, bounded by parallelism, the same posture as the LSH
+    // pair joins. Orientation keeps the per-key fanout O(√m), so the
+    // shuffle join's skew exposure is already bounded by construction.
     val tri = oriented.as("e1")
-      .join(oriented.as("e2"),
+      .join(oriented.as("e2").hint("SHUFFLE_HASH"),
             $"e1.src" === $"e2.src" && $"e1.kdst" < $"e2.kdst")
       .select($"e1.dst".as("v"), $"e2.dst".as("w"))
-      .join(oriented.as("e3"), $"v" === $"e3.src" && $"w" === $"e3.dst", "left_semi")
+      .join(oriented.as("e3").hint("SHUFFLE_HASH"),
+            $"v" === $"e3.src" && $"w" === $"e3.dst", "left_semi")
     val nv = deg.agg(count(lit(1)).as("n_vertices"))
     val ne = e.agg(count(lit(1)).as("n_edges"))
     val nt = tri.agg(count(lit(1)).as("n_triangles"))
@@ -331,9 +380,11 @@ object Graph extends QueryPack {
     // names so the when/otherwise struct types unify
     val ka = struct($"da".as("d"), $"a".as("i"))
     val kb = struct($"db".as("d"), $"b".as("i"))
+    // the degree side is VERTEX-sized (corpus-scale) — same
+    // never-broadcast-a-corpus-side pin as the wedge join above
     val oriented = e
-      .join(deg.select($"v".as("a"), $"deg".as("da")), "a")
-      .join(deg.select($"v".as("b"), $"deg".as("db")), "b")
+      .join(deg.select($"v".as("a"), $"deg".as("da")).hint("SHUFFLE_HASH"), "a")
+      .join(deg.select($"v".as("b"), $"deg".as("db")).hint("SHUFFLE_HASH"), "b")
       .select(
         when(ka < kb, $"a").otherwise($"b").as("src"),
         when(ka < kb, kb).otherwise(ka).as("kdst"))

@@ -1022,18 +1022,23 @@ object Dedup extends QueryPack {
           lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
+    // the per-vertex minima frames are VERTEX-sized (corpus-scale at
+    // 100 TB) — SHUFFLE_HASH-pinned so AQE cannot flip these joins to
+    // broadcast while the fixture sits under the threshold (r14, the
+    // same super-linear per-task-build hazard the graph weak-scaling
+    // probe measured on the triangle wedge join)
     def largeStar(df: DataFrame): DataFrame = {
       val sym = df.select($"u", $"v")
         .union(df.select($"v".as("u"), $"u".as("v")))
       val mins = sym.groupBy($"u").agg(min($"v").as("mv"))
         .select($"u", least($"mv", $"u").as("m"))
-      sym.join(mins, Seq("u")).where($"v" > $"u")
+      sym.join(mins.hint("SHUFFLE_HASH"), Seq("u")).where($"v" > $"u")
         .select($"v".as("u"), $"m".as("v")).distinct()
     }
     def smallStar(df: DataFrame): DataFrame = {
       val dir = df.select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
       val mins = dir.groupBy($"u").agg(min($"v").as("m"))
-      dir.join(mins, Seq("u"))
+      dir.join(mins.hint("SHUFFLE_HASH"), Seq("u"))
         .select($"v".as("u"), $"m".as("v"))
         .union(mins.select($"u", $"m".as("v")))
         .where($"u" =!= $"v").distinct()

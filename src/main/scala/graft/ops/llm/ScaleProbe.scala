@@ -300,7 +300,8 @@ object ScaleProbe {
     // the reusable weak-scaling harness (VERDICT r11 #8): adding an
     // operator = one tag here + one weakScale(...) line below
     val weakTags = Seq("weak-winnow", "weak-spans", "weak-tfidf",
-      "weak-suffix")
+      "weak-suffix", "weak-pagerank", "weak-pagerank-dir",
+      "weak-triangles")
     val weakEnabled = weakTags
       .exists(n => onlySections.forall(_.contains(n)))
     val wsListener = new SparkListener {
@@ -318,14 +319,29 @@ object ScaleProbe {
     val docBytes =
       if (weakEnabled) docs.agg(sum(octet_length($"text"))).as[Long].collect().head
       else 0L
+    // mkInput: replica builder for the rung (defaults to the document
+    // corpus); baseMb: ONE replica's logical payload MB — the verdict
+    // column divides by m × baseMb, so flatness is per-unit-of-input
+    // regardless of what the input is (docs, edges, vectors)
     def weakScale(tag: String, run: org.apache.spark.sql.DataFrame => Unit,
-                  control: Boolean = false): Unit = {
+                  control: Boolean = false,
+                  mkInput: Int => org.apache.spark.sql.DataFrame = corpusM,
+                  baseMb: => Double = docBytes.toDouble / (1 << 20)): Unit = {
       // parts = m pins per-task input at the FULL base corpus (~1.4 MB of
       // text ⇒ ~1.4M position rows per task at sf0.1 — big enough that
       // per-task work dwarfs scheduling); rungs below 16 under-fill the
       // host's threads, which is irrelevant to the verdict metric
       // (aggregate task seconds per MB, thread-count-independent)
-      val ladder = Seq(4, 16, WeakLadderMax).map(m => (m, m, "weak"))
+      // SPARK_GRAFT_WEAK_RUNGS="m:parts,m:parts,..." overrides the
+      // ladder for diagnostics (e.g. "64:16" decouples replica count
+      // from partition count to separate per-bucket shuffle overhead
+      // from data-coupled growth — r14 pagerank investigation)
+      val ladder = sys.env.get("SPARK_GRAFT_WEAK_RUNGS") match {
+        case Some(spec) => spec.split(",").toSeq.map { r =>
+          val Array(m, p) = r.split(":"); (m.toInt, p.toInt, "custom")
+        }
+        case None => Seq(4, 16, WeakLadderMax).map(m => (m, m, "weak"))
+      }
       // control rung: the SAME data as a weak rung forced through ONE
       // partition — the strong-scaling saturated shape. Expected: spill
       // appears and task_sec/MB grows, demonstrating the mechanism the
@@ -340,16 +356,16 @@ object ScaleProbe {
         try {
           spark.conf.set(coalesceKey, "false")
           // warmup (codegen + parquet reader init)
-          run(corpusM(1).repartition(4))
+          run(mkInput(1).repartition(4))
           rungs.foreach { case (m, parts, kind) =>
             spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-            val c = corpusM(m).repartition(parts)
+            val c = mkInput(m).repartition(parts)
             wsTaskMs.set(0); wsCpuNs.set(0); wsTasks.set(0); wsSpill.set(0)
             val t0 = System.nanoTime()
             run(c)
             val wall = (System.nanoTime() - t0) / 1e9
             Thread.sleep(500) // listener bus drain
-            val mb = docBytes.toDouble * m / (1 << 20)
+            val mb = baseMb * m
             val taskSec = wsTaskMs.get() / 1e3
             val cpuSec = wsCpuNs.get() / 1e9
             // cpu_sec_per_mb is the VERDICT column: executorRunTime
@@ -419,6 +435,49 @@ object ScaleProbe {
                  cast(doc_id div $ReplicaStride as int) % ${vowelPermSeq.size} + 1))""").as("text")))
       sweepDebris()
     })
+
+    // graph family (VERDICT r13 #6 — three of the bench's top-five
+    // gates): ×m DISJOINT copies of the sparse co-occurrence graph,
+    // vertex ids offset by the replica stride. Disjoint components are
+    // weak scaling's premise for global iterative graph work: PageRank's
+    // T fixed iterations run identically inside every copy (the directed
+    // form's dangling-mass redistribution is the one global coupling —
+    // it divides by the m× vertex count, changing VALUES but not the
+    // join/agg work shape), and degree-oriented triangle closing is
+    // per-wedge. Payload MB = 16 bytes per edge row (two longs), so the
+    // verdict column is cpu per logical edge volume. NOT included:
+    // k-hop — a single-source BFS reaches only its own replica, so
+    // replication adds dead data, not reachable work; its scale
+    // evidence stays the r12 plan pins. The khop gate's frontier joins
+    // are the componentsQ contraction's shape anyway.
+    // minQty = 25 (the trianglesQ gate's own graph): 300k edges = 4.6 MB
+    // per replica at sf0.1 — per-task volume comparable to the doc rows'
+    // 1.4 MB, so the verdict column measures DATA work. The iterative
+    // gates' sparser 45-cut graph (12k edges, 0.2 MB) drowned the
+    // per-edge term in constant per-task overheads and the flatness
+    // verdict was noise (measured: ±3x run-to-run at the same rung).
+    lazy val graphBase = {
+      val e = graft.ops.Graph.edgesAt(spark, sfDir, 25)
+        .transform(graft.state.Materialize.pinRetained)
+      requireIdsInStride(e.select($"a".as("id")), "id", s"$sfDir graph a-side")
+      requireIdsInStride(e.select($"b".as("id")), "id", s"$sfDir graph b-side")
+      e
+    }
+    lazy val graphEdges = graphBase.count()
+    def graphM(m: Int) = (0 until m)
+      .map(i => graphBase.select(($"a" + lit(i * ReplicaStride)).as("a"),
+                                 ($"b" + lit(i * ReplicaStride)).as("b")))
+      .reduce(_ unionByName _)
+    def graphMb = graphEdges.toDouble * 16 / (1 << 20)
+    weakScale("pagerank",
+      { c => graft.ops.Graph.pagerankFrom(c).count(); sweepDebris() },
+      mkInput = graphM, baseMb = graphMb)
+    weakScale("pagerank-dir",
+      { c => graft.ops.Graph.pagerankDirectedFrom(c).count(); sweepDebris() },
+      mkInput = graphM, baseMb = graphMb)
+    weakScale("triangles",
+      { c => graft.ops.Graph.triangleSummary(spark, c).count(); sweepDebris() },
+      mkInput = graphM, baseMb = graphMb)
     if (weakEnabled) spark.sparkContext.removeSparkListener(wsListener)
 
     // End-to-end curation funnel at multiplied corpus: duplication makes

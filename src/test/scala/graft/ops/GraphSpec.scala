@@ -175,6 +175,25 @@ class GraphSpec extends SparkSpec {
     assert(expR(1L) > 150000L)
   }
 
+  test("pagerankFrom is bit-identical at every pin cadence (the r14 " +
+       "spark.graft.pagerank.pinCadence knob changes WHEN lineage is " +
+       "truncated, never the integer arithmetic) and validates the knob") {
+    import spark.implicits._
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+                 (5L, 4L), (6L, 1L))
+    val key = "spark.graft.pagerank.pinCadence"
+    def at(c: String): Seq[(Long, Long)] = {
+      spark.conf.set(key, c)
+      try Graph.pagerankFrom(es.toDF("a", "b"))
+        .as[(Long, Long)].collect().toSeq.sorted
+      finally spark.conf.unset(key)
+    }
+    val Seq(c1, c2, c5) = Seq("1", "2", "5").map(at)
+    assert(c1 === c5 && c2 === c5 && c5.nonEmpty)
+    val e = intercept[IllegalArgumentException] { at("0") }
+    assert(e.getMessage.contains("pinCadence"))
+  }
+
   test("dedupClusters matches GraphX ConnectedComponents on the fixture " +
        "near-dup graph (independent engine cross-check)") {
     // GraphX CC converges to the minimum vertex id per component — the
