@@ -73,7 +73,7 @@ object Bench {
     * /proc/stat steal deltas, ~990 stolen CPU-s, yet the artifact
     * recorded only loadavg). -1 if unreadable (non-Linux, masked /proc).
     */
-  private def stealTicks(): Long =
+  private[graft] def stealTicks(): Long =
     try {
       val f = Files.readAllLines(Paths.get("/proc/stat")).get(0).trim.split("\\s+")
       if (f.length > 8 && f(0) == "cpu") f(8).toLong else -1L

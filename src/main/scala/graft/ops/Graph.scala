@@ -96,6 +96,40 @@ object Graph extends QueryPack {
   def pagerankQ(spark: SparkSession, dir: String): DataFrame =
     pagerankFrom(edgesAt(spark, dir, 45))
 
+  /** Loop-invariant degree-weighted edge join of the undirected PageRank
+    * — split out (r15) so PlanSpec can pin its never-broadcast posture
+    * on the exact production join: degree, rank, and contribution
+    * frames are all VERTEX-sized — corpus-scale, never broadcastable at
+    * 100 TB. AQE flips these joins to broadcast while the fixture sits
+    * under the threshold, which the r14 weak-scaling probe measured as
+    * super-linear cpu growth (per-task build ∝ graph size);
+    * SHUFFLE_HASH pins the node-key shuffle shape whose per-task build
+    * is one partition.
+    */
+  private[ops] def prWeighted(u: DataFrame): DataFrame = {
+    import u.sparkSession.implicits._
+    u.join(
+      u.groupBy($"w1").agg(count(lit(1)).as("out_w")).hint("SHUFFLE_HASH"),
+      "w1")
+  }
+
+  /** One undirected PageRank iteration over the pinned weighted edges
+    * and node domain — split out (r15) for the same PlanSpec posture
+    * pin as [[prWeighted]]: both joins carry vertex-scale sides.
+    */
+  private[ops] def prStep(uw: DataFrame, nodes: DataFrame,
+                          prev: DataFrame): DataFrame = {
+    import uw.sparkSession.implicits._
+    val contrib = uw
+      .join(prev.withColumnRenamed("node", "w1").hint("SHUFFLE_HASH"), "w1")
+      .select($"w2".as("node"), expr("r div out_w").as("c"))
+      .groupBy($"node").agg(sum($"c").as("incoming"))
+    nodes.join(contrib.hint("SHUFFLE_HASH"), Seq("node"), "left")
+      .select($"node",
+        (lit(150000L) +
+         expr("(850 * coalesce(incoming, 0L)) div 1000")).as("r"))
+  }
+
   /** [[pagerankQ]] over any undirected `(a, b)` edge frame — exposed
     * (like [[pagerankDirectedFrom]]) so the weak-scaling probe can
     * drive it with replicated disjoint graphs (VERDICT r13 #6).
@@ -109,28 +143,16 @@ object Graph extends QueryPack {
     // source's out-degree once and pin, instead of re-joining u ⋈ outw
     // inside all PrIters iterations (r11 — one pinned frame replaces T
     // edge-shuffle joins; per-iteration work drops to one join + one agg)
-    // degree, rank, and contribution frames are all VERTEX-sized —
-    // corpus-scale, never broadcastable at 100 TB. AQE flips these
-    // joins to broadcast while the fixture sits under the threshold,
-    // which the r14 weak-scaling probe measured as super-linear cpu
-    // growth (per-task build ∝ graph size); SHUFFLE_HASH pins the
-    // node-key shuffle shape whose per-task build is one partition.
-    val uw = u.join(
-        u.groupBy($"w1").agg(count(lit(1)).as("out_w")).hint("SHUFFLE_HASH"),
-        "w1")
-      .transform(graft.state.Materialize.pin)
+    val uw = prWeighted(u).transform(graft.state.Materialize.pin)
     val nodes = u.select($"w1".as("node")).distinct()
       .transform(graft.state.Materialize.pin)
-    def step(prev: DataFrame): DataFrame = {
-      val contrib = uw
-        .join(prev.withColumnRenamed("node", "w1").hint("SHUFFLE_HASH"), "w1")
-        .select($"w2".as("node"), expr("r div out_w").as("c"))
-        .groupBy($"node").agg(sum($"c").as("incoming"))
-      nodes.join(contrib.hint("SHUFFLE_HASH"), Seq("node"), "left")
-        .select($"node",
-          (lit(150000L) +
-           expr("(850 * coalesce(incoming, 0L)) div 1000")).as("r"))
-    }
+    // u's only consumers (uw, nodes) have just materialized — release
+    // its blocks NOW instead of holding 2|E| resident rows through all
+    // PrIters iterations (r15, the VERDICT r14 #2 memory-pressure
+    // experiment: the m×-resident pinned frames were the hypothesis for
+    // the undirected weak-row's super-linear 64-rung cpu)
+    graft.state.Materialize.releasePinned(u)
+    def step(prev: DataFrame): DataFrame = prStep(uw, nodes, prev)
     var r = nodes.withColumn("r", lit(1000000L))
     // five iterations per pin (r11, measured 3.6s -> 3.0s at sf0.1): the
     // chain is pure lazy join+agg — nothing inside an iteration forces
@@ -155,9 +177,20 @@ object Graph extends QueryPack {
       .get("spark.graft.pagerank.pinCadence", "5").toInt
     require(cadence >= 1 && cadence <= PrIters,
       s"spark.graft.pagerank.pinCadence must be in [1, $PrIters], got $cadence")
+    // superseded rank pins are DEAD the moment the next pin lands (the
+    // output consumes only the newest pinned frame; iterations between
+    // pins are lazy and execute during the new pin's materialization) —
+    // release each as it is superseded (r15), bounding resident rank
+    // state to ONE vertex-sized frame regardless of iteration count,
+    // the same engineered release chain as starComponents' round pins
+    var prevPin: Option[DataFrame] = None
     for (i <- 1 to PrIters) {
       r = step(r)
-      if (i % cadence == 0) r = r.transform(graft.state.Materialize.pin)
+      if (i % cadence == 0) {
+        r = r.transform(graft.state.Materialize.pin)
+        prevPin.foreach(graft.state.Materialize.releasePinned)
+        prevPin = Some(r)
+      }
     }
     r.orderBy($"r".desc, $"node").limit(50)
   }
@@ -198,6 +231,51 @@ object Graph extends QueryPack {
   def pagerankDirectedQ(spark: SparkSession, dir: String): DataFrame =
     pagerankDirectedFrom(edgesAt(spark, dir, 45))
 
+  /** Directed twin of [[prWeighted]] — split out (r15) for the PlanSpec
+    * never-broadcast posture pin; `outw` is vertex-sized, never a
+    * broadcast build side at corpus scale.
+    */
+  private[ops] def prDirWeighted(ed: DataFrame, outw: DataFrame): DataFrame =
+    ed.join(outw.hint("SHUFFLE_HASH"), "w1")
+
+  /** The dangling SET is loop-invariant, so resolve membership ONCE into
+    * a flag column carried on every rank frame: the per-iteration
+    * dangling-mass scalar becomes one conditional scan-aggregate of
+    * `prev` instead of a node-keyed shuffle join against the dangling
+    * frame (r11 — 10 iterations drop 10 join stages; same arithmetic,
+    * dm = Σ r over out-degree-0 nodes, bit-identical to the oracle).
+    */
+  private[ops] def prDirNodesFlagged(nodes: DataFrame,
+                                     outw: DataFrame): DataFrame = {
+    import nodes.sparkSession.implicits._
+    nodes
+      .join(outw.select($"w1".as("node"), lit(1L).as("has_out"))
+              .hint("SHUFFLE_HASH"),
+            Seq("node"), "left")
+      .select($"node", coalesce($"has_out", lit(0L)).as("has_out"))
+  }
+
+  /** One directed PageRank iteration — split out (r15) for the PlanSpec
+    * posture pin. The 1-row dangling-mass `share` frame is the ONE
+    * legitimate broadcast in the family (a scalar crossed in).
+    */
+  private[ops] def prDirStep(edw: DataFrame, nodesF: DataFrame, n: Long,
+                             prev: DataFrame): DataFrame = {
+    import edw.sparkSession.implicits._
+    val contrib = edw
+      .join(prev.select($"node".as("w1"), $"r").hint("SHUFFLE_HASH"), "w1")
+      .select($"w2".as("node"), expr("r div out_w").as("c"))
+      .groupBy($"node").agg(sum($"c").as("incoming"))
+    val share = prev
+      .agg(coalesce(sum(when($"has_out" === 0L, $"r")), lit(0L)).as("dm"))
+      .select(expr(s"dm div ${n}L").as("ds"))
+    nodesF.join(contrib.hint("SHUFFLE_HASH"), Seq("node"), "left")
+      .crossJoin(broadcast(share))
+      .select($"node", $"has_out",
+        (lit(150000L) +
+         expr("(850 * (coalesce(incoming, 0L) + ds)) div 1000")).as("r"))
+  }
+
   /** [[pagerankDirectedQ]] over any directed `(a, b)` edge frame —
     * exposed so the GraphSpec law can drive it with hand-built graphs
     * against a driver-side integer replica.
@@ -211,40 +289,23 @@ object Graph extends QueryPack {
     // (r11, same as the undirected form): per-iteration work drops to
     // one rank join + one aggregate over the pinned weighted edges.
     // SHUFFLE_HASH pins on every vertex-sized side (r14): see
-    // pagerankFrom — AQE broadcasts them under the fixture threshold,
+    // prWeighted — AQE broadcasts them under the fixture threshold,
     // super-linear per-task build at scale.
-    val edw = ed.join(outw.hint("SHUFFLE_HASH"), "w1")
+    val edw = prDirWeighted(ed, outw)
       .transform(graft.state.Materialize.pin)
     val nodes = ed.select($"w1".as("node"))
       .union(ed.select($"w2".as("node"))).distinct()
       .transform(graft.state.Materialize.pin)
     val n = nodes.count()
-    // the dangling SET is loop-invariant, so resolve membership ONCE into
-    // a flag column carried on every rank frame: the per-iteration
-    // dangling-mass scalar becomes one conditional scan-aggregate of
-    // `prev` instead of a node-keyed shuffle join against the dangling
-    // frame (r11 — 10 iterations drop 10 join stages; same arithmetic,
-    // dm = Σ r over out-degree-0 nodes, bit-identical to the oracle)
-    val nodesF = nodes
-      .join(outw.select($"w1".as("node"), lit(1L).as("has_out"))
-              .hint("SHUFFLE_HASH"),
-            Seq("node"), "left")
-      .select($"node", coalesce($"has_out", lit(0L)).as("has_out"))
+    val nodesF = prDirNodesFlagged(nodes, outw)
       .transform(graft.state.Materialize.pin)
-    def step(prev: DataFrame): DataFrame = {
-      val contrib = edw
-        .join(prev.select($"node".as("w1"), $"r").hint("SHUFFLE_HASH"), "w1")
-        .select($"w2".as("node"), expr("r div out_w").as("c"))
-        .groupBy($"node").agg(sum($"c").as("incoming"))
-      val share = prev
-        .agg(coalesce(sum(when($"has_out" === 0L, $"r")), lit(0L)).as("dm"))
-        .select(expr(s"dm div ${n}L").as("ds"))
-      nodesF.join(contrib.hint("SHUFFLE_HASH"), Seq("node"), "left")
-        .crossJoin(broadcast(share))
-        .select($"node", $"has_out",
-          (lit(150000L) +
-           expr("(850 * (coalesce(incoming, 0L) + ds)) div 1000")).as("r"))
-    }
+    // ed (and nodes) are dead once edw/nodesF have materialized — outw
+    // derives from ed but is only consumed inside those two pins.
+    // Release them instead of holding |E| + |V| resident rows through
+    // all PrIters iterations (r15, same rationale as pagerankFrom)
+    graft.state.Materialize.releasePinned(ed)
+    graft.state.Materialize.releasePinned(nodes)
+    def step(prev: DataFrame): DataFrame = prDirStep(edw, nodesF, n, prev)
     var r = nodesF.withColumn("r", lit(1000000L))
     var prev: DataFrame = r
     // cadence 2, NOT the undirected form's 5: each iteration's dangling-
@@ -253,10 +314,20 @@ object Graph extends QueryPack {
     // cadence 5 measured 3.7s -> 6.4s at sf0.1 from exactly that
     // quadratic recompute; cadence 2 bounds the re-executed chain to one
     // iteration
+    // superseded rank pins: the directed form must keep the last TWO
+    // pins resident (the residual join's `prev` is the iteration-9
+    // frame, whose lazy chain hangs off the second-newest pin) —
+    // release pin i-4 when pin i lands (r15, see pagerankFrom)
+    val pinRing = scala.collection.mutable.Queue.empty[DataFrame]
     for (i <- 1 to PrIters) {
       prev = r
       r = step(r)
-      if (i % 2 == 0) r = r.transform(graft.state.Materialize.pin)
+      if (i % 2 == 0) {
+        r = r.transform(graft.state.Materialize.pin)
+        pinRing.enqueue(r)
+        if (pinRing.size > 2)
+          graft.state.Materialize.releasePinned(pinRing.dequeue())
+      }
     }
     r.join(prev.select($"node", $"r".as("r_prev")), Seq("node"))
       .select($"node", $"r", abs($"r" - $"r_prev").as("residual"))
@@ -290,15 +361,7 @@ object Graph extends QueryPack {
       .transform(graft.state.Materialize.pin)
     var frontier = visited
     for (lvl <- 1 to K) {
-      // the visited set is corpus-scale by hop K on a real ego-net —
-      // SHUFFLE_HASH keeps the anti-join off the broadcast path (r14);
-      // the frontier ⋈ adjacency join is left UNPINNED on purpose: a
-      // small frontier against the full adjacency list is exactly where
-      // a broadcast is right, and AQE sizes it per level
-      val nxt = frontier.join(u, Seq("v"))
-        .select($"w".as("v")).distinct()
-        .join(visited.hint("SHUFFLE_HASH"), Seq("v"), "left_anti")
-        .withColumn("lvl", lit(lvl.toLong))
+      val nxt = khopExpand(u, visited, frontier, lvl)
         .transform(graft.state.Materialize.pin)
       // visited is a union of ALREADY-pinned level frames — re-pinning
       // it each round re-materialized the cumulative set K times (~2×K
@@ -310,6 +373,22 @@ object Graph extends QueryPack {
     visited.groupBy($"lvl")
       .agg(count(lit(1)).as("n_vertices"), min($"v").as("first_vertex"))
       .orderBy($"lvl")
+  }
+
+  /** One BFS frontier expansion — split out (r15) for the PlanSpec
+    * posture pin. The visited set is corpus-scale by hop K on a real
+    * ego-net — SHUFFLE_HASH keeps the anti-join off the broadcast path
+    * (r14); the frontier ⋈ adjacency join is left UNPINNED on purpose:
+    * a small frontier against the full adjacency list is exactly where
+    * a broadcast is right, and AQE sizes it per level.
+    */
+  private[ops] def khopExpand(u: DataFrame, visited: DataFrame,
+                              frontier: DataFrame, lvl: Int): DataFrame = {
+    import u.sparkSession.implicits._
+    frontier.join(u, Seq("v"))
+      .select($"w".as("v")).distinct()
+      .join(visited.hint("SHUFFLE_HASH"), Seq("v"), "left_anti")
+      .withColumn("lvl", lit(lvl.toLong))
   }
 
   /** Triangle count via DEGREE-ORIENTED wedge closing. Orienting every
@@ -335,26 +414,34 @@ object Graph extends QueryPack {
   def triangleSummary(spark: SparkSession, eRaw: DataFrame): DataFrame = {
     import spark.implicits._
     val (e, deg, oriented) = degreeOriented(spark, eRaw)
-    // SHUFFLE_HASH-pin every side that scales with the CORPUS (r14): the
-    // wedge and closing joins build against the full oriented edge list,
-    // and AQE happily broadcasts it while the graph sits under the
-    // threshold — per-task build cost then grows with the graph and the
-    // r14 weak-scaling probe measured the resulting m² cpu (3.2 -> 18.6
-    // cpu_sec/MB over 4 -> 64 disjoint replicas). The pinned shape
-    // shuffles on the join key instead: per-task build = one partition
-    // of the edges, bounded by parallelism, the same posture as the LSH
-    // pair joins. Orientation keeps the per-key fanout O(√m), so the
-    // shuffle join's skew exposure is already bounded by construction.
-    val tri = oriented.as("e1")
+    val tri = wedgeClose(oriented)
+    val nv = deg.agg(count(lit(1)).as("n_vertices"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    val nt = tri.agg(count(lit(1)).as("n_triangles"))
+    nv.crossJoin(ne).crossJoin(nt)
+  }
+
+  /** Wedge build + closing semi-join over the (degree,id)-oriented edge
+    * list — split out (r15) for the PlanSpec posture pin.
+    * SHUFFLE_HASH-pin every side that scales with the CORPUS (r14): the
+    * wedge and closing joins build against the full oriented edge list,
+    * and AQE happily broadcasts it while the graph sits under the
+    * threshold — per-task build cost then grows with the graph and the
+    * r14 weak-scaling probe measured the resulting m² cpu (3.2 -> 18.6
+    * cpu_sec/MB over 4 -> 64 disjoint replicas). The pinned shape
+    * shuffles on the join key instead: per-task build = one partition
+    * of the edges, bounded by parallelism, the same posture as the LSH
+    * pair joins. Orientation keeps the per-key fanout O(√m), so the
+    * shuffle join's skew exposure is already bounded by construction.
+    */
+  private[ops] def wedgeClose(oriented: DataFrame): DataFrame = {
+    import oriented.sparkSession.implicits._
+    oriented.as("e1")
       .join(oriented.as("e2").hint("SHUFFLE_HASH"),
             $"e1.src" === $"e2.src" && $"e1.kdst" < $"e2.kdst")
       .select($"e1.dst".as("v"), $"e2.dst".as("w"))
       .join(oriented.as("e3").hint("SHUFFLE_HASH"),
             $"v" === $"e3.src" && $"w" === $"e3.dst", "left_semi")
-    val nv = deg.agg(count(lit(1)).as("n_vertices"))
-    val ne = e.agg(count(lit(1)).as("n_edges"))
-    val nt = tri.agg(count(lit(1)).as("n_triangles"))
-    nv.crossJoin(ne).crossJoin(nt)
   }
 
   /** Shared degree + (degree,id)-oriented edge build for the triangle
@@ -376,21 +463,28 @@ object Graph extends QueryPack {
     val e = eRaw.transform(graft.state.Materialize.pin)
     val deg = e.select($"a".as("v")).union(e.select($"b".as("v")))
       .groupBy($"v").agg(count(lit(1)).as("deg"))
+    val oriented = orientByDegree(e, deg)
+      .transform(graft.state.Materialize.pin)
+    (e, deg, oriented)
+  }
+
+  /** The (degree,id) orientation joins — split out (r15) for the
+    * PlanSpec posture pin. The degree side is VERTEX-sized
+    * (corpus-scale) — same never-broadcast-a-corpus-side pin as the
+    * wedge join ([[wedgeClose]]).
+    */
+  private[ops] def orientByDegree(e: DataFrame, deg: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
     // total order k(v) = (degree, id); both branches build the SAME field
     // names so the when/otherwise struct types unify
     val ka = struct($"da".as("d"), $"a".as("i"))
     val kb = struct($"db".as("d"), $"b".as("i"))
-    // the degree side is VERTEX-sized (corpus-scale) — same
-    // never-broadcast-a-corpus-side pin as the wedge join above
-    val oriented = e
-      .join(deg.select($"v".as("a"), $"deg".as("da")).hint("SHUFFLE_HASH"), "a")
+    e.join(deg.select($"v".as("a"), $"deg".as("da")).hint("SHUFFLE_HASH"), "a")
       .join(deg.select($"v".as("b"), $"deg".as("db")).hint("SHUFFLE_HASH"), "b")
       .select(
         when(ka < kb, $"a").otherwise($"b").as("src"),
         when(ka < kb, kb).otherwise(ka).as("kdst"))
       .withColumn("dst", $"kdst.i")
-      .transform(graft.state.Materialize.pin)
-    (e, deg, oriented)
   }
 
   /** Degree/wedge census of the oriented triangle build — the scale

@@ -986,6 +986,36 @@ object Dedup extends QueryPack {
     parent.keys.toSeq.map(k => (k, find(k))).toDF("doc", "lab")
   }
 
+  /** One large-star contraction round — lifted to object level (r15) so
+    * PlanSpec can pin its never-broadcast posture on the exact
+    * production join. The per-vertex minima frames are VERTEX-sized
+    * (corpus-scale at 100 TB) — SHUFFLE_HASH-pinned so AQE cannot flip
+    * these joins to broadcast while the fixture sits under the
+    * threshold (r14, the same super-linear per-task-build hazard the
+    * graph weak-scaling probe measured on the triangle wedge join).
+    */
+  private[graft] def largeStarStep(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    val sym = df.select($"u", $"v")
+      .union(df.select($"v".as("u"), $"u".as("v")))
+    val mins = sym.groupBy($"u").agg(min($"v").as("mv"))
+      .select($"u", least($"mv", $"u").as("m"))
+    sym.join(mins.hint("SHUFFLE_HASH"), Seq("u")).where($"v" > $"u")
+      .select($"v".as("u"), $"m".as("v")).distinct()
+  }
+
+  /** One small-star contraction round — see [[largeStarStep]] for the
+    * SHUFFLE_HASH posture rationale. */
+  private[graft] def smallStarStep(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    val dir = df.select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+    val mins = dir.groupBy($"u").agg(min($"v").as("m"))
+    dir.join(mins.hint("SHUFFLE_HASH"), Seq("u"))
+      .select($"v".as("u"), $"m".as("v"))
+      .union(mins.select($"u", $"m".as("v")))
+      .where($"u" =!= $"v").distinct()
+  }
+
   private[graft] def starComponents(pairs: DataFrame,
                                     maxRounds: Int = 100): DataFrame = {
     import pairs.sparkSession.implicits._
@@ -1022,27 +1052,8 @@ object Dedup extends QueryPack {
           lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
-    // the per-vertex minima frames are VERTEX-sized (corpus-scale at
-    // 100 TB) — SHUFFLE_HASH-pinned so AQE cannot flip these joins to
-    // broadcast while the fixture sits under the threshold (r14, the
-    // same super-linear per-task-build hazard the graph weak-scaling
-    // probe measured on the triangle wedge join)
-    def largeStar(df: DataFrame): DataFrame = {
-      val sym = df.select($"u", $"v")
-        .union(df.select($"v".as("u"), $"u".as("v")))
-      val mins = sym.groupBy($"u").agg(min($"v").as("mv"))
-        .select($"u", least($"mv", $"u").as("m"))
-      sym.join(mins.hint("SHUFFLE_HASH"), Seq("u")).where($"v" > $"u")
-        .select($"v".as("u"), $"m".as("v")).distinct()
-    }
-    def smallStar(df: DataFrame): DataFrame = {
-      val dir = df.select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
-      val mins = dir.groupBy($"u").agg(min($"v").as("m"))
-      dir.join(mins.hint("SHUFFLE_HASH"), Seq("u"))
-        .select($"v".as("u"), $"m".as("v"))
-        .union(mins.select($"u", $"m".as("v")))
-        .where($"u" =!= $"v").distinct()
-    }
+    def largeStar(df: DataFrame): DataFrame = largeStarStep(df)
+    def smallStar(df: DataFrame): DataFrame = smallStarStep(df)
     val dbg = java.lang.Boolean.getBoolean("graft.graph.debug")
     var prev = fp(e)
     var converged = false

@@ -46,6 +46,24 @@ object ScaleProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_MATERIALIZE=reliable flips every Materialize.pin in
+    // the probed operators to checkpoint() (files, not resident blocks)
+    // — the VERDICT r14 #2 experiment lever: if a weak-row residual
+    // vanishes under reliable pins, resident-block memory pressure is
+    // the attributed mechanism.
+    sys.env.get("SPARK_GRAFT_MATERIALIZE")
+      .foreach(m => spark.conf.set(graft.state.Materialize.ModeKey, m))
+    // SPARK_GRAFT_CONF="k=v;k=v" — generic session-conf passthrough for
+    // probe diagnostics (r15: re-testing the pagerank pin-cadence
+    // rule-out under the new per-rung steal covariate; the r14 rule-out
+    // was measured without one)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case _ => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_CONF: malformed entry '$kv' — expected k=v;k=v")
+      }
+    })
     import spark.implicits._
     // Optional comma-separated section filter (SPARK_GRAFT_PROBE_ONLY):
     // mult=100 is only feasible for the ≈linear families — the
@@ -292,6 +310,7 @@ object ScaleProbe {
     val wsCpuNs = new java.util.concurrent.atomic.AtomicLong(0)
     val wsTasks = new java.util.concurrent.atomic.AtomicLong(0)
     val wsSpill = new java.util.concurrent.atomic.AtomicLong(0)
+    val wsGcMs = new java.util.concurrent.atomic.AtomicLong(0)
     // listener + corpus-bytes job only when a weak section is actually
     // selected (a SPARK_GRAFT_PROBE_ONLY run of other sections would
     // otherwise pay a full corpus scan and funnel EVERY later section's
@@ -301,7 +320,7 @@ object ScaleProbe {
     // operator = one tag here + one weakScale(...) line below
     val weakTags = Seq("weak-winnow", "weak-spans", "weak-tfidf",
       "weak-suffix", "weak-pagerank", "weak-pagerank-dir",
-      "weak-triangles")
+      "weak-triangles", "weak-ann-mp2", "weak-ann-mp4")
     val weakEnabled = weakTags
       .exists(n => onlySections.forall(_.contains(n)))
     val wsListener = new SparkListener {
@@ -312,6 +331,7 @@ object ScaleProbe {
           wsCpuNs.addAndGet(m.executorCpuTime)
           wsTasks.incrementAndGet()
           wsSpill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          wsGcMs.addAndGet(m.jvmGCTime)
         }
       }
     }
@@ -338,7 +358,15 @@ object ScaleProbe {
       // from data-coupled growth — r14 pagerank investigation)
       val ladder = sys.env.get("SPARK_GRAFT_WEAK_RUNGS") match {
         case Some(spec) => spec.split(",").toSeq.map { r =>
-          val Array(m, p) = r.split(":"); (m.toInt, p.toInt, "custom")
+          // loud on a malformed rung: the bare destructure aborted the
+          // whole probe with an opaque MatchError naming neither the env
+          // var nor the expected shape (ADVICE r14)
+          r.split(":") match {
+            case Array(m, p) => (m.toInt, p.toInt, "custom")
+            case _ => throw new IllegalArgumentException(
+              s"SPARK_GRAFT_WEAK_RUNGS: malformed rung '$r' in '$spec' — " +
+              "expected a comma list of m:parts pairs, e.g. 4:4,64:16")
+          }
         }
         case None => Seq(4, 16, WeakLadderMax).map(m => (m, m, "weak"))
       }
@@ -361,10 +389,23 @@ object ScaleProbe {
             spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
             val c = mkInput(m).repartition(parts)
             wsTaskMs.set(0); wsCpuNs.set(0); wsTasks.set(0); wsSpill.set(0)
+            wsGcMs.set(0)
+            val steal0 = graft.Bench.stealTicks()
             val t0 = System.nanoTime()
             run(c)
             val wall = (System.nanoTime() - t0) / 1e9
             Thread.sleep(500) // listener bus drain
+            // per-rung hypervisor-steal covariate (r15): the r14 rung
+            // readings varied 4.8–12.8 at m=64 with no recorded
+            // environment signal — a memory-hungry stolen-from neighbor
+            // inflates even on-cpu time (bandwidth stalls bill to the
+            // thread), so every rung now carries its own steal reading
+            // and a contaminated rung is self-describing instead of a
+            // mystery. USER_HZ = 100 (Bench's documented assumption).
+            val steal1 = graft.Bench.stealTicks()
+            val stealS =
+              if (steal0 >= 0 && steal1 >= 0) (steal1 - steal0) / 100.0 else -1.0
+            val stealCores = if (stealS >= 0 && wall > 0) stealS / wall else -1.0
             val mb = baseMb * m
             val taskSec = wsTaskMs.get() / 1e3
             val cpuSec = wsCpuNs.get() / 1e9
@@ -376,7 +417,9 @@ object ScaleProbe {
               f"per_task_mb=${mb / parts}%.1f tasks=${wsTasks.get()}%-5d " +
               f"wall=$wall%.1fs task_sec=$taskSec%.1f cpu_sec=$cpuSec%.1f " +
               f"cpu_sec_per_mb=${cpuSec / mb}%.3f " +
-              f"spill_mb=${wsSpill.get() / (1 << 20)}%d kind=$kind")
+              f"spill_mb=${wsSpill.get() / (1 << 20)}%d " +
+              f"gc_sec=${wsGcMs.get() / 1e3}%.1f " +
+              f"steal_cpu_s=$stealS%.1f steal_cores=$stealCores%.2f kind=$kind")
           }
         } finally {
           spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
@@ -478,6 +521,30 @@ object ScaleProbe {
     weakScale("triangles",
       { c => graft.ops.Graph.triangleSummary(spark, c).count(); sweepDebris() },
       mkInput = graphM, baseMb = graphMb)
+    // Multi-probe ANN at breadths nprobe ∈ {2, 4} (VERDICT r14 #6): the
+    // scaladoc's nprobe× shuffle cost model, measured at multiplier
+    // scale instead of asserted. CAVEAT (same class as the duplicated
+    // suffix ladder): ×m id-shifted replicas duplicate the vector
+    // POPULATION, so every IVF cell's membership grows ×m and the
+    // within-cell candidate reduce is a WORST-CASE density input, not
+    // weak scaling's independent-content premise — expect super-linear
+    // per-MB growth on BOTH rows; the cost-model verdict is the
+    // mp4/mp2 per-rung RATIO (breadth multiplies candidate volume;
+    // model predicts ≲2× and sub-linear in probes from pair dedup).
+    def embM(m: Int) = (0 until m)
+      .map(i => base.select(($"vec_id" + lit(i * ReplicaStride)).as("vec_id"),
+                            $"v", $"nrm"))
+      .reduce(_ unionByName _)
+    lazy val embMb =
+      base.agg(sum(size($"v"))).as[Long].collect().head * 8.0 / (1 << 20)
+    weakScale("ann-mp2",
+      { c => Similarity.annTopKWithin(c, k = 3, thr = 0.45, nprobe = 2)
+               .agg(count(lit(1))).collect(); sweepDebris() },
+      mkInput = embM, baseMb = embMb)
+    weakScale("ann-mp4",
+      { c => Similarity.annTopKWithin(c, k = 3, thr = 0.45, nprobe = 4)
+               .agg(count(lit(1))).collect(); sweepDebris() },
+      mkInput = embM, baseMb = embMb)
     if (weakEnabled) spark.sparkContext.removeSparkListener(wsListener)
 
     // End-to-end curation funnel at multiplied corpus: duplication makes

@@ -621,6 +621,18 @@ final class SemDedupProcessor(params: Conf) extends Transform {
   * contraction); `assume_unique_ids` skips the duplicate-id census
   * (see [[IdGuards.uniqueGuarded]]).
   *
+  * SINGLE-IN-FLIGHT-OUTPUT CONTRACT (ADVICE r14): each `apply()`
+  * releases the PREVIOUS invocation's internal drop-set pin — the
+  * previous output frame consumes that pin lazily (its final
+  * anti-join), so the previous output must be FULLY MATERIALIZED
+  * (written / collected / counted) before this instance is applied to
+  * another frame. A foreach_batch sink satisfies this by construction
+  * (micro-batches are strictly sequential per query); a caller that
+  * builds two outputs from one instance and only then consumes both
+  * will lose the first output's checkpoint blocks/files and fail with
+  * missing-block / FileNotFound errors — use one processor instance
+  * per in-flight output instead.
+  *
   * PRECONDITIONS (enforced by [[EmbeddingStage]]): unique integral ids;
   * embeddings of the quantizer's dimension with positive finite norm.
   */

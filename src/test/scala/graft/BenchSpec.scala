@@ -101,7 +101,10 @@ class BenchSpec extends AnyFunSuite {
     // scrape window — it must say so like the positional fallback does,
     // or BENCH_REGRESS.md reports a silently shrunken comparable set
     // (ADVICE r13)
-    assert(tnote.exists(n => n.contains("UNCHECKED") && n.contains("2")),
+    // "2 pairs" — the exact recovered-pair count, not a bare "2" (which
+    // the note's "2000-char" always satisfies, making the count check
+    // vacuous — ADVICE r14)
+    assert(tnote.exists(n => n.contains("UNCHECKED") && n.contains("2 pairs")),
       s"tail decode must carry a loud degraded-decode note, got $tnote")
   }
 

@@ -684,4 +684,118 @@ class PlanSpec extends SparkSpec {
     // pure per-doc projection (no aggregate at all — that's the point)
     assert(plan("llm_nfc_census").contains("Aggregate"))
   }
+
+  // ---- Graph-family never-broadcast posture (VERDICT r14 #3). The r14
+  // weak-scaling probe caught AQE flipping the family's corpus-scaled
+  // join sides to broadcast while the fixture sits under the threshold
+  // (per-task build then grows with the graph — measured m² cpu), and
+  // fb6fa51 pinned every such side to SHUFFLE_HASH. That fix was
+  // verified only by a one-time PLANS.md regen; these tests execute the
+  // PRE-PIN inner frames (pins truncate the gate-level plans) through
+  // the exact production helpers against pinned stat-less inputs — the
+  // precise planning context in which AQE broadcasts a fixture-small
+  // side — and fail if a Spark upgrade or hint-handling change silently
+  // reverts the posture. Plans are read AFTER execution (AQE finalizes
+  // join strategies at runtime).
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def assertShuffledNeverBroadcast(p: String, minJoins: Int,
+                                           tag: String): Unit = {
+    assert("ShuffledHashJoin".r.findAllIn(p).size >= minJoins,
+      s"$tag expected >= $minJoins ShuffledHashJoin:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"$tag broadcast a corpus-scale side:\n$p")
+  }
+
+  test("pagerank (undirected): the degree join and both iteration joins " +
+       "stay ShuffledHashJoin over pinned stat-less inputs, AQE on — " +
+       "never broadcast (the r14 m² weak-scaling hazard)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pin = graft.state.Materialize.pin _
+    val e = Graph.edgesAt(spark, dir, 45)
+    val u = pin(e.select($"a".as("w1"), $"b".as("w2"))
+      .union(e.select($"b".as("w1"), $"a".as("w2"))))
+    assertShuffledNeverBroadcast(finalPlan(Graph.prWeighted(u)), 1, "prWeighted")
+    val uw = pin(Graph.prWeighted(u))
+    val nodes = pin(u.select($"w1".as("node")).distinct())
+    val r0 = nodes.withColumn("r", lit(1000000L))
+    assertShuffledNeverBroadcast(finalPlan(Graph.prStep(uw, nodes, r0)), 2,
+      "prStep")
+  }
+
+  test("pagerank (directed): weighted-edge, dangling-flag, and iteration " +
+       "joins stay ShuffledHashJoin; the only broadcast is the 1-row " +
+       "dangling-mass share (a BroadcastNestedLoopJoin cross, by design)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pin = graft.state.Materialize.pin _
+    val e = Graph.edgesAt(spark, dir, 45)
+    val ed = pin(e.select($"a".as("w1"), $"b".as("w2")))
+    val outw = ed.groupBy($"w1").agg(count(lit(1)).as("out_w"))
+    assertShuffledNeverBroadcast(finalPlan(Graph.prDirWeighted(ed, outw)), 1,
+      "prDirWeighted")
+    val edw = pin(Graph.prDirWeighted(ed, outw))
+    val nodes = pin(ed.select($"w1".as("node"))
+      .union(ed.select($"w2".as("node"))).distinct())
+    val n = nodes.count()
+    assertShuffledNeverBroadcast(
+      finalPlan(Graph.prDirNodesFlagged(nodes, outw)), 1, "prDirNodesFlagged")
+    val nodesF = pin(Graph.prDirNodesFlagged(nodes, outw))
+    val r0 = nodesF.withColumn("r", lit(1000000L))
+    assertShuffledNeverBroadcast(finalPlan(Graph.prDirStep(edw, nodesF, n, r0)),
+      2, "prDirStep")
+  }
+
+  test("triangles: the orientation joins and the wedge/closing joins stay " +
+       "ShuffledHashJoin (closing join a shuffled LeftSemi) — the oriented " +
+       "edge list is never a broadcast build side") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pin = graft.state.Materialize.pin _
+    val e = pin(Graph.edgesAt(spark, dir, 25))
+    val deg = e.select($"a".as("v")).union(e.select($"b".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("deg"))
+    assertShuffledNeverBroadcast(finalPlan(Graph.orientByDegree(e, deg)), 2,
+      "orientByDegree")
+    val oriented = pin(Graph.orientByDegree(e, deg))
+    val p = finalPlan(Graph.wedgeClose(oriented))
+    assertShuffledNeverBroadcast(p, 2, "wedgeClose")
+    assert(p.linesIterator.exists(l =>
+      l.contains("ShuffledHashJoin") && l.contains("LeftSemi")), p)
+  }
+
+  test("khop: the visited anti-join stays a shuffled LeftAnti (the " +
+       "frontier⋈adjacency join may broadcast by design — AQE sizes the " +
+       "small frontier per level)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pin = graft.state.Materialize.pin _
+    val e = Graph.edgesAt(spark, dir, 45)
+    val u = pin(e.select($"a".as("v"), $"b".as("w"))
+      .union(e.select($"b".as("v"), $"a".as("w"))))
+    val src = e.agg(min($"a")).head().getLong(0)
+    val visited = pin(Seq((src, 0L)).toDF("v", "lvl"))
+    val p = finalPlan(Graph.khopExpand(u, visited, visited, 1))
+    assert(p.linesIterator.exists(l =>
+      l.contains("ShuffledHashJoin") && l.contains("LeftAnti")), p)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")), p)
+  }
+
+  test("star contraction: the large-star and small-star minima joins stay " +
+       "ShuffledHashJoin over a pinned stat-less edge frame") {
+    import spark.implicits._
+    val pin = graft.state.Materialize.pin _
+    val e = Graph.edgesAt(spark, dir, 45)
+    val pairs = pin(e.select($"a".as("u"), $"b".as("v")))
+    assertShuffledNeverBroadcast(
+      finalPlan(graft.ops.llm.Dedup.largeStarStep(pairs)), 1, "largeStarStep")
+    assertShuffledNeverBroadcast(
+      finalPlan(graft.ops.llm.Dedup.smallStarStep(pairs)), 1, "smallStarStep")
+  }
 }
