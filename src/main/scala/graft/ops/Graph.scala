@@ -297,6 +297,12 @@ object Graph extends QueryPack {
       .union(ed.select($"w2".as("node"))).distinct()
       .transform(graft.state.Materialize.pin)
     val n = nodes.count()
+    // ANSI mode (Spark 4 default) makes the dangling share's `dm div n`
+    // a runtime DivideByZero on an empty graph — fail at the API edge
+    // with the actual problem instead (r15)
+    require(n > 0,
+      "pagerankDirected: empty edge frame (no vertices) — PageRank over " +
+      "an empty graph is undefined; filter upstream or skip the call")
     val nodesF = prDirNodesFlagged(nodes, outw)
       .transform(graft.state.Materialize.pin)
     // ed (and nodes) are dead once edw/nodesF have materialized — outw

@@ -194,6 +194,17 @@ class GraphSpec extends SparkSpec {
     assert(e.getMessage.contains("pinCadence"))
   }
 
+  test("pagerankDirectedFrom fails loudly on an empty edge frame (ANSI " +
+       "mode would otherwise surface it as a DivideByZero in the " +
+       "dangling share)") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      Graph.pagerankDirectedFrom(
+        Seq.empty[(Long, Long)].toDF("a", "b"))
+    }
+    assert(e.getMessage.contains("empty edge frame"))
+  }
+
   test("dedupClusters matches GraphX ConnectedComponents on the fixture " +
        "near-dup graph (independent engine cross-check)") {
     // GraphX CC converges to the minimum vertex id per component — the
