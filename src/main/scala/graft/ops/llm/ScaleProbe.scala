@@ -537,13 +537,20 @@ object ScaleProbe {
       .reduce(_ unionByName _)
     lazy val embMb =
       base.agg(sum(size($"v"))).as[Long].collect().head * 8.0 / (1 << 20)
+    // force BOTH output columns through a hash (the Bench.force
+    // discipline): a bare count() would let Catalyst prune the final
+    // sort_array(collect_list(...)) out of the measured plan
+    def annForce(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.select(xxhash64($"vec_id", $"topk").as("h"))
+        .agg(bit_xor($"h")).collect(); ()
+    }
     weakScale("ann-mp2",
-      { c => Similarity.annTopKWithin(c, k = 3, thr = 0.45, nprobe = 2)
-               .agg(count(lit(1))).collect(); sweepDebris() },
+      { c => annForce(Similarity.annTopKWithin(c, k = 3, thr = 0.45,
+               nprobe = 2)); sweepDebris() },
       mkInput = embM, baseMb = embMb)
     weakScale("ann-mp4",
-      { c => Similarity.annTopKWithin(c, k = 3, thr = 0.45, nprobe = 4)
-               .agg(count(lit(1))).collect(); sweepDebris() },
+      { c => annForce(Similarity.annTopKWithin(c, k = 3, thr = 0.45,
+               nprobe = 4)); sweepDebris() },
       mkInput = embM, baseMb = embMb)
     if (weakEnabled) spark.sparkContext.removeSparkListener(wsListener)
 
