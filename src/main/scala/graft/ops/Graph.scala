@@ -139,13 +139,23 @@ object Graph extends QueryPack {
     val u = e.select($"a".as("w1"), $"b".as("w2"))
       .union(e.select($"b".as("w1"), $"a".as("w2")))
       .transform(graft.state.Materialize.pin)
+    // pin-mode autopilot (VERDICT r15 #3): the loop-resident pins below
+    // (weighted edges, node domain, rank ring) upgrade to reliable
+    // checkpoint FILES when the just-materialized edge pin's measured
+    // block bytes put the loop past the single-JVM GC cliff — r15
+    // measured reliable pins collapsing the 64-replica stall 153–680s
+    // → 95–97s. An explicitly configured session mode always wins.
+    val pinLoop: DataFrame => DataFrame = {
+      val mode = graft.state.Materialize.loopMode(u)
+      df => graft.state.Materialize.pinWith(df, mode)
+    }
     // the degree join is LOOP-INVARIANT: weight every edge with its
     // source's out-degree once and pin, instead of re-joining u ⋈ outw
     // inside all PrIters iterations (r11 — one pinned frame replaces T
     // edge-shuffle joins; per-iteration work drops to one join + one agg)
-    val uw = prWeighted(u).transform(graft.state.Materialize.pin)
+    val uw = prWeighted(u).transform(pinLoop)
     val nodes = u.select($"w1".as("node")).distinct()
-      .transform(graft.state.Materialize.pin)
+      .transform(pinLoop)
     // u's only consumers (uw, nodes) have just materialized — release
     // its blocks NOW instead of holding 2|E| resident rows through all
     // PrIters iterations (r15, the VERDICT r14 #2 memory-pressure
@@ -187,7 +197,7 @@ object Graph extends QueryPack {
     for (i <- 1 to PrIters) {
       r = step(r)
       if (i % cadence == 0) {
-        r = r.transform(graft.state.Materialize.pin)
+        r = r.transform(pinLoop)
         prevPin.foreach(graft.state.Materialize.releasePinned)
         prevPin = Some(r)
       }
@@ -258,8 +268,18 @@ object Graph extends QueryPack {
   /** One directed PageRank iteration — split out (r15) for the PlanSpec
     * posture pin. The 1-row dangling-mass `share` frame is the ONE
     * legitimate broadcast in the family (a scalar crossed in).
+    *
+    * The step's LEFT side is `prev` itself, not the static node frame
+    * (r16, VERDICT r15 #6): `prev` carries the full node domain by
+    * construction (it starts as the flagged nodes and every step is a
+    * LEFT join on it), so joining contributions onto `prev` costs the
+    * same vertex-sized SHUFFLE_HASH join — and lets the new frame carry
+    * the previous rank as an `r_prev` column. The residual output then
+    * reads ONE frame instead of joining the last two rank pins, which
+    * halves the loop's resident rank state (the old pin ring kept two
+    * vertex-sized pins because the final join read the second-newest).
     */
-  private[ops] def prDirStep(edw: DataFrame, nodesF: DataFrame, n: Long,
+  private[ops] def prDirStep(edw: DataFrame, n: Long,
                              prev: DataFrame): DataFrame = {
     import edw.sparkSession.implicits._
     val contrib = edw
@@ -269,11 +289,13 @@ object Graph extends QueryPack {
     val share = prev
       .agg(coalesce(sum(when($"has_out" === 0L, $"r")), lit(0L)).as("dm"))
       .select(expr(s"dm div ${n}L").as("ds"))
-    nodesF.join(contrib.hint("SHUFFLE_HASH"), Seq("node"), "left")
+    prev.select($"node", $"has_out", $"r".as("r_prev"))
+      .join(contrib.hint("SHUFFLE_HASH"), Seq("node"), "left")
       .crossJoin(broadcast(share))
       .select($"node", $"has_out",
         (lit(150000L) +
-         expr("(850 * (coalesce(incoming, 0L) + ds)) div 1000")).as("r"))
+         expr("(850 * (coalesce(incoming, 0L) + ds)) div 1000")).as("r"),
+        $"r_prev")
   }
 
   /** [[pagerankDirectedQ]] over any directed `(a, b)` edge frame —
@@ -284,7 +306,30 @@ object Graph extends QueryPack {
     import e.sparkSession.implicits._
     val ed = e.select($"a".as("w1"), $"b".as("w2"))
       .transform(graft.state.Materialize.pin)
+    // pin-mode autopilot from the measured edge-pin bytes (VERDICT r15
+    // #3) — see pagerankFrom; an explicit session mode always wins
+    val pinLoop: DataFrame => DataFrame = {
+      val mode = graft.state.Materialize.loopMode(ed)
+      df => graft.state.Materialize.pinWith(df, mode)
+    }
     val outw = ed.groupBy($"w1").agg(count(lit(1)).as("out_w"))
+    val nodes = ed.select($"w1".as("node"))
+      .union(ed.select($"w2".as("node"))).distinct()
+      .transform(pinLoop)
+    val n = nodes.count()
+    // ANSI mode (Spark 4 default) makes the dangling share's `dm div n`
+    // a runtime DivideByZero on an empty graph — fail at the API edge
+    // with the actual problem instead (r15). Release the two pins
+    // already created before throwing (ADVICE r15: the throw path
+    // skipped the release discipline — a retrying caller under
+    // materialize=reliable accrued orphan checkpoint files per attempt)
+    if (n == 0) {
+      graft.state.Materialize.releasePinned(nodes)
+      graft.state.Materialize.releasePinned(ed)
+    }
+    require(n > 0,
+      "pagerankDirected: empty edge frame (no vertices) — PageRank over " +
+      "an empty graph is undefined; filter upstream or skip the call")
     // loop-invariant degree join hoisted out of all PrIters iterations
     // (r11, same as the undirected form): per-iteration work drops to
     // one rank join + one aggregate over the pinned weighted edges.
@@ -292,51 +337,39 @@ object Graph extends QueryPack {
     // prWeighted — AQE broadcasts them under the fixture threshold,
     // super-linear per-task build at scale.
     val edw = prDirWeighted(ed, outw)
-      .transform(graft.state.Materialize.pin)
-    val nodes = ed.select($"w1".as("node"))
-      .union(ed.select($"w2".as("node"))).distinct()
-      .transform(graft.state.Materialize.pin)
-    val n = nodes.count()
-    // ANSI mode (Spark 4 default) makes the dangling share's `dm div n`
-    // a runtime DivideByZero on an empty graph — fail at the API edge
-    // with the actual problem instead (r15)
-    require(n > 0,
-      "pagerankDirected: empty edge frame (no vertices) — PageRank over " +
-      "an empty graph is undefined; filter upstream or skip the call")
+      .transform(pinLoop)
     val nodesF = prDirNodesFlagged(nodes, outw)
-      .transform(graft.state.Materialize.pin)
+      .transform(pinLoop)
     // ed (and nodes) are dead once edw/nodesF have materialized — outw
     // derives from ed but is only consumed inside those two pins.
     // Release them instead of holding |E| + |V| resident rows through
     // all PrIters iterations (r15, same rationale as pagerankFrom)
     graft.state.Materialize.releasePinned(ed)
     graft.state.Materialize.releasePinned(nodes)
-    def step(prev: DataFrame): DataFrame = prDirStep(edw, nodesF, n, prev)
+    def step(prev: DataFrame): DataFrame = prDirStep(edw, n, prev)
     var r = nodesF.withColumn("r", lit(1000000L))
-    var prev: DataFrame = r
     // cadence 2, NOT the undirected form's 5: each iteration's dangling-
     // mass broadcast evaluates `prev` EAGERLY, so every un-pinned
     // iteration between pins is re-executed once per later iteration —
     // cadence 5 measured 3.7s -> 6.4s at sf0.1 from exactly that
     // quadratic recompute; cadence 2 bounds the re-executed chain to one
-    // iteration
-    // superseded rank pins: the directed form must keep the last TWO
-    // pins resident (the residual join's `prev` is the iteration-9
-    // frame, whose lazy chain hangs off the second-newest pin) —
-    // release pin i-4 when pin i lands (r15, see pagerankFrom)
-    val pinRing = scala.collection.mutable.Queue.empty[DataFrame]
+    // iteration.
+    // ONE resident rank pin (r16, VERDICT r15 #6): the step carries the
+    // previous rank as an `r_prev` column, so the residual output reads
+    // only the newest pin — release each superseded pin as the next
+    // lands, exactly the undirected form's chain. nodesF is dead the
+    // moment the FIRST pin materializes (only step 1 consumes it).
+    var prevPin: Option[DataFrame] = None
     for (i <- 1 to PrIters) {
-      prev = r
       r = step(r)
       if (i % 2 == 0) {
-        r = r.transform(graft.state.Materialize.pin)
-        pinRing.enqueue(r)
-        if (pinRing.size > 2)
-          graft.state.Materialize.releasePinned(pinRing.dequeue())
+        r = r.transform(pinLoop)
+        prevPin.foreach(graft.state.Materialize.releasePinned)
+        prevPin = Some(r)
+        if (i == 2) graft.state.Materialize.releasePinned(nodesF)
       }
     }
-    r.join(prev.select($"node", $"r".as("r_prev")), Seq("node"))
-      .select($"node", $"r", abs($"r" - $"r_prev").as("residual"))
+    r.select($"node", $"r", abs($"r" - $"r_prev").as("residual"))
       .orderBy($"r".desc, $"node").limit(50)
   }
 
@@ -362,13 +395,20 @@ object Graph extends QueryPack {
     val u = e.select($"a".as("v"), $"b".as("w"))
       .union(e.select($"b".as("v"), $"a".as("w")))
       .transform(graft.state.Materialize.pin)
+    // pin-mode autopilot from the adjacency pin's measured bytes
+    // (VERDICT r15 #3, see pagerankFrom): the K level pins accumulate
+    // for the walk's lifetime (the visited union reads all of them)
+    val pinLoop: DataFrame => DataFrame = {
+      val mode = graft.state.Materialize.loopMode(u)
+      df => graft.state.Materialize.pinWith(df, mode)
+    }
     val src = e.agg(min($"a")).head().getLong(0) // one-row bounded probe
     var visited = Seq((src, 0L)).toDF("v", "lvl")
-      .transform(graft.state.Materialize.pin)
+      .transform(pinLoop)
     var frontier = visited
     for (lvl <- 1 to K) {
       val nxt = khopExpand(u, visited, frontier, lvl)
-        .transform(graft.state.Materialize.pin)
+        .transform(pinLoop)
       // visited is a union of ALREADY-pinned level frames — re-pinning
       // it each round re-materialized the cumulative set K times (~2×K
       // eager jobs for a K-hop walk); the lazy union over the level pins
@@ -469,8 +509,10 @@ object Graph extends QueryPack {
     val e = eRaw.transform(graft.state.Materialize.pin)
     val deg = e.select($"a".as("v")).union(e.select($"b".as("v")))
       .groupBy($"v").agg(count(lit(1)).as("deg"))
-    val oriented = orientByDegree(e, deg)
-      .transform(graft.state.Materialize.pin)
+    // pin-mode autopilot (VERDICT r15 #3, see pagerankFrom): the
+    // oriented list is edge-sized and feeds all three wedge-join sides
+    val oriented = orientByDegree(e, deg).transform(df =>
+      graft.state.Materialize.pinWith(df, graft.state.Materialize.loopMode(e)))
     (e, deg, oriented)
   }
 

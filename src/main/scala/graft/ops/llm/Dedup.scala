@@ -1034,6 +1034,14 @@ object Dedup extends QueryPack {
       graft.state.Materialize.releasePinned(e)
       return starComponentsLocal(collected, spark)
     }
+    // pin-mode autopilot from the measured edge-pin bytes (VERDICT r15
+    // #3, see Graph.pagerankFrom): the contraction's round pins upgrade
+    // to reliable checkpoint files past the single-JVM GC cliff; an
+    // explicit session mode always wins
+    val pinLoop: DataFrame => DataFrame = {
+      val mode = graft.state.Materialize.loopMode(e)
+      df => graft.state.Materialize.pinWith(df, mode)
+    }
     // vertex domain = vertices incident to ≥1 NON-self edge (derived from
     // the filtered frame `e`, not the raw pairs): a vertex appearing only
     // in self-pairs is not part of the pair graph, on BOTH paths — the
@@ -1062,7 +1070,7 @@ object Dedup extends QueryPack {
       // one pin + one fingerprint per (large ∘ small) round; stability
       // of the COMPOSITION triggers the (rare) per-op confirmation
       // below instead of paying a mid-round materialization every round
-      val next = smallStar(largeStar(e)).transform(graft.state.Materialize.pin)
+      val next = smallStar(largeStar(e)).transform(pinLoop)
       val fpS = fp(next)
       if (fpS == prev) {
         // composition-stable: confirm large-star alone is also stable
@@ -1084,7 +1092,7 @@ object Dedup extends QueryPack {
     // its component minimum; the minima label themselves
     val labels = e.select($"u".as("doc"), $"v".as("lab"))
       .union(e.select($"v").distinct().select($"v".as("doc"), $"v".as("lab")))
-    val out = labels.transform(graft.state.Materialize.pin)
+    val out = labels.transform(pinLoop)
     val covered = out.count()
     require(covered == nVerts,
       s"star contraction lost vertices: $covered labels for $nVerts vertices")

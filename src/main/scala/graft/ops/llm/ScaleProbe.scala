@@ -320,7 +320,8 @@ object ScaleProbe {
     // operator = one tag here + one weakScale(...) line below
     val weakTags = Seq("weak-winnow", "weak-spans", "weak-tfidf",
       "weak-suffix", "weak-pagerank", "weak-pagerank-dir",
-      "weak-triangles", "weak-ann-mp2", "weak-ann-mp4")
+      "weak-triangles", "weak-ann-mp2", "weak-ann-mp4",
+      "weak-ann-indep-mp2", "weak-ann-indep-mp4")
     val weakEnabled = weakTags
       .exists(n => onlySections.forall(_.contains(n)))
     val wsListener = new SparkListener {
@@ -394,7 +395,6 @@ object ScaleProbe {
             val t0 = System.nanoTime()
             run(c)
             val wall = (System.nanoTime() - t0) / 1e9
-            Thread.sleep(500) // listener bus drain
             // per-rung hypervisor-steal covariate (r15): the r14 rung
             // readings varied 4.8–12.8 at m=64 with no recorded
             // environment signal — a memory-hungry stolen-from neighbor
@@ -402,7 +402,11 @@ object ScaleProbe {
             // thread), so every rung now carries its own steal reading
             // and a contaminated rung is self-describing instead of a
             // mystery. USER_HZ = 100 (Bench's documented assumption).
+            // Read NEXT to the wall-clock stop, BEFORE the listener
+            // drain sleep — steal accrued during the sleep is not part
+            // of the measured run (ADVICE r15).
             val steal1 = graft.Bench.stealTicks()
+            Thread.sleep(500) // listener bus drain
             val stealS =
               if (steal0 >= 0 && steal1 >= 0) (steal1 - steal0) / 100.0 else -1.0
             val stealCores = if (stealS >= 0 && wall > 0) stealS / wall else -1.0
@@ -552,6 +556,37 @@ object ScaleProbe {
       { c => annForce(Similarity.annTopKWithin(c, k = 3, thr = 0.45,
                nprobe = 4)); sweepDebris() },
       mkInput = embM, baseMb = embMb)
+    // INDEPENDENT-CONTENT ANN rungs (VERDICT r15 #7): the id-shifted
+    // embM ladder duplicates the vector POPULATION, quadratically
+    // densifying cells with exact-tie clusters — a deliberate worst
+    // case. These rungs decorrelate each replica with a deterministic
+    // per-(replica, dimension) SIGN pattern: a sign flip is an isometry,
+    // so every replica keeps the natural corpus's exact internal
+    // similarity structure (weak scaling's premise — m independent
+    // populations that each look like the base), while cross-replica
+    // dots collapse toward zero and cell membership is occupancy-driven
+    // geometry, not duplication. Norms are untouched (|±x| = |x|), so
+    // the precomputed nrm column stays valid. Disclosed residual: the
+    // operator's coarse quantizer is K = 4 FIXED cells, so per-cell
+    // occupancy still grows ×m by construction (production K grows with
+    // the corpus); the verdict metric is therefore the mp4/mp2 breadth
+    // ratio and the growth EXPONENT vs the duplicated ladder, not
+    // per-MB flatness.
+    def embMIndep(m: Int) = (0 until m)
+      .map(i => base.select(
+        ($"vec_id" + lit(i * ReplicaStride)).as("vec_id"),
+        expr(s"transform(v, (x, j) -> case when pmod(hash($i, j), 2) = 0" +
+             " then x else -x end)").as("v"),
+        $"nrm"))
+      .reduce(_ unionByName _)
+    weakScale("ann-indep-mp2",
+      { c => annForce(Similarity.annTopKWithin(c, k = 3, thr = 0.45,
+               nprobe = 2)); sweepDebris() },
+      mkInput = embMIndep, baseMb = embMb)
+    weakScale("ann-indep-mp4",
+      { c => annForce(Similarity.annTopKWithin(c, k = 3, thr = 0.45,
+               nprobe = 4)); sweepDebris() },
+      mkInput = embMIndep, baseMb = embMb)
     if (weakEnabled) spark.sparkContext.removeSparkListener(wsListener)
 
     // End-to-end curation funnel at multiplied corpus: duplication makes

@@ -621,17 +621,20 @@ final class SemDedupProcessor(params: Conf) extends Transform {
   * contraction); `assume_unique_ids` skips the duplicate-id census
   * (see [[IdGuards.uniqueGuarded]]).
   *
-  * SINGLE-IN-FLIGHT-OUTPUT CONTRACT (ADVICE r14): each `apply()`
-  * releases the PREVIOUS invocation's internal drop-set pin — the
-  * previous output frame consumes that pin lazily (its final
-  * anti-join), so the previous output must be FULLY MATERIALIZED
-  * (written / collected / counted) before this instance is applied to
-  * another frame. A foreach_batch sink satisfies this by construction
-  * (micro-batches are strictly sequential per query); a caller that
-  * builds two outputs from one instance and only then consumes both
-  * will lose the first output's checkpoint blocks/files and fail with
-  * missing-block / FileNotFound errors — use one processor instance
-  * per in-flight output instead.
+  * SINGLE-IN-FLIGHT-OUTPUT CONTRACT (ADVICE r14, ENFORCED r16): each
+  * output carries an observation, and `apply()` releases a prior
+  * invocation's internal drop-set pin only once that output's
+  * consumption is OBSERVED — so the contract's canonical violation
+  * (building two outputs from one instance before consuming either)
+  * now yields correct results for both, with a loud stderr note,
+  * instead of missing-block / FileNotFound errors. The residual stays
+  * bounded: only the newest unconsumed generation is retained (older
+  * ones are released loudly — consuming them after that fails), so a
+  * crash-looping caller cannot grow pins without bound. A
+  * foreach_batch sink satisfies the contract by construction
+  * (micro-batches are strictly sequential per query) and holds exactly
+  * one batch's drop-set residual. Still prefer one processor instance
+  * per in-flight output.
   *
   * PRECONDITIONS (enforced by [[EmbeddingStage]]): unique integral ids;
   * embeddings of the quantizer's dimension with positive finite norm.
@@ -651,20 +654,70 @@ final class SemDedupClustersProcessor(params: Conf) extends Transform {
     s"sem_dedup_clusters: unsupported params ${unknown.toSeq.sorted.mkString(", ")} " +
     "(supported: id_column, embedding_column, threshold, nprobe, " +
     "assume_unique_ids)")
-  /** Release handle for the PREVIOUS invocation's drop-set pin. The
-    * drop pin is consumed lazily (the returned anti-join), so this
-    * invocation cannot release it — but in a foreach_batch loop,
-    * invocations are strictly sequential per query and the previous
-    * batch's sink has fully materialized by the time the next batch's
-    * apply() runs, so releasing it HERE bounds the per-loop residual
-    * (executor blocks, and under materialize=reliable the checkpoint
-    * FILES that ContextCleaner never deletes) to exactly one batch's
-    * drop set instead of one per micro-batch (VERDICT r13 #3 — proven
-    * by ReliableFaultSpec's bounded-file-count case). A failed batch's
-    * retry re-enters apply() and releases the failed attempt's pin the
-    * same way; the abandoned output frame is recomputed from scratch.
+  /** Ledger of prior invocations' outputs whose drop-set pins are still
+    * held, newest first. Each output carries an [[Observation]] (a
+    * CollectMetrics node stitched into the returned anti-join), so this
+    * invocation can SEE whether the previous output was materialized
+    * instead of assuming it (ADVICE r14 / VERDICT r15 #2 — the
+    * documented single-in-flight contract was unenforced, and a caller
+    * building two outputs from one instance before consuming the first
+    * died with missing-block/FileNotFound deep in Spark):
+    *
+    *   - a CONSUMED output's drop pin is released here — the contract's
+    *     happy path; a foreach_batch loop holds exactly one batch's
+    *     drop-set residual, as before (VERDICT r13 #3, proven by
+    *     ReliableFaultSpec's bounded-file-count case);
+    *   - an UNCONSUMED output keeps its pin, so the in-flight output
+    *     stays VALID — the build-two-then-consume-both case now yields
+    *     correct results (with a loud stderr note naming the contract)
+    *     instead of a checkpoint crash;
+    *   - only the NEWEST unconsumed generation is retained: anything
+    *     older is released with a loud warning (its output dies if
+    *     consumed later), so an abandoned-failed-batch crash loop
+    *     cannot grow pins without bound — the residual is ≤ 2 drop
+    *     pins (one consumed-pending + one retained unconsumed).
     */
-  private var prevDropRelease: Option[() => Unit] = None
+  private var inFlight: List[(org.apache.spark.sql.Observation, () => Unit)] =
+    Nil
+
+  /** Release consumed generations' pins; retain (at most) the newest
+    * unconsumed one. Observation metrics arrive via the async listener
+    * bus, so a short bounded poll absorbs the lag between the caller's
+    * action completing and the metric landing — without it the
+    * compliant sequential path could spuriously defer a release by one
+    * invocation (and flake ReliableFaultSpec's exact-file-count law).
+    */
+  private def resolveInFlight(): Unit = {
+    if (inFlight.isEmpty) return
+    val deadline = System.nanoTime() + 3000L * 1000000L
+    def consumed(e: (org.apache.spark.sql.Observation, () => Unit)): Boolean = {
+      // future.isCompleted is the non-blocking public probe (get/getOrEmpty
+      // block-or-are-private[sql]); poll it to absorb listener-bus lag
+      var got = e._1.future.isCompleted
+      while (!got && System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        got = e._1.future.isCompleted
+      }
+      got
+    }
+    val (done, open) = inFlight.partition(consumed)
+    done.foreach(_._2())
+    inFlight = open match {
+      case Nil => Nil
+      case newest :: older =>
+        System.err.println(
+          s"[sem_dedup_clusters] ${open.size} prior output(s) were never " +
+          "materialized before this apply() — the SINGLE-IN-FLIGHT-OUTPUT " +
+          "contract (consume each output before applying the same " +
+          "instance again) was violated, or a failed batch was " +
+          "abandoned. Retaining the newest unconsumed output's drop-set " +
+          s"pin so it stays valid; releasing ${older.size} older one(s) — " +
+          "consuming THOSE outputs now fails with missing blocks. Use " +
+          "one processor instance per in-flight output.")
+        older.foreach(_._2())
+        List(newest)
+    }
+  }
 
   def apply(df: DataFrame): DataFrame = synchronized {
     require(!df.isStreaming,
@@ -672,8 +725,7 @@ final class SemDedupClustersProcessor(params: Conf) extends Transform {
       "convergence loop runs driver-side actions, illegal on an " +
       "unbounded frame — run it inside a foreach_batch sink, or use " +
       "the pairwise sem_dedup processor for streaming pipelines")
-    prevDropRelease.foreach(r => r())
-    prevDropRelease = None
+    resolveInFlight()
     // pin the guarded corpus ONCE: this processor is already eager
     // (starComponents runs driver actions), and both the pair frame and
     // the semDedupMembers join consume the corpus — unpinned, each
@@ -720,13 +772,28 @@ final class SemDedupClustersProcessor(params: Conf) extends Transform {
       val (drop, releaseDrop) = graft.state.Materialize.pinScoped(
         members.where(col("rn") > 1).select(col("vec_id").as(idCol)))
       // the drop pin (eager) was the labels pin's last consumer — free
-      // the labels now; the drop pin itself is freed at the NEXT
-      // invocation (see prevDropRelease)
+      // the labels now; the drop pin itself is freed at a LATER
+      // invocation once this output's consumption is OBSERVED (see
+      // inFlight). The observation's CollectMetrics node rides the
+      // returned anti-join — semantically inert, and fires on the first
+      // action the caller runs over any plan containing this output.
       releaseLabels()
-      prevDropRelease = Some(releaseDrop)
+      val obs = new org.apache.spark.sql.Observation(
+        s"graft_semdedup_inflight_${SemDedupClustersProcessor.nextGen()}")
+      inFlight = (obs, releaseDrop) :: inFlight
       df.join(drop, Seq(idCol), "left_anti")
+        .observe(obs, count(lit(1)).as("rows"))
     } finally releaseCorpus()
   }
+}
+
+object SemDedupClustersProcessor {
+  /** JVM-global generation counter: Observation names must be unique
+    * among concurrently-active queries, and two processor INSTANCES on
+    * one session would collide on a per-instance counter.
+    */
+  private val gen = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[pipeline] def nextGen(): Long = gen.incrementAndGet()
 }
 
 /** C38 ANN annotate-top-k as a pipeline stage: appends to every row its

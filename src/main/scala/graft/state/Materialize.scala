@@ -217,9 +217,22 @@ object Materialize {
     if (!sc.isStopped) walk(df.rdd)
   }
 
-  def pin(df: DataFrame): DataFrame = {
+  def pin(df: DataFrame): DataFrame =
+    pinWith(df, df.sparkSession.conf.get(ModeKey, "local"))
+
+  /** [[pin]] with the mode decided by the CALLER instead of the session
+    * conf — the per-operator escape hatch for iterative loops
+    * (VERDICT r15 #3): one query can pin its loop-resident frames as
+    * reliable checkpoint files while the rest of the session keeps the
+    * local default, without flipping a session-global conf mid-query
+    * (which would race concurrent queries on the same session). The
+    * two modes produce bit-identical frames (both are eager
+    * materializations of the same plan — law-tested in GraphSpec), so
+    * mixing them within one query is sound.
+    */
+  def pinWith(df: DataFrame, mode: String): DataFrame = {
     val spark = df.sparkSession
-    spark.conf.get(ModeKey, "local") match {
+    mode match {
       case "local" => df.localCheckpoint()
       case "reliable" =>
         val sc = spark.sparkContext
@@ -236,6 +249,70 @@ object Materialize {
         df.checkpoint()
       case other => throw new IllegalArgumentException(
         s"$ModeKey: unknown mode '$other' (supported: local, reliable)")
+    }
+  }
+
+  /** ACTUAL resident bytes (memory + disk blocks) of a pinned frame:
+    * walks the frame's own lineage to its first persisted ancestors
+    * (exactly like [[releasePinned]]) and sums their block storage from
+    * the context's storage listing. 0 for a reliable (checkpoint-file)
+    * pin — its data lives in files, not block storage, which is the
+    * point. Measured, not estimated: row-width guesses drift with
+    * schema and encoding; the blocks a localCheckpoint just wrote are
+    * the exact quantity the single-JVM GC cliff is driven by.
+    */
+  def pinnedBytes(df: DataFrame): Long = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.isStopped) return 0L
+    val ids = scala.collection.mutable.Set.empty[Int]
+    def walk(r: org.apache.spark.rdd.RDD[_]): Unit = {
+      val persisted =
+        r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
+      if (persisted) ids += r.id
+      else if (r.getCheckpointFile.isEmpty)
+        r.dependencies.foreach(d => walk(d.rdd))
+    }
+    walk(df.rdd)
+    sc.getRDDStorageInfo.iterator
+      .filter(info => ids.contains(info.id))
+      .map(info => info.memSize + info.diskSize).sum
+  }
+
+  /** Threshold (bytes) above which an iterative loop's resident pins
+    * auto-upgrade from local blocks to reliable checkpoint files — see
+    * [[loopMode]]. Default 256 MiB of measured first-pin bytes: far
+    * above any bench-gate graph (the sf0.1 co-occurrence edge pin is
+    * ~10–20 MB) and far below the r15-measured single-JVM GC cliff
+    * (the 64-replica PageRank edge pin, where local pins stalled
+    * 153–680 s vs 95–97 s with reliable pins —
+    * docs/cluster-posture.md). ≤ 0 disables the auto choice.
+    */
+  val AutoReliableBytesKey = "spark.graft.iterative.reliablePinBytes"
+  val AutoReliableBytesEnv = "SPARK_GRAFT_ITER_RELIABLE_BYTES"
+  val AutoReliableBytesDefault: Long = 256L << 20
+
+  /** Pin mode for an iterative loop's RESIDENT frames, chosen from the
+    * loop's FIRST materialized pin (VERDICT r15 #3): r15 measured
+    * `materialize=reliable` — the documented cluster mode — as the
+    * FASTER shape once resident pinned state passes the single-JVM GC
+    * cliff, but the mode was only reachable as a global deployment
+    * flag. This gives every loop a per-operator escape with no env var
+    * set: an explicitly configured session mode always wins; under the
+    * `local` default, a first pin whose measured block bytes exceed
+    * [[AutoReliableBytesKey]] (conf, else [[AutoReliableBytesEnv]],
+    * else 256 MiB; ≤ 0 disables) upgrades the loop's remaining pins to
+    * reliable checkpoint files. Results are bit-identical across modes
+    * (law-tested); only residency changes.
+    */
+  def loopMode(firstPin: DataFrame): String = {
+    val conf = firstPin.sparkSession.conf
+    val configured = conf.get(ModeKey, "local")
+    if (configured != "local") configured
+    else {
+      val thr = conf.get(AutoReliableBytesKey,
+        sys.env.getOrElse(AutoReliableBytesEnv,
+          AutoReliableBytesDefault.toString)).toLong
+      if (thr > 0 && pinnedBytes(firstPin) >= thr) "reliable" else "local"
     }
   }
 }

@@ -101,10 +101,12 @@ class BenchSpec extends AnyFunSuite {
     // scrape window — it must say so like the positional fallback does,
     // or BENCH_REGRESS.md reports a silently shrunken comparable set
     // (ADVICE r13)
-    // "2 pairs" — the exact recovered-pair count, not a bare "2" (which
-    // the note's "2000-char" always satisfies, making the count check
-    // vacuous — ADVICE r14)
-    assert(tnote.exists(n => n.contains("UNCHECKED") && n.contains("2 pairs")),
+    // ": 2 pairs recovered" — the count token anchored on both sides:
+    // a bare "2" matched the note's "2000-char" (ADVICE r14), and
+    // "2 pairs" still matched any count ENDING in 2, e.g. "12 pairs"
+    // (ADVICE r15)
+    assert(tnote.exists(n => n.contains("UNCHECKED") &&
+        n.contains(": 2 pairs recovered")),
       s"tail decode must carry a loud degraded-decode note, got $tnote")
   }
 

@@ -194,15 +194,60 @@ class GraphSpec extends SparkSpec {
     assert(e.getMessage.contains("pinCadence"))
   }
 
+  test("the graph family is bit-identical across pin modes — local, " +
+       "reliable, and the r16 auto loop-mode escape (VERDICT r15 #3: " +
+       "spark.graft.iterative.reliablePinBytes=1 upgrades the loops' " +
+       "pins to checkpoint files with the session mode still local); " +
+       "only residency changes, never the arithmetic") {
+    import spark.implicits._
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+                 (5L, 4L), (6L, 1L))
+    def under[T](confs: (String, String)*)(body: => T): T = {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally confs.foreach { case (k, _) => spark.conf.unset(k) }
+    }
+    val modes: Seq[Seq[(String, String)]] = Seq(
+      Seq.empty, // local default (tiny frame stays under the threshold)
+      Seq(graft.state.Materialize.ModeKey -> "reliable"),
+      Seq(graft.state.Materialize.AutoReliableBytesKey -> "1"))
+    val undir = modes.map(m => under(m: _*)(
+      Graph.pagerankFrom(es.toDF("a", "b"))
+        .as[(Long, Long)].collect().toSeq.sorted))
+    assert(undir.distinct.size === 1 && undir.head.nonEmpty, s"undir: $undir")
+    val dir = modes.map(m => under(m: _*)(
+      Graph.pagerankDirectedFrom(es.toDF("a", "b"))
+        .as[(Long, Long, Long)].collect().toSeq.sorted))
+    assert(dir.distinct.size === 1 && dir.head.nonEmpty, s"dir: $dir")
+    val tri = modes.map(m => under(m: _*)(count(es)))
+    assert(tri.distinct.size === 1, s"tri: $tri")
+    // distributed star contraction (localEdgeMax=0 forces it) through
+    // the same three modes
+    val cc = modes.map(m => under(
+        (m :+ ("spark.graft.cc.localEdgeMax" -> "0")): _*)(
+      graft.ops.llm.Dedup.starComponents(es.toDF("d1", "d2"))
+        .as[(Long, Long)].collect().toSeq.sorted))
+    assert(cc.distinct.size === 1 && cc.head.nonEmpty, s"cc: $cc")
+  }
+
   test("pagerankDirectedFrom fails loudly on an empty edge frame (ANSI " +
        "mode would otherwise surface it as a DivideByZero in the " +
        "dangling share)") {
     import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val e = intercept[IllegalArgumentException] {
       Graph.pagerankDirectedFrom(
         Seq.empty[(Long, Long)].toDF("a", "b"))
     }
     assert(e.getMessage.contains("empty edge frame"))
+    // ADVICE r15: the throw path must release the pins it already
+    // created (edge + node frames), or a retrying caller under
+    // materialize=reliable accrues orphan checkpoint files per attempt.
+    // unpersist is async (blocking=false) — poll briefly.
+    def leaked() = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (leaked().nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(leaked().isEmpty,
+      s"empty-graph throw leaked pins: RDD ids ${leaked().toSeq.sorted}")
   }
 
   test("dedupClusters matches GraphX ConnectedComponents on the fixture " +

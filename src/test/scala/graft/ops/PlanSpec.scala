@@ -747,7 +747,7 @@ class PlanSpec extends SparkSpec {
       finalPlan(Graph.prDirNodesFlagged(nodes, outw)), 1, "prDirNodesFlagged")
     val nodesF = pin(Graph.prDirNodesFlagged(nodes, outw))
     val r0 = nodesF.withColumn("r", lit(1000000L))
-    assertShuffledNeverBroadcast(finalPlan(Graph.prDirStep(edw, nodesF, n, r0)),
+    assertShuffledNeverBroadcast(finalPlan(Graph.prDirStep(edw, n, r0)),
       2, "prDirStep")
   }
 

@@ -767,6 +767,44 @@ class CurationProcessorsSpec extends SparkSpec {
       s"nprobe=2 must resolve the cross-cell cluster, got $multi")
   }
 
+  test("sem_dedup_clusters enforces the SINGLE-IN-FLIGHT-OUTPUT " +
+       "contract (VERDICT r15 #2): one instance, two outputs built " +
+       "before either is consumed — BOTH yield correct results (the " +
+       "drop pin is released only once consumption is observed), and " +
+       "the pins drain after consumption instead of accruing") {
+    val (a, b, c) = EmbeddingFixtures.indirectChain(0.9)
+    def mk(ids: (Long, Long, Long)) =
+      Seq((ids._1, a, "a"), (ids._2, b, "b"), (ids._3, c, "c"))
+        .toDF("vec_id", "embedding", "tag")
+    val proc = resolve("sem_dedup_clusters", Map("threshold" -> "0.8"))
+    def pins() = spark.sparkContext.getPersistentRDDs.keySet
+    val base = pins()
+    // build TWO outputs from the same instance with neither consumed —
+    // pre-r16 the second process() released the first output's drop-set
+    // pin and consuming out1 died with missing-block/FileNotFound
+    val out1 = proc.process(mk((1L, 2L, 3L))).get
+    val out2 = proc.process(mk((10L, 20L, 30L))).get
+    val created = pins() -- base // the two invocations' surviving pins
+    val r1 = out1.select("vec_id").as[Long].collect().toSeq
+    assert(r1.size === 1 && Set(1L, 3L).contains(r1.head),
+      s"first in-flight output must stay valid, got $r1")
+    val r2 = out2.select("vec_id").as[Long].collect().toSeq
+    assert(r2.size === 1 && Set(10L, 30L).contains(r2.head), s"out2: $r2")
+    // both consumed: a third invocation observes that and releases both
+    // drop pins — the residual stays bounded, same as the sequential
+    // foreach_batch path (ReliableFaultSpec's exact-file-count law)
+    val out3 = proc.process(mk((100L, 200L, 300L))).get
+    val r3 = out3.select("vec_id").as[Long].collect().toSeq
+    assert(r3.size === 1 && Set(100L, 300L).contains(r3.head), s"out3: $r3")
+    // every pin the first two invocations left behind is gone
+    // (unpersist is async — poll briefly)
+    def stale() = pins().intersect(created)
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (stale().nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(stale().isEmpty,
+      s"consumed outputs' drop pins must drain, still resident: ${stale()}")
+  }
+
   test("sem_dedup_clusters is BATCH-ONLY: fails fast on a streaming " +
        "frame (the star contraction runs driver actions), and validates " +
        "params like its pairwise sibling") {
