@@ -312,7 +312,15 @@ object Materialize {
       val thr = conf.get(AutoReliableBytesKey,
         sys.env.getOrElse(AutoReliableBytesEnv,
           AutoReliableBytesDefault.toString)).toLong
-      if (thr > 0 && pinnedBytes(firstPin) >= thr) "reliable" else "local"
+      val bytes = if (thr > 0) pinnedBytes(firstPin) else -1L
+      if (thr > 0 && bytes >= thr) {
+        // loud once per upgrade: the probe/bench reader must be able to
+        // tell WHICH residency the loop ran with (the two modes' perf
+        // differs exactly in the regime this fires in)
+        System.err.println(s"[materialize] loop pins upgraded to " +
+          s"reliable: first pin $bytes bytes >= threshold $thr")
+        "reliable"
+      } else "local"
     }
   }
 }
