@@ -676,6 +676,13 @@ final class SemDedupClustersProcessor(params: Conf) extends Transform {
     *     consumed later), so an abandoned-failed-batch crash loop
     *     cannot grow pins without bound — the residual is ≤ 2 drop
     *     pins (one consumed-pending + one retained unconsumed).
+    *
+    * Known bounded residual: an Observation whose output is NEVER
+    * consumed leaves its (tiny) QueryExecutionListener registered for
+    * the session's lifetime — Spark only auto-unregisters on first
+    * fire and exposes no public unregister. Pins (the expensive part)
+    * are capped as above; the listener residual is per-VIOLATION, not
+    * per-batch, on a contract-compliant caller.
     */
   private var inFlight: List[(org.apache.spark.sql.Observation, () => Unit)] =
     Nil
