@@ -314,12 +314,29 @@ object Materialize {
           AutoReliableBytesDefault.toString)).toLong
       val bytes = if (thr > 0) pinnedBytes(firstPin) else -1L
       if (thr > 0 && bytes >= thr) {
-        // loud once per upgrade: the probe/bench reader must be able to
-        // tell WHICH residency the loop ran with (the two modes' perf
-        // differs exactly in the regime this fires in)
-        System.err.println(s"[materialize] loop pins upgraded to " +
-          s"reliable: first pin $bytes bytes >= threshold $thr")
-        "reliable"
+        // the upgrade must never convert a WORKING query into a hard
+        // failure: on a non-local master with no checkpoint dir,
+        // pinWith(reliable) fails fast by design (a driver-local temp
+        // dir would defeat executor-loss survival) — there the
+        // autopilot stays local and says why, instead of failing a
+        // query that plain local pins would have carried (r16
+        // self-review)
+        val sc = firstPin.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty && !sc.isLocal) {
+          System.err.println(s"[materialize] loop pins NOT upgraded " +
+            s"despite first pin $bytes bytes >= threshold $thr: no " +
+            "spark.checkpoint.dir on a cluster master — set one " +
+            "(shared reliable storage) to enable the faster " +
+            "checkpoint-file residency for corpus-scale loops")
+          "local"
+        } else {
+          // loud once per upgrade: the probe/bench reader must be able
+          // to tell WHICH residency the loop ran with (the two modes'
+          // perf differs exactly in the regime this fires in)
+          System.err.println(s"[materialize] loop pins upgraded to " +
+            s"reliable: first pin $bytes bytes >= threshold $thr")
+          "reliable"
+        }
       } else "local"
     }
   }
