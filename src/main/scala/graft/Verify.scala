@@ -20,13 +20,16 @@ object Verify {
       // whole-stage-codegen field limit (100) — raise it so wide
       // aggregates stay codegen'd (graft.ops.llm.Dedup).
       .config("spark.sql.codegen.maxFields", "220")
-      // SPARK_GRAFT_MATERIALIZE=reliable runs the whole sweep with
-      // checkpoint() materialization (the 100 TB executor-loss-safe
-      // mode) instead of localCheckpoint — the VERDICT r9 #2 fleet
-      // exercise; unset → the default local mode.
-      .config(graft.state.Materialize.ModeKey,
-        sys.env.getOrElse("SPARK_GRAFT_MATERIALIZE", "local"))
       .getOrCreate()
+    // SPARK_GRAFT_MATERIALIZE=reliable runs the whole sweep with
+    // checkpoint() materialization (the 100 TB executor-loss-safe
+    // mode) instead of localCheckpoint — the VERDICT r9 #2 fleet
+    // exercise. Set ONLY when the env var is present: since r17 an
+    // EXPLICIT local vetoes the loop-pin autopilot (VERDICT r16 #2),
+    // so unconditionally writing "local" here would change loopMode's
+    // semantics for the sweep instead of leaving the default.
+    sys.env.get("SPARK_GRAFT_MATERIALIZE")
+      .foreach(m => spark.conf.set(graft.state.Materialize.ModeKey, m))
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Local-dev focus filter (same contract as SPARK_GRAFT_BENCH_ONLY):

@@ -1101,12 +1101,99 @@ object Dedup extends QueryPack {
     out
   }
 
-  /** Number of IVF coarse-quantizer cells for [[dedupEmbedding]]. At the
-    * fixture SFs a handful of cells keeps every cell-pair group small; at
-    * production scale K grows so a cell (≈ corpus/K vectors) fits one
-    * executor task.
+  /** The IVF coarse-quantizer cell count is a CORPUS-SCALED parameter
+    * (VERDICT r16 #1 — the former hard-coded `IvfCells = 4` made a cell
+    * corpus/4 vectors at ANY scale, so the per-cell verify degenerated
+    * toward all-pairs: the r16 independent-content rungs measured the
+    * resulting m² per-MB cost). Resolution, in [[ivfCellsFor]]:
+    *
+    *  1. [[IvfCellsKey]] set → that K (explicit always wins — the probe
+    *     and any deployment that has already sized its index set this).
+    *  2. else K = max([[IvfMinCells]], ceil(rows / target)) where
+    *     target = [[IvfTargetCellRowsKey]] (conf, else
+    *     [[IvfTargetCellRowsEnv]], else 2^16); target ≤ 0 pins K to the
+    *     floor. The row count is ONE metadata-cheap count per distinct
+    *     corpus plan, memoized per session.
+    *
+    * The centroid planes are the same md5 formula at every K
+    * ([[ivfCentroids]]), so K = 4 reproduces the gate fixture
+    * bit-identically — all fixture corpora sit far under the default
+    * target, which is how the DuckDB oracles (which rebuild exactly the
+    * 4 floor planes in SQL) stay byte-stable while a 100 TB corpus gets
+    * rows/2^16 cells and therefore CONSTANT expected occupancy: the
+    * within-cell pairwise verify is O(occ) per vector and the coarse
+    * assignment O(K·dim) per vector — the classic IVF trade, with the
+    * occupancy-held flatness measured in [[ScaleProbe]]'s
+    * `weak-ann-kheld-*` rungs.
     */
-  private[graft] val IvfCells = 4
+  val IvfCellsKey = "spark.graft.ivf.cells"
+  val IvfTargetCellRowsKey = "spark.graft.ivf.targetCellRows"
+  val IvfTargetCellRowsEnv = "SPARK_GRAFT_IVF_TARGET_CELL_ROWS"
+
+  /** Autopilot target occupancy (rows per cell): 2^16 × 64-dim doubles
+    * ≈ 34 MB of vectors per cell — one executor task's working set for
+    * search, and a ~2×10^9-dot worst case for a within-cell exact
+    * verify group (minutes, not hours, of one core). Deployments
+    * verifying at tighter thresholds size it down via the conf.
+    */
+  val IvfTargetCellRowsDefault: Long = 1L << 16
+
+  /** Quantizer floor AND the gate-fixture cell count: the DuckDB
+    * oracles rebuild exactly these 4 md5 planes in SQL, and every
+    * fixture corpus resolves to the floor under the default target.
+    */
+  private[graft] val IvfMinCells = 4
+
+  /** Memoized corpus row counts for [[ivfCellsFor]], keyed by the
+    * CANONICALIZED logical plan (two references to the same corpus —
+    * e.g. the cells frame and the probe frame of one search — must
+    * resolve the SAME K, and the count must not re-run per reference).
+    */
+  private val ivfCountCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+    java.lang.Long]()
+  graft.state.Materialize.registerSessionCache(() => ivfCountCache.clear())
+
+  /** Resolve the coarse-quantizer cell count for a FULL corpus frame —
+    * see [[IvfCellsKey]]. Call once per operation at the top level and
+    * thread K down: resolving from a SUB-FILTERED frame (e.g. a query
+    * subset) would disagree with the corpus side's quantizer.
+    */
+  private[graft] def ivfCellsFor(corpus: DataFrame): Int = {
+    val spark = corpus.sparkSession
+    val conf = spark.conf
+    def loudLong(src: String, raw: String, what: String): Long =
+      try raw.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$src: expected $what (a long), got '$raw'")
+      }
+    conf.getOption(IvfCellsKey) match {
+      case Some(raw) =>
+        val k = loudLong(IvfCellsKey, raw, "a cell count >= 1")
+        require(k >= 1 && k <= Int.MaxValue,
+          s"$IvfCellsKey must be in [1, ${Int.MaxValue}], got $k")
+        k.toInt
+      case None =>
+        val (src, raw) = conf.getOption(IvfTargetCellRowsKey)
+          .map((IvfTargetCellRowsKey, _))
+          .orElse(sys.env.get(IvfTargetCellRowsEnv)
+            .map((IvfTargetCellRowsEnv, _)))
+          .getOrElse(("default", IvfTargetCellRowsDefault.toString))
+        val target = loudLong(src, raw,
+          "a target rows-per-cell (<= 0 pins K to the floor)")
+        if (target <= 0) IvfMinCells
+        else {
+          graft.state.Materialize.purgeStopped(ivfCountCache)(_._1)
+          val n: Long = ivfCountCache.computeIfAbsent(
+            (spark, corpus.queryExecution.logical.canonicalized),
+            _ => corpus.count())
+          val k = math.max(IvfMinCells.toLong, (n + target - 1) / target)
+          require(k <= Int.MaxValue,
+            s"IVF cell count $k overflows Int (rows=$n, target=$target)")
+          k.toInt
+        }
+    }
+  }
 
   /** Embedding dimensionality the IVF quantizer (and hence every
     * embedding-family operator) is built for — the fixture's dimension.
@@ -1135,11 +1222,20 @@ object Dedup extends QueryPack {
     * [−1, 1) — the same deterministic-plane trick as [[Similarity]]'s LSH
     * hyperplanes, so any engine (or a re-run on any cluster) builds the
     * identical quantizer. O(K·dim) driver work; no corpus data involved.
+    * The formula is per-(cell, dim), so a larger K EXTENDS the plane
+    * set: cells 0..3 are byte-identical at every K, which is what keeps
+    * the K = 4 gate oracles (which rebuild those planes in SQL) stable
+    * while production K scales with the corpus (VERDICT r16 #1).
+    * Memoized per K — the probe's occupancy-held ladder resolves
+    * several K values in one session.
     */
-  private lazy val ivfCentroids: Array[Array[Double]] =
-    Array.tabulate(IvfCells, IvfDim) { (c, d) =>
-      CrossHash.hex60Jvm(s"ivf_${c}_$d").toDouble / 576460752303423488.0 - 1.0
-    }
+  private val ivfCentroidCache = new java.util.concurrent.ConcurrentHashMap[
+    Int, Array[Array[Double]]]()
+  private def ivfCentroids(k: Int): Array[Array[Double]] =
+    ivfCentroidCache.computeIfAbsent(k, kk =>
+      Array.tabulate(kk, IvfDim) { (c, d) =>
+        CrossHash.hex60Jvm(s"ivf_${c}_$d").toDouble / 576460752303423488.0 - 1.0
+      })
 
   /** Embedding-cosine near-dup (pairs with cosine ≥ 0.45).
     *
@@ -1185,14 +1281,19 @@ object Dedup extends QueryPack {
     * same sweep-surviving pin contract as [[nearDupPairs]].
     */
   private val embPairsCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Double, Boolean), DataFrame]()
+    (SparkSession, String, Double, Boolean, Int), DataFrame]()
   graft.state.Materialize.registerSessionCache(() => embPairsCache.clear())
 
   private def embeddingPairsCached(spark: SparkSession, dir: String,
                                    thr: Double, sameCellOnly: Boolean): DataFrame = {
     graft.state.Materialize.purgeStopped(embPairsCache)(_._1)
-    embPairsCache.computeIfAbsent((spark, dir, thr, sameCellOnly), _ =>
-      embeddingPairs(Similarity.corpus(spark, dir), thr, sameCellOnly)
+    // the resolved cell count joins the key: a session that re-resolves
+    // K (probe ladder, conf change) must not be served a pair frame
+    // built under a different quantizer
+    val corpus = Similarity.corpus(spark, dir)
+    val k = ivfCellsFor(corpus)
+    embPairsCache.computeIfAbsent((spark, dir, thr, sameCellOnly, k), _ =>
+      embeddingPairs(corpus, thr, sameCellOnly)
         .transform(graft.state.Materialize.pinRetained))
   }
 
@@ -1282,9 +1383,10 @@ object Dedup extends QueryPack {
     // cos_c is computed AFTER the join (self-review r12): Catalyst has
     // no rule to defer a pre-join projection, so computing it before
     // would pay a 64-dim dot + divide for every UNMATCHED corpus row.
-    val members = withIvfCell(corpus)
+    val k = ivfCellsFor(corpus)
+    val members = withIvfCell(corpus, k)
       .join(broadcast(labels), Seq("vec_id"))
-      .withColumn("cos_c", centroidCosCol)
+      .withColumn("cos_c", centroidCosCol(k))
     val byLab = org.apache.spark.sql.expressions.Window
       .partitionBy($"lab").orderBy($"cos_c", $"vec_id")
     val out = members
@@ -1301,8 +1403,11 @@ object Dedup extends QueryPack {
     * removed so exactly one spelling exists — same doubles either way,
     * but one definition can't drift).
     */
-  private lazy val ivfCentroidNorms: Array[Double] =
-    ivfCentroids.map(w => math.sqrt(w.map(x => x * x).sum))
+  private val ivfCentroidNormCache = new java.util.concurrent.ConcurrentHashMap[
+    Int, Array[Double]]()
+  private def ivfCentroidNorms(k: Int): Array[Double] =
+    ivfCentroidNormCache.computeIfAbsent(k, kk =>
+      ivfCentroids(kk).map(w => math.sqrt(w.map(x => x * x).sum)))
 
   /** Cosine to the vector's OWN cell centroid, as one CASE over the K
     * centroid literals — the same fold order as the oracle's
@@ -1313,15 +1418,23 @@ object Dedup extends QueryPack {
     * SemDeDup keep quantity, shared by the cluster gate
     * ([[semDedupMembers]]) and the pairwise YAML processor.
     */
-  private[graft] def centroidCosCol: Column = {
-    val cnorm = ivfCentroidNorms
-    (0 until IvfCells).foldLeft(when(lit(false), lit(0.0))) {
+  private[graft] def centroidCosCol(k: Int): Column = {
+    val cnorm = ivfCentroidNorms(k)
+    val cents = ivfCentroids(k)
+    (0 until k).foldLeft(when(lit(false), lit(0.0))) {
       (w, c) =>
         w.when(col("cell") === c,
-          call_function("graft_dot", col("v"), typedlit(ivfCentroids(c).toSeq)) /
+          call_function("graft_dot", col("v"), typedlit(cents(c).toSeq)) /
             (col("nrm") * lit(cnorm(c))))
     }.otherwise(lit(Double.NaN))
   }
+
+  /** Gate-fixture convenience: [[centroidCosCol]] at the K = 4 floor
+    * (the quantizer every SQL oracle rebuilds). Declarative spellings
+    * are O(K) expression nodes — fine at gate/probe K; the JVM pair
+    * engines carry the same quantity at any K.
+    */
+  private[graft] def centroidCosCol: Column = centroidCosCol(IvfMinCells)
 
 
   /** The cell-shuffle pair engine behind [[dedupEmbedding]], over any
@@ -1344,7 +1457,8 @@ object Dedup extends QueryPack {
                                     withCentroidCos: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = spark.sparkContext.broadcast(ivfCentroids)
+    val kCells = ivfCellsFor(corpus)
+    val cents = spark.sparkContext.broadcast(ivfCentroids(kCells))
     val wantCc = withCentroidCos
     val dot = dotLR
     val n = corpus.select($"vec_id", $"v", $"nrm")
@@ -1421,7 +1535,7 @@ object Dedup extends QueryPack {
       // shared driver-side [[ivfCentroidNorms]], captured as a local
       // val (serialized by value — no object dragging, no per-group
       // recompute; self-review r13 pass 1)
-      val cnorms = ivfCentroidNorms
+      val cnorms = ivfCentroidNorms(kCells)
       keyed.groupByKey(_._1).flatMapGroups { (key, rows) =>
         val cs = cents.value
         val k = cs.length
@@ -1498,11 +1612,19 @@ object Dedup extends QueryPack {
   private[graft] def embeddingProbeEdges(corpus: DataFrame, thr: Double,
                                          nprobe: Int,
                                          withCentroidCos: Boolean = false): DataFrame = {
-    require(nprobe >= 1 && nprobe <= IvfCells,
-      s"nprobe must be in [1, $IvfCells] (the quantizer's cell count), got $nprobe")
+    val kCells = ivfCellsFor(corpus)
+    require(nprobe >= 1,
+      s"nprobe must be >= 1, got $nprobe")
+    // cap at the RESOLVED cell count — since K became corpus-scaled
+    // (VERDICT r16 #1) this check can only live where the corpus is
+    // known, not at YAML parse time; a breadth beyond K would silently
+    // behave as exhaustive, hiding a config mistake
+    require(nprobe <= kCells,
+      s"nprobe must be <= $kCells (the quantizer's cell count; that " +
+      s"breadth is already exhaustive), got $nprobe")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = spark.sparkContext.broadcast(ivfCentroids)
+    val cents = spark.sparkContext.broadcast(ivfCentroids(kCells))
     val np = nprobe
     val dot = dotLR
     val n = corpus.select($"vec_id", $"v", $"nrm")
@@ -1564,7 +1686,7 @@ object Dedup extends QueryPack {
       // keep policy compares each member to its own quantizer cell,
       // and a probing member's own cell differs from the group key;
       // norms are the shared driver-side [[ivfCentroidNorms]] local
-      val cnorms = ivfCentroidNorms
+      val cnorms = ivfCentroidNorms(kCells)
       keyed.groupByKey(_._1).flatMapGroups { (key, rows) =>
         val cs = cents.value
         val arr = rows.map(_._2).toArray.sortBy(_._1)
@@ -1606,29 +1728,47 @@ object Dedup extends QueryPack {
   /** The raw centroid dots (`_ivf_d0.._ivf_dN`) behind [[withIvfCell]] —
     * also the input to multi-probe search ([[Similarity.annIvfMultiProbe]]),
     * which needs the top-P cells per query, not just the argmax.
+    *
+    * `k` is the RESOLVED cell count, threaded from the operation's top
+    * level ([[ivfCellsFor]] on the FULL corpus) so a query-subset frame
+    * gets the same quantizer as the corpus side. These declarative
+    * spellings are O(K) columns and an O(K²)-comparison argmax chain —
+    * the SQL-oracled gate/probe shapes (K = 4 floor at fixture SFs);
+    * the corpus-scale paths are the JVM engines ([[embeddingPairs]],
+    * [[embeddingProbeEdges]]), whose assignment is an O(K·dim) loop.
     */
-  private[llm] def withIvfDots(df: DataFrame): DataFrame =
-    (0 until IvfCells).foldLeft(df) { (d, c) =>
+  private[llm] def withIvfDots(df: DataFrame, k: Int): DataFrame = {
+    val cents = ivfCentroids(k)
+    (0 until k).foldLeft(df) { (d, c) =>
       d.withColumn(s"_ivf_d$c",
-        call_function("graft_dot", col("v"), typedlit(ivfCentroids(c).toSeq)))
+        call_function("graft_dot", col("v"), typedlit(cents(c).toSeq)))
     }
+  }
 
-  private[graft] def withIvfCell(df: DataFrame): DataFrame = {
-    val withDots = withIvfDots(df)
+  private[graft] def withIvfCell(df: DataFrame, k: Int): DataFrame = {
+    val withDots = withIvfDots(df, k)
     // argmax with >= chains = lowest cell index wins ties, same CASE
     // shape as the oracle
-    val cell = (0 until IvfCells - 1).foldLeft(when(lit(false), -1)) { (w, c) =>
-      val beatsRest = (c + 1 until IvfCells)
+    val cell = (0 until k - 1).foldLeft(when(lit(false), -1)) { (w, c) =>
+      val beatsRest = (c + 1 until k)
         .map(o => col(s"_ivf_d$c") >= col(s"_ivf_d$o")).reduce(_ && _)
       w.when(beatsRest, c)
-    }.otherwise(IvfCells - 1)
+    }.otherwise(k - 1)
     withDots.withColumn("cell", cell.cast("int"))
-      .drop((0 until IvfCells).map(c => s"_ivf_d$c"): _*)
+      .drop((0 until k).map(c => s"_ivf_d$c"): _*)
   }
+
+  /** Convenience overload resolving K from `df` itself — for FULL
+    * corpus frames only (a sub-filtered frame would resolve its own,
+    * smaller K and disagree with the corpus side's quantizer).
+    */
+  private[graft] def withIvfCell(df: DataFrame): DataFrame =
+    withIvfCell(df, ivfCellsFor(df))
 
   def ivfCellHistogram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    withIvfCell(Similarity.corpus(spark, dir))
+    val corpus = Similarity.corpus(spark, dir)
+    withIvfCell(corpus, ivfCellsFor(corpus))
       .groupBy($"cell")
       .agg(count(lit(1)).as("n_vecs"),
            min($"vec_id").as("first_vec"), max($"vec_id").as("last_vec"))

@@ -321,7 +321,8 @@ object ScaleProbe {
     val weakTags = Seq("weak-winnow", "weak-spans", "weak-tfidf",
       "weak-suffix", "weak-pagerank", "weak-pagerank-dir",
       "weak-triangles", "weak-ann-mp2", "weak-ann-mp4",
-      "weak-ann-indep-mp2", "weak-ann-indep-mp4")
+      "weak-ann-indep-mp2", "weak-ann-indep-mp4",
+      "weak-ann-kheld-mp2", "weak-ann-kheld-mp4")
     val weakEnabled = weakTags
       .exists(n => onlySections.forall(_.contains(n)))
     val wsListener = new SparkListener {
@@ -566,12 +567,13 @@ object ScaleProbe {
     // populations that each look like the base), while cross-replica
     // dots collapse toward zero and cell membership is occupancy-driven
     // geometry, not duplication. Norms are untouched (|±x| = |x|), so
-    // the precomputed nrm column stays valid. Disclosed residual: the
-    // operator's coarse quantizer is K = 4 FIXED cells, so per-cell
-    // occupancy still grows ×m by construction (production K grows with
-    // the corpus); the verdict metric is therefore the mp4/mp2 breadth
-    // ratio and the growth EXPONENT vs the duplicated ladder, not
-    // per-MB flatness.
+    // the precomputed nrm column stays valid. These rows run at the
+    // K = 4 FLOOR (the gate quantizer), so per-cell occupancy grows ×m
+    // by construction and per-MB cost grows ~m² — the measured
+    // worst-case census (r16: nprobe=2 per-MB 0.78/2.22/12.28 at
+    // m=4/16/64); the verdict metrics here are the mp4/mp2 breadth
+    // ratio and the contrast against the occupancy-HELD rows below,
+    // which run the production corpus-scaled K.
     def embMIndep(m: Int) = (0 until m)
       .map(i => base.select(
         ($"vec_id" + lit(i * ReplicaStride)).as("vec_id"),
@@ -587,6 +589,37 @@ object ScaleProbe {
       { c => annForce(Similarity.annTopKWithin(c, k = 3, thr = 0.45,
                nprobe = 4)); sweepDebris() },
       mkInput = embMIndep, baseMb = embMb)
+    // OCCUPANCY-HELD independent-content rungs (VERDICT r16 #1 — the
+    // done-criterion for the corpus-scaled quantizer): the same
+    // sign-flip isometry replicas, but K scales with the corpus
+    // (explicit spark.graft.ivf.cells = 4m — the production posture
+    // the conf autopilot derives as K ≈ rows / targetCellRows), so
+    // per-cell occupancy is HELD at the base corpus's across the
+    // ladder. Cost model: the within-cell verify is O(nprobe·n²/K) =
+    // O(nprobe·n·occ) — LINEAR in n at held occupancy — so cpu_sec/MB
+    // should be flat to m=64 where the floor-K rows above measure ~m².
+    // Known small residual: coarse assignment is O(n·K·dim) = O(m²)
+    // total but <10% of the verify term at m=64 on this corpus (a
+    // production deployment caps K near √n or goes hierarchical before
+    // assignment dominates).
+    def embMIndepKHeld(m: Int) = {
+      // weakScale calls mkInput(m) immediately before the rung's timed
+      // run(), so the conf set here is the K the engine resolves (it
+      // also keys the pair-frame memo, so rungs never share a frame
+      // built under a different quantizer); reset after the section
+      spark.conf.set(Dedup.IvfCellsKey, (Dedup.IvfMinCells * m).toString)
+      embMIndep(m)
+    }
+    try {
+      weakScale("ann-kheld-mp2",
+        { c => annForce(Similarity.annTopKWithin(c, k = 3, thr = 0.45,
+                 nprobe = 2)); sweepDebris() },
+        mkInput = embMIndepKHeld, baseMb = embMb)
+      weakScale("ann-kheld-mp4",
+        { c => annForce(Similarity.annTopKWithin(c, k = 3, thr = 0.45,
+                 nprobe = 4)); sweepDebris() },
+        mkInput = embMIndepKHeld, baseMb = embMb)
+    } finally spark.conf.unset(Dedup.IvfCellsKey)
     if (weakEnabled) spark.sparkContext.removeSparkListener(wsListener)
 
     // End-to-end curation funnel at multiplied corpus: duplication makes
@@ -951,7 +984,7 @@ object ScaleProbe {
       (r.getDouble(0), r.getDouble(1), (System.nanoTime() - t0) / 1e9)
     }
     for (m <- probeMults("ivf-recall", timedRecall(1, 1));
-         np <- Seq(1, 2, Dedup.IvfCells)) {
+         np <- Seq(1, 2, Dedup.IvfMinCells)) {
       val (rec, cand, s) = timedRecall(m, np)
       println(f"[scale-probe] ivf-recall mult=$m%-3d nprobe=$np recall@10=$rec%.3f mean_cand=$cand%.0f time=$s%.2fs")
     }

@@ -885,14 +885,18 @@ object Similarity extends QueryPack {
     */
   def annIvfMultiProbe(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val cells = Dedup.withIvfCell(corpus(spark, dir))
+    // K resolved ONCE from the full corpus and threaded to BOTH sides:
+    // the probe frame is a query SUBSET, so letting it resolve its own
+    // K would disagree with the corpus side's quantizer
+    val k = Dedup.ivfCellsFor(corpus(spark, dir))
+    val cells = Dedup.withIvfCell(corpus(spark, dir), k)
     val wProbe = Window.partitionBy($"q_id").orderBy($"dot".desc, $"probe_cell")
     val probes = Dedup.withIvfDots(
-        corpus(spark, dir).filter($"vec_id" < 10))
+        corpus(spark, dir).filter($"vec_id" < 10), k)
       .select($"vec_id".as("q_id"), $"v".as("vq"), $"nrm".as("nq"),
-        explode(expr(s"""transform(sequence(0, ${Dedup.IvfCells - 1}), c ->
+        explode(expr(s"""transform(sequence(0, ${k - 1}), c ->
           struct(c AS probe_cell,
-                 element_at(array(${(0 until Dedup.IvfCells)
+                 element_at(array(${(0 until k)
                    .map(c => s"_ivf_d$c").mkString(", ")}), c + 1) AS dot))"""))
           .as("p"))
       .select($"q_id", $"vq", $"nq", $"p.probe_cell".as("probe_cell"), $"p.dot".as("dot"))
@@ -949,14 +953,17 @@ object Similarity extends QueryPack {
   private[llm] def ivfRecallProbe(n: DataFrame, k: Int, nprobe: Int,
                                   nQ: Int = 16): DataFrame = {
     import n.sparkSession.implicits._
-    val cells = Dedup.withIvfCell(n)
+    // same single-resolution discipline as annIvfMultiProbe: the query
+    // base is a subset of n, so K comes from the full corpus only
+    val k = Dedup.ivfCellsFor(n)
+    val cells = Dedup.withIvfCell(n, k)
     val qBase = n.filter($"vec_id" < nQ)
     val wProbe = Window.partitionBy($"q_id").orderBy($"dot".desc, $"probe_cell")
-    val probes = Dedup.withIvfDots(qBase)
+    val probes = Dedup.withIvfDots(qBase, k)
       .select($"vec_id".as("q_id"), $"v".as("vq"), $"nrm".as("nq"),
-        explode(expr(s"""transform(sequence(0, ${Dedup.IvfCells - 1}), c ->
+        explode(expr(s"""transform(sequence(0, ${k - 1}), c ->
           struct(c AS probe_cell,
-                 element_at(array(${(0 until Dedup.IvfCells)
+                 element_at(array(${(0 until k)
                    .map(c => s"_ivf_d$c").mkString(", ")}), c + 1) AS dot))"""))
           .as("p"))
       .select($"q_id", $"vq", $"nq", $"p.probe_cell".as("probe_cell"),

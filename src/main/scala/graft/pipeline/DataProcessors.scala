@@ -434,17 +434,16 @@ private[pipeline] object EmbeddingParams {
     }.getOrElse(default)
 
   /** Probe breadth for the embedding stages: 1 (default, single-probe)
-    * to the quantizer's cell count (= exhaustive). Capped FAIL-FAST —
-    * a breadth beyond K would silently behave as exhaustive, hiding a
-    * config mistake.
+    * to the quantizer's cell count (= exhaustive). The floor and the
+    * integer format stay FAIL-FAST at config parse; the `<= K` cap
+    * moved to the engine ([[graft.ops.llm.Dedup.embeddingProbeEdges]])
+    * where the corpus is known, because K became corpus-scaled in r17
+    * (VERDICT r16 #1) and no longer exists at parse time — a breadth
+    * beyond the resolved K still fails loudly there rather than
+    * silently behaving as exhaustive.
     */
-  def nprobe(params: Conf, op: String): Int = {
-    val v = positiveInt(params, op, "nprobe", 1)
-    require(v <= graft.ops.llm.Dedup.IvfCells,
-      s"$op: nprobe must be <= ${graft.ops.llm.Dedup.IvfCells} (the " +
-      s"quantizer's cell count; that breadth is already exhaustive), got $v")
-    v
-  }
+  def nprobe(params: Conf, op: String): Int =
+    positiveInt(params, op, "nprobe", 1)
 }
 
 /** Shared embedding ingestion for the pipeline's C37/C38 stages:
@@ -535,7 +534,7 @@ private[pipeline] object EmbeddingStage {
   * surfaces cannot diverge. Batch/foreachBatch-legal; not for a bare
   * streaming DF.
   *
-  * `nprobe` (default 1, max [[graft.ops.llm.Dedup.IvfCells]]) widens
+  * `nprobe` (default 1, max = the corpus-resolved quantizer cell count) widens
   * candidate generation to each vector's top-nprobe quantizer cells via
   * the directed multi-probe engine
   * ([[graft.ops.llm.Dedup.embeddingProbeEdges]]) — the recall fix for
@@ -670,7 +669,13 @@ final class SemDedupClustersProcessor(params: Conf) extends Transform {
     *   - an UNCONSUMED output keeps its pin, so the in-flight output
     *     stays VALID — the build-two-then-consume-both case now yields
     *     correct results (with a loud stderr note naming the contract)
-    *     instead of a checkpoint crash;
+    *     instead of a checkpoint crash. Scope of that claim (ADVICE
+    *     r16): "consumed" means ANY completed action over the output —
+    *     a partial action (e.g. `out.limit(1).count()`) completes the
+    *     Observation, so the next apply() releases the drop pin and a
+    *     LATER full materialization of that output dies with missing
+    *     blocks; the guarantee is full-consumption-then-apply ordering,
+    *     not arbitrary re-reads;
     *   - only the NEWEST unconsumed generation is retained: anything
     *     older is released with a loud warning (its output dies if
     *     consumed later), so an abandoned-failed-batch crash loop
@@ -693,7 +698,16 @@ final class SemDedupClustersProcessor(params: Conf) extends Transform {
     * action completing and the metric landing — without it the
     * compliant sequential path could spuriously defer a release by one
     * invocation (and flake ReliableFaultSpec's exact-file-count law).
+    *
+    * The poll runs INSIDE apply() and is ≤ 3 s of driver sleep, paid
+    * only on the violation path — and only ONCE per unconsumed output
+    * (ADVICE r16): an entry already seen unconsumed by a prior resolve
+    * is re-probed non-blockingly, because the lag the poll absorbs can
+    * only exist on the first resolve after a consuming action; without
+    * the memo an abandoned-failed-batch crash loop would pay a fixed
+    * 3 s stall on every subsequent micro-batch retry.
     */
+  private var seenUnconsumed: Set[String] = Set.empty
   private def resolveInFlight(): Unit = {
     if (inFlight.isEmpty) return
     val deadline = System.nanoTime() + 3000L * 1000000L
@@ -701,7 +715,8 @@ final class SemDedupClustersProcessor(params: Conf) extends Transform {
       // future.isCompleted is the non-blocking public probe (get/getOrEmpty
       // block-or-are-private[sql]); poll it to absorb listener-bus lag
       var got = e._1.future.isCompleted
-      while (!got && System.nanoTime() < deadline) {
+      while (!got && !seenUnconsumed.contains(e._1.name)
+             && System.nanoTime() < deadline) {
         Thread.sleep(50)
         got = e._1.future.isCompleted
       }
@@ -709,6 +724,7 @@ final class SemDedupClustersProcessor(params: Conf) extends Transform {
     }
     val (done, open) = inFlight.partition(consumed)
     done.foreach(_._2())
+    seenUnconsumed = open.map(_._1.name).toSet
     inFlight = open match {
       case Nil => Nil
       case newest :: older =>
@@ -811,7 +827,7 @@ object SemDedupClustersProcessor {
   * ≥ threshold get an EMPTY array, not null — visible to the next
   * stage. Batch/foreachBatch-legal (window + aggregate inside).
   *
-  * `nprobe` (default 1, max [[graft.ops.llm.Dedup.IvfCells]]) sets the
+  * `nprobe` (default 1, max = the corpus-resolved quantizer cell count) sets the
   * probe breadth: 1 searches only each row's own cell (the single-probe
   * IVF floor — a cross-cell neighbor is missed); `nprobe >= 2` widens
   * each row's query to its top-nprobe cells by centroid dot — the
@@ -824,7 +840,7 @@ object SemDedupClustersProcessor {
   * {{{
   *   nprobe = 1   recall@5 0.354   (the silent YAML default)
   *   nprobe = 2   recall@5 0.640   (~2x candidates)
-  *   nprobe = 4   recall@5 1.000   (= IvfCells: exhaustive, self-check)
+  *   nprobe = 4   recall@5 1.000   (= the resolved K: exhaustive, self-check)
   * }}}
   * The absolute numbers are fixture-specific (K = 4 coarse cells —
   * production K is far larger and per-probe recall correspondingly

@@ -297,21 +297,35 @@ object Materialize {
     * FASTER shape once resident pinned state passes the single-JVM GC
     * cliff, but the mode was only reachable as a global deployment
     * flag. This gives every loop a per-operator escape with no env var
-    * set: an explicitly configured session mode always wins; under the
-    * `local` default, a first pin whose measured block bytes exceed
-    * [[AutoReliableBytesKey]] (conf, else [[AutoReliableBytesEnv]],
-    * else 256 MiB; ≤ 0 disables) upgrades the loop's remaining pins to
-    * reliable checkpoint files. Results are bit-identical across modes
-    * (law-tested); only residency changes.
+    * set: an explicitly configured session mode always wins — including
+    * an EXPLICIT `local`, which vetoes the autopilot (set vs unset is
+    * distinguished via `getOption`; an operator who sets local to avoid
+    * object-store checkpoint writes must get local — VERDICT r16 #2).
+    * Only when [[ModeKey]] is UNSET does the autopilot engage: a first
+    * pin whose measured block bytes exceed [[AutoReliableBytesKey]]
+    * (conf, else [[AutoReliableBytesEnv]], else 256 MiB; ≤ 0 disables)
+    * upgrades the loop's remaining pins to reliable checkpoint files.
+    * Results are bit-identical across modes (law-tested); only
+    * residency changes.
     */
   def loopMode(firstPin: DataFrame): String = {
     val conf = firstPin.sparkSession.conf
-    val configured = conf.get(ModeKey, "local")
-    if (configured != "local") configured
+    val configured = conf.getOption(ModeKey)
+    if (configured.isDefined) configured.get
     else {
-      val thr = conf.get(AutoReliableBytesKey,
-        sys.env.getOrElse(AutoReliableBytesEnv,
-          AutoReliableBytesDefault.toString)).toLong
+      // loud parse (VERDICT r16 #3): a malformed threshold must name
+      // the conf key / env var it came from and the expected format,
+      // not surface as a bare NumberFormatException mid-query
+      val (thrSrc, thrRaw) = conf.getOption(AutoReliableBytesKey)
+        .map((AutoReliableBytesKey, _))
+        .orElse(sys.env.get(AutoReliableBytesEnv)
+          .map((AutoReliableBytesEnv, _)))
+        .getOrElse(("default", AutoReliableBytesDefault.toString))
+      val thr = try thrRaw.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$thrSrc: expected a byte count (long, e.g. 268435456; <= 0 " +
+          s"disables the reliable-pin autopilot), got '$thrRaw'")
+      }
       val bytes = if (thr > 0) pinnedBytes(firstPin) else -1L
       if (thr > 0 && bytes >= thr) {
         // the upgrade must never convert a WORKING query into a hard

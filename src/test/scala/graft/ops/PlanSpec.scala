@@ -110,12 +110,19 @@ class PlanSpec extends SparkSpec {
   }
 
   test("llm_dedup_embedding builds its plan WITHOUT touching the corpus " +
-       "(no driver-side collect — the r2 scale-killer)") {
+       "(no driver-side collect — the r2 scale-killer); the one allowed " +
+       "extra job is the MEMOIZED quantizer-census count (r17)") {
     // The r2 version ran `corpus.collect()` EAGERLY while constructing the
     // DataFrame; building the plan therefore launched extra Spark jobs
-    // beyond the parquet footer read any scan construction performs. The
-    // IVF cell-shuffle version must cost exactly what a bare lazy scan of
-    // the same table costs: same job count, no corpus materialization.
+    // beyond the parquet footer read any scan construction performs.
+    // Since r17 the corpus-scaled quantizer (VERDICT r16 #1) resolves K
+    // from a row count at construction — a column-pruned metadata-cheap
+    // count, NOT a corpus materialization — memoized per canonicalized
+    // plan, so only the session's FIRST construction over a given corpus
+    // pays it. Under AQE a shuffle-aggregate count executes as TWO jobs
+    // (map stage + final), so the pin allows lazy-scan cost + 2 on a
+    // cold cache and asserts the memo by re-constructing at exactly
+    // bare-scan cost.
     val sc = spark.sparkContext
     def jobs = sc.statusTracker.getJobIdsForGroup(null).length
     val b0 = jobs
@@ -125,9 +132,17 @@ class PlanSpec extends SparkSpec {
     val df = graft.SparkEntry.queries("llm_dedup_embedding")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
     val queryCost = jobs - b1
-    assert(queryCost <= lazyCost,
+    assert(queryCost <= lazyCost + 2,
       s"constructing the query ran $queryCost Spark job(s) vs $lazyCost " +
-      "for a bare lazy scan — a driver-side materialization is back")
+      "for a bare lazy scan (+2 allowed for the one-time K census, two " +
+      "jobs under AQE) — a driver-side materialization is back")
+    val b2 = jobs
+    graft.SparkEntry.queries("llm_dedup_embedding")(spark, dir)
+      .queryExecution.executedPlan
+    val recost = jobs - b2
+    assert(recost <= lazyCost,
+      s"re-constructing the query ran $recost job(s) vs $lazyCost for a " +
+      "bare scan — the quantizer-census count is not memoized")
     // and the plan is the cell-pair shuffle + per-group verify, not a
     // broadcast of corpus data
     assert(p.contains("MapGroups") || p.contains("FlatMapGroups"), p)

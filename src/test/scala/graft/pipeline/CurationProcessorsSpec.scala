@@ -702,24 +702,31 @@ class CurationProcessorsSpec extends SparkSpec {
     assert(got === gate)
   }
 
-  test("ann_topk and sem_dedup validate nprobe fail-fast: floor, cap at " +
-       "the quantizer's cell count, format") {
+  test("ann_topk and sem_dedup validate nprobe: floor and format " +
+       "fail-fast at parse; the cap fails loudly at apply against the " +
+       "RESOLVED cell count (K is corpus-scaled since r17, so it does " +
+       "not exist at parse time — VERDICT r16 #1)") {
     val e1 = intercept[IllegalArgumentException] {
       resolve("ann_topk", Map("nprobe" -> "0"))
     }
     assert(e1.getMessage.contains("nprobe must be >= 1"))
-    val e2 = intercept[IllegalArgumentException] {
-      resolve("ann_topk", Map("nprobe" -> "5"))
-    }
-    assert(e2.getMessage.contains("nprobe must be <= 4"))
     val e3 = intercept[IllegalArgumentException] {
       resolve("sem_dedup", Map("nprobe" -> "two"))
     }
     assert(e3.getMessage.contains("positive integer"))
-    val e4 = intercept[IllegalArgumentException] {
-      resolve("sem_dedup", Map("nprobe" -> "5"))
+    // the fixture corpus resolves the floor K = 4, so breadth 5 must
+    // die in the engine naming the resolved cap — never silently run
+    // as exhaustive
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      resolve("ann_topk", Map("k" -> "3", "nprobe" -> "5")).process(emb)
     }
-    assert(e4.getMessage.contains("already exhaustive"))
+    assert(e2.getMessage.contains("nprobe must be <= 4"), e2.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      resolve("sem_dedup", Map("nprobe" -> "5")).process(emb)
+    }
+    assert(e4.getMessage.contains("already exhaustive"), e4.getMessage)
   }
 
   // --- r13 cluster-exact semantic dedup, batch-only (VERDICT r12 #5) ---
@@ -820,10 +827,15 @@ class CurationProcessorsSpec extends SparkSpec {
       resolve("sem_dedup_clusters", Map("thresh" -> "0.5"))
     }
     assert(e2.getMessage.contains("unsupported params"))
+    // the nprobe cap fires at APPLY against the corpus-resolved cell
+    // count since r17 (K no longer exists at parse time — VERDICT r16
+    // #1); the fixture resolves the K = 4 floor
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
     val e3 = intercept[IllegalArgumentException] {
-      resolve("sem_dedup_clusters", Map("nprobe" -> "9"))
+      resolve("sem_dedup_clusters", Map("nprobe" -> "9")).process(emb)
     }
-    assert(e3.getMessage.contains("already exhaustive"))
+    assert(e3.getMessage.contains("already exhaustive"), e3.getMessage)
   }
 
   test("ann_topk validates params fail-fast: k format and floor, " +

@@ -44,12 +44,15 @@ class LoopModeSpec extends SparkSpec {
       // <= 0 disables the auto choice entirely
       spark.conf.set(Materialize.AutoReliableBytesKey, "0")
       assert(Materialize.loopMode(pinned) === "local")
-      // explicit session mode wins regardless of the threshold
+      // explicit session mode wins regardless of the threshold — for
+      // BOTH spellings: an EXPLICIT local vetoes the autopilot (VERDICT
+      // r16 #2 — set is distinguished from unset via getOption; an
+      // operator avoiding object-store checkpoint writes must get local)
       spark.conf.set(Materialize.AutoReliableBytesKey, "1")
       spark.conf.set(Materialize.ModeKey, "local")
-      assert(Materialize.loopMode(pinned) === "reliable",
-        "an EXPLICIT local is indistinguishable from the default — the " +
-        "threshold still applies")
+      assert(Materialize.loopMode(pinned) === "local",
+        "an EXPLICIT local must veto the auto-upgrade even past the " +
+        "threshold")
       spark.conf.set(Materialize.ModeKey, "reliable")
       spark.conf.set(Materialize.AutoReliableBytesKey, "0")
       assert(Materialize.loopMode(pinned) === "reliable",
@@ -57,6 +60,26 @@ class LoopModeSpec extends SparkSpec {
     } finally {
       spark.conf.unset(Materialize.AutoReliableBytesKey)
       spark.conf.unset(Materialize.ModeKey)
+      Materialize.releasePinned(pinned)
+    }
+  }
+
+  test("loopMode fails LOUDLY on a malformed threshold, naming the conf " +
+       "key and the expected format (VERDICT r16 #3)") {
+    val pinned = Materialize.pin(spark.range(10L).toDF("id"))
+    try {
+      spark.conf.set(Materialize.AutoReliableBytesKey, "256MiB")
+      val e = intercept[IllegalArgumentException] {
+        Materialize.loopMode(pinned)
+      }
+      assert(e.getMessage.contains(Materialize.AutoReliableBytesKey),
+        s"the error must name the offending key: ${e.getMessage}")
+      assert(e.getMessage.contains("256MiB"),
+        s"the error must echo the offending value: ${e.getMessage}")
+      assert(e.getMessage.contains("byte count"),
+        s"the error must state the expected format: ${e.getMessage}")
+    } finally {
+      spark.conf.unset(Materialize.AutoReliableBytesKey)
       Materialize.releasePinned(pinned)
     }
   }
