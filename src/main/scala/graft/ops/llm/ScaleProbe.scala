@@ -322,7 +322,8 @@ object ScaleProbe {
       "weak-suffix", "weak-pagerank", "weak-pagerank-dir",
       "weak-triangles", "weak-ann-mp2", "weak-ann-mp4",
       "weak-ann-indep-mp2", "weak-ann-indep-mp4",
-      "weak-ann-kheld-mp2", "weak-ann-kheld-mp4")
+      "weak-ann-kheld-mp2", "weak-ann-kheld-mp4",
+      "weak-winnow-indep", "weak-spans-indep", "weak-tfidf-indep")
     val weakEnabled = weakTags
       .exists(n => onlySections.forall(_.contains(n)))
     val wsListener = new SparkListener {
@@ -483,6 +484,32 @@ object ScaleProbe {
                  cast(doc_id div $ReplicaStride as int) % ${vowelPermSeq.size} + 1))""").as("text")))
       sweepDebris()
     })
+
+    // INDEPENDENT-CONTENT text rungs (VERDICT r16 #7): the winnow /
+    // spans / tfidf weak rows above run on plain id-shifted duplicated
+    // replicas — an exact-tie density WORST CASE for pair-forming and
+    // df-keyed work (duplication multiplies every fingerprint / k-gram
+    // / token's frequency ×m, so df caps and tie groups see ×m dense
+    // keys, not m independent populations). These rungs reuse the
+    // suffix row's per-replica vowel-permutation alphabet bijection:
+    // equal substrings stay equal WITHIN a replica (each replica keeps
+    // the natural corpus's exact structure) while cross-replica
+    // fingerprints / grams / tokens decorrelate at the first vowel —
+    // weak scaling's actual premise. Flat readings here CONFIRM the
+    // duplicated rows' flatness was not an artifact of the worst case;
+    // replica 0 is the identity permutation, so the m=1 warmup input
+    // is the natural corpus itself.
+    def corpusMIndep(m: Int) = corpusM(m).select($"doc_id",
+      expr(s"""translate(text, 'aeiou', element_at(array($vowelPerms),
+               cast(doc_id div $ReplicaStride as int) % ${vowelPermSeq.size} + 1))""").as("text"))
+    weakScale("winnow-indep", c =>
+      TextStats.winnowFrom(c)
+        .agg(sum($"n_fps"), sum(length($"fp_head"))).collect(),
+      mkInput = corpusMIndep)
+    weakScale("spans-indep", c => Dedup.substringSpansFrom(c).count(),
+      mkInput = corpusMIndep)
+    weakScale("tfidf-indep", c => Ranking.tfidfFrom(c).count(),
+      mkInput = corpusMIndep)
 
     // graph family (VERDICT r13 #6 — three of the bench's top-five
     // gates): ×m DISJOINT copies of the sparse co-occurrence graph,
