@@ -268,6 +268,35 @@ class EmbeddingDedupSpec extends SparkSpec {
     assert(at4.nonEmpty && at4 === at8)
   }
 
+  test("the memoized pair frame is keyed by the RESOLVED K: changing " +
+       "spark.graft.ivf.cells between gate calls yields the fresh " +
+       "quantizer's pairs, never a stale cached frame") {
+    val corpus = Similarity.corpus(spark, dir)
+    // prime the memo at the default floor (K = 4)
+    val at4 = Dedup.dedupEmbeddingApprox(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    val at8 = try {
+      spark.conf.set(Dedup.IvfCellsKey, "8")
+      // an independent, uncached computation of the same-cell pair set
+      // under K = 8 is the truth the gate must now match
+      val fresh = Dedup.embeddingPairs(corpus, thr = 0.45, sameCellOnly = true)
+        .as[(Long, Long, Double)].collect().toSet
+      val gate = Dedup.dedupEmbeddingApprox(spark, dir)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(gate === fresh,
+        "gate under K=8 must equal the fresh K=8 computation")
+      gate
+    } finally spark.conf.unset(Dedup.IvfCellsKey)
+    // and the floor result is still served (unchanged) after the unset
+    val at4Again = Dedup.dedupEmbeddingApprox(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(at4Again === at4)
+    // non-degeneracy: the fixture must actually distinguish the two
+    // quantizers, else the staleness assertion proves nothing
+    assert(at4 !== at8,
+      "K=8 same-cell pairs equal K=4's — fixture cannot detect staleness")
+  }
+
   test("a larger K EXTENDS the md5 plane set: cell assignment at K = 4 " +
        "is a refinement boundary — every vector's K=8 argmax dot is >= " +
        "its K=4 argmax dot (planes 0..3 are shared, bit-identically)") {
