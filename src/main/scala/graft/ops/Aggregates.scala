@@ -364,15 +364,23 @@ object Aggregates extends QueryPack {
     val cms = org.apache.spark.util.sketch.CountMinSketch
       .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
     val est = udf((k: Long) => cms.estimateCount(k))
-    val row = ev.agg(count(lit(1)), count_distinct($"user_id")).head
-    val (total, nu) = (row.getLong(0), row.getLong(1))
-    ev.groupBy($"user_id").agg(count(lit(1)).as("n_exact"))
+    // total and nu derive from the per-key counts the query aggregates
+    // anyway — a 1-row aggregate OF that frame crossed back in (r17,
+    // guide §1.2 "how many full passes are unavoidable": the old shape
+    // scanned events a third time just for these two scalars; two passes
+    // — sketch + groupBy — are the floor, since the CMS needs raw rows)
+    val counts = ev.groupBy($"user_id").agg(count(lit(1)).as("n_exact"))
+    val scalars = counts
+      .agg(sum($"n_exact").as("_total"), count(lit(1)).as("_nu"))
+    counts
+      .crossJoin(broadcast(scalars))
       // heavy = ≥ 1.2× the mean key frequency: 5·n·nu ≥ 6·total
       // (integer-exact compare, engine-independent)
-      .where($"n_exact" * lit(5L * nu) >= lit(6L * total))
+      .where($"n_exact" * lit(5L) * $"_nu" >= lit(6L) * $"_total")
       .select($"user_id", $"n_exact",
               ($"n_exact" <= est($"user_id") &&
-               est($"user_id") <= $"n_exact" + lit((eps * total).toLong))
+               est($"user_id") <= $"n_exact" +
+                 floor(lit(eps) * $"_total").cast("long"))
                 .as("cms_ok"))
       .orderBy($"user_id")
   }

@@ -624,10 +624,22 @@ object Tpch extends QueryPack {
   private[ops] def waitingOrdersFrom(li: DataFrame, ord: DataFrame,
                                      sup: DataFrame): DataFrame = {
     import li.sparkSession.implicits._
-    val perOrder = li.groupBy($"l_orderkey".as("agg_ok"))
-      .agg(countDistinct($"l_suppkey").as("n_supp"),
-           countDistinct(when($"l_returnflag" === "R", $"l_suppkey"))
-             .as("n_r_supp"))
+    // Two-level aggregate instead of two countDistinct (r17, guide §2.3):
+    // mixing two DISTINCT aggregates makes Catalyst Expand every fact row
+    // into 2 (one per distinct group), shuffle the doubled rows on a
+    // 4-column key (orderkey, suppkey, CASE, gid), dedup, and re-shuffle.
+    // Grouping by (orderkey, suppkey) first computes the same two counts —
+    // n_supp = COUNT(*) of supplier groups, n_r_supp = SUM(had an R line) —
+    // from ONE un-expanded pass: the first exchange carries half the rows
+    // on a 2-column key, and the Expand operator leaves the plan entirely
+    // (plans/r17/q21_waiting_orders_{before,after}.txt). Bit-identical:
+    // COUNT(DISTINCT s) = number of (o, s) groups; COUNT(DISTINCT CASE WHEN
+    // R THEN s END) counts suppliers with ≥1 R line = SUM(max(flag)).
+    val perOrder = li
+      .groupBy($"l_orderkey".as("agg_ok"), $"l_suppkey")
+      .agg(max(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("has_r"))
+      .groupBy($"agg_ok")
+      .agg(count(lit(1)).as("n_supp"), sum($"has_r").as("n_r_supp"))
     li.where($"l_returnflag" === "R")
       .select($"l_orderkey", $"l_suppkey")
       .join(ord.where($"o_orderstatus" === "F").select($"o_orderkey"),

@@ -621,11 +621,24 @@ object Curation extends QueryPack {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
       .withColumn("text", expr("graft_nfc(text)"))
+    // Pin the two multi-consumer stage boundaries (r17, guide §1.2 "don't
+    // compute things twice" / §5 caching-when-reused): `scored` feeds both
+    // the dedup window and the per-lang raw census, and `canon` feeds both
+    // the CDC chunker and the lang join — unpinned, Catalyst duplicated
+    // the subtrees, so the corpus went through NFC normalization + feature
+    // scoring THREE times and through the md5-keyed full-text window
+    // shuffle TWICE per run (measured at sf0.1: 2.04s before, 1.48s
+    // after, both steal-clean). The pins drop the ws/score
+    // scratch columns first so the
+    // materialized bytes are (id, lang, text, qual), not the token arrays.
     val scored = scoreDocs(docs)
+      .select($"doc_id", $"lang", $"text", $"qual")
+      .transform(graft.state.Materialize.pin)
     val wDup = Window.partitionBy(md5($"text")).orderBy($"qual".desc, $"doc_id")
     val canon = scored.withColumn("rn", row_number().over(wDup))
       .where($"qual" && $"rn" === 1)
       .select($"doc_id", $"lang", $"text")
+      .transform(graft.state.Materialize.pin)
     val chunks = Dedup.cdcChunkRowsBatch(canon.select($"doc_id", $"text"))
     val dup = chunks.groupBy($"h").agg(countDistinct($"doc_id").as("nd"))
     val chunkCensus = chunks.join(dup, Seq("h"))

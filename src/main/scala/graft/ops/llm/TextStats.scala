@@ -1264,12 +1264,22 @@ object TextStats extends QueryPack {
       .select($"source", explode(expr(
         "transform(sequence(0, size(ws) - 3), " +
         "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("gram"))
-    val df = g.groupBy($"gram")
-      .agg(countDistinct($"source").as("nsrc"))
-    g.join(df, Seq("gram"))
+    // Pre-aggregate occurrences to (source, gram) pairs BEFORE anything
+    // touches the gram key (r17, guide §2.3/§8: the old shape shuffled
+    // the FULL occurrence stream twice on a string key — once into the
+    // per-gram distinct-source aggregate, once through the join back).
+    // On the deduped pair frame, distinct sources per gram is a plain
+    // window count (one exchange), and the per-source totals are sums of
+    // the carried occurrence counts — the heavy stream now crosses the
+    // wire once, map-side-combined. Bit-identical: COUNT(DISTINCT source)
+    // per gram == COUNT(*) per gram over distinct (source, gram) rows.
+    val g2 = g.groupBy($"source", $"gram").agg(count(lit(1)).as("cnt"))
+    g2.withColumn("nsrc",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"gram")))
       .groupBy($"source")
-      .agg(count(lit(1)).as("n_grams"),
-           sum(when($"nsrc" === 1, 1L).otherwise(0L)).as("n_novel"))
+      .agg(sum($"cnt").as("n_grams"),
+           sum(when($"nsrc" === 1, $"cnt").otherwise(0L)).as("n_novel"))
       .select($"source", $"n_grams", $"n_novel",
               expr("(1000000 * n_novel) div n_grams").as("novelty_ppm"))
       .orderBy($"source")
