@@ -38,6 +38,15 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def selected(name: String) = only.forall(_.contains(name))
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
+      // Same per-query debris sweep as Bench: with stage-boundary pins in
+      // the query paths (r17), a full 252-query dump would otherwise
+      // accumulate every query's localCheckpoint blocks for the whole
+      // sweep. Session-lived memoized pins (SuffixIndex) are retained —
+      // unpersisting a lineage-truncated frame breaks later consumers.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => graft.state.Materialize.isRetained(id) }
+        .values.foreach(_.unpersist(blocking = false))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

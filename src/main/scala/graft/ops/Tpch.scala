@@ -438,15 +438,23 @@ object Tpch extends QueryPack {
       .join(broadcast(Tables.nation(spark, dir).select($"n_nationkey", $"n_name")),
             $"s_nationkey" === $"n_nationkey")
       .select($"s_suppkey", $"n_name".as("supp_nation"))
+    // Join order (r17, guide §2.3 "shuffle fewer bytes"): restrict
+    // orders by the ASIA-customer semi side BEFORE touching lineitem.
+    // The previous order (lineitem⋈orders first, then ⋈asiaCust) made
+    // the custkey exchange carry the lineitem-wide joined frame; this
+    // order shuffles orders (a fraction of lineitem) by custkey and
+    // lineitem crosses the wire exactly once, on orderkey. Inner
+    // equi-joins — row-identical by associativity.
+    val ordersAsia = Tables.orders(spark, dir)
+      .where(expr(s"o_orderdate >= $Cutoff") &&
+             expr("o_orderdate < timestamp'1998-01-01 00:00:00'"))
+      .select($"o_orderkey", $"o_custkey",
+              year($"o_orderdate").cast("long").as("o_year"))
+      .join(asiaCust, $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"o_year")
     Tables.lineitem(spark, dir)
       .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
-      .join(Tables.orders(spark, dir)
-              .where(expr(s"o_orderdate >= $Cutoff") &&
-                     expr("o_orderdate < timestamp'1998-01-01 00:00:00'"))
-              .select($"o_orderkey", $"o_custkey",
-                      year($"o_orderdate").cast("long").as("o_year")),
-            $"l_orderkey" === $"o_orderkey")
-      .join(asiaCust, $"o_custkey" === $"c_custkey")
+      .join(ordersAsia, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(supN), $"l_suppkey" === $"s_suppkey")
       .groupBy($"o_year")
       .agg(Det.dsum(when($"supp_nation" === "NATION_1", rev).otherwise(lit(0.0)))

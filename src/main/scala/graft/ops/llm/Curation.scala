@@ -137,11 +137,16 @@ object Curation extends QueryPack {
   def perplexityFrom(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
-    val pairs = docs
+    // Pinned: the pair stream has THREE consumers (c1, c2, the scored
+    // probe side) — unpinned, the tokenize→posexplode→lead-window tower
+    // ran three times per query (r17 plan capture of llm_ccnet_buckets:
+    // three identical Generate→window subtrees, each with its own
+    // doc_id exchange). One pin runs it once.
+    val pairs = graft.state.Materialize.pin(docs
       .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w1")))
       .withColumn("w2", lead($"w1", 1).over(wDoc))
       .where($"w2".isNotNull)
-      .select($"doc_id", $"w1", $"w2")
+      .select($"doc_id", $"w1", $"w2"))
     val c1 = pairs.groupBy($"w1").agg(count(lit(1)).as("c1"))
     val c2 = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
     pairs
@@ -284,13 +289,17 @@ object Curation extends QueryPack {
     val splitPct = expr(
       CrossHash.hex60("concat(cast(doc_id as string), '#split')") + " % 100")
     val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
-    val tri = docs
+    // Pinned: the trigram stream has FIVE consumers (c3/c2/c2b/c1b via
+    // `train` + the eval probe side) — unpinned, Catalyst duplicated the
+    // tokenize→posexplode→double-lead-window tower five times per query
+    // (r17 plan capture: five scans of the corpus). One pin, one pass.
+    val tri = graft.state.Materialize.pin(docs
       .withColumn("part", when(splitPct < 80, "train").otherwise("eval"))
       .select($"doc_id", $"part", posexplode(split($"text", " ")).as(Seq("pos", "w1")))
       .withColumn("w2", lead($"w1", 1).over(wDoc))
       .withColumn("w3", lead($"w1", 2).over(wDoc))
       .where($"w3".isNotNull)
-      .select($"doc_id", $"part", $"w1", $"w2", $"w3")
+      .select($"doc_id", $"part", $"w1", $"w2", $"w3"))
     val train = tri.where($"part" === "train")
     val c3  = train.groupBy($"w1", $"w2", $"w3").agg(count(lit(1)).as("c3"))
     val c2  = train.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))

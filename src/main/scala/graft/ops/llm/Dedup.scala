@@ -834,10 +834,18 @@ object Dedup extends QueryPack {
   private[ops] def jaccardPairs(sh: DataFrame, cap: Long): DataFrame = {
     // df via a count window over s: ONE shuffle of the shingle table
     // (which the self-join below needs on the same key anyway) instead
-    // of a separate aggregate + join-back
-    val kept = sh.withColumn("df",
+    // of a separate aggregate + join-back. The capped frame then has
+    // THREE consumers (sizes + both self-join sides) — unpinned,
+    // Catalyst duplicates the whole shingle→distinct→window subtree per
+    // consumer (r17 plan capture: 3 scans, 3 Generates, 3 window sorts),
+    // so the pin runs it exactly once. The window (not a collect_set
+    // posting list) stays the df device on purpose: an uncapped hot
+    // shingle spills through WindowExec's external sorter, where a
+    // posting-list buffer would hold every doc_id of the hot key in one
+    // aggregation buffer.
+    val kept = graft.state.Materialize.pin(sh.withColumn("df",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
-      .filter(col("df") <= cap).drop("df")
+      .filter(col("df") <= cap).drop("df"))
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = kept.select(col("doc_id").as("d1"), col("s"))
       .join(kept.select(col("doc_id").as("d2"), col("s")), Seq("s"))
@@ -883,13 +891,17 @@ object Dedup extends QueryPack {
     // All 32 sign counters in ONE codegen'd hash aggregate (32
     // conditional sums) instead of exploding ×32 and shuffling
     // |shingles|×32 rows; the signature assembles in the projection.
-    val sig = hv.groupBy($"doc_id")
+    // Pinned: the signature frame feeds BOTH sides of the banding
+    // self-join below — unpinned, the shingle→hash→32-sum aggregate
+    // subtree ran twice per query (r17 plan capture: two identical
+    // scan→Generate→agg towers). One row per doc, so the pin is tiny.
+    val sig = graft.state.Materialize.pin(hv.groupBy($"doc_id")
       .agg(sum(when(expr("shiftright(hv, 0) & 1") === 1, 1).otherwise(-1)).as("b0"),
            (1 until 32).map(i =>
              sum(when(expr(s"shiftright(hv, $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i")): _*)
       .select($"doc_id",
         (0 until 32).map(i => when(col(s"b$i") >= 0, lit(1L << i)).otherwise(0L))
-          .reduce(_ + _).as("sh32"))
+          .reduce(_ + _).as("sh32")))
     // hamming(a,b) ≤ 3 on 32 bits ⇒ one of the 4 disjoint bytes matches.
     val blk = sig.select($"doc_id", $"sh32", explode(expr("sequence(0, 3)")).as("j"))
       .withColumn("bv", expr("shiftright(sh32, cast(8 * j as int)) & 255"))

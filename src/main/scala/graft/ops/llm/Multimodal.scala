@@ -246,41 +246,47 @@ object Multimodal extends QueryPack {
     */
   def multimodalPhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def coded(payload: org.apache.spark.sql.Column, idCol: String) = {
-      val base = assets(spark, dir)
-        .select($"doc_id".as(idCol), $"m.mime".as("mime"),
-                hex(payload).as("h"),
-                octet_length(payload).cast("long").as("n"))
-        .withColumn("bvals", expr(
-          """transform(sequence(0, 63), k ->
-            |  cast(conv(substr(h, cast(2 * ((k * n) div 64) + 1 as int), 2),
-            |            16, 10) as bigint))""".stripMargin))
-        .withColumn("s", expr("aggregate(bvals, 0L, (a, x) -> a + x)"))
+    // Single-scan form (r17, guide §6/§8 — read heavy payload bytes
+    // once): the previous shape derived orig and re-encoded-twin hashes
+    // as two scans of `assets` joined back on doc_id. doc_id is the
+    // corpus primary key (unique in documents across every fixture), so
+    // the inner join is exactly the %5 filter — computing both hash
+    // pairs in one projection over one filtered scan is row-identical
+    // and halves the payload reads (the join and its broadcast exchange
+    // disappear; at asset scale the second payload scan is the cost).
+    def coded(df: DataFrame, payload: org.apache.spark.sql.Column,
+              p: String): DataFrame = {
       def word(lo: Int) = expr(
         s"""aggregate(sequence($lo, ${lo + 31}), 0L, (acc, d) ->
-           |  acc + if(element_at(bvals, d + 1) * 64 >= s,
+           |  acc + if(element_at(${p}_bvals, d + 1) * 64 >= ${p}_s,
            |           shiftleft(1L, d - $lo), 0L))""".stripMargin)
-      base.select(col(idCol), $"mime",
-                  word(0).as(s"${idCol}_lo"), word(32).as(s"${idCol}_hi"))
+      df.withColumn(s"${p}_h", hex(payload))
+        .withColumn(s"${p}_n", octet_length(payload).cast("long"))
+        .withColumn(s"${p}_bvals", expr(
+          s"""transform(sequence(0, 63), k ->
+            |  cast(conv(substr(${p}_h,
+            |            cast(2 * ((k * ${p}_n) div 64) + 1 as int), 2),
+            |            16, 10) as bigint))""".stripMargin))
+        .withColumn(s"${p}_s", expr(s"aggregate(${p}_bvals, 0L, (a, x) -> a + x)"))
+        .withColumn(s"${p}_lo", word(0)).withColumn(s"${p}_hi", word(32))
+        .drop(s"${p}_h", s"${p}_n", s"${p}_bvals", s"${p}_s")
     }
-    val orig = coded($"m.bytes", "doc_id")
     // the trailing-8 cut is counted in CHARACTERS of the decoded text on
     // BOTH sides (and floored at 0), so the twin derivation cannot
     // diverge between the engines on a non-ASCII or sub-9-char payload
     // (byte-counted substring vs DuckDB's char-counted substr — and
     // DuckDB's substr ERRORS on a non-positive length where Spark
     // returns empty)
-    val twin = coded(
-      encode(expr(
-        """concat(substring(decode(m.bytes, 'UTF-8'), 1,
-          |  cast(greatest(length(decode(m.bytes, 'UTF-8')) - 8, 0) as int)),
-          |  ' ~re-enc')""".stripMargin), "UTF-8"),
-      "t_id")
-      .filter($"t_id" % 5 === 0)
-      .select($"t_id".as("doc_id"), $"t_id_lo", $"t_id_hi")
-    orig.join(twin, Seq("doc_id"))
+    val twinPayload = encode(expr(
+      """concat(substring(decode(m_bytes, 'UTF-8'), 1,
+        |  cast(greatest(length(decode(m_bytes, 'UTF-8')) - 8, 0) as int)),
+        |  ' ~re-enc')""".stripMargin), "UTF-8")
+    coded(coded(
+        assets(spark, dir).filter($"doc_id" % 5 === 0)
+          .select($"doc_id", $"m.mime".as("mime"), $"m.bytes".as("m_bytes")),
+        $"m_bytes", "o"), twinPayload, "t")
       .withColumn("ham", expr(
-        "cast(bit_count(doc_id_lo ^ t_id_lo) + bit_count(doc_id_hi ^ t_id_hi) as bigint)"))
+        "cast(bit_count(o_lo ^ t_lo) + bit_count(o_hi ^ t_hi) as bigint)"))
       .groupBy($"mime")
       .agg(count(lit(1)).as("n_pairs"),
            sum(($"ham" <= 8).cast("long")).as("n_near"),

@@ -313,13 +313,25 @@ object Similarity extends QueryPack {
     kmeansCensus(lloydStep(cells0, "c0"))
   }
 
-  /** One DECLARATIVE Lloyd step over `(vec_id, v, <prevCol>)`: centroid
-    * update (decimal-exact per-dim means) + broadcast reassignment, all
-    * in-plan — no driver action anywhere, which is what lets iterations
-    * COMPOSE into one job. Returns `(vec_id, v, <prevCol>, cell, m0)`.
+  /** One Lloyd step over `(vec_id, v, <prevCol>)`: centroid update
+    * (decimal-exact per-dim means) + broadcast reassignment. The step
+    * input is PINNED (r17): it feeds both halves, and composed
+    * iterations otherwise re-derive every predecessor per consumer
+    * (2^T blowup). The pin is a distributed materialization — no data
+    * ever returns to the driver; iterations compose at linear cost,
+    * the Graph loop-pin posture. Returns
+    * `(vec_id, v, <prevCol>, cell, m0)`.
     */
-  private def lloydStep(cells: DataFrame, prevCol: String): DataFrame = {
-    import cells.sparkSession.implicits._
+  private def lloydStep(cells0: DataFrame, prevCol: String): DataFrame = {
+    import cells0.sparkSession.implicits._
+    // Pin the step input: it feeds BOTH the centroid update and the
+    // reassignment side below, and under composition (kmeansTwoStep)
+    // each unpinned step re-derives its predecessor per consumer — the
+    // r17 plan capture showed the cell-assignment subtree ×4. Pinning
+    // makes T composed iterations cost T× one step (the Graph loop-pin
+    // pattern); the materialization is distributed (localCheckpoint) —
+    // the loop still never returns data to the driver.
+    val cells = graft.state.Materialize.pin(cells0)
     val cent = cells
       .select(col(prevCol).as("cell"), posexplode($"v").as(Seq("d", "x")))
       .groupBy($"cell", $"d")
@@ -353,9 +365,10 @@ object Similarity extends QueryPack {
       .orderBy($"cell")
   }
 
-  /** TWO composed Lloyd iterations, still one declarative plan (zero
-    * driver actions): the second step's movement census must shrink as
-    * clustering converges — the signal an IVF-index training job watches.
+  /** TWO composed Lloyd iterations (each step pins its input, so the
+    * second costs one step, not a re-derivation of the first): the
+    * second step's movement census must shrink as clustering converges
+    * — the signal an IVF-index training job watches.
     */
   def kmeansTwoStep(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -468,14 +481,18 @@ object Similarity extends QueryPack {
       .withColumn("rn", row_number().over(byPos)).where($"rn" === 1)
       .select($"vec_id" +: kept :+ $"sub" :+ $"sv" :+ $"code".as("c0"): _*)
       .transform(graft.state.Materialize.pin)
-    val book = assign0
+    // book is M·Ks rows but has TWO consumers (the re-encode here and
+    // the ADC query table) — unpinned, each consumer re-runs the full
+    // codebook-update aggregate over the corpus-sized assign0 pin. The
+    // pin costs a 32-row materialization and saves a corpus pass.
+    val book = graft.state.Materialize.pin(assign0
       .select($"sub", $"c0", posexplode($"sv").as(Seq("d", "x")))
       .groupBy($"sub", $"c0", $"d")
       .agg(graft.Det.davg($"x").as("m"))
       .groupBy($"sub", $"c0")
       .agg(collect_list(struct($"d", $"m")).as("dm"))
       .select($"sub", $"c0".as("code"),
-        expr("transform(array_sort(dm), s -> s.m)").as("carr"))
+        expr("transform(array_sort(dm), s -> s.m)").as("carr")))
     val enc = pqD2(assign0.join(broadcast(book), Seq("sub")), "sv", "carr", "d2")
       .withColumn("rn", row_number().over(byPos)).where($"rn" === 1)
       .select($"vec_id" +: kept :+ $"sub" :+ $"c0" :+ $"code" :+

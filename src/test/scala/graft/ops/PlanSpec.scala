@@ -462,10 +462,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q21_waiting_orders: both correlated subqueries collapse into ONE " +
-       "per-order aggregate (Expand for the two count-distincts), no " +
-       "fact-wide semi/anti probe builds, never nested-loop") {
+       "per-order aggregate with NO Expand (the r17 (orderkey, suppkey) " +
+       "pre-group computes both distinct counts from one un-expanded " +
+       "pass), no fact-wide semi/anti probe builds, never nested-loop") {
     val p = plan("q21_waiting_orders")
-    assert(p.contains("Expand"), p) // multi-countDistinct aggregate
+    // r17: the two COUNT(DISTINCT)s previously forced an Expand (2x fact
+    // rows) + a 4-column dedup exchange; the pre-grouped form must not
+    // reintroduce either
+    assert(!p.contains("Expand"), p)
     assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
