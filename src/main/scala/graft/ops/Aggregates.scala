@@ -244,9 +244,16 @@ object Aggregates extends QueryPack {
     // corpus total from a cross-joined 1-row aggregate, not a count().
     val sketch: Seq[String] = ev.stat.freqItems(Array("event_type"), 0.1)
       .collect()(0).getSeq[String](0)
-    ev.groupBy($"event_type")
-      .agg(count(lit(1)).as("n"))
-      .crossJoin(ev.agg(count(lit(1)).as("_total")))
+    // r17 (the heavy-hitters treatment): the corpus total is the sum of
+    // the per-key counts, so the exact pass reads events ONCE — the
+    // former third full scan (ev.agg(count)) is a key-space-sized
+    // aggregate over the counts frame instead. Pinned: shared lazily,
+    // Catalyst re-expands the subtree per consumer and the scan comes
+    // back (measured on heavy_hitters' first attempt).
+    val counts = graft.state.Materialize.pin(
+      ev.groupBy($"event_type").agg(count(lit(1)).as("n")))
+    counts
+      .crossJoin(broadcast(counts.agg(sum($"n").as("_total"))))
       .filter($"n" * 10 > $"_total") // exact heavy hitters: freq > 0.1
       .select($"event_type", $"n",
               $"event_type".isInCollection(sketch).as("in_sketch"))
@@ -369,7 +376,12 @@ object Aggregates extends QueryPack {
     // guide §1.2 "how many full passes are unavoidable": the old shape
     // scanned events a third time just for these two scalars; two passes
     // — sketch + groupBy — are the floor, since the CMS needs raw rows)
-    val counts = ev.groupBy($"user_id").agg(count(lit(1)).as("n_exact"))
+    // PINNED (r17 follow-up): lazily shared, Catalyst re-expands the
+    // counts subtree per consumer — the committed after-plan showed the
+    // events scan duplicated (scan 1 + scan 5), so the claimed 3→2 pass
+    // reduction wasn't real until the counts frame materialized once.
+    val counts = graft.state.Materialize.pin(
+      ev.groupBy($"user_id").agg(count(lit(1)).as("n_exact")))
     val scalars = counts
       .agg(sum($"n_exact").as("_total"), count(lit(1)).as("_nu"))
     counts
