@@ -648,7 +648,11 @@ object Curation extends QueryPack {
       .where($"qual" && $"rn" === 1)
       .select($"doc_id", $"lang", $"text")
       .transform(graft.state.Materialize.pin)
+    // Third stage pin (r17): chunks feeds the dup census AND the
+    // join-back — unpinned, the CDC per-byte md5 tower ran twice over
+    // the canon pin.
     val chunks = Dedup.cdcChunkRowsBatch(canon.select($"doc_id", $"text"))
+      .transform(graft.state.Materialize.pin)
     val dup = chunks.groupBy($"h").agg(countDistinct($"doc_id").as("nd"))
     val chunkCensus = chunks.join(dup, Seq("h"))
       .join(canon.select($"doc_id", $"lang"), Seq("doc_id"))

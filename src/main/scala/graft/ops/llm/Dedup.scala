@@ -2209,8 +2209,13 @@ object Dedup extends QueryPack {
 
   def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val chunks = cdcChunkRowsBatch(
-      Tables.documents(spark, dir).select($"doc_id", $"text"))
+    // Pinned (r17): the chunk frame feeds BOTH the dup census and the
+    // join-back below — unpinned, the per-byte-position md5 explode (the
+    // chunker's hot tower) ran twice per query. Call-site pin, not
+    // inside cdcChunkRowsBatch: single-consumer callers (ScaleProbe,
+    // the streaming twin's tests) would pay the barrier for nothing.
+    val chunks = graft.state.Materialize.pin(cdcChunkRowsBatch(
+      Tables.documents(spark, dir).select($"doc_id", $"text")))
     val dup = chunks.groupBy($"h").agg(countDistinct($"doc_id").as("nd"))
     chunks.join(dup, Seq("h"))
       .groupBy($"doc_id")
