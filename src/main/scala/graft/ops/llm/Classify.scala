@@ -83,7 +83,12 @@ object Classify extends QueryPack {
     */
   def nbcConfusionFrom(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val prof = trainCounts(docs).select($"lang".as("plang"), $"w", $"cnt")
+    // Pinned (r17): prof has two consumers (the broadcast score join and
+    // the class-mass normalizer) — unpinned, the train-split tokenize +
+    // vocabulary aggregate tower ran once per consumer. Vocab-bounded
+    // frame, so the pin is broadcast-sized by construction.
+    val prof = graft.state.Materialize.pin(
+      trainCounts(docs).select($"lang".as("plang"), $"w", $"cnt"))
     val tot  = prof.groupBy($"plang").agg(sum($"cnt").as("tot"))
     val test = docs.filter($"doc_id" % HoldoutMod === HoldoutRem)
     val ev = test
@@ -125,15 +130,22 @@ object Classify extends QueryPack {
   def nbcCalibration(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val prof = trainCounts(docs).select($"lang".as("plang"), $"w", $"cnt")
+    // Pinned (r17): prof has two consumers (the broadcast score join and
+    // the class-mass normalizer) — unpinned, the train-split tokenize +
+    // vocabulary aggregate tower ran once per consumer. Vocab-bounded
+    // frame, so the pin is broadcast-sized by construction.
+    val prof = graft.state.Materialize.pin(
+      trainCounts(docs).select($"lang".as("plang"), $"w", $"cnt"))
     val tot  = prof.groupBy($"plang").agg(sum($"cnt").as("tot"))
     val test = docs.filter($"doc_id" % HoldoutMod === HoldoutRem)
-    val sc = test
+    // Pinned (r17): sc feeds BOTH the winner window and the class-sum
+    // fold — unpinned, the holdout tokenize + score tower ran twice.
+    val sc = graft.state.Materialize.pin(test
       .select($"doc_id", explode(split($"text", " ")).as("w"))
       .join(broadcast(prof), Seq("w"))
       .groupBy($"doc_id", $"plang").agg(sum($"cnt").as("evidence"))
       .join(broadcast(tot), Seq("plang"))
-      .withColumn("s", $"evidence".cast("double") / $"tot")
+      .withColumn("s", $"evidence".cast("double") / $"tot"))
     val win = sc.withColumn("rn", row_number().over(
         Window.partitionBy($"doc_id").orderBy($"s".desc, $"plang")))
       .filter($"rn" === 1)
@@ -174,7 +186,12 @@ object Classify extends QueryPack {
   def nbcRoc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val prof = trainCounts(docs).select($"lang".as("plang"), $"w", $"cnt")
+    // Pinned (r17): prof has two consumers (the broadcast score join and
+    // the class-mass normalizer) — unpinned, the train-split tokenize +
+    // vocabulary aggregate tower ran once per consumer. Vocab-bounded
+    // frame, so the pin is broadcast-sized by construction.
+    val prof = graft.state.Materialize.pin(
+      trainCounts(docs).select($"lang".as("plang"), $"w", $"cnt"))
     val tot  = prof.groupBy($"plang").agg(sum($"cnt").as("tot"))
     val test = docs.filter($"doc_id" % HoldoutMod === HoldoutRem)
     val sc = test
