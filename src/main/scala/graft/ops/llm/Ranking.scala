@@ -46,8 +46,13 @@ object Ranking extends QueryPack {
     val spark = docs.sparkSession
     import spark.implicits._
     val t  = docs.select($"doc_id", explode(split($"text", " ")).as("w"))
-    val tf = t.groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
-    val df = t.groupBy($"w").agg(countDistinct($"doc_id").as("df"))
+    // Pinned (r17): tf feeds both the score join and the df derivation —
+    // and df itself no longer re-tokenizes the corpus: countDistinct(doc)
+    // per term over the token stream IS the per-term row count of the
+    // (doc, term) frame, so one tokenize pass serves both statistics.
+    val tf = graft.state.Materialize.pin(
+      t.groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf")))
+    val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
     val n  = docs.agg(count(lit(1)).as("n_docs"))
     val rn = Window.partitionBy($"doc_id").orderBy($"score".desc, $"w")
     tf.join(broadcast(df), "w").crossJoin(broadcast(n))
@@ -91,8 +96,12 @@ object Ranking extends QueryPack {
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", size(split($"text", " ")).cast("long").as("dl"))
     val t  = toks(spark, dir).where($"w".isin(bm25Terms: _*))
-    val tf = t.groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
-    val df = t.groupBy($"w").agg(countDistinct($"doc_id").as("df"))
+    // Pinned (r17, the tfidf device): df = per-term row count of the
+    // (doc, term) frame — one tokenize pass instead of two; the pinned
+    // frame is query-term-bounded (tiny).
+    val tf = graft.state.Materialize.pin(
+      t.groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf")))
+    val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
     val n  = Tables.documents(spark, dir)
       .agg(count(lit(1)).as("n_docs"), sum(size(split($"text", " ")).cast("long")).as("sum_dl"))
       .withColumn("avgdl", expr("CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)"))

@@ -205,12 +205,15 @@ object Similarity extends QueryPack {
                         cast(id % $Bits as string), '_', cast(d as string))""")} as double)
            / 576460752303423488.0 - 1.0)""").as("w"))
     // Bucket id per (vector, table): 8 sign bits packed into a long.
-    val buckets = n.crossJoin(broadcast(planes))
+    // Pinned (r17): buckets feeds BOTH the query and candidate sides of
+    // the banding join — unpinned, the sign-bit tower (Tables·Bits = 16
+    // 64-dim dots per corpus vector) ran twice per query.
+    val buckets = graft.state.Materialize.pin(n.crossJoin(broadcast(planes))
       .withColumn("bitval", when(
         expr(dotFold("v", "w")) >= 0,
         expr("shiftleft(1L, b)")).otherwise(0L))
       .groupBy($"vec_id", $"t")
-      .agg(sum($"bitval").as("bucket"))
+      .agg(sum($"bitval").as("bucket")))
     val qb = buckets.filter($"vec_id" < 10).select($"vec_id".as("q_id"), $"t", $"bucket")
     val cand = qb
       .join(buckets.select($"vec_id".as("c_id"), $"t", $"bucket"), Seq("t", "bucket"))

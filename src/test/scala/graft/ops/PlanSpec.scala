@@ -661,10 +661,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
-  test("llm_cdc_chunks: chunking explodes positions (Generate) and every " +
-       "join is hash-keyed (doc_id / md5 h) — no nested-loop anywhere") {
+  test("llm_cdc_chunks: the chunk frame is pinned (r17 — the position " +
+       "explode runs once, inside the pin build) and every join over it " +
+       "is hash-keyed (doc_id / md5 h) — no nested-loop anywhere") {
     val p = plan("llm_cdc_chunks")
-    assert(p.contains("Generate"), p)
+    // the Generate lives in the pin's build plan; the query plan reads
+    // the materialized chunk frame
+    assert(p.contains("Scan ExistingRDD"), p)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
