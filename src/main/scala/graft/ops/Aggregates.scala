@@ -250,7 +250,7 @@ object Aggregates extends QueryPack {
     // aggregate over the counts frame instead. Pinned: shared lazily,
     // Catalyst re-expands the subtree per consumer and the scan comes
     // back (measured on heavy_hitters' first attempt).
-    val counts = graft.state.Materialize.pin(
+    val counts = graft.state.Materialize.pinIfLarge(
       ev.groupBy($"event_type").agg(count(lit(1)).as("n")))
     counts
       .crossJoin(broadcast(counts.agg(sum($"n").as("_total"))))
@@ -380,7 +380,7 @@ object Aggregates extends QueryPack {
     // counts subtree per consumer — the committed after-plan showed the
     // events scan duplicated (scan 1 + scan 5), so the claimed 3→2 pass
     // reduction wasn't real until the counts frame materialized once.
-    val counts = graft.state.Materialize.pin(
+    val counts = graft.state.Materialize.pinIfLarge(
       ev.groupBy($"user_id").agg(count(lit(1)).as("n_exact")))
     val scalars = counts
       .agg(sum($"n_exact").as("_total"), count(lit(1)).as("_nu"))

@@ -96,38 +96,46 @@ object Graph extends QueryPack {
   def pagerankQ(spark: SparkSession, dir: String): DataFrame =
     pagerankFrom(edgesAt(spark, dir, 45))
 
-  /** Loop-invariant degree-weighted edge join of the undirected PageRank
-    * — split out (r15) so PlanSpec can pin its never-broadcast posture
-    * on the exact production join: degree, rank, and contribution
-    * frames are all VERTEX-sized — corpus-scale, never broadcastable at
-    * 100 TB. AQE flips these joins to broadcast while the fixture sits
-    * under the threshold, which the r14 weak-scaling probe measured as
-    * super-linear cpu growth (per-task build ∝ graph size);
-    * SHUFFLE_HASH pins the node-key shuffle shape whose per-task build
-    * is one partition.
+  /** One undirected PageRank iteration over the pinned RAW edges and a
+    * degree-carrying rank frame `prev = (node, out_w, r)` (r18,
+    * VERDICT r17 #2 "fold the degree into the pinned rank frame",
+    * guide §2.3/§2.4). Two structural changes vs the r15 form, both
+    * result-identical:
+    *  - the per-edge contribution `c = r div out_w` is computed
+    *    MAP-SIDE on the rank frame before the edge join, so the edges
+    *    cross their per-iteration exchange as bare (w1, w2) pairs —
+    *    the loop-invariant weighted-edge pin (edges × degree, a third
+    *    more bytes on the biggest frame in the loop) is gone;
+    *  - the domain-preserving LEFT join against the node frame is
+    *    replaced by a STATIC zero-contribution row per node UNIONED
+    *    into the contribution stream (carrying the static out_w
+    *    forward), so ONE hash aggregate keyed by node yields the next
+    *    rank frame. sum(c) over {edge contributions + one 0} ≡ the old
+    *    coalesce(sum, 0), exactly. The zero stream reads the PINNED
+    *    initial frame, not `prev` — out_w is loop-invariant and the
+    *    undirected form needs nothing else from the previous rank
+    *    there — so `prev` keeps exactly ONE consumer and lazy
+    *    between-pin chains stay LINEAR (a second prev consumer measured
+    *    4.2s vs 2.6s at sf0.1: each unpinned level re-derived per
+    *    consumer).
+    * Exchanges per iteration: 4 → 3 (edges by w1, rank projection by
+    * w1, aggregate by node — see
+    * plans/r18/graph_pagerank_iter_{before,after}.txt). The rank-side
+    * SHUFFLE_HASH pin stays: every frame here is vertex/edge-scale,
+    * never broadcastable at 100 TB (the r14 m² weak-scaling hazard).
     */
-  private[ops] def prWeighted(u: DataFrame): DataFrame = {
-    import u.sparkSession.implicits._
-    u.join(
-      u.groupBy($"w1").agg(count(lit(1)).as("out_w")).hint("SHUFFLE_HASH"),
-      "w1")
-  }
-
-  /** One undirected PageRank iteration over the pinned weighted edges
-    * and node domain — split out (r15) for the same PlanSpec posture
-    * pin as [[prWeighted]]: both joins carry vertex-scale sides.
-    */
-  private[ops] def prStep(uw: DataFrame, nodes: DataFrame,
+  private[ops] def prStep(u: DataFrame, zeros: DataFrame,
                           prev: DataFrame): DataFrame = {
-    import uw.sparkSession.implicits._
-    val contrib = uw
-      .join(prev.withColumnRenamed("node", "w1").hint("SHUFFLE_HASH"), "w1")
-      .select($"w2".as("node"), expr("r div out_w").as("c"))
-      .groupBy($"node").agg(sum($"c").as("incoming"))
-    nodes.join(contrib.hint("SHUFFLE_HASH"), Seq("node"), "left")
-      .select($"node",
-        (lit(150000L) +
-         expr("(850 * coalesce(incoming, 0L)) div 1000")).as("r"))
+    import u.sparkSession.implicits._
+    val edgeC = u
+      .join(prev.select($"node".as("w1"), expr("r div out_w").as("c"))
+        .hint("SHUFFLE_HASH"), "w1")
+      .select($"w2".as("node"), $"c", lit(null).cast("long").as("ow"))
+    edgeC.unionByName(zeros)
+      .groupBy($"node")
+      .agg(sum($"c").as("incoming"), max($"ow").as("out_w"))
+      .select($"node", $"out_w",
+        (lit(150000L) + expr("(850 * incoming) div 1000")).as("r"))
   }
 
   /** [[pagerankQ]] over any undirected `(a, b)` edge frame — exposed
@@ -149,21 +157,22 @@ object Graph extends QueryPack {
       val mode = graft.state.Materialize.loopMode(u)
       df => graft.state.Materialize.pinWith(df, mode)
     }
-    // the degree join is LOOP-INVARIANT: weight every edge with its
-    // source's out-degree once and pin, instead of re-joining u ⋈ outw
-    // inside all PrIters iterations (r11 — one pinned frame replaces T
-    // edge-shuffle joins; per-iteration work drops to one join + one agg)
-    val uw = prWeighted(u).transform(pinLoop)
-    val nodes = u.select($"w1".as("node")).distinct()
+    // r18 (VERDICT r17 #2): the degree now lives on the RANK frame, not
+    // the edges — r0 IS the degree aggregate of the pinned edges (the
+    // symmetrized union gives every vertex out_w ≥ 1, so the groupBy is
+    // also the node domain), replacing BOTH loop-invariant pins of the
+    // r15 shape (weighted edges uw, node domain) with one vertex-sized
+    // pin. u itself is the loop edge frame now (2 columns instead of
+    // uw's 3) and stays resident for the loop's lifetime.
+    val r0 = u.groupBy($"w1")
+      .agg(count(lit(1)).as("out_w"))
+      .select($"w1".as("node"), $"out_w", lit(1000000L).as("r"))
       .transform(pinLoop)
-    // u's only consumers (uw, nodes) have just materialized — release
-    // its blocks NOW instead of holding 2|E| resident rows through all
-    // PrIters iterations (r15, the VERDICT r14 #2 memory-pressure
-    // experiment: the m×-resident pinned frames were the hypothesis for
-    // the undirected weak-row's super-linear 64-rung cpu)
-    graft.state.Materialize.releasePinned(u)
-    def step(prev: DataFrame): DataFrame = prStep(uw, nodes, prev)
-    var r = nodes.withColumn("r", lit(1000000L))
+    // the static zero-contribution stream (see prStep): a projection of
+    // the r0 PIN, so r0 stays resident for the loop's lifetime (like u)
+    val zeros = r0.select($"node", lit(0L).as("c"), $"out_w".as("ow"))
+    def step(prev: DataFrame): DataFrame = prStep(u, zeros, prev)
+    var r = r0
     // five iterations per pin (r11, measured 3.6s -> 3.0s at sf0.1): the
     // chain is pure lazy join+agg — nothing inside an iteration forces
     // evaluation, so a deeper lineage between pins just widens one job,
@@ -193,6 +202,9 @@ object Graph extends QueryPack {
     // release each as it is superseded (r15), bounding resident rank
     // state to ONE vertex-sized frame regardless of iteration count,
     // the same engineered release chain as starComponents' round pins
+    // r0 is NOT in the release ring: the static zero stream reads it
+    // every iteration (loop-invariant, vertex-sized — the same
+    // residency class as u)
     var prevPin: Option[DataFrame] = None
     for (i <- 1 to PrIters) {
       r = step(r)
@@ -202,7 +214,7 @@ object Graph extends QueryPack {
         prevPin = Some(r)
       }
     }
-    r.orderBy($"r".desc, $"node").limit(50)
+    r.select($"node", $"r").orderBy($"r".desc, $"node").limit(50)
   }
 
   /** DIRECTED PageRank with dangling-mass redistribution and a
@@ -241,60 +253,58 @@ object Graph extends QueryPack {
   def pagerankDirectedQ(spark: SparkSession, dir: String): DataFrame =
     pagerankDirectedFrom(edgesAt(spark, dir, 45))
 
-  /** Directed twin of [[prWeighted]] — split out (r15) for the PlanSpec
-    * never-broadcast posture pin; `outw` is vertex-sized, never a
-    * broadcast build side at corpus scale.
-    */
-  private[ops] def prDirWeighted(ed: DataFrame, outw: DataFrame): DataFrame =
-    ed.join(outw.hint("SHUFFLE_HASH"), "w1")
-
-  /** The dangling SET is loop-invariant, so resolve membership ONCE into
-    * a flag column carried on every rank frame: the per-iteration
-    * dangling-mass scalar becomes one conditional scan-aggregate of
-    * `prev` instead of a node-keyed shuffle join against the dangling
-    * frame (r11 — 10 iterations drop 10 join stages; same arithmetic,
-    * dm = Σ r over out-degree-0 nodes, bit-identical to the oracle).
+  /** The out-degree is loop-invariant, so resolve it ONCE into a column
+    * carried on every rank frame (r11 flag form; r18 carries the degree
+    * itself — VERDICT r17 #2): the dangling test is `out_w = 0`, and
+    * the per-iteration edge join no longer needs degree-weighted edges
+    * at all (see [[prDirStep]]).
     */
   private[ops] def prDirNodesFlagged(nodes: DataFrame,
                                      outw: DataFrame): DataFrame = {
     import nodes.sparkSession.implicits._
     nodes
-      .join(outw.select($"w1".as("node"), lit(1L).as("has_out"))
-              .hint("SHUFFLE_HASH"),
+      .join(outw.select($"w1".as("node"), $"out_w").hint("SHUFFLE_HASH"),
             Seq("node"), "left")
-      .select($"node", coalesce($"has_out", lit(0L)).as("has_out"))
+      .select($"node", coalesce($"out_w", lit(0L)).as("out_w"))
   }
 
-  /** One directed PageRank iteration — split out (r15) for the PlanSpec
-    * posture pin. The 1-row dangling-mass `share` frame is the ONE
-    * legitimate broadcast in the family (a scalar crossed in).
-    *
-    * The step's LEFT side is `prev` itself, not the static node frame
-    * (r16, VERDICT r15 #6): `prev` carries the full node domain by
-    * construction (it starts as the flagged nodes and every step is a
-    * LEFT join on it), so joining contributions onto `prev` costs the
-    * same vertex-sized SHUFFLE_HASH join — and lets the new frame carry
-    * the previous rank as an `r_prev` column. The residual output then
-    * reads ONE frame instead of joining the last two rank pins, which
-    * halves the loop's resident rank state (the old pin ring kept two
-    * vertex-sized pins because the final join read the second-newest).
+  /** One directed PageRank iteration over the pinned RAW edges and a
+    * degree-carrying rank frame `prev = (node, out_w, r[, r_prev])` —
+    * the directed twin of [[prStep]]'s r18 fold (VERDICT r17 #2):
+    * contributions are computed map-side on the rank frame (dangling
+    * nodes filtered BEFORE the division — out_w = 0 never reaches the
+    * ANSI div), edges cross their per-iteration exchange as bare
+    * (w1, w2) pairs, and the former domain-preserving LEFT join is a
+    * map-side zero row per node unioned into the contribution stream
+    * (carrying out_w and the previous rank forward — max() over the
+    * group picks them off the single zero row; edge rows carry null).
+    * sum(c) over {edge contributions + one 0} ≡ the old
+    * coalesce(sum, 0) exactly, so the rank arithmetic is bit-identical.
+    * The 1-row dangling-mass `share` stays the ONE legitimate broadcast
+    * in the family (a scalar crossed in).
     */
-  private[ops] def prDirStep(edw: DataFrame, n: Long,
+  private[ops] def prDirStep(ed: DataFrame, n: Long,
                              prev: DataFrame): DataFrame = {
-    import edw.sparkSession.implicits._
-    val contrib = edw
-      .join(prev.select($"node".as("w1"), $"r").hint("SHUFFLE_HASH"), "w1")
-      .select($"w2".as("node"), expr("r div out_w").as("c"))
-      .groupBy($"node").agg(sum($"c").as("incoming"))
+    import ed.sparkSession.implicits._
+    val edgeC = ed
+      .join(prev.where($"out_w" > 0L)
+        .select($"node".as("w1"), expr("r div out_w").as("c"))
+        .hint("SHUFFLE_HASH"), "w1")
+      .select($"w2".as("node"), $"c",
+        lit(null).cast("long").as("ow"), lit(null).cast("long").as("rp"))
+    val zero = prev.select($"node", lit(0L).as("c"),
+      $"out_w".as("ow"), $"r".as("rp"))
     val share = prev
-      .agg(coalesce(sum(when($"has_out" === 0L, $"r")), lit(0L)).as("dm"))
+      .agg(coalesce(sum(when($"out_w" === 0L, $"r")), lit(0L)).as("dm"))
       .select(expr(s"dm div ${n}L").as("ds"))
-    prev.select($"node", $"has_out", $"r".as("r_prev"))
-      .join(contrib.hint("SHUFFLE_HASH"), Seq("node"), "left")
+    edgeC.unionByName(zero)
+      .groupBy($"node")
+      .agg(sum($"c").as("incoming"), max($"ow").as("out_w"),
+           max($"rp").as("r_prev"))
       .crossJoin(broadcast(share))
-      .select($"node", $"has_out",
+      .select($"node", $"out_w",
         (lit(150000L) +
-         expr("(850 * (coalesce(incoming, 0L) + ds)) div 1000")).as("r"),
+         expr("(850 * (incoming + ds)) div 1000")).as("r"),
         $"r_prev")
   }
 
@@ -330,23 +340,16 @@ object Graph extends QueryPack {
     require(n > 0,
       "pagerankDirected: empty edge frame (no vertices) — PageRank over " +
       "an empty graph is undefined; filter upstream or skip the call")
-    // loop-invariant degree join hoisted out of all PrIters iterations
-    // (r11, same as the undirected form): per-iteration work drops to
-    // one rank join + one aggregate over the pinned weighted edges.
-    // SHUFFLE_HASH pins on every vertex-sized side (r14): see
-    // prWeighted — AQE broadcasts them under the fixture threshold,
-    // super-linear per-task build at scale.
-    val edw = prDirWeighted(ed, outw)
-      .transform(pinLoop)
+    // r18 (VERDICT r17 #2): the degree lives on the rank frame, so the
+    // loop's edge side is the RAW pinned (w1, w2) frame — the r11
+    // loop-invariant weighted-edge pin (|E| rows × 3 columns resident
+    // for the loop's lifetime, re-exchanged every iteration) is gone;
+    // ed stays resident instead (2 columns). nodes is dead once nodesF
+    // materializes (outw is consumed inside that one pin).
     val nodesF = prDirNodesFlagged(nodes, outw)
       .transform(pinLoop)
-    // ed (and nodes) are dead once edw/nodesF have materialized — outw
-    // derives from ed but is only consumed inside those two pins.
-    // Release them instead of holding |E| + |V| resident rows through
-    // all PrIters iterations (r15, same rationale as pagerankFrom)
-    graft.state.Materialize.releasePinned(ed)
     graft.state.Materialize.releasePinned(nodes)
-    def step(prev: DataFrame): DataFrame = prDirStep(edw, n, prev)
+    def step(prev: DataFrame): DataFrame = prDirStep(ed, n, prev)
     var r = nodesF.withColumn("r", lit(1000000L))
     // cadence 2, NOT the undirected form's 5: each iteration's dangling-
     // mass broadcast evaluates `prev` EAGERLY, so every un-pinned

@@ -307,18 +307,27 @@ object Joins extends QueryPack {
     // window STARTS in it (dim = distinct trunc(l_shipdate)), which the
     // is_start flag captures — so the former broadcast-semi-join against
     // a second scan collapses into max(flag) inside the one aggregation.
+    // r18 (guide §2.3 — shuffle/aggregate narrow types): the aggregate
+    // key is the month-truncated TIMESTAMP (8 bytes, codegen'd hash) and
+    // date_format runs once per OUTPUT month (~tens of rows), not once
+    // per exploded input row; m_start values are month-truncated so
+    // timestamp groups ↔ formatted-string groups are 1:1 and the final
+    // yyyy-MM sort order is unchanged (lexicographic = chronological).
+    // The is_start flag is the explode POSITION: sequence() starts at
+    // date_trunc(ship_start), so pos 0 ⟺ the window starts in that
+    // month — the per-row second date_trunc disappears.
     Tables.lineitem(spark, dir)
       .select($"l_shipdate".as("ship_start"),
               ($"l_shipdate" + expr("INTERVAL 7 DAYS")).as("ship_end"))
-      .select($"ship_start", explode(expr(
+      .select(posexplode(expr(
         """sequence(date_trunc('MONTH', ship_start),
           |         date_trunc('MONTH', ship_end - INTERVAL 1 MILLISECOND),
-          |         INTERVAL 1 MONTH)""".stripMargin)).as("m_start"))
-      .groupBy(date_format($"m_start", "yyyy-MM").as("month"))
+          |         INTERVAL 1 MONTH)""".stripMargin)).as(Seq("p", "m_start")))
+      .groupBy($"m_start")
       .agg(count(lit(1)).as("n_windows"),
-           max(($"m_start" === date_trunc("month", $"ship_start")).cast("int")).as("present"))
+           max(($"p" === 0).cast("int")).as("present"))
       .filter($"present" === 1)
-      .select($"month", $"n_windows")
+      .select(date_format($"m_start", "yyyy-MM").as("month"), $"n_windows")
       .orderBy($"month")
   }
 

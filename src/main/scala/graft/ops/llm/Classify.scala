@@ -83,11 +83,13 @@ object Classify extends QueryPack {
     */
   def nbcConfusionFrom(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    // Pinned (r17): prof has two consumers (the broadcast score join and
-    // the class-mass normalizer) — unpinned, the train-split tokenize +
-    // vocabulary aggregate tower ran once per consumer. Vocab-bounded
-    // frame, so the pin is broadcast-sized by construction.
-    val prof = graft.state.Materialize.pin(
+    // Pinned (r17) when the optimizer estimate crosses the adaptive
+    // threshold (r18, VERDICT r17 #3): prof has two consumers (the
+    // broadcast score join and the class-mass normalizer) — unpinned,
+    // the train-split tokenize + vocabulary aggregate tower runs once
+    // per consumer, which below the threshold is cheaper than the pin
+    // barrier and above it is a duplicated corpus pass.
+    val prof = graft.state.Materialize.pinIfLarge(
       trainCounts(docs).select($"lang".as("plang"), $"w", $"cnt"))
     val tot  = prof.groupBy($"plang").agg(sum($"cnt").as("tot"))
     val test = docs.filter($"doc_id" % HoldoutMod === HoldoutRem)
@@ -130,17 +132,20 @@ object Classify extends QueryPack {
   def nbcCalibration(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    // Pinned (r17): prof has two consumers (the broadcast score join and
-    // the class-mass normalizer) — unpinned, the train-split tokenize +
-    // vocabulary aggregate tower ran once per consumer. Vocab-bounded
-    // frame, so the pin is broadcast-sized by construction.
-    val prof = graft.state.Materialize.pin(
+    // Pinned (r17) when the optimizer estimate crosses the adaptive
+    // threshold (r18, VERDICT r17 #3): prof has two consumers (the
+    // broadcast score join and the class-mass normalizer) — unpinned,
+    // the train-split tokenize + vocabulary aggregate tower runs once
+    // per consumer, which below the threshold is cheaper than the pin
+    // barrier and above it is a duplicated corpus pass.
+    val prof = graft.state.Materialize.pinIfLarge(
       trainCounts(docs).select($"lang".as("plang"), $"w", $"cnt"))
     val tot  = prof.groupBy($"plang").agg(sum($"cnt").as("tot"))
     val test = docs.filter($"doc_id" % HoldoutMod === HoldoutRem)
-    // Pinned (r17): sc feeds BOTH the winner window and the class-sum
-    // fold — unpinned, the holdout tokenize + score tower ran twice.
-    val sc = graft.state.Materialize.pin(test
+    // Pinned above the adaptive threshold (r17 pin, r18 conditional):
+    // sc feeds BOTH the winner window and the class-sum fold —
+    // unpinned, the holdout tokenize + score tower runs twice.
+    val sc = graft.state.Materialize.pinIfLarge(test
       .select($"doc_id", explode(split($"text", " ")).as("w"))
       .join(broadcast(prof), Seq("w"))
       .groupBy($"doc_id", $"plang").agg(sum($"cnt").as("evidence"))
@@ -186,11 +191,13 @@ object Classify extends QueryPack {
   def nbcRoc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    // Pinned (r17): prof has two consumers (the broadcast score join and
-    // the class-mass normalizer) — unpinned, the train-split tokenize +
-    // vocabulary aggregate tower ran once per consumer. Vocab-bounded
-    // frame, so the pin is broadcast-sized by construction.
-    val prof = graft.state.Materialize.pin(
+    // Pinned (r17) when the optimizer estimate crosses the adaptive
+    // threshold (r18, VERDICT r17 #3): prof has two consumers (the
+    // broadcast score join and the class-mass normalizer) — unpinned,
+    // the train-split tokenize + vocabulary aggregate tower runs once
+    // per consumer, which below the threshold is cheaper than the pin
+    // barrier and above it is a duplicated corpus pass.
+    val prof = graft.state.Materialize.pinIfLarge(
       trainCounts(docs).select($"lang".as("plang"), $"w", $"cnt"))
     val tot  = prof.groupBy($"plang").agg(sum($"cnt").as("tot"))
     val test = docs.filter($"doc_id" % HoldoutMod === HoldoutRem)

@@ -398,34 +398,36 @@ object Dedup extends QueryPack {
         // restricts group-by INPUT rows, not the window frames)
         .withColumn("ntc", sum(when($"len" - $"i" >= c, 1).otherwise(0))
           .over(Window.partitionBy($"r")))
-      val pfWide = (1 to kPre).foldLeft(pf0) { (df, k) =>
-        df.withColumn(s"rk$k", lead($"r", k * c).over(byPos))
-      }.transform(graft.state.Materialize.pin)
       // the tied-doc prune usually leaves a SMALL candidate frame (only
-      // documents holding a ≥c-byte dup survive), and the ~9 binary-
-      // search probes each run a 3-stage job over it — at 32 shuffle
-      // partitions the fixed per-stage cost dominates. Right-size the
-      // probe frame's parallelism to its measured row count (bounded
-      // driver probe on a pinned frame; ≥64k rows per partition), the
-      // same adaptive shape AQE applies to post-shuffle stages.
-      if (dbg) lap("pfWide pin")
-      val pfRows = pfWide.count()
-      // ~16k rows per partition: each batched probe explodes every row
-      // into up to 15 key tuples, so a single-partition frame would run
-      // the batch single-threaded (measured 1.6s/batch at 115k rows × 1
-      // partition) while over-splitting re-introduces per-task overhead
+      // documents holding a ≥c-byte dup survive), and the probe batches
+      // each run a 3-stage job over it — at 32 shuffle partitions the
+      // fixed per-stage cost dominates. Right-size the probe frame's
+      // parallelism BEFORE it is built (r18, VERDICT r17 #1): pf has
+      // exactly one row per byte position of the tied docs, so
+      // |pf| = Σ len over tiedDocs — one tiny aggregate over the pinned
+      // lens frame (16 B/doc) replaces the former pin → count() →
+      // repartition → SECOND pin of the candidate frame (the r17 stage
+      // profile charged ~1.4s to that double materialization).
+      val pfRows = ix.lens.join(broadcast(tiedDocs), Seq("doc_id"))
+        .agg(sum($"len".cast("long"))).head().getLong(0)
+      // ~4k rows per partition (r18; was 16k with the r17 7-cut sparse
+      // batches): the join-gather probes below explode the CANDIDATE
+      // rows into (length, offset) lookups, so per-partition probe
+      // volume — not raw row count — is what a task carries. A
+      // single-partition frame serializes the batch entirely while
+      // over-splitting re-introduces per-task overhead.
       val shufP = docs.sparkSession.conf
         .get("spark.sql.shuffle.partitions").toInt
-      val parts = math.max(1L, math.min(pfRows / 16384L + 1,
+      val parts = math.max(1L, math.min(pfRows / 4096L + 1,
         shufP.toLong)).toInt
-      // re-partition in EITHER direction: AQE can coalesce the pinned
-      // frame to 1 partition (serializing every probe batch), and an
-      // over-split tiny frame pays per-task overhead on every probe
-      val pf =
-        if (parts != pfWide.rdd.getNumPartitions)
-          pfWide.repartition(parts, $"doc_id")
-            .transform(graft.state.Materialize.pin)
-        else pfWide
+      // repartition feeds the offset-rank window directly:
+      // hashpartitioning(doc_id, parts) satisfies the window's required
+      // clustering at ANY partition count, so no second exchange —
+      // one window pass, one pin
+      val pf = (1 to kPre).foldLeft(
+          pf0.repartition(parts, $"doc_id")) { (df, k) =>
+        df.withColumn(s"rk$k", lead($"r", k * c).over(byPos))
+      }.transform(graft.state.Materialize.pin)
       lap(s"pf build (c=$c, kPre=$kPre, rows=$pfRows, parts=$parts)")
 
       // ranks at offsets {0, c, …, (m−2)c, L−c}: consecutive gaps ≤ c,
@@ -459,58 +461,80 @@ object Dedup extends QueryPack {
         val m = ceilDiv(l, c)
         (((1 to (m - 2)).map(_ * c) :+ (l - c)).filter(_ > 0)).distinct.sorted
       }
-      // ---- BATCHED multi-cut search (r11, VERDICT #5): at this frame
-      // size (pf is the pruned candidate set, usually ≪ corpus) a probe's
-      // cost is almost pure job scheduling, so probing K lengths in ONE
-      // distributed job beats K binary-search jobs even though each does
-      // K× the (tiny) work. Per batch: every variable-offset lead for
-      // every probed length comes from one shared per-doc window pass
-      // (identical window spec ⇒ one WindowExec), each row then explodes
-      // into one key-tuple struct per VALID probed length, and one hash
-      // aggregate on (probe length, tuple) answers all K "does some
-      // L-gram occur twice" questions at once. Key tuples are padded to
-      // the batch's max arity with -2 (count-ranks are ≥ 0, so the pad
-      // never collides with a real rank).
+      // ---- BATCHED multi-cut search via JOIN-GATHER (r18, VERDICT r17
+      // #1; supersedes the r11 per-batch window form). The old form
+      // computed one lead column per cut over EVERY pf row in a shared
+      // window pass — measured ~65 ms/cut at sf0.1 (115k-row frame),
+      // linear in cut count, even though only the CANDIDATE rows
+      // (ntc ≥ 2 — positions that share their first c bytes with
+      // another valid start) need offset ranks at all. The batch now
+      // gathers exactly the (candidate, offset) rank lookups it needs:
+      // each candidate row explodes into its valid probed lengths, each
+      // length into its offset list, and ONE equi-join against the
+      // pinned rank frame (pf re-projected as a (doc_id, pos) lookup
+      // table) fetches the offset ranks; the key tuple is reassembled
+      // as a sorted (off, rank) array and ONE aggregate on (length,
+      // base rank, tuple) answers all K "does some L-gram occur twice"
+      // questions at once. Every offset of a VALID probe (i + l ≤ len)
+      // is in [1, len−c], so the inner join finds every lookup and the
+      // reassembled tuples are complete by construction — no padding.
+      // Per-batch work now scales with candidates × offsets, not
+      // |pf| × cuts, and cost is near-flat in cut count (measured), so
+      // the 2-batch dense cut schedule below is the right shape.
       def probeBatch(ls: Seq[Int]): Set[Int] = {
-        val allVar = ls.flatMap(offsFor)
-          .filter(off => off % c != 0 || off / c > kPre).distinct.sorted
-        val src = allVar.foldLeft(pf) { (df, off) =>
-          df.withColumn(s"rv$off", lead($"r", off).over(byPos))
+        // both join sides USER-partitioned by doc_id: hashpartitioning
+        // on doc_id alone satisfies the (doc_id, pos) equi-join's
+        // clustering AND the first group-by's (doc_id ∈ both key sets),
+        // so the join and the tuple reassembly run partition-local at
+        // `parts`-way parallelism — the planner's own ENSURE exchanges
+        // here are below AQE's advisory size and get coalesced to ONE
+        // task, serializing the whole gather (measured)
+        val pfk = pf.select($"doc_id", $"i".as("pos"), $"r".as("ro"))
+          .repartition(parts, $"doc_id")
+        val cutStructs = ls.map(l => struct(lit(l).as("ll"),
+          ($"i" + l <= $"len").as("ok")))
+        val offArr = ls.tail.foldLeft(
+            when($"ll" === ls.head, array(offsFor(ls.head).map(lit): _*))) {
+          (acc, l) => acc.when($"ll" === l, array(offsFor(l).map(lit): _*))
         }
-        val mAr = ls.map(l => offsFor(l).size).max
-        val structs = ls.map { l =>
-          val offs = offsFor(l)
-          val ks = offs.map { off =>
-            if (off % c == 0 && off / c <= kPre) col(s"rk${off / c}")
-            else col(s"rv$off")
-          } ++ Seq.fill(mAr - offs.size)(lit(-2L))
-          struct((lit(l).as("ll") +: ($"i" + l <= $"len").as("ok") +:
-            ks.zipWithIndex.map { case (cc, j) => cc.cast("long").as(s"k$j") }): _*)
-        }
-        val withDup = src.where($"ntc" >= 2)
-          .select($"r", explode(array(structs: _*)).as("s"))
-          .where($"s.ok")
-          .groupBy(($"s.ll" +: $"r" +:
-            (0 until mAr).map(j => col(s"s.k$j"))): _*)
-          .agg(count(lit(1)).as("n")).where($"n" >= 2)
-          .select($"ll").distinct()
-          .as[Int].collect().toSet
-        withDup
+        pf.where($"ntc" >= 2)
+          .select($"doc_id", $"i", $"r", $"len",
+            explode(array(cutStructs: _*)).as("c"))
+          .where($"c.ok")
+          .select($"doc_id", $"i", $"r", $"c.ll".as("ll"))
+          .select($"doc_id", $"i", $"r", $"ll", explode(offArr).as("off"))
+          .select($"doc_id", $"i", $"r", $"ll", $"off",
+            ($"i" + $"off").as("pos"))
+          .repartition(parts, $"doc_id")
+          .join(pfk.hint("SHUFFLE_HASH"), Seq("doc_id", "pos"))
+          .groupBy($"ll", $"doc_id", $"i", $"r")
+          .agg(sort_array(collect_list(struct($"off", $"ro"))).as("ks"))
+          .groupBy($"ll", $"r", $"ks").agg(count(lit(1)).as("n"))
+          .where($"n" >= 2)
+          .select($"ll").distinct().as[Int].collect().toSet
       }
       var l0 = lo
       var h0 = hi
-      var firstBatch = true
       while (l0 < h0) {
         val width = h0 - l0
-        // per-batch cost = fixed scheduling + per-cut explode volume, so
-        // the widest (first) range probes coarsely and later, narrow
-        // ranges probe densely (measured optimum on the sf0.1 fixture)
-        val nCuts = math.min(if (firstBatch) 7 else 15, width)
-        firstBatch = false
-        // evenly spaced cuts in (l0, h0], last cut = h0; width ≥ nCuts
-        // makes them strictly increasing
-        val cuts = (1 to nCuts).map(j => l0 + (width.toLong * j / nCuts).toInt)
-          .distinct
+        // Cut schedule (r18, VERDICT r17 #1 — measured, supersedes the
+        // r11 evenly-spaced 7/15 schedule): a cut's probe volume FALLS
+        // with length (only rows with i + l ≤ len survive the validity
+        // filter), so evenly spaced cuts pay near-full volume on every
+        // low cut while high cuts are almost free. Two regimes:
+        //  - width ≤ 64: enumerate every integer in (l0, h0] — ONE
+        //    batch finishes the search exactly (l0 == h0 after);
+        //  - wider: an exponential-search ladder from the TOP
+        //    (h0 − (2^j − 1) while that stays above l0): at most two
+        //    cuts carry low-length volume, and an answer near the
+        //    bracket top — the shape of planted/whole-document dups —
+        //    brackets into the dense regime in one cheap batch, while
+        //    an answer anywhere else still at least halves the width
+        //    (all-bad ⇒ h0 drops past the deepest rung).
+        val cuts: Seq[Int] =
+          if (width <= 64) (1 to width).map(l0 + _)
+          else Iterator.iterate(1L)(_ * 2).map(_ - 1)
+            .takeWhile(_ < width).map(s => h0 - s.toInt).toSeq.sorted
         val dup = probeBatch(cuts)
         val good = cuts.filter(dup.contains)
         val firstBad = cuts.filterNot(dup.contains).headOption
@@ -586,22 +610,32 @@ object Dedup extends QueryPack {
     */
   def urlDedupFrom(d: DataFrame): DataFrame = {
     import d.sparkSession.implicits._
-    val v0 = d.select(($"doc_id" * 10).as("crawl_id"),
-      concat(lit("https://"), $"source", lit(".Example.COM:443/docs/"),
-             $"doc_id", lit("?utm_source=feed&lang="), $"lang",
-             lit("#sec1")).as("url"))
-    val v1 = d.filter($"doc_id" % 2 === 0)
-      .select(($"doc_id" * 10 + 1).as("crawl_id"),
+    // ONE corpus pass (r18, from the committed scan-census sweep —
+    // tools/scan_census.py): the former three filtered branches
+    // (primary + even-id recrawl + mod-3 rss recrawl) unioned three
+    // SCANS of the same input; each row now emits its 1–3 crawl
+    // variants as an exploded array built map-side. slice(…, 1, 0/1)
+    // keeps or drops the conditional variants with the element type
+    // intact (an empty `array()` literal would be array<null> and fail
+    // coercion into concat). Row set identical to the old union —
+    // same (crawl_id, url) pairs, order irrelevant under the aggregate.
+    val variants = d.select(explode(concat(
+      array(struct(($"doc_id" * 10).as("crawl_id"),
+        concat(lit("https://"), $"source", lit(".Example.COM:443/docs/"),
+               $"doc_id", lit("?utm_source=feed&lang="), $"lang",
+               lit("#sec1")).as("url"))),
+      slice(array(struct(($"doc_id" * 10 + 1).as("crawl_id"),
         concat(lit("HTTPS://"), $"source", lit(".example.com/docs/"),
                $"doc_id", lit("/?lang="), $"lang",
-               lit("&utm_campaign=x")).as("url"))
-    val v2 = d.filter($"doc_id" % 3 === 0)
-      .select(($"doc_id" * 10 + 2).as("crawl_id"),
+               lit("&utm_campaign=x")).as("url"))),
+        lit(1), when($"doc_id" % 2 === 0, 1).otherwise(0)),
+      slice(array(struct(($"doc_id" * 10 + 2).as("crawl_id"),
         concat(lit("https://"), $"source", lit(".example.com/docs/"),
-               $"doc_id", lit("?lang="), $"lang", lit("&ref=rss")).as("url"))
-    val canon = v0.unionAll(v1).unionAll(v2)
-      .withColumn("canonical_url", canonicalUrl($"url"))
-    canon.groupBy($"canonical_url")
+               $"doc_id", lit("?lang="), $"lang", lit("&ref=rss")).as("url"))),
+        lit(1), when($"doc_id" % 3 === 0, 1).otherwise(0))
+    )).as("v")).select($"v.crawl_id", $"v.url")
+    variants.withColumn("canonical_url", canonicalUrl($"url"))
+      .groupBy($"canonical_url")
       .agg(min($"crawl_id").as("keep_crawl"),
            count(lit(1)).as("n_variants"))
       .orderBy($"keep_crawl")
@@ -881,7 +915,12 @@ object Dedup extends QueryPack {
     * 4-block pigeonhole banding (exact for hamming ≤ 3), verified with
     * bit_count(xor).
     */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+  /** The pinned per-doc 32-bit SimHash signature frame — factored out
+    * (r18) so [[PairCountProbe]] can census the banding-key
+    * distribution over the exact production frame (VERDICT r17 #5).
+    */
+  private[llm] def simhashSignatures(spark: SparkSession,
+                                     dir: String): DataFrame = {
     import spark.implicits._
     // 60-bit base hash both engines can compute (CrossHash; native form —
     // one digest, no hex-string round trip, per distinct shingle).
@@ -895,13 +934,18 @@ object Dedup extends QueryPack {
     // self-join below — unpinned, the shingle→hash→32-sum aggregate
     // subtree ran twice per query (r17 plan capture: two identical
     // scan→Generate→agg towers). One row per doc, so the pin is tiny.
-    val sig = graft.state.Materialize.pin(hv.groupBy($"doc_id")
+    graft.state.Materialize.pin(hv.groupBy($"doc_id")
       .agg(sum(when(expr("shiftright(hv, 0) & 1") === 1, 1).otherwise(-1)).as("b0"),
            (1 until 32).map(i =>
              sum(when(expr(s"shiftright(hv, $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i")): _*)
       .select($"doc_id",
         (0 until 32).map(i => when(col(s"b$i") >= 0, lit(1L << i)).otherwise(0L))
           .reduce(_ + _).as("sh32")))
+  }
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = simhashSignatures(spark, dir)
     // hamming(a,b) ≤ 3 on 32 bits ⇒ one of the 4 disjoint bytes matches.
     val blk = sig.select($"doc_id", $"sh32", explode(expr("sequence(0, 3)")).as("j"))
       .withColumn("bv", expr("shiftright(sh32, cast(8 * j as int)) & 255"))

@@ -237,6 +237,14 @@ object Multimodal extends QueryPack {
     * near-dup share at radius 8, min/max — proving the LOCALITY property
     * aHash exists for.
     *
+    * INPUT CONTRACT (r18, VERDICT r17 #1 "what's wrong"): `doc_id` is
+    * UNIQUE in the assets/documents input — it is the fixture primary
+    * key. The single-scan form below relies on it: inner-join-on-doc_id
+    * ≡ filter only under uniqueness (k duplicate doc_ids would make the
+    * declared join yield k² twin pairs where this form yields k). A
+    * fixture or upstream change that introduces duplicate doc_ids must
+    * revert to the join spelling or dedupe first.
+    *
     * Scale shape: hashing is map-side (one hex pass per payload, 64
     * samples regardless of asset size); twin pairs join on doc_id
     * (hash-partitioned, no fanout). Unknown-pair search at corpus scale

@@ -87,6 +87,26 @@ object PairCountProbe {
     }
     autoLine("jaccard4", sh4, "s", Dedup.JaccardDfCap)
     autoLine("winnow", sel, "wmin", 50L)
+
+    // SimHash banding join (llm_dedup_simhash): key = (block j, byte
+    // value bv) — ≤ 4×256 buckets by construction. The skew census
+    // (VERDICT r17 #5): max vs median bucket size decides whether the
+    // banding join needs salting / AQE skew handling at scale (AQE's
+    // skew split cannot divide a single hot KEY, only oversized
+    // partitions, so a pathological bucket would need salting in the
+    // operator itself).
+    val sig = Dedup.simhashSignatures(spark, sfDir)
+    val blk = sig.select($"doc_id", $"sh32",
+        explode(expr("sequence(0, 3)")).as("j"))
+      .withColumn("bv", expr("shiftright(sh32, cast(8 * j as int)) & 255"))
+    val bs = blk.groupBy($"j", $"bv").agg(count(lit(1)).as("n"))
+    val stats = bs.agg(count(lit(1)).as("buckets"), max($"n").as("max_n"),
+        expr("percentile(n, 0.5)").as("med_n"),
+        sum(expr("n * (n - 1) div 2")).as("fanout")).collect()(0)
+    println(f"[pair-probe] simhash  buckets=${stats.getLong(0)}%-8d " +
+      f"max_bucket=${stats.getLong(1)}%-6d median_bucket=${stats.getDouble(2)}%-8.1f " +
+      f"fanout=${stats.getLong(3)}%-10d " +
+      f"final=${Dedup.dedupSimhash(spark, sfDir).count()}")
     spark.stop()
   }
 }

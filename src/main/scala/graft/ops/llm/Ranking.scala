@@ -50,7 +50,7 @@ object Ranking extends QueryPack {
     // and df itself no longer re-tokenizes the corpus: countDistinct(doc)
     // per term over the token stream IS the per-term row count of the
     // (doc, term) frame, so one tokenize pass serves both statistics.
-    val tf = graft.state.Materialize.pin(
+    val tf = graft.state.Materialize.pinIfLarge(
       t.groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf")))
     val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
     val n  = docs.agg(count(lit(1)).as("n_docs"))
@@ -99,7 +99,7 @@ object Ranking extends QueryPack {
     // Pinned (r17, the tfidf device): df = per-term row count of the
     // (doc, term) frame — one tokenize pass instead of two; the pinned
     // frame is query-term-bounded (tiny).
-    val tf = graft.state.Materialize.pin(
+    val tf = graft.state.Materialize.pinIfLarge(
       t.groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf")))
     val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
     val n  = Tables.documents(spark, dir)

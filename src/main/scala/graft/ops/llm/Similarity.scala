@@ -208,7 +208,7 @@ object Similarity extends QueryPack {
     // Pinned (r17): buckets feeds BOTH the query and candidate sides of
     // the banding join — unpinned, the sign-bit tower (Tables·Bits = 16
     // 64-dim dots per corpus vector) ran twice per query.
-    val buckets = graft.state.Materialize.pin(n.crossJoin(broadcast(planes))
+    val buckets = graft.state.Materialize.pinIfLarge(n.crossJoin(broadcast(planes))
       .withColumn("bitval", when(
         expr(dotFold("v", "w")) >= 0,
         expr("shiftleft(1L, b)")).otherwise(0L))
@@ -334,7 +334,7 @@ object Similarity extends QueryPack {
     // makes T composed iterations cost T× one step (the Graph loop-pin
     // pattern); the materialization is distributed (localCheckpoint) —
     // the loop still never returns data to the driver.
-    val cells = graft.state.Materialize.pin(cells0)
+    val cells = graft.state.Materialize.pinIfLarge(cells0)
     val cent = cells
       .select(col(prevCol).as("cell"), posexplode($"v").as(Seq("d", "x")))
       .groupBy($"cell", $"d")

@@ -220,6 +220,47 @@ object Materialize {
   def pin(df: DataFrame): DataFrame =
     pinWith(df, df.sparkSession.conf.get(ModeKey, "local"))
 
+  /** Size threshold (bytes) for [[pinIfLarge]] — the conditional-pin
+    * gate for sub-corpus multi-consumer towers (r18, VERDICT r17 #3).
+    * Default 64 MiB of OPTIMIZER-ESTIMATED frame bytes: the r17 wave
+    * pinned every multi-consumer tower unconditionally, which bought
+    * the at-scale pass reduction but charged each sub-second gate a
+    * ~0.2–0.3 s materialization barrier at sf0.1 (the documented
+    * "local pin cost" rows: NBC ×4, kmeans ×2, heavy_hitters,
+    * freq_items, rrf, lsh). Estimates for these towers sit in the
+    * KB–MB range on the test fixtures and in the TB range on a real
+    * corpus, so one threshold cleanly separates the regimes. ≤ 0
+    * disables the gate (always pin).
+    */
+  val AdaptivePinBytesKey = "spark.graft.pin.minBytes"
+  val AdaptivePinBytesDefault: Long = 64L << 20
+
+  /** [[pin]] iff Catalyst's size estimate for `df` crosses
+    * [[AdaptivePinBytesKey]]; otherwise returns `df` unchanged, so each
+    * consumer re-derives the (tiny) tower — cheaper than a pin barrier
+    * below the threshold, result-identical always (the towers are
+    * deterministic). Estimate-based, not measured: measuring requires
+    * materializing, which IS the cost being avoided; a wrong estimate
+    * can only cost performance (an over-estimate keeps the r17 pin —
+    * the status quo; an under-estimate re-derives per consumer), never
+    * correctness. Use for multi-consumer towers whose pin exists for
+    * CORPUS-scale pass reduction; iterative loop pins (2^T blowup
+    * without lineage truncation) must stay unconditional.
+    */
+  def pinIfLarge(df: DataFrame): DataFrame = {
+    val thrRaw = df.sparkSession.conf
+      .get(AdaptivePinBytesKey, AdaptivePinBytesDefault.toString)
+    val thr = try thrRaw.trim.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$AdaptivePinBytesKey: expected a byte count (long, e.g. " +
+        s"67108864; <= 0 pins unconditionally), got '$thrRaw'")
+    }
+    if (thr <= 0 ||
+        df.queryExecution.optimizedPlan.stats.sizeInBytes >= BigInt(thr))
+      pin(df)
+    else df
+  }
+
   /** [[pin]] with the mode decided by the CALLER instead of the session
     * conf — the per-operator escape hatch for iterative loops
     * (VERDICT r15 #3): one query can pin its loop-resident frames as

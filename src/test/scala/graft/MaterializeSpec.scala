@@ -101,4 +101,43 @@ class MaterializeSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("spark.graft.materialize"))
   }
+
+  test("pinIfLarge pins both regimes identically (r18, VERDICT r17 #3): " +
+       "results equal whether the tower pins or re-derives, the pin " +
+       "engages above the threshold and skips below it") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1000).select(
+      (col("id") % 7).as("k"), col("id").as("v"))
+      .groupBy("k").agg(sum("v").as("s"))
+    def isPinned(out: org.apache.spark.sql.DataFrame): Boolean =
+      out.queryExecution.optimizedPlan.toString.contains("LogicalRDD") ||
+        out.queryExecution.analyzed.toString.contains("LogicalRDD")
+    def withThr[A](v: String)(f: => A): A = {
+      spark.conf.set(Materialize.AdaptivePinBytesKey, v)
+      try f finally spark.conf.unset(Materialize.AdaptivePinBytesKey)
+    }
+    // far-above threshold: the tiny frame is returned UNPINNED
+    val skipped = withThr((1L << 40).toString)(Materialize.pinIfLarge(df))
+    assert(!isPinned(skipped), "sub-threshold tower must skip the pin")
+    // 1-byte threshold: every frame pins
+    val pinned = withThr("1")(Materialize.pinIfLarge(df))
+    assert(isPinned(pinned), "above-threshold tower must pin")
+    // <= 0 disables the gate: unconditional pin
+    val forced = withThr("0")(Materialize.pinIfLarge(df))
+    assert(isPinned(forced), "thr <= 0 must pin unconditionally")
+    // both regimes are result-identical
+    assert(canon(skipped) == canon(pinned))
+    // a malformed threshold names its key
+    val err = withThr("lots") {
+      intercept[IllegalArgumentException](Materialize.pinIfLarge(df))
+    }
+    assert(err.getMessage.contains(Materialize.AdaptivePinBytesKey))
+    // and a production gate is result-identical under both regimes
+    // (nbc_confusion carries the conditional prof pin)
+    val q = SparkEntry.queries("llm_nbc_confusion")
+    val below = withThr((1L << 40).toString)(canon(q(spark, dir)))
+    val above = withThr("1")(canon(q(spark, dir)))
+    assert(below.nonEmpty && below == above,
+      "llm_nbc_confusion drifts between pin regimes")
+  }
 }

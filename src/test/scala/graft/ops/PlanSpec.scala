@@ -733,8 +733,8 @@ class PlanSpec extends SparkSpec {
       s"$tag broadcast a corpus-scale side:\n$p")
   }
 
-  test("pagerank (undirected): the degree join and both iteration joins " +
-       "stay ShuffledHashJoin over pinned stat-less inputs, AQE on — " +
+  test("pagerank (undirected): the iteration's edge-contribution join " +
+       "stays ShuffledHashJoin over pinned stat-less inputs, AQE on — " +
        "never broadcast (the r14 m² weak-scaling hazard)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -742,16 +742,20 @@ class PlanSpec extends SparkSpec {
     val e = Graph.edgesAt(spark, dir, 45)
     val u = pin(e.select($"a".as("w1"), $"b".as("w2"))
       .union(e.select($"b".as("w1"), $"a".as("w2"))))
-    assertShuffledNeverBroadcast(finalPlan(Graph.prWeighted(u)), 1, "prWeighted")
-    val uw = pin(Graph.prWeighted(u))
-    val nodes = pin(u.select($"w1".as("node")).distinct())
-    val r0 = nodes.withColumn("r", lit(1000000L))
-    assertShuffledNeverBroadcast(finalPlan(Graph.prStep(uw, nodes, r0)), 2,
-      "prStep")
+    // r18 shape: degree folded into the rank frame; the step's one join
+    // is edges ⋈ rank-projection, and the former domain LEFT join is a
+    // union + aggregate (no join at all — assert none appears)
+    val r0 = pin(u.groupBy($"w1")
+      .agg(count(lit(1)).as("out_w"))
+      .select($"w1".as("node"), $"out_w", lit(1000000L).as("r")))
+    val zeros = r0.select($"node", lit(0L).as("c"), $"out_w".as("ow"))
+    val p = finalPlan(Graph.prStep(u, zeros, r0))
+    assertShuffledNeverBroadcast(p, 1, "prStep")
+    assert(!p.contains("SortMergeJoin"), s"prStep SMJ: $p")
   }
 
-  test("pagerank (directed): weighted-edge, dangling-flag, and iteration " +
-       "joins stay ShuffledHashJoin; the only broadcast is the 1-row " +
+  test("pagerank (directed): the iteration's edge-contribution join " +
+       "stays ShuffledHashJoin; the only broadcast is the 1-row " +
        "dangling-mass share (a BroadcastNestedLoopJoin cross, by design)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -759,9 +763,6 @@ class PlanSpec extends SparkSpec {
     val e = Graph.edgesAt(spark, dir, 45)
     val ed = pin(e.select($"a".as("w1"), $"b".as("w2")))
     val outw = ed.groupBy($"w1").agg(count(lit(1)).as("out_w"))
-    assertShuffledNeverBroadcast(finalPlan(Graph.prDirWeighted(ed, outw)), 1,
-      "prDirWeighted")
-    val edw = pin(Graph.prDirWeighted(ed, outw))
     val nodes = pin(ed.select($"w1".as("node"))
       .union(ed.select($"w2".as("node"))).distinct())
     val n = nodes.count()
@@ -769,8 +770,10 @@ class PlanSpec extends SparkSpec {
       finalPlan(Graph.prDirNodesFlagged(nodes, outw)), 1, "prDirNodesFlagged")
     val nodesF = pin(Graph.prDirNodesFlagged(nodes, outw))
     val r0 = nodesF.withColumn("r", lit(1000000L))
-    assertShuffledNeverBroadcast(finalPlan(Graph.prDirStep(edw, n, r0)),
-      2, "prDirStep")
+    val p = finalPlan(Graph.prDirStep(ed, n, r0))
+    assertShuffledNeverBroadcast(p, 1, "prDirStep")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"prDirStep share broadcast missing: $p")
   }
 
   test("triangles: the orientation joins and the wedge/closing joins stay " +
