@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 import graft.{Det, Tables}
 
@@ -120,8 +121,17 @@ object Skew extends QueryPack {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
            max(col("n")).as("max_group"))
-    hist.crossJoin(broadcast(
-        sizes.agg(sum(col("n")).as("_total"), count(lit(1)).as("_keys"))))
+    // r18 (committed scan census): the share denominators are the SUMS
+    // of the histogram's own columns, so they come from an unpartitioned
+    // window over the bucket frame — bounded by construction at ≤ 64
+    // rows (bucket = bit-length of a long) — instead of a second
+    // aggregate over `sizes`, which re-derived the orders scan + key
+    // aggregate per consumer. One orders pass at any scale.
+    val whole = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("_total", sum(col("n_rows")).over(whole))
+      .withColumn("_keys", sum(col("n_keys")).over(whole))
       .select(col("bucket"), col("n_keys"), col("n_rows"), col("max_group"),
         expr("(1000000 * n_rows) div _total").as("rows_share_ppm"),
         expr("(1000000 * n_keys) div _keys").as("keys_share_ppm"))

@@ -178,8 +178,16 @@ object Ranking extends QueryPack {
         "transform(sequence(1, size(t) - 1), " +
           "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("p"))
       .select($"p.w1", $"p.w2")
-    val c2 = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
-    val c1 = big.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    // r18 (committed scan census): c1(w1) = Σ_w2 c2(w1, w2) — the
+    // context count is the row-sum of the bigram counts, so ONE
+    // tokenize+explode pass serves both statistics (the c1 groupBy
+    // previously re-derived the whole corpus bigram stream). c2 then
+    // has two consumers (the c1 roll-up and the score join) →
+    // conditional pin; the frame is bigram-type-bounded, far below the
+    // token stream it summarizes.
+    val c2 = graft.state.Materialize.pinIfLarge(
+      big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2")))
+    val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
     val rn = Window.partitionBy($"w1").orderBy($"c2".desc, $"w2")
     c2.join(broadcast(c1), "w1")
       .withColumn("p", expr("CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)"))

@@ -240,15 +240,21 @@ object TextStats extends QueryPack {
     import spark.implicits._
     val toks = Tables.documents(spark, dir)
       .select($"source", explode(split($"text", " ")).as("w"))
-    // one broadcast left join carrying a membership marker, then ONE
-    // aggregate computing totals and OOV counts together — the corpus
-    // explodes twice in total (once for the vocab, once here), never a
-    // third time
-    toks.join(broadcast(topVocab(toks).select($"w", lit(1).as("_in_v"))),
+    // ONE corpus explode (r18, committed scan census; was two — vocab +
+    // rate sides each re-tokenized): the per-(source, word) counts frame
+    // carries everything both sides need — the global top-20 vocab is
+    // its w-rollup (Σ over sources ≡ counting the raw stream) and the
+    // per-source token/OOV totals are n-weighted sums over it. Two
+    // consumers → conditional pin (per-source-vocabulary-bounded frame).
+    val counts = graft.state.Materialize.pinIfLarge(
+      toks.groupBy($"source", $"w").agg(count(lit(1)).as("n")))
+    val vocab = counts.groupBy($"w").agg(sum($"n").as("nw"))
+      .orderBy($"nw".desc, $"w").limit(20)
+    counts.join(broadcast(vocab.select($"w", lit(1).as("_in_v"))),
               Seq("w"), "left_outer")
       .groupBy($"source")
-      .agg(count(lit(1)).as("n_tokens"),
-           sum(when($"_in_v".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .agg(sum($"n").as("n_tokens"),
+           sum(when($"_in_v".isNull, $"n").otherwise(0L)).as("n_oov"))
       .withColumn("oov_rate", $"n_oov".cast("double") / $"n_tokens")
       .select($"source", $"n_tokens", $"n_oov", $"oov_rate")
       .orderBy($"source")
@@ -1435,14 +1441,20 @@ object TextStats extends QueryPack {
     val tok = Tables.documents(spark, dir)
       .select(explode(split($"text", " ")).as("w"))
       .filter(length($"w") > 0)
-    val counts = tok.groupBy($"w").agg(count(lit(1)).as("cnt"))
+    // r18 (committed scan census): the corpus token total is Σ cnt over
+    // the vocabulary counts, so ONE tokenize pass serves both the top-20
+    // and the denominator (the _total aggregate previously re-exploded
+    // the whole corpus). counts then has two consumers → conditional pin
+    // (vocabulary-bounded frame).
+    val counts = graft.state.Materialize.pinIfLarge(
+      tok.groupBy($"w").agg(count(lit(1)).as("cnt")))
     val top = counts.orderBy($"cnt".desc, $"w").limit(20)
     val wRank = Window.orderBy($"cnt".desc, $"w")
     val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     top
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .withColumn("cum_cnt", sum($"cnt").over(wCum))
-      .crossJoin(broadcast(tok.agg(count(lit(1)).as("_total"))))
+      .crossJoin(broadcast(counts.agg(sum($"cnt").as("_total"))))
       .select($"rank", $"w", $"cnt", $"cum_cnt",
         expr("(1000000 * cum_cnt) div _total").as("cum_ppm"))
       .orderBy($"rank")

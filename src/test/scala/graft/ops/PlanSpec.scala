@@ -103,6 +103,31 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q1 / agg_corr_moments: the decimal(30,6) partial aggregates stay " +
+       "INSIDE WholeStageCodegen and the scans read only the used columns " +
+       "(VERDICT r17 #4 — wide decimal sums are a classic codegen " +
+       "fallback; a silent drop to interpreted eval would tax every " +
+       "lineitem pass at scale)") {
+    for ((q, cols) <- Seq(
+        "q1_pricing_summary" -> Seq("l_quantity", "l_extendedprice",
+          "l_discount", "l_returnflag", "l_linestatus"),
+        "agg_corr_moments" -> Seq("l_quantity", "l_extendedprice",
+          "l_returnflag"))) {
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      df.collect() // AQE finalizes codegen stages only at runtime
+      val p = df.queryExecution.executedPlan.toString
+      assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(p).isDefined,
+        s"$q: partial HashAggregate fell out of whole-stage codegen:\n$p")
+      val read = "FileScan parquet \\[([^\\]]*)\\]".r
+        .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+      val readCols = read.split(",")
+        .map(_.trim.takeWhile(_ != '#')).filter(_.nonEmpty).toSet
+      assert(readCols == cols.toSet,
+        s"$q: scan projection not minimal — read $readCols, " +
+        s"query uses $cols:\n$p")
+    }
+  }
+
   test("llm_contamination broadcasts the benchmark side (one corpus pass, " +
        "no corpus shuffle for the join)") {
     val p = plan("llm_contamination")

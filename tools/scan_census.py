@@ -98,6 +98,27 @@ ALLOWLIST = {
     "join_bloom_prefilter": "bloom build + exact semi-join re-scan",
     "layout_dpp_prune": "partitioned write then pruned re-read",
     "llm_winnow_pairs": "winnow fingerprints both join sides (memoized)",
+    # r18 adjudications (this round's census sweep)
+    "agg_approx_top_k": "exact top-3 baseline vs raw-stream sketch — the sketch definitionally consumes raw rows",
+    "agg_hll_mergeable": "per-group sketches vs exact global distinct — the verification IS the gate",
+    "join_null_safe": "null-safe self-join sides",
+    "join_theta_range": "band histogram + own-band equi side over part (the decomposition's two legs)",
+    "llm_dedup_editdist": "blocked candidate-pair self-join sides",
+    "llm_lang_id": "2-column label scan + tokenize/prediction side",
+    "llm_sq8_train": "quantizer range pass + encode pass (training two-pass; PQ r17 precedent)",
+    "llm_sq8_topk": "encode pass + exact-double query side",
+    "llm_bq_topk": "binarize pass + exact-double query side",
+    "llm_ivf_add": "existing index vs added batch sides",
+    "ts_anomaly": "baseline statistics vs scored activity sides",
+    "ts_gapfill": "calendar spine bounds vs data sides",
+    "ts_retention": "cohort vs later-activity sides",
+    "sort_nulls_order": "two null-ordering legs over one projection — the gate witnesses both",
+    "llm_rrf_fusion": "lexical (bm25) vs quality ranking sides — two independent signals",
+    # r18 conditional-pin rewrites: ONE pass above spark.graft.pin.minBytes;
+    # a sub-threshold plan capture re-derives the counts tower per consumer
+    "llm_bigram_lm": "single tokenize pass above the conditional-pin threshold (c1 = row-sum of pinned c2)",
+    "llm_oov_rate": "single tokenize pass above the threshold (vocab + rate from pinned (source,w) counts)",
+    "llm_vocab_coverage": "single tokenize pass above the threshold (total = sum of pinned counts)",
 }
 
 
