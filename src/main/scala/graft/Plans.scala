@@ -25,7 +25,9 @@ object Plans {
     val sb = new StringBuilder
     sb ++= "# PLANS — physical operator trees for every gated query\n\n"
     sb ++= "Generated at sf0.001 (plan shape, not size, is the audit target).\n"
-    sb ++= "Field-level detail elided; `*(n)` marks whole-stage-codegen spans.\n\n"
+    sb ++= "Field-level detail elided; `*(n)` marks whole-stage-codegen spans.\n"
+    sb ++= "Expression ids and plan_id values are normalized to `x` (ADVICE\n"
+    sb ++= "r17) so regeneration diffs show only structural changes.\n\n"
     sb ++= "Reading broadcast choices in this dump: a BroadcastExchange over a\n"
     sb ++= "FileScan of an SF-growing table is usually a STATS-DRIVEN pick that\n"
     sb ++= "self-corrects at scale (past the autoBroadcastJoinThreshold the same\n"
@@ -44,7 +46,15 @@ object Plans {
       val tree =
         try fn(spark, sfDir).queryExecution.executedPlan.toString
         catch { case e: Throwable => s"<plan failed: ${e.getMessage}>" }
-      val trimmed = tree.linesIterator
+      // Normalize nondeterministic identifiers (ADVICE r17): expression
+      // ids (#NNNN, session-lifetime counters) and plan_id values churn
+      // on every regeneration without any structural change, drowning
+      // the meaningful diffs. Stripping them AFTER the length trim
+      // would shift the cut column run-to-run, so normalize first.
+      val normalized = tree
+        .replaceAll("#\\d+", "#x")
+        .replaceAll("plan_id=\\d+", "plan_id=x")
+      val trimmed = normalized.linesIterator
         .map(l => if (l.length > 110) l.take(107) + "..." else l)
         .mkString("\n")
       sb ++= s"\n## $name\n\n```\n$trimmed\n```\n"

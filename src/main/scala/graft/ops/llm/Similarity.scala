@@ -819,7 +819,11 @@ object Similarity extends QueryPack {
     */
   def rpTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val proj = rpProject(spark, dir)
+    // conditionally pinned (r18, from the census sweep): proj feeds both
+    // the query and corpus sides, and the projection (16 dots/vector) is
+    // a full corpus pass per consumer above the threshold — the ann_lsh
+    // r17 treatment, with the r18 size gate
+    val proj = graft.state.Materialize.pinIfLarge(rpProject(spark, dir))
     val q = proj.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"p".as("pq"))
     val w = Window.partitionBy($"q_id").orderBy($"d2p".asc, $"n_id")

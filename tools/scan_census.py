@@ -119,6 +119,12 @@ ALLOWLIST = {
     "llm_bigram_lm": "single tokenize pass above the conditional-pin threshold (c1 = row-sum of pinned c2)",
     "llm_oov_rate": "single tokenize pass above the threshold (vocab + rate from pinned (source,w) counts)",
     "llm_vocab_coverage": "single tokenize pass above the threshold (total = sum of pinned counts)",
+    "agg_heavy_hitters": "2 passes above the threshold (pinned counts frame); sub-threshold capture re-expands",
+    "agg_freq_items": "2 passes above the threshold (pinned counts frame); sub-threshold capture re-expands",
+    "llm_tfidf": "1 tokenize pass above the threshold (df from pinned tf); sub-threshold capture re-expands",
+    "llm_bm25": "1 tokenize pass above the threshold (df from pinned tf); sub-threshold capture re-expands",
+    "sql_not_in_null": "NOT IN vs NOT EXISTS subqueries — the comparison IS the gate",
+    "llm_rp_topk": "query vs corpus sides of the conditionally-pinned projection; sub-threshold capture re-expands",
 }
 
 
@@ -132,7 +138,7 @@ def main(path: str) -> int:
         scans = re.findall(r"FileScan parquet \[([^\]]*)\]", body)
         per_table = defaultdict(int)
         for cols in scans:
-            bare = re.sub(r"#\d+L?", "", cols)
+            bare = re.sub(r"#(?:\d+|x)L?", "", cols)
             table = next(
                 (t for rx, t in COLUMN_TABLE if rx.search(bare)), "unknown")
             per_table[table] += 1
